@@ -1,13 +1,192 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. relational / OLAP core
+    "q1_pricing_summary"   -> (RelationalOps.q1PricingSummary _),
+    "q3_shipping_priority" -> (RelationalOps.q3ShippingPriority _),
+    "q5_region_revenue"    -> (RelationalOps.q5RegionRevenue _),
+    "q_top_customers"      -> (RelationalOps.qTopCustomers _),
+    "q_part_brand_stats"   -> (RelationalOps.qPartBrandStats _),
+    "q_orders_window"      -> (RelationalOps.qOrdersWindow _),
+    // B. log-agent event semantics
+    "evt_latest_per_key"   -> (EventOps.latestPerKey _),
+    "evt_debounce"         -> (EventOps.debounce _),
+    "evt_change_detect"    -> (EventOps.changeDetect _),
+    "evt_sessionize"       -> (EventOps.sessionize _),
+    "evt_microbatch_stats" -> (EventOps.microbatchStats _),
+    "evt_handler_routing"  -> (EventOps.handlerRouting _),
+    "evt_error_burst"      -> (EventOps.errorBurst _),
+    "evt_upsert_latest"    -> (EventOps.upsertLatest _)
+  )
+
+  private val DEC = "DECIMAL(12,2)"
+  private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
+  private def drev =
+    s"CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)) AS DOUBLE)"
+
+  /** DuckDB-equivalent SQL per query (same column names, same order). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsum("l_quantity")} AS sum_qty,
+         |${dsum("l_extendedprice")} AS sum_base_price,
+         |$drev AS sum_disc_price,
+         |CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)
+         |  * CAST(1 + l_tax AS $DEC)) AS DOUBLE) AS sum_charge,
+         |${dsum("l_quantity")} / COUNT(*) AS avg_qty,
+         |${dsum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |${dsum("l_discount")} / COUNT(*) AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $drev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, $drev AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_top_customers" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, order_cnt, total_spent
+         |FROM (SELECT o_custkey, ${dsum("o_totalprice")} AS total_spent,
+         |        COUNT(*) AS order_cnt
+         |      FROM orders GROUP BY o_custkey) s
+         |JOIN customer ON s.o_custkey = c_custkey
+         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_part_brand_stats" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items,
+         |COUNT(DISTINCT l_partkey) AS n_parts,
+         |${dsum("l_quantity")} AS sum_qty, $drev AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_orders_window" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice, rn, cum_spent FROM (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         |    CAST(SUM(CAST(o_totalprice AS $DEC)) OVER w AS DOUBLE) AS cum_spent
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "evt_latest_per_key" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "evt_debounce" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS new_burst FROM base),
+        |bursts AS (
+        |  SELECT *, CAST(SUM(new_burst) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_id
+        |  FROM marked),
+        |ranked AS (
+        |  SELECT user_id, burst_id, event_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, burst_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, burst_id) AS BIGINT) AS burst_size
+        |  FROM bursts)
+        |SELECT user_id, burst_id, event_id, ts, event_type, burst_size
+        |FROM ranked WHERE rn = 1 ORDER BY user_id, burst_id""".stripMargin,
+
+    "evt_change_detect" ->
+      """SELECT event_id, ts, user_id, event_type FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM (
+        |    SELECT event_id AS s_id,
+        |      CASE WHEN event_id % 4 = 0 THEN date_trunc('minute', ts)
+        |        ELSE ts END AS s_ts
+        |    FROM events WHERE event_id % 2 = 0) s
+        |  WHERE e.event_id = s.s_id AND e.ts = s.s_ts)
+        |ORDER BY event_id""".stripMargin,
+
+    "evt_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 7200000000
+        |    THEN 1 ELSE 0 END AS new_sess FROM base),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_microbatch_stats" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "evt_handler_routing" ->
+      """SELECT event_id, event_type, handler, CAST(priority AS BIGINT) AS priority,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY event_id
+        |    ORDER BY priority DESC, handler) AS BIGINT) AS seq
+        |FROM events JOIN (VALUES
+        |  ('error','console',0),('error','file',1),('error','kafka',2),
+        |  ('error','cassandra',3),('purchase','kafka',2),('purchase','cassandra',3),
+        |  ('click','kafka',2),('view','kafka',2),('signup','file',1),
+        |  ('signup','kafka',2)) AS r(r_type, handler, priority)
+        |  ON event_type = r_type
+        |ORDER BY event_id, seq""".stripMargin,
+
+    "evt_error_burst" ->
+      """SELECT user_id, event_id, ts, event_type, err_cnt_10 FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS err_cnt_10
+        |  FROM events)
+        |WHERE err_cnt_10 >= 3 ORDER BY user_id, event_id""".stripMargin,
+
+    "evt_upsert_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
 }

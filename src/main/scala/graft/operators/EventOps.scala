@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** B-family: the log-agent's event-pipeline semantics re-expressed as
+  * distributed batch transforms over the `events` table.
+  *
+  * Mapping to /root/reference:
+  *  - filterEvents (watchdog/watchdog.go:316-328) — newest event per
+  *    key wins → [[latestPerKey]]
+  *  - debounce (watchdog/watchdog.go:190-250) — bursts closer than the
+  *    debounce gap collapse to their last event → [[debounce]]
+  *  - fspolling badger change detection (watcher/fspolling.go:41-86) —
+  *    emit only records whose (key, mtime) isn't in saved state →
+  *    [[changeDetect]]
+  *  - transferBatch micro-batching (watchdog.go:252-276) → tumbling
+  *    windows → [[microbatchStats]]
+  *  - prioritized handler fan-out (watchdog.go:97-107) →
+  *    [[handlerRouting]]
+  *  - Cassandra PK upsert (handler/cassandra.go:208-265) → latest row
+  *    per composite key → [[upsertLatest]]
+  *
+  * Every window partitions by user_id (cardinality grows with data);
+  * no global windows, no collect. All timestamps compared in epoch
+  * micros (engine-portable, no interval arithmetic differences).
+  */
+object EventOps {
+
+  private val GapMicros30m = 30L * 60 * 1000000
+  private val GapMicros2h  = 2L * 3600 * 1000000
+
+  private def byTs = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** B1: newest event per key (filterEvents). */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "props")
+      .orderBy("user_id")
+  }
+
+  /** B2: debounce — events for a key closer than 30min collapse into a
+    * burst; the burst's last event is emitted with the burst size.
+    */
+  def debounce(spark: SparkSession, dir: String): DataFrame = {
+    val burst = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("new_burst",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMicros30m, 1L)
+          .otherwise(0L))
+      .withColumn("burst_id",
+        sum(col("new_burst")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+    val wLast = Window.partitionBy(col("user_id"), col("burst_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    burst
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("burst_size",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("burst_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("burst_id"), col("event_id"), col("ts"),
+        col("event_type"), col("burst_size").cast(LongType))
+      .orderBy("user_id", "burst_id")
+  }
+
+  /** B3: change detection — saved state holds (event_id, minute-truncated
+    * ts) for even ids; an event is re-emitted iff its (id, ts) pair
+    * differs (left-anti join == badger isSaved false).
+    */
+  def changeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type")
+    val state = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("s_id"),
+        when(col("event_id") % 4 === 0, date_trunc("minute", col("ts")))
+          .otherwise(col("ts")).as("s_ts"))
+    ev.join(state, ev("event_id") === col("s_id") && ev("ts") === col("s_ts"),
+        "left_anti")
+      .orderBy("event_id")
+  }
+
+  /** B4: gap sessionization (2h): session stats per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMicros2h, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        lcount.as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** B5: micro-batch stats — tumbling 1h buckets per event type
+    * (transferBatch's 200ms tick at analytics timescale).
+    */
+  def microbatchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        lcount.as("n_events"),
+        countDistinct(col("user_id")).cast(LongType).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  /** B6: prioritized handler fan-out — each event joins the routing
+    * table (broadcast) and handlers apply in priority-desc order,
+    * exactly like Watchdog.AddHandler's sorted adapter chain.
+    */
+  def handlerRouting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val routes = Seq(
+      ("error", "console", 0L), ("error", "file", 1L),
+      ("error", "kafka", 2L), ("error", "cassandra", 3L),
+      ("purchase", "kafka", 2L), ("purchase", "cassandra", 3L),
+      ("click", "kafka", 2L), ("view", "kafka", 2L),
+      ("signup", "file", 1L), ("signup", "kafka", 2L)
+    ).toDF("r_type", "handler", "priority")
+    val ev = Tables.events(spark, dir).select("event_id", "event_type")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("priority").desc, col("handler"))
+    ev.join(broadcast(routes), ev("event_type") === routes("r_type"))
+      .select(col("event_id"), col("event_type"), col("handler"), col("priority"),
+        row_number().over(w).cast(LongType).as("seq"))
+      .orderBy("event_id", "seq")
+  }
+
+  /** B7: sliding error-burst monitor — errors among the last 10 events
+    * of a user; alert rows where >= 3.
+    */
+  def errorBurst(spark: SparkSession, dir: String): DataFrame = {
+    val w10 = byTs.rowsBetween(-9, 0)
+    Tables.events(spark, dir)
+      .withColumn("err_cnt_10",
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w10))
+      .filter(col("err_cnt_10") >= 3)
+      .select("user_id", "event_id", "ts", "event_type", "err_cnt_10")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** B8: Cassandra upsert semantics — latest row per PK
+    * (user_id, event_type); later ts (then id) wins, like repeated
+    * INSERTs on the same primary key.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+}

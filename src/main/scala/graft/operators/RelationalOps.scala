@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** A-family: relational/OLAP core over the TPC-H-ish star schema.
+  *
+  * Scale notes: all dimension joins (region/nation/customer/supplier/
+  * part) are broadcast-hinted — at 100 TB the fact tables shuffle only
+  * for aggregation on their own keys, never to co-locate with a dim.
+  * Aggregates use [[graft.functions.Exact]] so results are
+  * order-independent (safe under any partitioning) and oracle-exact.
+  */
+object RelationalOps {
+
+  private def ts(s: String) = lit(s).cast(TimestampType)
+
+  /** A1: TPC-H Q1-shaped pricing summary. One shuffle (groupBy), with
+    * map-side partial aggregation; scan prunes to 7 columns.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("2000-12-31 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        dsum3(col("l_extendedprice"), lit(1.0) - col("l_discount"),
+          lit(1.0) + col("l_tax")).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        lcount.as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: TPC-H Q3-shaped shipping priority: top-10 open orders by
+    * discounted revenue. customer is broadcast; orders⋈lineitem
+    * shuffles on orderkey only.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** A3: TPC-H Q5-shaped regional revenue by nation (6-way star join;
+    * every dim broadcast, lineitem⋈orders is the only shuffle join).
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val li = Tables.lineitem(spark, dir)
+
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** A4: top-20 customers by lifetime spend (agg-then-broadcast-join:
+    * the aggregate shrinks orders to |customers| before the dim join).
+    */
+  def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"), lcount.as("order_cnt"))
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    spend.join(broadcast(cust), spend("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("order_cnt"), col("total_spent"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** A5: per-brand sales stats (fact⋈broadcast-dim + multi-aggregate). */
+  def qPartBrandStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        lcount.as("n_items"),
+        countDistinct(col("l_partkey")).cast(LongType).as("n_parts"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** A6: windowed ranking — top-3 orders per customer by price with a
+    * running spend. Window partitions by custkey (cardinality scales
+    * with data: no single-partition window at 100 TB).
+    */
+  def qOrdersWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("cum_spent",
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+}
