@@ -27,8 +27,23 @@ object SparkEntry {
     "evt_microbatch_stats" -> (EventOps.microbatchStats _),
     "evt_handler_routing"  -> (EventOps.handlerRouting _),
     "evt_error_burst"      -> (EventOps.errorBurst _),
-    "evt_upsert_latest"    -> (EventOps.upsertLatest _)
+    "evt_upsert_latest"    -> (EventOps.upsertLatest _),
+    // C. FileMeta pipeline
+    "file_meta_extract"    -> (FileMetaOps.fileMetaExtract _),
+    "file_pattern_filter"  -> (FileMetaOps.filePatternFilter _),
+    "bsi_testid_time"      -> (FileMetaOps.bsiTestIdTime _),
+    "content_policy"       -> (FileMetaOps.contentPolicy _),
+    "kafka_envelope_key"   -> (FileMetaOps.kafkaEnvelopeKey _),
+    "gzip_content"         -> (FileMetaOps.gzipContent _),
+    "zip_expand"           -> (ZipOps.zipExpand _)
   )
+
+  /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
+  private val PathSql =
+    "source || '/' || lang || (CASE WHEN doc_id % 3 = 0 THEN '/deep' ELSE '' END)" +
+    " || '/d' || CAST(doc_id AS VARCHAR)" +
+    " || (CASE doc_id % 4 WHEN 0 THEN '.log' WHEN 1 THEN '.txt'" +
+    " WHEN 2 THEN '.zip' ELSE '.dat' END)"
 
   private val DEC = "DECIMAL(12,2)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
@@ -187,6 +202,74 @@ object SparkEntry {
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "file_meta_extract" ->
+      s"""WITH p AS (SELECT doc_id, $PathSql AS path FROM documents)
+         |SELECT doc_id, path,
+         |  regexp_replace(path, '/[^/]*$$', '') AS folder,
+         |  regexp_extract(path, '([^/]+)$$', 1) AS name,
+         |  lower(regexp_extract(path, '(\\.[^./]+)$$', 1)) AS ext,
+         |  CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS depth
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "file_pattern_filter" ->
+      s"""SELECT doc_id, path FROM (SELECT doc_id, $PathSql AS path FROM documents)
+         |WHERE regexp_matches(path, '.*\\.(log|txt)$$')
+         |  AND NOT regexp_matches(path, '.*/deep/.*')
+         |  AND length(path) - length(replace(path, '/', '')) <= 2
+         |ORDER BY doc_id""".stripMargin,
+
+    "bsi_testid_time" ->
+      """WITH t AS (SELECT doc_id,
+        |  'MBBIVS' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '_1W_1_2017-06-' ||
+        |  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '_' ||
+        |  lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '_' ||
+        |  lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || '_' ||
+        |  lpad(CAST(doc_id * 13 % 60 AS VARCHAR), 2, '0') || '_' ||
+        |  lpad(CAST(doc_id * 31 % 1000 AS VARCHAR), 3, '0') AS testid
+        |  FROM documents),
+        |f AS (SELECT doc_id, testid,
+        |  strptime(regexp_replace(right(testid, 23),
+        |    '^(\d{4}-\d{2}-\d{2})_(\d{2})_(\d{2})_(\d{2})_(\d{3})$',
+        |    '\1 \2:\3:\4.\5'), '%Y-%m-%d %H:%M:%S.%g') AS folder_time
+        |  FROM t)
+        |SELECT doc_id, testid, folder_time,
+        |  strftime(folder_time, '%Y-%m-%d') AS file_date,
+        |  folder_time AS create_time
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "content_policy" ->
+      s"""WITH p AS (SELECT doc_id, text, n_chars,
+         |    lower(regexp_extract($PathSql, '(\\.[^./]+)$$', 1)) AS ext
+         |  FROM documents),
+         |c AS (SELECT *, (n_chars > 1024 AND NOT
+         |    regexp_matches(ext, '(jpg|jpeg|gif|png|wmv|flv|zip|gz)$$')) AS compress
+         |  FROM p)
+         |SELECT doc_id, md5(text) AS checksum, n_chars AS size, ext, compress,
+         |  CASE WHEN NOT compress THEN CAST(n_chars AS BIGINT) END AS compress_size
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "kafka_envelope_key" ->
+      s"""WITH b AS (SELECT doc_id, n_chars, $PathSql AS path FROM documents),
+         |f AS (SELECT doc_id, n_chars,
+         |    regexp_replace(path, '/[^/]*$$', '') AS folder,
+         |    regexp_extract(path, '([^/]+)$$', 1) AS fname,
+         |    lower(regexp_extract(path, '(\\.[^./]+)$$', 1)) = '.zip' AS is_zip
+         |  FROM b),
+         |g AS (SELECT doc_id, n_chars, folder,
+         |    CASE WHEN is_zip THEN fname ELSE '' END AS pack,
+         |    CASE WHEN is_zip THEN 'inner/' || regexp_replace(fname, '\\.zip$$', '.txt')
+         |      ELSE fname END AS name,
+         |    1704067200000 + doc_id * 60000 AS file_time
+         |  FROM f)
+         |SELECT doc_id,
+         |  folder || '/' || (CASE WHEN pack = '' THEN name
+         |    ELSE pack || '/' || name END) AS msg_key,
+         |  pack, name,
+         |  strftime(epoch_ms(file_time), '%Y-%m-%d') AS file_date,
+         |  CAST(file_time AS BIGINT) AS file_time,
+         |  n_chars AS size
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 }
