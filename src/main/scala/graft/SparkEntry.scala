@@ -35,7 +35,20 @@ object SparkEntry {
     "content_policy"       -> (FileMetaOps.contentPolicy _),
     "kafka_envelope_key"   -> (FileMetaOps.kafkaEnvelopeKey _),
     "gzip_content"         -> (FileMetaOps.gzipContent _),
-    "zip_expand"           -> (ZipOps.zipExpand _)
+    "zip_expand"           -> (ZipOps.zipExpand _),
+    // D. LLM-training-data pipeline
+    "dedup_exact"          -> (DedupOps.dedupExact _),
+    "dedup_ngram_jaccard"  -> (DedupOps.dedupNgramJaccard _),
+    "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
+    "dedup_simhash"        -> (DedupOps.dedupSimhash _),
+    "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
+    "text_token_count"     -> (TextOps.tokenCount _),
+    "text_quality"         -> (TextOps.quality _),
+    "text_langid"          -> (TextOps.langid _),
+    "doc_fingerprint"      -> (TextOps.fingerprint _),
+    "ann_cosine_topk"      -> (AnnOps.annCosineTopK _),
+    "ann_lsh"              -> (AnnOps.annLsh _),
+    "emb_label_stats"      -> (AnnOps.embLabelStats _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -270,6 +283,103 @@ object SparkEntry {
          |  strftime(epoch_ms(file_time), '%Y-%m-%d') AS file_date,
          |  CAST(file_time AS BIGINT) AS file_time,
          |  n_chars AS size
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS checksum, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS n_a, b.nsh AS n_b,
+        |  COUNT(*) AS inter_cnt,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) AS jacc
+        |FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |HAVING COUNT(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS digit_cnt,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+        |  FROM t),
+        |r AS (SELECT doc_id, n_tok, stop_cnt, punct_cnt, digit_cnt,
+        |    CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+        |    CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |    CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_word_len,
+        |    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS len_ok
+        |  FROM c)
+        |SELECT doc_id, n_tok, stop_cnt, punct_cnt, digit_cnt,
+        |  stop_ratio, punct_ratio, avg_word_len,
+        |  CAST(0.5 AS DOUBLE) * stop_ratio
+        |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - punct_ratio)
+        |    + CAST(0.2 AS DOUBLE) * len_ok AS score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('group','window','hash','merge'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','fast','key','order'))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('sort','table','scan','row'))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('join','filter','stream','value'))) AS BIGINT) AS c_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('data','query','batch','line'))) AS BIGINT) AS c_zh
+        |  FROM t),
+        |p AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c),
+        |f AS (SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh,
+        |    CASE WHEN c_de = m THEN 'de' WHEN c_en = m THEN 'en'
+        |      WHEN c_es = m THEN 'es' WHEN c_fr = m THEN 'fr'
+        |      WHEN c_zh = m THEN 'zh' ELSE 'und' END AS pred_lang
+        |  FROM p)
+        |SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh, pred_lang,
+        |  pred_lang = lang AS is_match
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e),
+        |s AS (SELECT q_id, c_id, list_dot_product(qv, cv) / (qn * cn) AS sim
+        |  FROM c, q WHERE q_id <> c_id),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "emb_label_stats" ->
+      """WITH e AS (SELECT label,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
   )
 }

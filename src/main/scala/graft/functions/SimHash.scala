@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over a token array (SURVEY §2 G2).
+  *
+  * Per token: two 32-bit murmur3 hashes (seeds 0x9747b28c / 0x85ebca6b)
+  * concatenated to 64 bits; each bit votes +1/-1 into 64 counters; the
+  * sign vector is the signature. Implemented as a custom Catalyst
+  * Expression because the 64-counter inner loop has no efficient
+  * built-in composition (an aggregate over zip_with of 64-wide arrays
+  * allocates per token). CodegenFallback: one virtual call per row,
+  * loop itself is tight JVM code over UTF8String bytes — no
+  * serialization, no Row copying.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(base, off, len, 0x9747b28c)
+        val h2 = Murmur3_x86_32.hashUnsafeBytes(base, off, len, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object SimHash {
+  /** array<string> tokens -> 64-bit simhash signature. */
+  def simhash64(tokens: Column): Column = columnOf(SimHash64(expressionOf(tokens)))
+}

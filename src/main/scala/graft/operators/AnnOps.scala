@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** D9–D11: similarity search over the embeddings table.
+  *
+  * Brute-force cosine is the exact baseline (and oracle); the LSH
+  * variant is the 100 TB path: queries only meet candidates sharing a
+  * hyperplane bucket, so compare volume scales with bucket occupancy
+  * rather than the corpus. The query side is broadcast (queries ≪
+  * corpus); the corpus never shuffles at all.
+  */
+object AnnOps {
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select("vec_id", "label", "v", "nrm")
+
+  /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** D10: LSH-bucketed ANN — same queries, candidates restricted to the
+    * query's 8-plane bucket (the IVF-style scale path; recall measured
+    * against D9 in tests).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+      .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 8))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("q_bucket"))
+    val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket").as("c_bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.join(broadcast(q),
+        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** D11: per-label embedding stats (exact: count/min/max of norms —
+    * no FP-order-dependent aggregates, so safe at any parallelism).
+    */
+  def embLabelStats(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy("label")
+}

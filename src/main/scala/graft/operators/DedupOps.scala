@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{SimHash, TextFns, VectorFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** D1–D4, D12: the deduplication family for LLM-training-data curation.
+  *
+  * Scale design: every near-dup variant generates candidates through a
+  * high-cardinality blocked join (shingle / band-bucket / hamming-band
+  * / lsh-bucket) — never an unblocked O(n²) cross join — so the
+  * shuffle key spreads across the cluster and candidate verification
+  * touches only bucket-cohabitant pairs.
+  */
+object DedupOps {
+
+  /** D1: exact dedup — hash-groupBy on content checksum; the kept doc
+    * is the smallest id, like keep-first-seen at scale.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("checksum"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast(LongType).as("dup_cnt"))
+      .orderBy("keep_id")
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", TextFns.shingles3(col("toks")))
+      .withColumn("nsh", size(col("shingles")).cast(LongType))
+
+  /** D2: n-gram Jaccard near-dup — explode distinct shingles, self-join
+    * blocked by (lang, shingle), count intersections, Jaccard from set
+    * sizes. The relational form of MinHash's exact verify step.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = withShingles(spark, dir)
+      .select(col("doc_id"), col("lang"), col("nsh"),
+        explode(col("shingles")).as("shingle"))
+    val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+      col("doc_id").as("a_id"), col("nsh").as("n_a"))
+    val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+      col("doc_id").as("b_id"), col("nsh").as("n_b"))
+    a.join(b, col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 2)
+      .withColumn("jacc", col("inter_cnt").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter_cnt")).cast(DoubleType))
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** D3: MinHash + banded LSH — k=64 signature, 8 bands × 8 rows;
+    * candidates are pairs sharing a band bucket; estimate = matching
+    * signature fraction. At 100 TB this replaces D2's quadratic-ish
+    * verify: candidate volume is bounded by bucket co-occupancy.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withShingles(spark, dir)
+      .withColumn("sig", VectorFns.minhashSignature(col("shingles"), 64))
+      .withColumn("bands", VectorFns.bandHashes(col("sig"), 8, 8))
+      .select(col("doc_id"), col("lang"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val a = sigs.select(col("lang").as("l_a"), col("band_id").as("bi_a"),
+      col("band_hash").as("bh_a"), col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = sigs.select(col("lang").as("l_b"), col("band_id").as("bi_b"),
+      col("band_hash").as("bh_b"), col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    a.join(b, col("l_a") === col("l_b") && col("bi_a") === col("bi_b") &&
+        col("bh_a") === col("bh_b") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("sig_a"), col("sig_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_bands_hit"))
+      .withColumn("est_jaccard",
+        VectorFns.minhashEstimate(col("sig_a"), col("sig_b")))
+      .select("a_id", "b_id", "n_bands_hit", "est_jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** D4: SimHash near-dup — 64-bit signatures; pigeonhole blocking on
+    * 4×16-bit bands guarantees recall for Hamming distance ≤ 3 (any
+    * ≤3-bit difference leaves ≥1 band intact); verify with bit_count.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("sig", SimHash.simhash64(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("(sig >> (band * 16)) & 65535"))
+    val a = sigs.select(col("band").as("k_a"), col("band_val").as("v_a"),
+      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band").as("k_b"), col("band_val").as("v_b"),
+      col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    a.join(b, col("k_a") === col("k_b") && col("v_a") === col("v_b") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** D12: embedding-cosine near-dup — candidates blocked by shared
+    * 8-plane LSH bucket, verified with exact cosine ≥ threshold.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 6))
+      .select("vec_id", "v", "nrm", "bucket")
+    val a = emb.select(col("bucket").as("bk_a"), col("vec_id").as("a_id"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = emb.select(col("bucket").as("bk_b"), col("vec_id").as("b_id"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("bk_a") === col("bk_b") && col("a_id") < col("b_id"))
+      .withColumn("cos",
+        VectorFns.cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= 0.35)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+}

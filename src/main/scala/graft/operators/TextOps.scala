@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** D5–D8: text analysis over `documents` — token counting, quality
+  * scoring, language ID, winnowing fingerprints. Per-row expressions
+  * only: embarrassingly parallel, no shuffle except the final sort.
+  */
+object TextOps {
+
+  /** D5: token counting — whitespace tokens + BPE-ish regex pieces. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
+        TextFns.regexTokenCount(col("text")).as("n_re_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** D6: quality scoring — length/punct/digit/stopword signals folded
+    * into a single deterministic score.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("stop_cnt", TextFns.stopwordCount(toks, Stopwords))
+      .withColumn("punct_cnt", TextFns.punctCount(col("text")))
+      .withColumn("digit_cnt", TextFns.digitCount(col("text")))
+      .withColumn("tok_chars", TextFns.tokenChars(toks))
+      .withColumn("stop_ratio",
+        col("stop_cnt").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("punct_ratio",
+        col("punct_cnt").cast(DoubleType) / col("n_chars").cast(DoubleType))
+      .withColumn("avg_word_len",
+        col("tok_chars").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("score",
+        lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.2) * when(col("n_chars").between(100, 2000), 1.0).otherwise(0.0))
+      .select("doc_id", "n_tok", "stop_cnt", "punct_cnt", "digit_cnt",
+        "stop_ratio", "punct_ratio", "avg_word_len", "score")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language token profiles (drawn from the corpus vocabulary —
+    * the heuristic's shape, not a linguistic claim).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("group", "window", "hash", "merge"),
+    "en" -> Seq("the", "fast", "key", "order"),
+    "es" -> Seq("sort", "table", "scan", "row"),
+    "fr" -> Seq("join", "filter", "stream", "value"),
+    "zh" -> Seq("data", "query", "batch", "line"))
+
+  /** D7: language ID — stopword-profile hit counts, argmax with
+    * alphabetical tie-break.
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val withCounts = LangProfiles.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"c_$lang", TextFns.stopwordCount(toks, words))
+    }
+    val m = greatest(LangProfiles.map { case (l, _) => col(s"c_$l") }: _*)
+    val predCol = LangProfiles.reverse.foldLeft(lit("und")) {
+      case (els, (l, _)) => when(col(s"c_$l") === m, lit(l)).otherwise(els)
+    }
+    withCounts
+      .withColumn("pred_lang", predCol)
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .select(col("doc_id") +: col("lang") +:
+        LangProfiles.map { case (l, _) => col(s"c_$l") } :+
+        col("pred_lang") :+ col("is_match"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** D8: winnowing fingerprints (char 8-grams, window 4) — MOSS-style
+    * robust document fingerprinting for overlap mining.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fps", TextFns.winnowFingerprints(col("text"), 8, 4))
+      .select(col("doc_id"),
+        size(col("fps")).cast(LongType).as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+}
