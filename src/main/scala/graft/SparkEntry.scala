@@ -48,7 +48,9 @@ object SparkEntry {
     "doc_fingerprint"      -> (TextOps.fingerprint _),
     "ann_cosine_topk"      -> (AnnOps.annCosineTopK _),
     "ann_lsh"              -> (AnnOps.annLsh _),
-    "emb_label_stats"      -> (AnnOps.embLabelStats _)
+    "emb_label_stats"      -> (AnnOps.embLabelStats _),
+    // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
+    "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -380,6 +382,13 @@ object SparkEntry {
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
-        |FROM e GROUP BY label ORDER BY label""".stripMargin
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "media_feature_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

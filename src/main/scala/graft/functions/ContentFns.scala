@@ -29,10 +29,30 @@ case class GzipDecompress(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): GzipDecompress = copy(c)
 }
 
+/** GBK -> UTF-8 string decode (handler/handler.go:48-56 GBKToUTF8):
+  * Spark 4's decode() restricts charsets to a unicode-only list, so
+  * archive entry names written by Windows tools need this expression.
+  * Codegen'd via static call like the gzip pair.
+  */
+case class GbkDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ContentFns.gbkToUtf8String(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ContentFns.gbkToUtf8String($c)")
+  override protected def withNewChildInternal(c: Expression): GbkDecode = copy(c)
+}
+
 /** Content-policy column functions (checksum / compression policy),
   * mirroring handler/kafka.go:272-300 and lib/compress/compress.go.
   */
 object ContentFns {
+  def gbkToUtf8String(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(b, "GBK"))
+
+  /** binary (GBK bytes) -> string column. */
+  def gbkDecode(c: Column): Column = columnOf(GbkDecode(expressionOf(c)))
   def gzipCompress(c: Column): Column = columnOf(GzipCompress(expressionOf(c)))
   def gzipDecompress(c: Column): Column = columnOf(GzipDecompress(expressionOf(c)))
 

@@ -41,12 +41,13 @@ object AnnOps {
   }
 
   /** D10: LSH-bucketed ANN — same queries, candidates restricted to the
-    * query's 8-plane bucket (the IVF-style scale path; recall measured
-    * against D9 in tests).
+    * query's 4-plane bucket (the IVF-style scale path: 16 coarse cells
+    * here; at corpus scale the plane count grows with log(n)/cell-size
+    * targets). Recall vs D9 is measured in tests.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
-      .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 8))
+      .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 4))
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("bucket").as("q_bucket"))

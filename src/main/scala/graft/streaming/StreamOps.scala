@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.functions.PathFns
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for streaming ops (events-table shape). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Debounced burst emission. */
+case class DebouncedEv(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String, burst_size: Long)
+
+/** Change-detection state row (badger analog: key -> last mtime). */
+case class KeyedChange(user_id: Long, event_id: Long, ts: Timestamp, changed: Boolean)
+
+private case class DebState(event_id: Long, tsMs: Long, event_type: String,
+    count: Long)
+
+/** E-family: the watchdog's streaming semantics on Structured
+  * Streaming. The reference's goroutine/timer machinery
+  * (watchdog.go:190-250) becomes watermark + event-time-timeout state:
+  * Spark owns the timers, state is per-key and spill-safe, and the
+  * operators scale horizontally by key hash.
+  */
+object StreamOps {
+
+  /** E1: streaming debounce — per-key quiescence timer; when no event
+    * arrives within `gapMs` (event time), emit the last event of the
+    * burst with the burst size, exactly like
+    * Watchdog.debounceFsnotifyEvent's reset-timer loop.
+    */
+  def debounceStream(events: Dataset[Ev], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[DebouncedEv] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[DebState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(DebouncedEv(user, s.event_id, new Timestamp(s.tsMs),
+              s.event_type, s.count))
+          } else {
+            var s = state.getOption.getOrElse(DebState(0L, Long.MinValue, "", 0L))
+            it.foreach { e =>
+              val t = e.ts.getTime
+              s = if (t >= s.tsMs) DebState(e.event_id, t, e.event_type, s.count + 1)
+                  else s.copy(count = s.count + 1)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.tsMs + gapMs)
+            Iterator.empty
+          }
+        })
+  }
+
+  /** E2: micro-batch stats with watermark — transferBatch's ticked
+    * batching as tumbling event-time windows.
+    */
+  def windowedStats(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** E3: streaming dedup within the watermark horizon (filterEvents'
+    * newest-per-key via state-backed dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_id")
+
+  /** E5: streaming change detection — state holds the last seen mtime
+    * per key (the badger KV); rows are flagged changed when the mtime
+    * moved, like fspolling.isSaved.
+    */
+  def changeDetectStream(events: Dataset[Ev]): Dataset[KeyedChange] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[Ev], state: GroupState[Long]) => {
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val t = e.ts.getTime
+            val changed = t != last
+            last = t
+            KeyedChange(user, e.event_id, e.ts, changed)
+          }
+          state.update(last)
+          out.iterator
+        })
+  }
+
+  /** The reference's Kafka record schema (handler/kafka.go:40-105),
+    * verbatim field list.
+    */
+  val RecordSchemaJson: String =
+    """{"type":"struct","name":"dcagent_value","fields":[""" +
+      """{"field":"file_date","type":"string"},{"field":"file_time","type":"int64"},""" +
+      """{"field":"folder","type":"string"},{"field":"pack","type":"string"},""" +
+      """{"field":"name","type":"string"},{"field":"size","type":"int64"},""" +
+      """{"field":"modify_time","type":"int64"},{"field":"content","type":"string"},""" +
+      """{"field":"compress","type":"boolean"},{"field":"compress_size","type":"int64"},""" +
+      """{"field":"checksum","type":"string"},{"field":"host","type":"string"},""" +
+      """{"field":"folder_time","type":"int64"}]}"""
+
+  /** E4: Kafka sink envelope — (key, value) columns in the exact
+    * {schema, payload} JSON shape the reference produces; pluggable
+    * onto writeStream.format("kafka") unchanged.
+    */
+  def kafkaEnvelope(records: DataFrame): DataFrame = {
+    val payload = struct(
+      col("file_date"), col("file_time"), col("folder"), col("pack"),
+      col("name"), col("size"), col("modify_time"), col("content"),
+      col("compress"), col("compress_size"), col("checksum"), col("host"),
+      col("folder_time"))
+    records.select(
+      PathFns.kafkaKey(col("folder"), col("pack"), col("name")).as("key"),
+      concat(lit("{\"schema\":"), lit(RecordSchemaJson),
+        lit(",\"payload\":"), to_json(payload), lit("}")).as("value"))
+  }
+}

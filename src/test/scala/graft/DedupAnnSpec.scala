@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{AnnOps, DedupOps}
+import org.apache.spark.sql.functions._
+
+class DedupAnnSpec extends GraftSpec {
+
+  test("dedup_exact preserves total docs across groups") {
+    val df = DedupOps.dedupExact(spark, Sf)
+    val total = df.agg(sum("dup_cnt")).head.getLong(0)
+    assert(total == Tables.documents(spark, Sf).count())
+  }
+
+  test("minhash estimate tracks exact jaccard on shared pairs") {
+    val est = DedupOps.dedupMinhashLsh(spark, Sf)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+    val exact = DedupOps.dedupNgramJaccard(spark, Sf)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+    val joined = est.join(exact, Seq("a_id", "b_id")).collect()
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      val x = r.getAs[Double]("jacc")
+      assert(math.abs(e - x) < 0.35, s"est $e vs exact $x")
+    }
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    DedupOps.dedupSimhash(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+  }
+
+  test("lsh ann is a subset of brute force sims") {
+    val bf = AnnOps.annCosineTopK(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
+    // lsh pair sims must equal the exact sim for that pair (no approximation
+    // in the distance itself, only in candidate generation)
+    val lsh = AnnOps.annLsh(spark, Sf).select("q_id", "c_id", "sim")
+    val j = lsh.join(bf, Seq("q_id", "c_id")).collect()
+    j.foreach(r => assert(r.getAs[Double]("sim") == r.getAs[Double]("bf_sim")))
+  }
+
+  test("lsh ann achieves nonzero recall at the smallest sf") {
+    val bf = AnnOps.annCosineTopK(spark, Sf).select("q_id", "c_id")
+    val lsh = AnnOps.annLsh(spark, Sf).select("q_id", "c_id")
+    val hit = lsh.join(bf, Seq("q_id", "c_id")).count()
+    assert(hit > 0, "LSH found none of the true top-10")
+  }
+
+  test("embedding near-dup cosines are symmetric-bounded") {
+    DedupOps.dedupEmbedding(spark, Sf).collect().foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.35 && c <= 1.0 + 1e-9)
+    }
+  }
+}

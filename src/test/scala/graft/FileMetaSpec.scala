@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.FileMetaOps
+import org.apache.spark.sql.functions._
+
+class FileMetaSpec extends GraftSpec {
+
+  test("C1 extracts folder/name/ext/depth for a known row") {
+    // doc_id 0: deep route (0%3==0), .log ext (0%4==0)
+    val r = FileMetaOps.fileMetaExtract(spark, Sf)
+      .filter(col("doc_id") === 0).head()
+    val path = r.getAs[String]("path")
+    assert(path.endsWith("/deep/d0.log"))
+    assert(r.getAs[String]("name") == "d0.log")
+    assert(r.getAs[String]("ext") == ".log")
+    assert(r.getAs[String]("folder") == path.stripSuffix("/d0.log"))
+    assert(r.getAs[Long]("depth") == 3)
+  }
+
+  test("C2 excludes deep paths, zips and dats") {
+    val kept = FileMetaOps.filePatternFilter(spark, Sf).collect()
+    kept.foreach { r =>
+      val p = r.getAs[String]("path")
+      assert(p.endsWith(".log") || p.endsWith(".txt"))
+      assert(!p.contains("/deep/"))
+    }
+  }
+
+  test("C3 parses the BSI embedded timestamp components") {
+    val r = FileMetaOps.bsiTestIdTime(spark, Sf)
+      .filter(col("doc_id") === 123).head()
+    // doc 123: day=123%28+1=12, hour=123%24=3, min=861%60=21, sec=1599%60=39, ms=3813%1000=813
+    val t = r.getAs[java.sql.Timestamp]("folder_time").toString
+    assert(t == "2017-06-12 03:21:39.813", t)
+    assert(r.getAs[String]("file_date") == "2017-06-12")
+    assert(r.getAs[java.sql.Timestamp]("create_time") ==
+      r.getAs[java.sql.Timestamp]("folder_time"))
+  }
+
+  test("C4 compress policy follows size and extension rules") {
+    FileMetaOps.contentPolicy(spark, Sf).collect().foreach { r =>
+      val expect = r.getAs[Long]("size") > 1024 &&
+        !Set(".zip").contains(r.getAs[String]("ext")) // only .zip in our ext set is non-compressible
+      assert(r.getAs[Boolean]("compress") == expect)
+    }
+  }
+
+  test("GBK decode roundtrip via GbkDecode expression") {
+    import spark.implicits._
+    val gbkBytes = "日志采集".getBytes("GBK")
+    val df = Seq(Tuple1(gbkBytes)).toDF("b")
+      .select(graft.functions.ContentFns.gbkDecode(col("b")).as("s"))
+    assert(df.head().getString(0) == "日志采集")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("E1 debounce emits the last event of a burst after quiescence") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.debounceStream(in.toDS(), gapMs = 5 * 60 * 1000,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("deb")
+      .outputMode("append").start()
+    try {
+      // burst of 3 events within the gap, then quiet
+      in.addData(Ev(1, ts(0), 7, "write", 1.0), Ev(2, ts(1), 7, "write", 1.0),
+        Ev(3, ts(2), 7, "create", 1.0))
+      q.processAllAvailable()
+      // advance event time past the timeout so the timer fires
+      in.addData(Ev(99, ts(30), 8, "write", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(100, ts(59), 8, "write", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("deb").as[graft.streaming.DebouncedEv].collect()
+      val u7 = rows.filter(_.user_id == 7)
+      assert(u7.length == 1)
+      assert(u7.head.event_id == 3 && u7.head.burst_size == 3)
+    } finally q.stop()
+  }
+
+  test("E2 windowed stats aggregate by tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.windowedStats(in.toDF(), "1 hour", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "error", 2.0), Ev(2, ts(5), 2, "error", 3.0),
+        Ev(3, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win").collect()
+      val err = rows.find(_.getAs[String]("event_type") == "error").get
+      assert(err.getAs[Long]("n_events") == 2)
+      assert(err.getAs[Double]("sum_value") == 5.0)
+    } finally q.stop()
+  }
+
+  test("E3 streaming dedup drops duplicate (user_id, event_id)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.dedupStream(in.toDF(), "1 hour")
+    val q = out.writeStream.format("memory").queryName("ddp")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "write", 1.0), Ev(1, ts(0), 1, "write", 1.0),
+        Ev(2, ts(1), 1, "write", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ddp").count() == 2)
+    } finally q.stop()
+  }
+
+  test("E5 change detect flags moved mtimes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.changeDetectStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("chg")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "write", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(0), 1, "write", 1.0)) // same mtime -> unchanged
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(5), 1, "write", 1.0)) // moved -> changed
+      q.processAllAvailable()
+      val rows = spark.table("chg").orderBy("ts").collect()
+      assert(rows.map(_.getAs[Boolean]("changed")).toSeq ==
+        Seq(true, false, true))
+    } finally q.stop()
+  }
+
+  test("E4 kafka envelope matches the reference JSON shape") {
+    val rec = Seq(("2017-06-07", 1496851200000L, "LOUP/1395T2936101", "",
+      "FLOWLOG.TXT", 123L, 1496851200000L, "0xdead", false, 123L,
+      "abc123", "host1", 1496851200000L))
+      .toDF("file_date", "file_time", "folder", "pack", "name", "size",
+        "modify_time", "content", "compress", "compress_size", "checksum",
+        "host", "folder_time")
+    val env = StreamOps.kafkaEnvelope(rec).collect().head
+    assert(env.getAs[String]("key") == "LOUP/1395T2936101/FLOWLOG.TXT")
+    val v = env.getAs[String]("value")
+    assert(v.startsWith("{\"schema\":{\"type\":\"struct\""))
+    // payload must parse back with the exact field set
+    val payload = spark.read.json(Seq(v).toDS())
+      .select(col("payload.*")).columns.toSet
+    assert(payload == Set("file_date", "file_time", "folder", "pack", "name",
+      "size", "modify_time", "content", "compress", "compress_size",
+      "checksum", "host", "folder_time"))
+  }
+
+  test("E4 zip-entry records key as folder/pack/name") {
+    val rec = Seq(("2017-06-07", 1L, "LOUP", "FLOWLOG.ZIP", "inner/a.txt",
+      1L, 1L, "0x", false, 1L, "c", "h", 1L))
+      .toDF("file_date", "file_time", "folder", "pack", "name", "size",
+        "modify_time", "content", "compress", "compress_size", "checksum",
+        "host", "folder_time")
+    val env = StreamOps.kafkaEnvelope(rec).collect().head
+    assert(env.getAs[String]("key") == "LOUP/FLOWLOG.ZIP/inner/a.txt")
+  }
+}
