@@ -30,6 +30,24 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** documents/embeddings arrive as a single small parquet file
+    * locally (1 scan partition), but feed per-row-heavy operators
+    * (shingling, winnowing, minhash, vector math). Spread them across
+    * the cluster the way a many-file 100 TB layout naturally would;
+    * the repartition shuffles only this small table once.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // hash-repartition by key: no sort-before-repartition pass (round
+    // robin would add one), deterministic placement, AQE leaves
+    // explicit numPartitions alone.
+    if (df.rdd.getNumPartitions < p)
+      df.repartition(p, col(key))
+    else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(t(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(t(s, d, "embeddings"), "vec_id")
 }

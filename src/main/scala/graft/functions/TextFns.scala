@@ -38,16 +38,10 @@ object TextFns {
   def tokenChars(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(LongType)
 
-  /** Winnowing fingerprints: xxhash64 over char k-grams, sliding-window
-    * minima (window w), distinct. Robust document fingerprint
-    * (MOSS-style) — used by doc_fingerprint.
+  /** Winnowing fingerprints (MOSS-style): delegated to the O(n)
+    * [[WinnowFingerprints]] custom expression — rolling hash +
+    * monotonic-deque minima in one byte pass.
     */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), length(text) - (k - 1)),
-      i => xxhash64(text.substr(i, lit(k))))
-    array_distinct(transform(
-      sequence(lit(0), size(grams) - w),
-      j => array_min(slice(grams, j + 1, lit(w)))))
-  }
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    WinnowFingerprints.winnow(text, k, w)
 }

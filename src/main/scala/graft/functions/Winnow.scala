@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03) as a single O(n) Catalyst expression: polynomial rolling
+  * hash over char k-grams + monotonic-deque sliding-window minima +
+  * dedup, in one pass over the UTF-8 bytes. Replaces a nested
+  * higher-order-function formulation that evaluated interpreted
+  * expressions per gram (O(n·k) allocs — 50× slower at sf0.1).
+  * Output: sorted distinct fingerprint hashes.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val kPow: Long = { // BASE^(k-1) for the rolling subtract
+    var p = 1L; var i = 1; while (i < k) { p *= WinnowFingerprints.Base; i += 1 }; p
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * WinnowFingerprints.Base + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = WinnowFingerprints.mix(h)
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xff) * kPow) * WinnowFingerprints.Base +
+        (bytes(i) & 0xff)
+      hashes(i - k + 1) = WinnowFingerprints.mix(h)
+      i += 1
+    }
+    // sliding-window minima via monotonic deque (indices, increasing hash)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hashes(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+object WinnowFingerprints {
+  final val Base = 1000003L
+  /** finalizer (splitmix64) so rolling-hash structure doesn't leak
+    * into minima selection */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    columnOf(WinnowFingerprints(expressionOf(text), k, w))
+}

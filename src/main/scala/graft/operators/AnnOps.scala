@@ -17,11 +17,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object AnnOps {
 
+  /** Persisted: norm/double-cast derived once post-exchange, and the
+    * query/candidate self-reads share the cached rows.
+    */
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("v", VectorFns.toDouble(col("embedding")))
       .withColumn("nrm", VectorFns.norm(col("v")))
       .select("vec_id", "label", "v", "nrm")
+      .persist()
 
   /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
   def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -25,12 +25,20 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast(LongType).as("dup_cnt"))
       .orderBy("keep_id")
 
+  /** Shingle table, persisted: the interpreted HOF derivation runs
+    * once post-exchange in parallel, and Catalyst's inferred
+    * isnotnull-filters on downstream join keys hit cached attributes
+    * instead of re-deriving (and worse, being pushed below the spread
+    * exchange onto the single scan partition).
+    */
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", TextFns.shingles3(col("toks")))
       .withColumn("nsh", size(col("shingles")).cast(LongType))
+      .select("doc_id", "lang", "shingles", "nsh")
+      .persist()
 
   /** D2: n-gram Jaccard near-dup — explode distinct shingles, self-join
     * blocked by (lang, shingle), count intersections, Jaccard from set
@@ -66,6 +74,7 @@ object DedupOps {
       .withColumn("bands", VectorFns.bandHashes(col("sig"), 8, 8))
       .select(col("doc_id"), col("lang"), col("sig"),
         posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .persist()
     val a = sigs.select(col("lang").as("l_a"), col("band_id").as("bi_a"),
       col("band_hash").as("bh_a"), col("doc_id").as("a_id"), col("sig").as("sig_a"))
     val b = sigs.select(col("lang").as("l_b"), col("band_id").as("bi_b"),
@@ -91,6 +100,7 @@ object DedupOps {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val",
         expr("(sig >> (band * 16)) & 65535"))
+      .persist()
     val a = sigs.select(col("band").as("k_a"), col("band_val").as("v_a"),
       col("doc_id").as("a_id"), col("sig").as("sig_a"))
     val b = sigs.select(col("band").as("k_b"), col("band_val").as("v_b"),
@@ -113,6 +123,7 @@ object DedupOps {
       .withColumn("nrm", VectorFns.norm(col("v")))
       .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 6))
       .select("vec_id", "v", "nrm", "bucket")
+      .persist()
     val a = emb.select(col("bucket").as("bk_a"), col("vec_id").as("a_id"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = emb.select(col("bucket").as("bk_b"), col("vec_id").as("b_id"),
