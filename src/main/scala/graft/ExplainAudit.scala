@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan auditor: dumps formatted physical plans for every query and
+  * checks the scale-critical properties (broadcast where expected, no
+  * cartesian products except the intentional broadcast-NL ANN scans,
+  * parquet column pruning). Run: sbt "runMain graft.ExplainAudit [sfDir]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val broadcastExpected = Set("q3_shipping_priority", "q5_region_revenue",
+      "q_top_customers", "q_part_brand_stats", "evt_handler_routing",
+      "ann_cosine_topk", "ann_lsh")
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      println(s"\n===================== $name =====================")
+      println(plan)
+      if (broadcastExpected(name) && !plan.contains("Broadcast")) {
+        println(s"!! AUDIT $name: expected a broadcast join"); bad += 1
+      }
+      if (plan.contains("CartesianProduct")) {
+        println(s"!! AUDIT $name: cartesian product in plan"); bad += 1
+      }
+      // every parquet scan should prune columns (never SELECT *)
+      if ("ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined) {
+        println(s"!! AUDIT $name: suspiciously wide scan"); bad += 1
+      }
+    }
+    println(s"\nAUDIT ${if (bad == 0) "CLEAN" else s"$bad findings"}")
+    spark.stop()
+  }
+}

@@ -24,14 +24,12 @@ object VectorFns {
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** MinHash signature (k hashes) over a shingle array: position i is
-    * min over shingles of xxhash64(i, shingle). Seed-indexed xxhash is
-    * a standard distinct-permutation family; everything stays inside
-    * WholeStageCodegen (SURVEY §2 G3).
+  /** MinHash signature (k affine permutations of a 64-bit shingle
+    * hash) — delegated to the [[MinHashSignature]] custom expression
+    * (one k×n loop; hashes each shingle once).
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+    MinHashSignature.minhash(shingles, k)
 
   /** LSH band hashes: split a k-length signature into nBands bands of
     * rowsPerBand and hash each band (band join key for candidate
