@@ -2,8 +2,8 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFns
+import graft.plans.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -34,12 +34,13 @@ object AnnOps {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
       col("nrm").as("cn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("sim",
         VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
+    // custom TopKPerKey exec: per-key bounded heaps, shuffles only the
+    // per-partition survivors instead of window-sorting all candidates
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), 10)
       .select("q_id", "c_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
   }
@@ -57,13 +58,12 @@ object AnnOps {
         col("bucket").as("q_bucket"))
     val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
       col("nrm").as("cn"), col("bucket").as("c_bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    c.join(broadcast(q),
+    val sims = c.join(broadcast(q),
         col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
       .withColumn("sim",
         VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), 10)
       .select("q_id", "c_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
   }

@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column -> plain catalyst expression (UnresolvedAttribute etc.),
+    * eagerly converted so it is analyzer-resolvable inside custom
+    * logical nodes and java-serializable in physical ones (the lazy
+    * ColumnNodeExpression wrapper from expressionOf is neither).
+    */
+  def catalystExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a logical plan as a DataFrame (for custom logical nodes). */
+  def datasetOfRows(spark: classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark, plan)
 }
