@@ -28,6 +28,9 @@ object SparkEntry {
     "evt_handler_routing"  -> (EventOps.handlerRouting _),
     "evt_error_burst"      -> (EventOps.errorBurst _),
     "evt_upsert_latest"    -> (EventOps.upsertLatest _),
+    "evt_props_json"       -> (EventOps.propsJson _),
+    "evt_asof_prior"       -> (EventOps.asofPriorError _),
+    "evt_percentiles"      -> (EventOps.valuePercentiles _),
     // C. FileMeta pipeline
     "file_meta_extract"    -> (FileMetaOps.fileMetaExtract _),
     "file_pattern_filter"  -> (FileMetaOps.filePatternFilter _),
@@ -218,6 +221,35 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "evt_props_json" ->
+      """SELECT event_id, k_val, k_val % 10 AS k_bucket FROM (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "evt_asof_prior" ->
+      """SELECT user_id, event_id, ts, event_type, prior_error_id, prior_error_us
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END
+        |      IGNORE NULLS) OVER w AS prior_error_id,
+        |    LAST_VALUE(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER w AS prior_error_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "evt_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "file_meta_extract" ->
       s"""WITH p AS (SELECT doc_id, $PathSql AS path FROM documents)

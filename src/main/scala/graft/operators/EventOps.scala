@@ -152,6 +152,49 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** B11: exact percentiles of event values per type (sorted-exact
+    * with linear interpolation — portable across engines).
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        lcount.as("n"))
+      .orderBy("event_type")
+
+  /** B9: JSON property extraction — the events `props` column is a
+    * JSON document (the agent's per-file metadata bag); parse, type
+    * and bucket it. get_json_object is codegen'd and needs no schema.
+    */
+  def propsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+      .withColumn("k_bucket", col("k_val") % 10)
+      .orderBy("event_id")
+
+  /** B10: as-of join — each event carries the most recent prior error
+    * event of the same user (the "latest state at event time" shape:
+    * no shuffle beyond the per-user window).
+    */
+  def asofPriorError(spark: SparkSession, dir: String): DataFrame = {
+    val w = byTs.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("prior_error_id",
+        last(when(col("event_type") === "error", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("prior_error_us",
+        last(when(col("event_type") === "error", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "error")
+      .select("user_id", "event_id", "ts", "event_type",
+        "prior_error_id", "prior_error_us")
+      .orderBy("event_id")
+  }
+
   /** B8: Cassandra upsert semantics — latest row per PK
     * (user_id, event_type); later ts (then id) wins, like repeated
     * INSERTs on the same primary key.
