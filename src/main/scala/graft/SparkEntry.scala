@@ -31,6 +31,7 @@ object SparkEntry {
     "evt_props_json"       -> (EventOps.propsJson _),
     "evt_asof_prior"       -> (EventOps.asofPriorError _),
     "evt_percentiles"      -> (EventOps.valuePercentiles _),
+    "evt_salted_stats"     -> (EventOps.saltedUserStats _),
     // C. FileMeta pipeline
     "file_meta_extract"    -> (FileMetaOps.fileMetaExtract _),
     "file_pattern_filter"  -> (FileMetaOps.filePatternFilter _),
@@ -221,6 +222,11 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "evt_salted_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "evt_props_json" ->
       """SELECT event_id, k_val, k_val % 10 AS k_bucket FROM (

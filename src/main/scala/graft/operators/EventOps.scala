@@ -152,6 +152,24 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** B12: skew-safe aggregation — two-phase salted groupBy. A hot key
+    * (one user producing most of the feed — the reference's single
+    * chatty machine) would bottleneck one reducer; salting spreads the
+    * partial aggregation over 16 sub-keys, then merges. Result is
+    * identical to a direct groupBy (decimal sums are order-independent)
+    * — the oracle is the plain aggregate.
+    */
+  def saltedUserStats(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+    salted.groupBy(col("user_id"))
+      .agg(sum(col("pn")).cast(LongType).as("n_events"),
+        sum(col("pv")).cast(DoubleType).as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** B11: exact percentiles of event values per type (sorted-exact
     * with linear interpolation — portable across engines).
     */
