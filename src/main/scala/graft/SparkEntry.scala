@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "text_token_count"     -> (TextOps.tokenCount _),
+    "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
     "doc_fingerprint"      -> (TextOps.fingerprint _),
@@ -353,6 +354,14 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[.,;:!?]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -16,16 +16,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * sign vector is the signature. Implemented as a custom Catalyst
   * Expression because the 64-counter inner loop has no efficient
   * built-in composition (an aggregate over zip_with of 64-wide arrays
-  * allocates per token). CodegenFallback: one virtual call per row,
-  * loop itself is tight JVM code over UTF8String bytes — no
-  * serialization, no Row copying.
+  * allocates per token). Codegen emits a static kernel call, so the
+  * surrounding projection stays in WholeStageCodegen.
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(SimHashKernel.compute(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** static kernel referenced from generated code */
+object SimHashKernel {
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -52,10 +60,8 @@ case class SimHash64(child: Expression) extends UnaryExpression
       if (counts(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
 object SimHash {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -17,16 +17,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output: sorted distinct fingerprint hashes.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 2 && w >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val kPow: Long = { // BASE^(k-1) for the rolling subtract
-    var p = 1L; var i = 1; while (i < k) { p *= WinnowFingerprints.Base; i += 1 }; p
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowKernel.compute(v.asInstanceOf[UTF8String], k, w)
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKernel.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** static kernel referenced from generated code */
+object WinnowKernel {
+  def compute(str: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val kPow: Long = { // BASE^(k-1) for the rolling subtract
+      var p = 1L; var i = 1; while (i < k) { p *= WinnowFingerprints.Base; i += 1 }; p
+    }
+    val bytes = str.getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val nGrams = n - k + 1
@@ -60,9 +71,6 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (it.hasNext) { arr(j) = it.next(); j += 1 }
     new GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
-    copy(child = c)
 }
 
 object WinnowFingerprints {

@@ -45,21 +45,25 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** D10: LSH-bucketed ANN — same queries, candidates restricted to the
-    * query's 4-plane bucket (the IVF-style scale path: 16 coarse cells
-    * here; at corpus scale the plane count grows with log(n)/cell-size
-    * targets). Recall vs D9 is measured in tests.
+  /** D10: LSH-bucketed ANN with multi-probe — candidates come from the
+    * query's 4-plane bucket plus its four Hamming-1 neighbor buckets
+    * (flipping the least-confident plane signs is the standard
+    * multi-probe trick; here all single flips — 5 probes of 16 cells).
+    * The IVF-style scale path: probe count trades recall for compute
+    * without touching the corpus layout. Recall vs D9 measured in tests.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
       .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 4))
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("bucket").as("q_bucket"))
+        explode(array(col("bucket"), col("bucket").bitwiseXOR(1),
+          col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
+          col("bucket").bitwiseXOR(8))).as("probe"))
     val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
       col("nrm").as("cn"), col("bucket").as("c_bucket"))
     val sims = c.join(broadcast(q),
-        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+        col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
       .withColumn("sim",
         VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     TopK.perKey(sims, Seq(col("q_id")),

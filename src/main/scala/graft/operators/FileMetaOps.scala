@@ -107,6 +107,16 @@ object FileMetaOps {
       .orderBy("doc_id")
   }
 
+  /** Cassandra-table analog sink: the reference's primary layout is
+    * partitioned by file_date (cassandra.go:300-330); the Spark-native
+    * equivalent is date-partitioned parquet with dynamic partition
+    * overwrite (re-ingesting a day replaces exactly that day).
+    */
+  def writePartitionedByDate(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy("file_date").parquet(path)
+  }
+
   /** C6 (rows-only): real gzip via the custom Catalyst expressions —
     * compressed sizes + decompress roundtrip check.
     */

@@ -80,6 +80,17 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D5b: normalization — lowercase, strip punctuation, collapse
+    * whitespace (the canonicalization step ahead of dedup/shingling).
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[.,;:!?]", ""),
+          "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast(LongType))
+      .orderBy("doc_id")
+
   /** D8: winnowing fingerprints (char 8-grams, window 4) — MOSS-style
     * robust document fingerprinting for overlap mining.
     */
