@@ -131,6 +131,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val heaps = TopKHeaps.collect(it, keyProj, ord, k)
       val outProj = UnsafeProjection.create(output, output)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
       val joined = new JoinedRow
       val hIt = heaps.values().iterator()
       new Iterator[InternalRow] {
@@ -142,7 +143,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         }
         override def next(): InternalRow = {
           val r = cur(i); i += 1
-          rankRow.setLong(0, i.toLong) // 1-based rank within key
+          // 1-based rank within key, typed like the rewritten attribute
+          if (rankIsInt) rankRow.setInt(0, i) else rankRow.setLong(0, i.toLong)
           outProj(joined(r, rankRow))
         }
       }

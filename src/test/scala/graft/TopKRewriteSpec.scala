@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registers the rule via experimental hooks — getOrCreate may hand
+  * back another suite's session in the shared test JVM, which would
+  * silently ignore withExtensions.
+  */
+class TopKRewriteSpec extends AnyFunSuite {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-rewrite-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.plans.TopK.ensureRegistered(s) // strategy: plans the rewritten node
+    if (!s.experimental.extraOptimizations.contains(graft.plans.TopKRewriteRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.TopKRewriteRule
+    s
+  }
+
+  private def windowTopK(s: SparkSession) = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, Sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("user_id", "event_id", "value", "rn")
+  }
+
+  test("row_number+filter window is rewritten to TopKPerKeyExec") {
+    val df = windowTopK(spark)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      "window survived the rewrite")
+  }
+
+  test("rewritten plan returns the same rows as an un-extended session") {
+    val got = windowTopK(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // reference result computed without the rule: row_number via a
+    // subquery the rule does not match (extra window column blocks it)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    val ref = Tables.events(spark, Sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(w)) // second window expr -> no rewrite
+      .filter(col("rn") <= 4)
+      .select("user_id", "event_id", "value", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == ref)
+  }
+
+  test("rn = 1 latest-per-key form is rewritten too") {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val df = Tables.events(spark, Sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(df.count() ==
+      Tables.events(spark, Sf).select("user_id").distinct().count())
+  }
+}
