@@ -17,7 +17,9 @@ object VectorFns {
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.columnOf(
+      VecDot(org.apache.spark.sql.graftbridge.expressionOf(a),
+        org.apache.spark.sql.graftbridge.expressionOf(b)))
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -44,22 +46,12 @@ object VectorFns {
     size(filter(zip_with(sa, sb, (x, y) => x === y), p => p))
       .cast(DoubleType) / size(sa)
 
-  /** Projection of v onto a deterministic pseudo-random hyperplane
-    * (coefficients derived from xxhash64(plane, dim) — no stored
-    * model, reproducible on any cluster).
-    */
-  private def planeProj(v: Column, p: Column): Column =
-    aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, d) => x * ((pmod(xxhash64(p, d), lit(1000L)) - 500L) / 500.0)),
-      lit(0.0), (a, x) => a + x)
-
   /** Random-hyperplane LSH bucket: shift-accumulated sign bits of
-    * nPlanes projections (16 planes -> 16-bit bucket id).
+    * nPlanes projections onto deterministic pseudo-random hyperplanes
+    * — kernel expression (see [[VecKernels.hyperplaneBucket]]).
     */
   def hyperplaneBucket(v: Column, nPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, p) => acc * 2 + when(planeProj(v, p) >= 0, 1L).otherwise(0L))
+    org.apache.spark.sql.graftbridge.columnOf(
+      HyperplaneBucketExpr(
+        org.apache.spark.sql.graftbridge.expressionOf(v), nPlanes))
 }
