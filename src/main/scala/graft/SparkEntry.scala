@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
+    "dedup_clusters"       -> (DedupOps.dedupClusters _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
@@ -348,6 +349,34 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
         |HAVING COUNT(*) >= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING COUNT(*) >= 2),
+        |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id AS u, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u)
+        |SELECT comp.doc_id, comp.component, sz.cluster_size
+        |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
+        |  FROM comp GROUP BY component) sz USING (component)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

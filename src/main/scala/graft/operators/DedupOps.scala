@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Exact.lcount
 import graft.functions.{SimHash, TextFns, VectorFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -112,6 +113,48 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+  }
+
+  /** D13: dedup clusters — connected components over the near-dup
+    * pair graph (D2's edges), by iterative min-label propagation: each
+    * round every vertex takes the min label among itself and its
+    * neighbors; fixpoint = min reachable doc_id = canonical cluster
+    * id. The standard distributed CC loop (alternating join + min-agg;
+    * rounds ≈ graph diameter, which is tiny for dedup graphs). The
+    * driver-side loop only exchanges a single change-count per round.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = dedupNgramJaccard(spark, dir)
+      .select(col("a_id"), col("b_id")).persist()
+    val und = edges.union(edges.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").persist()
+    val vertices = Tables.documents(spark, dir).select(col("doc_id")).persist()
+
+    // localCheckpoint each round: iterative algorithms otherwise stack
+    // 20 joins of lineage into one plan (analyzer/AQE blow-up, not a
+    // data problem). On a real cluster this is reliable checkpointing
+    // to HDFS; locally the RDD-materialized form is equivalent.
+    var labels = vertices.withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = und
+        .join(labels, und("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.select("doc_id", "component").union(viaNeighbors)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("doc_id")).filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy("component").agg(lcount.as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** D12: embedding-cosine near-dup — candidates blocked by shared
