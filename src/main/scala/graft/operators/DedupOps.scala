@@ -145,11 +145,16 @@ object DedupOps {
       val next = labels.select("doc_id", "component").union(viaNeighbors)
         .groupBy("doc_id").agg(min("component").as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("doc_id")).filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
       rounds += 1
+      // the convergence probe is a full extra job — amortize it over
+      // 3 propagation rounds (labels are monotone decreasing, so
+      // overshooting rounds cannot change the fixpoint)
+      if (rounds % 3 == 0) {
+        val changed = next.join(labels.withColumnRenamed("component", "old"),
+          Seq("doc_id")).filter(col("component") =!= col("old")).count()
+        converged = changed == 0
+      }
+      labels = next
     }
     val sizes = labels.groupBy("component").agg(lcount.as("cluster_size"))
     labels.join(sizes, Seq("component"))
