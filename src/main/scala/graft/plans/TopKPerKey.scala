@@ -33,7 +33,7 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 /** Per-key k-bounded heap collector shared by both exec phases. */
-private[plans] object TopKHeaps {
+object TopKHeaps {
   /** worst-of-the-best at index 0 (reverse sort order) */
   final class Heap(ord: Ordering[InternalRow], k: Int) {
     private val a = new Array[InternalRow](k)

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{WinnowFingerprints, WinnowKernel}
+import graft.plans.TopKHeaps
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic randomized properties of the custom kernels (fixed
+  * seeds — no flakiness), checked against brute-force references.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  private val rnd = new java.util.Random(42)
+
+  test("TopKHeaps.Heap equals sort-take-k on random data") {
+    val ord = Ordering.by[InternalRow, Long](_.getLong(0))
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(20)
+      val values = Array.fill(n)(rnd.nextLong())
+      val heap = new TopKHeaps.Heap(ord, k)
+      values.foreach { v =>
+        val r = new GenericInternalRow(1); r.setLong(0, v); heap.offer(r)
+      }
+      val got = heap.sorted.map(_.getLong(0)).toSeq
+      val want = values.sorted.take(k).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("winnow kernel equals brute-force rolling minima") {
+    val k = 8; val w = 4
+    for (_ <- 1 to 30) {
+      val len = k + rnd.nextInt(120)
+      val s = (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val got = WinnowKernel.compute(UTF8String.fromString(s), k, w)
+        .toLongArray().toSet
+      // brute force: hash every k-gram, take min of every w-window
+      val bytes = s.getBytes("UTF-8")
+      val grams = (0 to bytes.length - k).map { i =>
+        var h = 0L
+        for (j <- i until i + k) h = h * WinnowFingerprints.Base + (bytes(j) & 0xff)
+        WinnowFingerprints.mix(h)
+      }
+      val want = (0 to grams.length - w).map(j => grams.slice(j, j + w).min).toSet
+      assert(got == want, s"input=$s")
+    }
+  }
+
+  test("minhash estimate approximates true jaccard (k=64)") {
+    for (trial <- 1 to 20) {
+      val base = (0 until 100).map(i => s"shingle_${trial}_$i")
+      val overlap = rnd.nextInt(101)
+      val a = base
+      val b = base.take(overlap) ++ (0 until (100 - overlap))
+        .map(i => s"other_${trial}_$i")
+      val trueJacc = overlap.toDouble / (200 - overlap)
+      def arr(xs: Seq[String]) =
+        new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val sa = graft.functions.MinHashKernel.compute(arr(a), 64).toLongArray()
+      val sb = graft.functions.MinHashKernel.compute(arr(b), 64).toLongArray()
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - trueJacc) < 0.25,
+        s"overlap=$overlap est=$est true=$trueJacc")
+    }
+  }
+
+  test("heap ties keep deterministic order under multi-column ordering") {
+    // rows (v, id): order by v desc, id asc — ties on v broken by id
+    val ord = new Ordering[InternalRow] {
+      def compare(a: InternalRow, b: InternalRow): Int = {
+        val c = java.lang.Long.compare(b.getLong(0), a.getLong(0))
+        if (c != 0) c else java.lang.Long.compare(a.getLong(1), b.getLong(1))
+      }
+    }
+    val heap = new TopKHeaps.Heap(ord, 3)
+    for (id <- 0 until 50) {
+      val r = new GenericInternalRow(2)
+      r.setLong(0, id % 5); r.setLong(1, id)
+      heap.offer(r)
+    }
+    val got = heap.sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((4L, 4L), (4L, 9L), (4L, 14L)))
+  }
+}
