@@ -32,6 +32,7 @@ object SparkEntry {
     "evt_asof_prior"       -> (EventOps.asofPriorError _),
     "evt_percentiles"      -> (EventOps.valuePercentiles _),
     "evt_salted_stats"     -> (EventOps.saltedUserStats _),
+    "evt_change_ledger"    -> (EventOps.changeLedger _),
     // C. FileMeta pipeline
     "file_meta_extract"    -> (FileMetaOps.fileMetaExtract _),
     "file_pattern_filter"  -> (FileMetaOps.filePatternFilter _),
@@ -229,6 +230,22 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "evt_change_ledger" ->
+      """WITH cur AS (SELECT event_id AS c_id, ts AS c_ts FROM events
+        |    WHERE event_id % 5 <> 0),
+        |st AS (SELECT event_id AS s_id,
+        |    CASE WHEN event_id % 4 = 0 THEN date_trunc('minute', ts)
+        |      ELSE ts END AS s_ts
+        |  FROM events WHERE event_id % 2 = 0),
+        |j AS (SELECT *,
+        |    CASE WHEN s_id IS NULL THEN 'NEW'
+        |      WHEN c_id IS NULL THEN 'DELETED'
+        |      WHEN c_ts <> s_ts THEN 'MODIFIED'
+        |      ELSE 'UNCHANGED' END AS op
+        |  FROM cur FULL OUTER JOIN st ON c_id = s_id)
+        |SELECT COALESCE(c_id, s_id) AS event_id, op FROM j
+        |WHERE op <> 'UNCHANGED' ORDER BY event_id""".stripMargin,
 
     "evt_props_json" ->
       """SELECT event_id, k_val, k_val % 10 AS k_bucket FROM (

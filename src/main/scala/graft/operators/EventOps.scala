@@ -152,6 +152,31 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** B13: incremental ingest ledger — the full badger-snapshot diff:
+    * classify the current listing vs saved state as NEW / MODIFIED /
+    * DELETED (fspolling emits NEW+MODIFIED; DELETED is what the
+    * reference's TODO'd remove-handling would produce). One full outer
+    * join on the key, no state on the driver.
+    */
+  def changeLedger(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "ts")
+    val current = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val state = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("s_id"),
+        when(col("event_id") % 4 === 0, date_trunc("minute", col("ts")))
+          .otherwise(col("ts")).as("s_ts"))
+    current.join(state, col("c_id") === col("s_id"), "full_outer")
+      .withColumn("op",
+        when(col("s_id").isNull, "NEW")
+          .when(col("c_id").isNull, "DELETED")
+          .when(col("c_ts") =!= col("s_ts"), "MODIFIED")
+          .otherwise("UNCHANGED"))
+      .filter(col("op") =!= "UNCHANGED")
+      .select(coalesce(col("c_id"), col("s_id")).as("event_id"), col("op"))
+      .orderBy("event_id")
+  }
+
   /** B12: skew-safe aggregation — two-phase salted groupBy. A hot key
     * (one user producing most of the feed — the reference's single
     * chatty machine) would bottleneck one reducer; salting spreads the
