@@ -130,11 +130,17 @@ object DedupOps {
       .toDF("src", "dst").persist()
     val vertices = Tables.documents(spark, dir).select(col("doc_id")).persist()
 
+    // iterate only vertices that have edges; isolated docs are their
+    // own component and join back after convergence (at dedup scale
+    // most of the corpus is singleton — keeps the loop's working set
+    // to the near-dup subgraph)
+    val active = und.select(col("src").as("doc_id")).distinct().persist()
+
     // localCheckpoint each round: iterative algorithms otherwise stack
     // 20 joins of lineage into one plan (analyzer/AQE blow-up, not a
     // data problem). On a real cluster this is reliable checkpointing
     // to HDFS; locally the RDD-materialized form is equivalent.
-    var labels = vertices.withColumn("component", col("doc_id"))
+    var labels = active.withColumn("component", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -156,8 +162,11 @@ object DedupOps {
       }
       labels = next
     }
-    val sizes = labels.groupBy("component").agg(lcount.as("cluster_size"))
-    labels.join(sizes, Seq("component"))
+    val singletons = vertices.join(active, Seq("doc_id"), "left_anti")
+      .withColumn("component", col("doc_id"))
+    val all = labels.select("doc_id", "component").unionByName(singletons)
+    val sizes = all.groupBy("component").agg(lcount.as("cluster_size"))
+    all.join(sizes, Seq("component"))
       .select(col("doc_id"), col("component"), col("cluster_size"))
       .orderBy("doc_id")
   }
