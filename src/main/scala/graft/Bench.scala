@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // graft planner strategy + row_number-topk rewrite (Verify runs
+      // WITHOUT these so the oracle gate checks the vanilla operators;
+      // rewrite/vanilla equivalence is covered by TopKRewriteSpec)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
