@@ -38,12 +38,22 @@ object Tables {
     */
   private def spread(df: DataFrame, key: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // hash-repartition by key: no sort-before-repartition pass (round
-    // robin would add one), deterministic placement, AQE leaves
-    // explicit numPartitions alone.
-    if (df.rdd.getNumPartitions < p)
-      df.repartition(p, col(key))
-    else df
+    // Decide from the file listing, not from `df.rdd` — planning the
+    // RDD just to count partitions costs seconds of driver time per
+    // call. Few files AND small total bytes ⇒ the scan can't fill the
+    // cluster ⇒ hash-repartition by key (no sort-before-repartition
+    // pass like round-robin, deterministic placement, AQE leaves
+    // explicit numPartitions alone). Many files, or few-but-huge files
+    // (which Spark splits by maxPartitionBytes anyway), pass through.
+    val files = df.inputFiles
+    if (files.length < p) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val total = files.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        path.getFileSystem(conf).getFileStatus(path).getLen
+      }.sum
+      if (total < p.toLong * 134217728L) df.repartition(p, col(key)) else df
+    } else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =

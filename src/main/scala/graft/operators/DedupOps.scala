@@ -41,11 +41,12 @@ object DedupOps {
       .select("doc_id", "lang", "shingles", "nsh")
       .persist()
 
-  /** D2: n-gram Jaccard near-dup — explode distinct shingles, self-join
-    * blocked by (lang, shingle), count intersections, Jaccard from set
-    * sizes. The relational form of MinHash's exact verify step.
+  /** Unsorted near-dup candidate pairs (a_id < b_id) with set sizes and
+    * intersection counts — the shared core of D2 and D13. Explode
+    * distinct shingles, self-join blocked by (lang, shingle), count
+    * intersections.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val ex = withShingles(spark, dir)
       .select(col("doc_id"), col("lang"), col("nsh"),
         explode(col("shingles")).as("shingle"))
@@ -58,11 +59,17 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
       .filter(col("inter_cnt") >= 2)
+  }
+
+  /** D2: n-gram Jaccard near-dup — candidate pairs + Jaccard from set
+    * sizes. The relational form of MinHash's exact verify step.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir)
       .withColumn("jacc", col("inter_cnt").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("inter_cnt")).cast(DoubleType))
       .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
       .orderBy("a_id", "b_id")
-  }
 
   /** D3: MinHash + banded LSH — k=64 signature, 8 bands × 8 rows;
     * candidates are pairs sharing a band bucket; estimate = matching
@@ -116,55 +123,66 @@ object DedupOps {
   }
 
   /** D13: dedup clusters — connected components over the near-dup
-    * pair graph (D2's edges), by iterative min-label propagation: each
-    * round every vertex takes the min label among itself and its
-    * neighbors; fixpoint = min reachable doc_id = canonical cluster
-    * id. The standard distributed CC loop (alternating join + min-agg;
-    * rounds ≈ graph diameter, which is tiny for dedup graphs). The
-    * driver-side loop only exchanges a single change-count per round.
+    * pair graph (D2's edges), by Pregel-style min-label propagation:
+    * each round every vertex takes the min label among itself and its
+    * neighbors; fixpoint = min reachable doc_id = canonical cluster id.
+    *
+    * The loop is the one genuinely iterative operator in the engine and
+    * runs on co-partitioned RDDs (the same design as GraphX): edges are
+    * hash-partitioned by src once and reused every round, the
+    * labels⋈edges join is narrow (zero shuffle), and only the per-round
+    * messages (≤|edges| records) shuffle in the reduceByKey. Catalyst
+    * re-planning N times for a loop whose plan never changes costs more
+    * driver time than the jobs themselves — RDD rounds have no planner
+    * in the loop at all. Convergence: labels only ever decrease, so an
+    * unchanged exact BigInt sum(label) means NO label changed; the sum
+    * rides the same action that materializes the round.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = dedupNgramJaccard(spark, dir)
-      .select(col("a_id"), col("b_id")).persist()
-    val und = edges.union(edges.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").persist()
-    val vertices = Tables.documents(spark, dir).select(col("doc_id")).persist()
+    import spark.implicits._
+    val edges = ngramPairs(spark, dir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)]
+    val vertices = Tables.documents(spark, dir).select(col("doc_id"))
 
-    // iterate only vertices that have edges; isolated docs are their
-    // own component and join back after convergence (at dedup scale
-    // most of the corpus is singleton — keeps the loop's working set
-    // to the near-dup subgraph)
-    val active = und.select(col("src").as("doc_id")).distinct().persist()
-
-    // localCheckpoint each round: iterative algorithms otherwise stack
-    // 20 joins of lineage into one plan (analyzer/AQE blow-up, not a
-    // data problem). On a real cluster this is reliable checkpointing
-    // to HDFS; locally the RDD-materialized form is equivalent.
-    var labels = active.withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    // undirected: both directions, partitioned by src once, reused
+    // every round (iterate only vertices that have edges; isolated
+    // docs are their own component and union back after convergence —
+    // at dedup scale most of the corpus is singleton, which keeps the
+    // loop's working set to the near-dup subgraph)
+    val und = edges.rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist()
+    var labels = und.mapValues(_ => ()).keys.distinct(part.numPartitions)
+      .map(v => (v, v)).partitionBy(part).persist()
+    def probe(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      rdd.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var prevSum = probe(labels) // also materializes und + labels
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
-      val viaNeighbors = und
-        .join(labels, und("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.select("doc_id", "component").union(viaNeighbors)
-        .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+    while (!converged && rounds < 50) {
+      // narrow co-partitioned join; only the messages shuffle
+      val msgs = und.join(labels)
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val next = labels.leftOuterJoin(msgs)
+        .mapValues { case (c, m) => m.fold(c)(math.min(c, _)) }
+        .persist()
       rounds += 1
-      // the convergence probe is a full extra job — amortize it over
-      // 3 propagation rounds (labels are monotone decreasing, so
-      // overshooting rounds cannot change the fixpoint)
-      if (rounds % 3 == 0) {
-        val changed = next.join(labels.withColumnRenamed("component", "old"),
-          Seq("doc_id")).filter(col("component") =!= col("old")).count()
-        converged = changed == 0
-      }
+      val rt0 = System.nanoTime()
+      val s = probe(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $rounds ${(System.nanoTime()-rt0)/1e9}%.2f s sum=$s")
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist(false)
       labels = next
     }
+    val active = labels.keys.map(Tuple1(_)).toDF("doc_id")
     val singletons = vertices.join(active, Seq("doc_id"), "left_anti")
       .withColumn("component", col("doc_id"))
-    val all = labels.select("doc_id", "component").unionByName(singletons)
+    val all = labels.toDF("doc_id", "component").unionByName(singletons)
     val sizes = all.groupBy("component").agg(lcount.as("cluster_size"))
     all.join(sizes, Seq("component"))
       .select(col("doc_id"), col("component"), col("cluster_size"))
