@@ -55,6 +55,7 @@ object SparkEntry {
     "doc_fingerprint"      -> (TextOps.fingerprint _),
     "ann_cosine_topk"      -> (AnnOps.annCosineTopK _),
     "ann_lsh"              -> (AnnOps.annLsh _),
+    "ann_ivf"              -> (AnnOps.annIvf _),
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _)

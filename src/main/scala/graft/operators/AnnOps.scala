@@ -72,6 +72,63 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Nearest centroid(s) per vector by cosine: broadcast the (small)
+    * centroid table, bounded-heap TopKPerKey instead of a window sort.
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val sims = vecs.join(broadcast(centroids))
+      .withColumn("csim",
+        VectorFns.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+    TopK.perKey(sims, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("cid").asc), nprobe)
+      .select("vec_id", "cid")
+  }
+
+  /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
+    * A deterministic k-means coarse quantizer (first-m seed + 2 Lloyd
+    * rounds, all DataFrame aggregation) partitions the corpus into m
+    * inverted lists; a query scans only its `nprobe` nearest lists.
+    * Compare volume ≈ nprobe/m of brute force, and on a cluster the
+    * inverted lists are the partitioning — each probe is a co-located
+    * scan, the corpus never shuffles at query time.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val m = 16
+    // deterministic seed: the m lowest vec_ids (cid = seed vec_id —
+    // stable, no partition-dependent id generation)
+    var centroids = emb.orderBy("vec_id").limit(m)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // Lloyd refinement: assign → element-wise mean per centroid
+    for (_ <- 1 to 2) {
+      val assigned = assign(emb, centroids, 1)
+      centroids = assigned.join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("x"))
+        .groupBy("cid").agg(
+          array_sort(collect_list(struct(col("pos"), col("x")))).as("pv"))
+        .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
+        .withColumn("cnrm", VectorFns.norm(col("cv")))
+        .persist()
+    }
+    val lists = assign(emb, centroids, 1)
+      .join(emb, "vec_id")
+      .select(col("cid").as("c_cid"), col("vec_id").as("c_id"),
+        col("v").as("cv2"), col("nrm").as("cn"))
+    val probes = assign(emb.filter(col("vec_id") % 50 === 0), centroids, 4)
+      .join(emb, "vec_id")
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = lists.join(broadcast(probes),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), 10)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** D11: per-label embedding stats (exact: count/min/max of norms —
     * no FP-order-dependent aggregates, so safe at any parallelism).
     */

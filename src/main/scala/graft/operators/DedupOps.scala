@@ -144,18 +144,26 @@ object DedupOps {
       .select(col("a_id"), col("b_id")).as[(Long, Long)]
     val vertices = Tables.documents(spark, dir).select(col("doc_id"))
 
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
     // undirected: both directions, partitioned by src once, reused
     // every round (iterate only vertices that have edges; isolated
     // docs are their own component and union back after convergence —
     // at dedup scale most of the corpus is singleton, which keeps the
     // loop's working set to the near-dup subgraph)
-    val und = edges.rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part)
-      .persist()
-    var labels = und.mapValues(_ => ()).keys.distinct(part.numPartitions)
-      .map(v => (v, v)).partitionBy(part).persist()
+    val rawUnd = edges.rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }.persist()
+    // AQE-style sizing for the RDD loop: the near-dup subgraph is
+    // usually a sliver of the corpus, and every loop round pays a task
+    // per partition — size the loop partitioner from the measured edge
+    // count (~64k edges/partition) up to full shuffle parallelism so a
+    // small graph doesn't schedule 8×32 near-empty tasks and a 100 TB
+    // graph still spreads across the cluster.
+    val nEdges = rawUnd.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sessionState.conf.numShufflePartitions,
+        (nEdges / 65536L).toInt + 1)))
+    val und = rawUnd.partitionBy(part).persist()
+    var labels = und.keys.map(v => (v, v))
+      .reduceByKey(part, (a: Long, _: Long) => a).persist()
     def probe(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
       rdd.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
     var prevSum = probe(labels) // also materializes und + labels

@@ -47,6 +47,18 @@ class DedupAnnSpec extends GraftSpec {
     assert(hit > 0, "LSH found none of the true top-10")
   }
 
+  test("ivf ann: exact sims for found pairs, and measurable recall") {
+    val bf = AnnOps.annCosineTopK(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
+    val ivf = AnnOps.annIvf(spark, Sf).select("q_id", "c_id", "sim")
+    val j = ivf.join(bf, Seq("q_id", "c_id")).collect()
+    // IVF approximates candidate generation, never the distance
+    j.foreach(r => assert(r.getAs[Double]("sim") == r.getAs[Double]("bf_sim")))
+    val nQueries = bf.select("q_id").distinct().count()
+    val recall = j.length.toDouble / (nQueries * 10.0)
+    assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
+  }
+
   test("embedding near-dup cosines are symmetric-bounded") {
     DedupOps.dedupEmbedding(spark, Sf).collect().foreach { r =>
       val c = r.getAs[Double]("cos")

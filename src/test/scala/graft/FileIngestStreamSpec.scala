@@ -2,50 +2,36 @@ package graft
 
 import java.nio.file.Files
 
-import graft.functions.{ContentFns, PathFns}
-import org.apache.spark.sql.functions._
+import graft.streaming.IngestPipeline
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 /** End-to-end streaming ingest: a watched directory of parquet file
   * batches (the agent's event feed) streams through FileMeta
-  * enrichment + content policy into the Kafka envelope — the full
-  * reference pipeline as one Structured Streaming query.
+  * enrichment + content policy into the Kafka envelope and a
+  * priority-ordered sink chain — the full reference pipeline as one
+  * Structured Streaming query.
   */
 class FileIngestStreamSpec extends GraftSpec {
   import spark.implicits._
 
-  test("file-watch stream enriches and envelopes records") {
-    val dir = Files.createTempDirectory("graft_ingest").toFile
-    val schema = StructType(Seq(
-      StructField("path", StringType), StructField("content", StringType),
-      StructField("host", StringType), StructField("mtime_ms", LongType)))
+  private val schema = StructType(Seq(
+    StructField("path", StringType), StructField("content", StringType),
+    StructField("host", StringType), StructField("mtime_ms", LongType)))
 
-    // one micro-batch of "discovered files"
+  private def writeBatch(dir: java.io.File): Unit =
     Seq(
       ("LOUP/1395T2936101/2017-06-07/T1/FLOWLOG.TXT", "line1 line2", "m1", 1496851200000L),
       ("SPI/Rockaway/a/b/wide.dat", "d".repeat(2000), "m2", 1496851201000L))
       .toDF("path", "content", "host", "mtime_ms")
       .write.mode("append").parquet(dir.getAbsolutePath)
 
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.getAbsolutePath)
-      .withColumn("folder", PathFns.folder(col("path")))
-      .withColumn("name", PathFns.filename(col("path")))
-      .withColumn("ext", PathFns.ext(col("path")))
-      .withColumn("size", length(col("content")).cast(LongType))
-      .withColumn("compress", ContentFns.shouldCompress(col("size"), col("ext")))
-      .select(
-        date_format(timestamp_millis(col("mtime_ms")), "yyyy-MM-dd").as("file_date"),
-        col("mtime_ms").as("file_time"), col("folder"), lit("").as("pack"),
-        col("name"), col("size"), col("mtime_ms").as("modify_time"),
-        col("content"), col("compress"),
-        when(col("compress"), length(ContentFns.gzipCompress(
-          encode(col("content"), "UTF-8"))).cast(LongType))
-          .otherwise(col("size")).as("compress_size"),
-        ContentFns.checksum(col("content")).as("checksum"),
-        col("host"), col("mtime_ms").as("folder_time"))
+  test("file-watch stream enriches and envelopes records") {
+    val dir = Files.createTempDirectory("graft_ingest").toFile
+    writeBatch(dir)
 
-    val enveloped = graft.streaming.StreamOps.kafkaEnvelope(stream)
+    val enveloped = IngestPipeline.ingest(
+      spark.readStream.schema(schema).parquet(dir.getAbsolutePath))
     val q = enveloped.writeStream.format("memory").queryName("ingest")
       .outputMode("append").start()
     try {
@@ -60,5 +46,46 @@ class FileIngestStreamSpec extends GraftSpec {
       assert(v.contains("\"compress\":true"))
       assert(v.contains("\"checksum\":\""))
     } finally q.stop()
+  }
+
+  test("priority sinks apply serially in priority order; failure stops the chain") {
+    val dir = Files.createTempDirectory("graft_ingest2").toFile
+    writeBatch(dir)
+
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sinks = Seq(
+      IngestPipeline.Sink("file", 1, (b: DataFrame, _: Long) => { b.count(); applied += "file"; () }),
+      IngestPipeline.Sink("cassandra", 3, (b: DataFrame, _: Long) => { b.count(); applied += "cassandra"; () }),
+      IngestPipeline.Sink("kafka", 2, (b: DataFrame, _: Long) => { b.count(); applied += "kafka"; () }))
+    val q = IngestPipeline.prioritySinks(IngestPipeline.ingest(
+      spark.readStream.schema(schema).parquet(dir.getAbsolutePath)), sinks).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(applied.toSeq == Seq("cassandra", "kafka", "file"))
+
+    // a failing high-priority sink stops lower-priority sinks (serial
+    // apply + rethrow = retry-from-checkpoint semantics)
+    val applied2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failing = Seq(
+      IngestPipeline.Sink("kafka", 2, (_: DataFrame, _: Long) =>
+        throw new RuntimeException("broker down")),
+      IngestPipeline.Sink("file", 1, (b: DataFrame, _: Long) => { applied2 += "file"; () }))
+    val dir2 = Files.createTempDirectory("graft_ingest3").toFile
+    writeBatch(dir2)
+    val q2 = IngestPipeline.prioritySinks(IngestPipeline.ingest(
+      spark.readStream.schema(schema).parquet(dir2.getAbsolutePath)), failing).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("broker down") ||
+      Option(err.getCause).exists(_.getMessage.contains("broker down")))
+    assert(applied2.isEmpty)
+
+    // kafka writer wiring: configured shape (no brokers in the test env)
+    val w = IngestPipeline.toKafka(IngestPipeline.ingest(
+      spark.readStream.schema(schema).parquet(dir2.getAbsolutePath)),
+      "broker:9092", "dcagent", Files.createTempDirectory("ckpt").toString)
+    assert(w != null)
   }
 }
