@@ -48,6 +48,9 @@ object SparkEntry {
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "dedup_clusters"       -> (DedupOps.dedupClusters _),
+    "dedup_incremental"    -> (CurationOps.dedupIncremental _),
+    "doc_curation"         -> (CurationOps.curate _),
+    "doc_sample_stratified" -> (CurationOps.sampleStratified _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
@@ -395,6 +398,72 @@ object SparkEntry {
         |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
         |  FROM comp GROUP BY component) sz USING (component)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |near AS (SELECT DISTINCT a_id AS doc_id FROM (
+        |  SELECT a.doc_id AS a_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING COUNT(*) >= 2 AND CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) >= 0.5)),
+        |ex AS (SELECT DISTINCT i.doc_id FROM documents i JOIN documents c
+        |  ON i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+        |  AND md5(i.text) = md5(c.text))
+        |SELECT i.doc_id,
+        |  i.doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
+        |  i.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+        |  NOT (i.doc_id IN (SELECT doc_id FROM ex)
+        |    OR i.doc_id IN (SELECT doc_id FROM near)) AS keep
+        |FROM documents i WHERE i.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin,
+
+    "doc_curation" ->
+      """WITH t AS (SELECT doc_id, lang, text, n_chars,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, lang, text, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('group','window','hash','merge'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','fast','key','order'))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('sort','table','scan','row'))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('join','filter','stream','value'))) AS BIGINT) AS c_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('data','query','batch','line'))) AS BIGINT) AS c_zh
+        |  FROM t),
+        |p AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c),
+        |f AS (SELECT *, CASE WHEN c_de = m THEN 'de' WHEN c_en = m THEN 'en'
+        |    WHEN c_es = m THEN 'es' WHEN c_fr = m THEN 'fr'
+        |    WHEN c_zh = m THEN 'zh' ELSE 'und' END AS pred_lang
+        |  FROM p),
+        |r AS (SELECT doc_id, lang, text, pred_lang,
+        |    CAST(0.5 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)
+        |        - CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        |    + CAST(0.2 AS DOUBLE) * (CASE WHEN n_chars BETWEEN 100 AND 2000
+        |        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS score
+        |  FROM f),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM r)
+        |SELECT doc_id, score, pred_lang,
+        |  (score >= 0.5 AND pred_lang = lang AND doc_id = keep_id) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang, h, rnk FROM (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

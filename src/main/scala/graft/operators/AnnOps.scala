@@ -91,6 +91,11 @@ object AnnOps {
     * Compare volume ≈ nprobe/m of brute force, and on a cluster the
     * inverted lists are the partitioning — each probe is a co-located
     * scan, the corpus never shuffles at query time.
+    *
+    * NOTE: at toy scale (≤ ~10k vectors) the quantizer's Lloyd rounds
+    * cost more than they save and brute force benches faster — the
+    * inverted-list payoff needs corpus ≫ m × probe work. Don't judge
+    * it at sf0.1.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)

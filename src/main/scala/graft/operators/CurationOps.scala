@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.plans.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** D15–D17: corpus-curation operators — the composition layer of the
+  * training-data pipeline. Each one strings the per-row text operators
+  * into the decision a 100 TB curation job actually makes: "is this
+  * incoming document new?", "does this document survive the quality
+  * bar?", "which deterministic sample do we ship?".
+  */
+object CurationOps {
+
+  /** D15: incremental dedup — an incoming batch (doc_id % 10 = 7, the
+    * "new crawl") checked against the existing corpus (the rest) for
+    * exact (checksum) and near (shingle-Jaccard ≥ 0.5) duplicates.
+    * The production shape of D1/D2: new data never self-joins the
+    * whole corpus, it joins corpus signatures blocked by (lang,
+    * shingle) / checksum — both high-cardinality keys that spread
+    * across the cluster, with the incoming side orders of magnitude
+    * smaller than the corpus.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+
+    val exactDup = incoming
+      .select(col("doc_id"), md5(col("text")).as("ck"))
+      .join(corpus.select(md5(col("text")).as("ck")).distinct(), "ck")
+      .select(col("doc_id")).distinct()
+      .withColumn("e", lit(true))
+
+    val ex = DedupOps.shingleExploded(spark, dir)
+    val exInc = ex.filter(col("doc_id") % 10 === 7)
+      .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+        col("doc_id").as("a_id"), col("nsh").as("n_a"))
+    val exCorp = ex.filter(col("doc_id") % 10 =!= 7)
+      .select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+        col("doc_id").as("b_id"), col("nsh").as("n_b"))
+    val nearDup = exInc.join(exCorp,
+        col("l_a") === col("l_b") && col("sh_a") === col("sh_b"))
+      .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 2 &&
+        col("inter_cnt").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter_cnt")).cast(DoubleType) >= 0.5)
+      .select(col("a_id").as("doc_id")).distinct()
+      .withColumn("n", lit(true))
+
+    incoming.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n"), lit(false)).as("is_near_dup"),
+        (coalesce(col("e"), lit(false)) === false &&
+          coalesce(col("n"), lit(false)) === false).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** D16: curation pipeline — quality score + language verification +
+    * exact-dedup keep-first composed into one keep/drop verdict per
+    * document (normalize → score → langid → dedup, the canonical
+    * pre-training filter chain). All per-row expressions plus one
+    * high-cardinality window (checksum) — no skew, no small keys.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = TextOps.withLangCounts(Tables.documents(spark, dir), toks)
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("stop_cnt", TextFns.stopwordCount(toks, TextOps.Stopwords))
+      .withColumn("punct_cnt", TextFns.punctCount(col("text")))
+      .withColumn("stop_ratio",
+        col("stop_cnt").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("punct_ratio",
+        col("punct_cnt").cast(DoubleType) / col("n_chars").cast(DoubleType))
+      .withColumn("score",
+        lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.2) * when(col("n_chars").between(100, 2000), 1.0).otherwise(0.0))
+      .withColumn("pred_lang", TextOps.predLangCol)
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    scored
+      .select(col("doc_id"), col("score"), col("pred_lang"),
+        (col("score") >= 0.5 && col("pred_lang") === col("lang") &&
+          col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** D17: deterministic stratified sampling — fixed k docs per lang
+    * stratum, ordered by a content-independent hash (md5 of the id):
+    * reproducible across engines and runs, no RNG state, and executed
+    * with the bounded-heap TopKPerKey exec so sampling 100 TB shuffles
+    * O(k·strata) rows, not the corpus.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    TopK.perKey(docs, Seq(col("lang")),
+        Seq(col("h").asc, col("doc_id").asc), 50)
+      .select("doc_id", "lang", "h", "rnk")
+      .orderBy("lang", "rnk")
+  }
+}

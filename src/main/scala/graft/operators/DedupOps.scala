@@ -46,10 +46,16 @@ object DedupOps {
     * distinct shingles, self-join blocked by (lang, shingle), count
     * intersections.
     */
-  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ex = withShingles(spark, dir)
+  /** Exploded (doc_id, lang, nsh, shingle) rows — shared by the D2/D13
+    * self-join and incremental dedup's new-vs-corpus join.
+    */
+  private[operators] def shingleExploded(spark: SparkSession, dir: String): DataFrame =
+    withShingles(spark, dir)
       .select(col("doc_id"), col("lang"), col("nsh"),
         explode(col("shingles")).as("shingle"))
+
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleExploded(spark, dir)
     val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
       col("doc_id").as("a_id"), col("nsh").as("n_a"))
     val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),

@@ -21,7 +21,7 @@ object TextOps {
         length(col("text")).cast(LongType).as("n_chars_calc"))
       .orderBy("doc_id")
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** D6: quality scoring — length/punct/digit/stopword signals folded
     * into a single deterministic score.
@@ -58,21 +58,28 @@ object TextOps {
     "fr" -> Seq("join", "filter", "stream", "value"),
     "zh" -> Seq("data", "query", "batch", "line"))
 
+  /** Argmax language prediction over per-profile hit-count columns
+    * `c_<lang>` (alphabetical tie-break) — shared by D7 and curation.
+    */
+  private[operators] def withLangCounts(df: DataFrame, toks: Column): DataFrame =
+    LangProfiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"c_$lang", TextFns.stopwordCount(toks, words))
+    }
+
+  private[operators] def predLangCol: Column = {
+    val m = greatest(LangProfiles.map { case (l, _) => col(s"c_$l") }: _*)
+    LangProfiles.reverse.foldLeft(lit("und")) {
+      case (els, (l, _)) => when(col(s"c_$l") === m, lit(l)).otherwise(els)
+    }
+  }
+
   /** D7: language ID — stopword-profile hit counts, argmax with
     * alphabetical tie-break.
     */
   def langid(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val withCounts = LangProfiles.foldLeft(Tables.documents(spark, dir)) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"c_$lang", TextFns.stopwordCount(toks, words))
-    }
-    val m = greatest(LangProfiles.map { case (l, _) => col(s"c_$l") }: _*)
-    val predCol = LangProfiles.reverse.foldLeft(lit("und")) {
-      case (els, (l, _)) => when(col(s"c_$l") === m, lit(l)).otherwise(els)
-    }
-    withCounts
-      .withColumn("pred_lang", predCol)
+    withLangCounts(Tables.documents(spark, dir), toks)
+      .withColumn("pred_lang", predLangCol)
       .withColumn("is_match", col("pred_lang") === col("lang"))
       .select(col("doc_id") +: col("lang") +:
         LangProfiles.map { case (l, _) => col(s"c_$l") } :+

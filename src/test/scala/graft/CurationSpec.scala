@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends GraftSpec {
+
+  test("incremental dedup verdicts are consistent") {
+    val df = CurationOps.dedupIncremental(spark, Sf).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val e = r.getAs[Boolean]("is_exact_dup")
+      val n = r.getAs[Boolean]("is_near_dup")
+      assert(keep == (!e && !n))
+      assert(r.getAs[Long]("doc_id") % 10 == 7)
+    }
+  }
+
+  test("curation keeps only best-of-checksum, lang-matched, quality-passing docs") {
+    val df = CurationOps.curate(spark, Sf)
+    val kept = df.filter(col("keep")).collect()
+    assert(kept.nonEmpty && kept.length < 500)
+    kept.foreach(r => assert(r.getAs[Double]("score") >= 0.5))
+  }
+
+  test("stratified sample is k-per-stratum and deterministic") {
+    val a = CurationOps.sampleStratified(spark, Sf).collect()
+    val b = CurationOps.sampleStratified(spark, Sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val perLang = a.groupBy(_.getAs[String]("lang")).map { case (_, rs) => rs.length }
+    perLang.foreach(n => assert(n <= 50))
+    assert(a.forall(_.getAs[Long]("rnk") <= 50))
+  }
+}
