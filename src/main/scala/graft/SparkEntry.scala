@@ -71,6 +71,49 @@ object SparkEntry {
     " || (CASE doc_id % 4 WHEN 0 THEN '.log' WHEN 1 THEN '.txt'" +
     " WHEN 2 THEN '.zip' ELSE '.dat' END)"
 
+  // --- DuckDB replication of the Winnow kernel's mod-2^64 arithmetic
+  // (functions/Winnow.scala): polynomial rolling hash base 1000003 +
+  // splitmix64 finalizer, computed in HUGEINT with explicit wraparound
+  // so the oracle reproduces the kernel's exact signed-long outputs.
+  private val M64 = "18446744073709551616" // 2^64
+  private def mulmod(a: String, b: String): String =
+    s"((((($a) % 4294967296) * ($b)) + " +
+    s"((((($a) // 4294967296) * ($b)) % 4294967296) * 4294967296)) % $M64)"
+  private def xor64(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+  private def shr(a: String, n: Int): String = s"(($a) // ${1L << n})"
+  private def mix(z0: String): String = {
+    val z1 = s"((($z0) + 11400714819323198485) % $M64)"
+    val z2 = mulmod(xor64(z1, shr(z1, 30)), "13787848793156543929")
+    val z3 = mulmod(xor64(z2, shr(z2, 27)), "10723151780598845931")
+    xor64(z3, shr(z3, 31))
+  }
+  /** poly hash of the 8-gram at 1-based position i (ASCII corpus). */
+  private def winnowPoly(i: String): String = {
+    val pows = (0 until 8).map(j => BigInt(1000003).pow(7 - j).mod(BigInt(2).pow(64)))
+    val terms = (0 until 8).map { j =>
+      s"(CAST(ord(substr(text, $i + $j, 1)) AS HUGEINT) * ${pows(j)})"
+    }.mkString(" + ")
+    s"(($terms) % $M64)"
+  }
+  private def signed64(v: String): String =
+    s"(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - $M64 ELSE ($v) END)"
+
+  /** Hyperplane-LSH coefficient/bucket replication (VecKernels
+    * .hyperplaneBucket): coef(p,d) = (splitmix64(p·131+d) mod 1000
+    * − 500)/500, bucket = sign bits of the sequential dot products.
+    * list_dot_product folds left-to-right like VecDot ⇒ bit-exact.
+    */
+  private def hpCoef: String = {
+    val m = s"(${signed64(mix("(p*131 + d)"))} % 1000)"
+    s"((CASE WHEN $m < 0 THEN $m + 1000 ELSE $m END) - 500) / 500.0"
+  }
+  private def hpBucket(nPlanes: Int): String =
+    s"(SELECT CAST(sum(CASE WHEN list_dot_product(v, " +
+    s"list_transform(range(0, len(v)), d -> CAST($hpCoef AS DOUBLE))) >= 0 " +
+    s"THEN power(2, $nPlanes - 1 - p)::BIGINT ELSE 0 END) AS BIGINT) " +
+    s"FROM range(0, $nPlanes) t(p))"
+
   private val DEC = "DECIMAL(12,2)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
   private def drev =
@@ -527,6 +570,17 @@ object SparkEntry {
         |  pred_lang = lang AS is_match
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    "doc_fingerprint" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+       "g AS (SELECT doc_id, n, list_transform(range(1, n - 6), " +
+       s"i -> CAST(${signed64(mix(winnowPoly("i")))} AS BIGINT)) AS hashes FROM d), " +
+       "w AS (SELECT doc_id, list_sort(list_distinct(" +
+       "list_transform(range(4, len(hashes) + 1), " +
+       "i -> list_min(hashes[i-3:i])))) AS fps FROM g) " +
+       "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, " +
+       "fps[1] AS min_fp, fps[len(fps)] AS max_fp " +
+       "FROM w ORDER BY doc_id"),
+
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -539,6 +593,34 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_lsh" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, probe
+         |  FROM b, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |    xor(bucket, 4), xor(bucket, 8)]) t(probe)
+         |  WHERE vec_id % 50 = 0),
+         |s AS (SELECT q_id, c.vec_id AS c_id,
+         |    list_dot_product(qv, c.v) / (qn * c.nrm) AS sim
+         |  FROM b c JOIN q ON q.probe = c.bucket AND q.q_id <> c.vec_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    "dedup_embedding" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, ${hpBucket(6)} AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+         |    list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin),
 
     "emb_label_stats" ->
       """WITH e AS (SELECT label,
