@@ -96,10 +96,14 @@ object PluginRegistry {
     * and applies its Transform; the union is the processed feed (the
     * serial hook chain of watchdog.fileProcessor, parallelized by biz).
     */
-  def pipeline(records: DataFrame, plugins: Seq[GraftPlugin]): DataFrame =
+  def pipeline(records: DataFrame, plugins: Seq[GraftPlugin]): DataFrame = {
+    require(plugins.nonEmpty,
+      "PluginRegistry.pipeline: no active plugins — check the ini " +
+      "[sections] have a `watch` key and are not disabled via switch=false")
     plugins.map { p =>
       p.transform(records.filter(col("biz") === p.name && p.pathFilter))
     }.reduce(_ unionByName _)
+  }
 }
 
 /** Minimal ini parser (sections, key=value, `;` comments) for

@@ -37,6 +37,7 @@ object IngestPipeline {
       .withColumn("size", length(col("content")).cast(LongType))
       .withColumn("compress", ContentFns.shouldCompress(col("size"), col("ext")))
       .select(
+        col("path"),
         date_format(timestamp_millis(col("mtime_ms")), "yyyy-MM-dd").as("file_date"),
         col("mtime_ms").as("file_time"), col("folder"), lit("").as("pack"),
         col("name"), col("size"), col("mtime_ms").as("modify_time"),
@@ -45,13 +46,36 @@ object IngestPipeline {
           encode(col("content"), "UTF-8"))).cast(LongType))
           .otherwise(col("size")).as("compress_size"),
         ContentFns.checksum(col("content")).as("checksum"),
-        col("host"), col("mtime_ms").as("folder_time"))
+        col("host"), col("mtime_ms").as("folder_time"),
+        col("mtime_ms").as("create_time"))
 
   /** Full pipeline: enrich + envelope → (key, value) ready for any
     * text/bytes sink.
     */
   def ingest(files: DataFrame): DataFrame =
     StreamOps.kafkaEnvelope(enrich(files))
+
+  /** Plugin-ETL variant (watchdog.fileProcessor's hook chain): rows
+    * are tagged with their business (first path segment = the watch
+    * root), scoped by each plugin's rule (patterns/ignores/nesting),
+    * transformed by its ETL hook (e.g. BSI test-id time override),
+    * and union-merged — rows matching no plugin are dropped, exactly
+    * like unwatched directories. Fully streaming-compatible: filters,
+    * per-row transforms, and union are all stateless narrow ops.
+    */
+  def ingestWithPlugins(files: DataFrame,
+      plugins: Seq[graft.plugins.GraftPlugin]): DataFrame = {
+    // plugins operate on timestamp-typed folder/create times (like the
+    // reference's FileMeta struct); the wire envelope carries int64 ms
+    val tagged = enrich(files)
+      .withColumn("biz", element_at(split(col("path"), "/"), 1))
+      .withColumn("folder_time", timestamp_millis(col("folder_time")))
+      .withColumn("create_time", timestamp_millis(col("create_time")))
+    val processed = graft.plugins.PluginRegistry.pipeline(tagged, plugins)
+      .withColumn("folder_time", unix_millis(col("folder_time")))
+      .withColumn("create_time", unix_millis(col("create_time")))
+    StreamOps.kafkaEnvelope(processed)
+  }
 
   /** Kafka sink wiring (handler/kafka.go:318-390): hash-partitioned by
     * the `folder/[pack/]name` message key, exactly-once via

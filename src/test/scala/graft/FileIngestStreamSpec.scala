@@ -48,6 +48,47 @@ class FileIngestStreamSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("plugin-ETL ingest: BSI time override, rule scoping, unmatched biz dropped") {
+    import graft.plugins._
+    val dir = Files.createTempDirectory("graft_ingest_plugin").toFile
+    Seq(
+      // BSI with a valid 4-segment test-id folder -> folder_time overridden
+      ("BSI/1395T2936101/2017-06-07/MBBIVS171700094_1W_1_2017-06-07_16_15_42_797/FLOWLOG.ZIP",
+        "flow data", "m1", 1496851200000L),
+      // BSI path not matching the zip|txt pattern -> dropped by rule
+      ("BSI/a/b/c/run.log", "log", "m1", 1496851200000L),
+      // SPI.DAT record -> default transform, times untouched
+      ("SPI.DAT/m1/x.dat", "dat", "m2", 1496851201000L),
+      // biz with no plugin -> dropped
+      ("OTHER/y.txt", "t", "m3", 1496851202000L))
+      .toDF("path", "content", "host", "mtime_ms")
+      .write.mode("append").parquet(dir.getAbsolutePath)
+
+    val plugins = PluginRegistry.autoload(IniConfig.parse(
+      """[BSI]
+        |watch = /data/bsi
+        |patterns = (?i).*\.(zip|txt|dat)$
+        |max_nesting_level = 6
+        |[SPI.DAT]
+        |watch = /data/spi
+        |patterns = .*\.dat$
+        |""".stripMargin))
+    val q = IngestPipeline.ingestWithPlugins(
+        spark.readStream.schema(schema).parquet(dir.getAbsolutePath), plugins)
+      .writeStream.format("memory").queryName("plugin_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("plugin_ingest").collect()
+      assert(rows.length == 2, rows.map(_.getAs[String]("key")).mkString(","))
+      val bsi = rows.find(_.getAs[String]("key").contains("FLOWLOG")).get
+      // 2017-06-07 16:15:42.797 UTC == 1496852142797 ms
+      assert(bsi.getAs[String]("value").contains("\"folder_time\":1496852142797"))
+      val spi = rows.find(_.getAs[String]("key").endsWith("x.dat")).get
+      assert(spi.getAs[String]("value").contains("\"folder_time\":1496851201000"))
+    } finally q.stop()
+  }
+
   test("priority sinks apply serially in priority order; failure stops the chain") {
     val dir = Files.createTempDirectory("graft_ingest2").toFile
     writeBatch(dir)
