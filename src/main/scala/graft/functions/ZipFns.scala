@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions.udf
   * non-directory entry; entry names that aren't valid UTF-8 are
   * decoded as GBK (handler/handler.go:48-56 GBKToUTF8) — java.util.zip
   * handles that via the fallback charset.
+  *
+  * Deliberately Scala UDFs, not Catalyst expressions: these run once
+  * per ARCHIVE (coarse-grained, the zip inflate dominates the row
+  * overhead) and feed a Generate/explode, which ends the codegen
+  * pipeline anyway — unlike the per-token kernels (MinHash/SimHash/
+  * Winnow) where expression codegen buys 5-50×.
   */
 object ZipFns {
 

@@ -18,8 +18,14 @@ case class DebouncedEv(user_id: Long, event_id: Long, ts: Timestamp,
 /** Change-detection state row (badger analog: key -> last mtime). */
 case class KeyedChange(user_id: Long, event_id: Long, ts: Timestamp, changed: Boolean)
 
+/** Closed gap-session (streaming analog of B4's sessionize). */
+case class SessionOut(user_id: Long, n_events: Long, t_start: Timestamp,
+    t_end: Timestamp, total_value: Double)
+
 private case class DebState(event_id: Long, tsMs: Long, event_type: String,
     count: Long)
+
+private case class SessState(n: Long, startMs: Long, endMs: Long, total: Double)
 
 /** E-family: the watchdog's streaming semantics on Structured
   * Streaming. The reference's goroutine/timer machinery
@@ -56,6 +62,40 @@ object StreamOps {
             }
             state.update(s)
             state.setTimeoutTimestamp(s.tsMs + gapMs)
+            Iterator.empty
+          }
+        })
+  }
+
+  /** E7: streaming gap sessionization — the event-time-timeout dual of
+    * the batch sessionize (B4): a session closes and emits when no
+    * event arrives within `gapMs` of its last event. Same state shape
+    * as debounce but aggregating the whole burst instead of keeping
+    * the last event.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.total))
+          } else {
+            var s = state.getOption.getOrElse(
+              SessState(0L, Long.MaxValue, Long.MinValue, 0.0))
+            it.foreach { e =>
+              val t = e.ts.getTime
+              s = SessState(s.n + 1, math.min(s.startMs, t),
+                math.max(s.endMs, t), s.total + e.value)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.endMs + gapMs)
             Iterator.empty
           }
         })

@@ -36,6 +36,28 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("E7 streaming sessionize closes a session after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.sessionizeStream(in.toDS(), gapMs = 5 * 60 * 1000,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(0), 7, "click", 2.0), Ev(2, ts(2), 7, "click", 3.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(30), 8, "view", 1.0)) // advances event time
+      q.processAllAvailable()
+      in.addData(Ev(4, ts(59), 8, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[graft.streaming.SessionOut].collect()
+      val u7 = rows.filter(_.user_id == 7)
+      assert(u7.length == 1)
+      assert(u7.head.n_events == 2 && u7.head.total_value == 5.0)
+      assert(u7.head.t_start == ts(0) && u7.head.t_end == ts(2))
+    } finally q.stop()
+  }
+
   test("E2 windowed stats aggregate by tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
