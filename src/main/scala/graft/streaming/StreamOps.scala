@@ -54,15 +54,24 @@ object StreamOps {
             Iterator.single(DebouncedEv(user, s.event_id, new Timestamp(s.tsMs),
               s.event_type, s.count))
           } else {
+            // fold in event-time order and split on quiescence gaps
+            // WITHIN the batch too — a batch can span many bursts, and
+            // only the final (still-open) burst waits for the timeout
+            val out = scala.collection.mutable.ArrayBuffer.empty[DebouncedEv]
             var s = state.getOption.getOrElse(DebState(0L, Long.MinValue, "", 0L))
-            it.foreach { e =>
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
+              if (s.count > 0 && t - s.tsMs > gapMs) {
+                out += DebouncedEv(user, s.event_id, new Timestamp(s.tsMs),
+                  s.event_type, s.count)
+                s = DebState(0L, Long.MinValue, "", 0L)
+              }
               s = if (t >= s.tsMs) DebState(e.event_id, t, e.event_type, s.count + 1)
                   else s.copy(count = s.count + 1)
             }
             state.update(s)
             state.setTimeoutTimestamp(s.tsMs + gapMs)
-            Iterator.empty
+            out.iterator
           }
         })
   }
@@ -87,16 +96,26 @@ object StreamOps {
             Iterator.single(SessionOut(user, s.n, new Timestamp(s.startMs),
               new Timestamp(s.endMs), s.total))
           } else {
+            // fold in event-time order and close sessions on gaps
+            // WITHIN the batch — only the final still-open session
+            // waits for the event-time timeout (batch parity with
+            // EventOps.sessionize verified on the events table)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var s = state.getOption.getOrElse(
               SessState(0L, Long.MaxValue, Long.MinValue, 0.0))
-            it.foreach { e =>
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
+              if (s.n > 0 && t - s.endMs > gapMs) {
+                out += SessionOut(user, s.n, new Timestamp(s.startMs),
+                  new Timestamp(s.endMs), s.total)
+                s = SessState(0L, Long.MaxValue, Long.MinValue, 0.0)
+              }
               s = SessState(s.n + 1, math.min(s.startMs, t),
                 math.max(s.endMs, t), s.total + e.value)
             }
             state.update(s)
             state.setTimeoutTimestamp(s.endMs + gapMs)
-            Iterator.empty
+            out.iterator
           }
         })
   }

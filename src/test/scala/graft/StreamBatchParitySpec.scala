@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators must agree with their batch duals on the real
+  * events table: same gap ⇒ same sessions/bursts, independent of how
+  * events fall into micro-batches (within-batch gap splitting + the
+  * event-time-timeout flush must compose to batch semantics).
+  */
+class StreamBatchParitySpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val evs = Tables.events(spark, Sf).filter(col("user_id") <= 3)
+    .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  private def flush(dir: String): Unit =
+    (0L to 3L).map(u => (999990L + u, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), u, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(dir)
+
+  test("sessionizeStream == batch sessionize (2h gap) on real events") {
+    val expected = operators.EventOps.sessionize(spark, Sf)
+      .filter(col("user_id") <= 3)
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 100) / 100))
+      .toSeq.sorted
+    val d = Files.createTempDirectory("sess_par").toFile.getAbsolutePath
+    evs.write.mode("overwrite").parquet(d)
+    val q = StreamOps.sessionizeStream(
+        spark.readStream.schema(evs.schema).parquet(d).as[Ev],
+        gapMs = 2 * 3600 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_par").outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("sess_par").filter(col("t_start") < "2029-01-01")
+        .select("user_id", "n_events", "total_value").as[(Long, Long, Double)]
+        .collect().map(r => (r._1, r._2, math.rint(r._3 * 100) / 100)).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+    } finally q.stop()
+  }
+
+  test("debounceStream == batch debounce (30m gap) on real events") {
+    val expected = operators.EventOps.debounce(spark, Sf)
+      .filter(col("user_id") <= 3)
+      .select("user_id", "event_id", "burst_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val d = Files.createTempDirectory("deb_par").toFile.getAbsolutePath
+    evs.write.mode("overwrite").parquet(d)
+    val q = StreamOps.debounceStream(
+        spark.readStream.schema(evs.schema).parquet(d).as[Ev],
+        gapMs = 30 * 60 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("deb_par").outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("deb_par").filter(col("event_id") < 999000)
+        .select("user_id", "event_id", "burst_size").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+    } finally q.stop()
+  }
+}
