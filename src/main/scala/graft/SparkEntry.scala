@@ -61,7 +61,8 @@ object SparkEntry {
     "ann_ivf"              -> (AnnOps.annIvf _),
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
-    "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _)
+    "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
+    "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -628,6 +629,28 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "media_features" -> {
+      // fakeDecode replication: h = fold((31·h + byte) mod 2^64) from
+      // 1125899906842597; f_d = ((h xor (0x9e3779b97f4a7c15·(d+1))) mod
+      // 1000 signed) / 1000 as float
+      val hfold = "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+        "list_transform(range(1, length(text)+1), " +
+        "i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))), " +
+        s"(acc, b) -> (${mulmod("acc", "31")} + b) % $M64)"
+      val x = xor64("h", mulmod("11400714819323198485", "d"))
+      val feat = s"CAST(CAST((${signed64(x)} % 1000) AS DOUBLE) / 1000.0 AS FLOAT)"
+      val featCols = (0 until 16)
+        .map(i => s"features[${i + 1}] AS f$i").mkString(", ")
+      "WITH d AS (SELECT doc_id, text, " +
+      "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind " +
+      "FROM documents), " +
+      "h AS (SELECT doc_id AS media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes, " +
+      s"$hfold AS h FROM d), " +
+      "f AS (SELECT media_id, kind, n_bytes, " +
+      s"list_transform(range(1, 17), d -> $feat) AS features FROM h) " +
+      s"SELECT media_id, kind, n_bytes, $featCols FROM f ORDER BY media_id"
+    },
 
     "media_feature_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

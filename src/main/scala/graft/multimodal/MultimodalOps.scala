@@ -110,6 +110,22 @@ object MultimodalOps {
     }
   }
 
+  /** Per-media decoded features as scalar columns (f0..f15) — the
+    * oracle-checked face of the decode plumbing: the DuckDB oracle
+    * replicates fakeDecode's 31-polynomial hash + xor/mod arithmetic,
+    * so a hash match proves the batched decode path end-to-end
+    * (synthesis → mapPartitions kernel → schema) bit-for-bit.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(mediaTable(spark, dir)).toDF()
+    feats.select(
+      col("media_id") +: col("kind") +: col("n_bytes") +:
+      (0 until FeatureDim).map(i =>
+        element_at(col("features"), i + 1).as(s"f$i")): _*)
+      .orderBy("media_id")
+  }
+
   /** Summary DataFrame (used as a rows-only verify query). */
   def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -77,6 +77,41 @@ object DedupOps {
       .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
       .orderBy("a_id", "b_id")
 
+  /** D2 at 100 TB: the blocked self-join's output grows with the
+    * SQUARE of each shingle's posting list, so one viral boilerplate
+    * shingle (df in the millions) dominates the whole job. The guard
+    * drops shingles with document frequency > maxDf before pair
+    * generation — the standard stop-shingle cut: a shingle shared by
+    * millions of documents carries ~zero Jaccard evidence per pair but
+    * quadratic cost. With the cap, per-shingle work is bounded by
+    * maxDf² and the join key distribution is skew-free by
+    * construction. Results are a subset of D2's with inter_cnt (and
+    * thus jacc) now a lower bound; any maxDf ≥ the corpus's true max
+    * posting size reproduces D2 exactly (see DedupAnnSpec).
+    */
+  def dedupNgramJaccardCapped(spark: SparkSession, dir: String,
+      maxDf: Int = 1000): DataFrame = {
+    val ex = shingleExploded(spark, dir)
+    val keep = ex.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("lang", "shingle")
+    val capped = ex.join(keep, Seq("lang", "shingle"))
+    val a = capped.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+      col("doc_id").as("a_id"), col("nsh").as("n_a"))
+    val b = capped.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+      col("doc_id").as("b_id"), col("nsh").as("n_b"))
+    a.join(b, col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 2)
+      .withColumn("jacc", col("inter_cnt").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter_cnt")).cast(DoubleType))
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
+      .orderBy("a_id", "b_id")
+  }
+
   /** D3: MinHash + banded LSH — k=64 signature, 8 bands × 8 rows;
     * candidates are pairs sharing a band bucket; estimate = matching
     * signature fraction. At 100 TB this replaces D2's quadratic-ish

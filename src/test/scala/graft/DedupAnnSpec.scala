@@ -59,6 +59,19 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("capped ngram join: high cap reproduces D2 exactly, low cap is a subset") {
+    val full = DedupOps.dedupNgramJaccard(spark, Sf).collect().map(_.toString)
+    val high = DedupOps.dedupNgramJaccardCapped(spark, Sf, maxDf = 1000000)
+      .collect().map(_.toString)
+    assert(full.toSeq == high.toSeq)
+    val low = DedupOps.dedupNgramJaccardCapped(spark, Sf, maxDf = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = DedupOps.dedupNgramJaccard(spark, Sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(low.subsetOf(fullPairs))
+    assert(low.size < fullPairs.size)
+  }
+
   test("embedding near-dup cosines are symmetric-bounded") {
     DedupOps.dedupEmbedding(spark, Sf).collect().foreach { r =>
       val c = r.getAs[Double]("cos")
