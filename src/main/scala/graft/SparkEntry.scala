@@ -33,6 +33,8 @@ object SparkEntry {
     "evt_percentiles"      -> (EventOps.valuePercentiles _),
     "evt_salted_stats"     -> (EventOps.saltedUserStats _),
     "evt_change_ledger"    -> (EventOps.changeLedger _),
+    "evt_funnel"           -> (EventOps.funnel _),
+    "evt_resample_ffill"   -> (EventOps.resampleFfill _),
     // C. FileMeta pipeline
     "file_meta_extract"    -> (FileMetaOps.fileMetaExtract _),
     "file_pattern_filter"  -> (FileMetaOps.filePatternFilter _),
@@ -294,6 +296,42 @@ object SparkEntry {
         |  FROM cur FULL OUTER JOIN st ON c_id = s_id)
         |SELECT COALESCE(c_id, s_id) AS event_id, op FROM j
         |WHERE op <> 'UNCHANGED' ORDER BY event_id""".stripMargin,
+
+    "evt_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  1 + CAST(c.t_click IS NOT NULL AS BIGINT)
+        |    + CAST(p.t_purchase IS NOT NULL AS BIGINT) AS funnel_depth
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "evt_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, value FROM events),
+        |b AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM ev GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', t0), t1,
+        |      INTERVAL 15 MINUTE)) AS ts FROM b),
+        |tagged AS (
+        |  SELECT user_id, ts, 0 AS is_grid, event_id, value FROM ev
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS is_grid, NULL AS event_id, NULL AS value FROM g),
+        |w AS (SELECT user_id, ts, is_grid,
+        |    last_value(event_id IGNORE NULLS) OVER win AS last_event_id,
+        |    last_value(value IGNORE NULLS) OVER win AS last_value
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, ts, last_event_id, last_value FROM w
+        |WHERE is_grid = 1 ORDER BY user_id, ts""".stripMargin,
 
     "evt_props_json" ->
       """SELECT event_id, k_val, k_val % 10 AS k_bucket FROM (

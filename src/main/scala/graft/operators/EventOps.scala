@@ -251,4 +251,64 @@ object EventOps {
       .select("user_id", "event_type", "event_id", "ts", "value")
       .orderBy("user_id", "event_type")
   }
+
+  /** B14: conversion funnel — first ordered completion of
+    * view → click → purchase per user (each step's timestamp is the
+    * first qualifying event strictly after the previous step). Three
+    * user-keyed aggregations + broadcast-free equi-joins on user_id:
+    * the funnel scales as three shuffles on a key whose cardinality
+    * grows with data, never a window over the whole history.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "t_click"), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
+      .join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("funnel_depth"))
+      .orderBy("user_id")
+  }
+
+  /** B15: time-grid resample with forward fill — each user's history
+    * sampled on a 15-minute grid carrying the last event at-or-before
+    * each grid point (the monitoring dashboard's query). Grid rows and
+    * event rows union; one user-keyed window orders by (ts, is_grid
+    * desc-tiebreak) so an event AT a grid instant fills that instant;
+    * last_value(ignoreNulls) forward-fills. Grid explode is
+    * executor-local; the only shuffle is the user-keyed window sort.
+    */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val bounds = ev.groupBy("user_id")
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val grid = bounds.select(col("user_id"),
+        explode(sequence(date_trunc("hour", col("t0")), col("t1"),
+          expr("interval 15 minutes"))).as("ts"))
+      .withColumn("is_grid", lit(1))
+      .withColumn("event_id", lit(null).cast(LongType))
+      .withColumn("value", lit(null).cast(DoubleType))
+    val tagged = ev.withColumn("is_grid", lit(0))
+      .select("user_id", "ts", "is_grid", "event_id", "value")
+      .unionByName(grid.select("user_id", "ts", "is_grid", "event_id", "value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select("user_id", "ts", "last_event_id", "last_value")
+      .orderBy("user_id", "ts")
+  }
 }
