@@ -35,6 +35,7 @@ object SparkEntry {
     "evt_change_ledger"    -> (EventOps.changeLedger _),
     "evt_funnel"           -> (EventOps.funnel _),
     "evt_resample_ffill"   -> (EventOps.resampleFfill _),
+    "evt_retention"        -> (EventOps.retention _),
     // C. FileMeta pipeline
     "file_meta_extract"    -> (FileMetaOps.fileMetaExtract _),
     "file_pattern_filter"  -> (FileMetaOps.filePatternFilter _),
@@ -332,6 +333,19 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING))
         |SELECT user_id, ts, last_event_id, last_value FROM w
         |WHERE is_grid = 1 ORDER BY user_id, ts""".stripMargin,
+
+    "evt_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |    FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    date_trunc('week', e.ts) AS wts
+        |  FROM events e JOIN f USING (user_id)),
+        |d AS (SELECT cohort,
+        |    CAST(date_diff('day', CAST(cohort AS DATE), CAST(wts AS DATE)) / 7
+        |      AS BIGINT) AS wk
+        |  FROM a)
+        |SELECT cohort, wk, COUNT(*) AS n_users FROM d
+        |GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin,
 
     "evt_props_json" ->
       """SELECT event_id, k_val, k_val % 10 AS k_bucket FROM (

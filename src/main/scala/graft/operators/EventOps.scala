@@ -311,4 +311,26 @@ object EventOps {
       .select("user_id", "ts", "last_event_id", "last_value")
       .orderBy("user_id", "ts")
   }
+
+  /** B16: weekly retention cohorts — users grouped by the week of
+    * their first event; each cell counts distinct users from that
+    * cohort active `wk` weeks later. Two user-keyed aggregations and
+    * one (cohort, wk)-keyed count: cohort-key cardinality grows with
+    * the time span, user joins shuffle on user_id — no global state.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val active = ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        date_trunc("week", col("ts")).as("wts"))
+      .distinct()
+      .withColumn("wk",
+        (datediff(to_date(col("wts")), to_date(col("cohort"))) / 7)
+          .cast(LongType))
+    active.groupBy(col("cohort"), col("wk"))
+      .agg(count(lit(1)).cast(LongType).as("n_users"))
+      .orderBy("cohort", "wk")
+  }
 }
