@@ -85,8 +85,8 @@ object AnnOps {
   }
 
   /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
-    * A deterministic k-means coarse quantizer (first-m seed + 2 Lloyd
-    * rounds, all DataFrame aggregation) partitions the corpus into m
+    * A deterministic k-means coarse quantizer (first-m seed + 1 Lloyd
+    * round, all DataFrame aggregation) partitions the corpus into m
     * inverted lists; a query scans only its `nprobe` nearest lists.
     * Compare volume ≈ nprobe/m of brute force, and on a cluster the
     * inverted lists are the partitioning — each probe is a co-located
@@ -105,7 +105,7 @@ object AnnOps {
     var centroids = emb.orderBy("vec_id").limit(m)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     // Lloyd refinement: assign → element-wise mean per centroid
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to 1) {
       val assigned = assign(emb, centroids, 1)
       centroids = assigned.join(emb, "vec_id")
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
