@@ -1,0 +1,47 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.function.{Function => JFunction}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoization for shared derived tables (shingle
+  * explosions, embedding norms, IVF index artifacts).
+  *
+  * Why: these derivations are used by several queries in one session
+  * (and twice within one query's self-join). Re-calling `.persist()`
+  * on a structurally identical plan per invocation floods the log with
+  * `CacheManager: Asked to cache already cached data` and, under the
+  * concurrent bench, races conc streams into duplicate derivations.
+  * Memoizing the DataFrame instance per (session, key) persists each
+  * artifact exactly once; `computeIfAbsent` makes the registration
+  * atomic (Spark's own block-level cache locks serialize the actual
+  * materialization).
+  *
+  * Entries are keyed by the session instance so a stopped test session
+  * can never leak its cached plan into a fresh one.
+  */
+object Memo {
+  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Build-once persisted DataFrame for `key` within this session. */
+  def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((spark, key),
+      new JFunction[(SparkSession, String), DataFrame] {
+        override def apply(k: (SparkSession, String)): DataFrame = build.persist()
+      })
+
+  /** Drop (and unpersist) everything cached for this session — test
+    * teardown hook; harmless if nothing is cached.
+    */
+  def clear(spark: SparkSession): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+}

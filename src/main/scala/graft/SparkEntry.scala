@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_exact"          -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard"  -> (DedupOps.dedupNgramJaccard _),
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
+    "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "dedup_clusters"       -> (DedupOps.dedupClusters _),

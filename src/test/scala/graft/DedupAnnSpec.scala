@@ -72,6 +72,23 @@ class DedupAnnSpec extends GraftSpec {
     assert(low.size < fullPairs.size)
   }
 
+  test("minhash-lsh verified: subset of D2 at tau, recall >= 0.9 at tau=0.5") {
+    val tau = 0.5
+    val verified = DedupOps.dedupMinhashLshVerified(spark, Sf, tau)
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
+      .collect().map(_.toString).toSet
+    val exact = DedupOps.dedupNgramJaccard(spark, Sf)
+      .filter(col("jacc") >= tau)
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
+      .collect().map(_.toString).toSet
+    // verification uses the true shingle sets, so every surviving row is
+    // bit-identical to the corresponding D2 row
+    assert(verified.subsetOf(exact),
+      s"verified rows not contained in exact: ${verified.diff(exact).take(3)}")
+    val recall = if (exact.isEmpty) 1.0 else verified.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall at tau=$tau too low: $recall")
+  }
+
   test("embedding near-dup cosines are symmetric-bounded") {
     DedupOps.dedupEmbedding(spark, Sf).collect().foreach { r =>
       val c = r.getAs[Double]("cos")
