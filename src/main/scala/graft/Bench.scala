@@ -5,6 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: executes every SparkEntry query end-to-end
   * (noop sink — full plan incl. sorts/projections, no disk write) and
   * prints one JSON line.
+  *
+  * Measurement protocol (round-3 fix for cross-round comparability):
+  *  - the wall-clock starts BEFORE warm-up, so "value" includes
+  *    everything a cold session pays — same meaning as round 1's
+  *    serial total;
+  *  - warm-up (JVM/codegen via q1 + the session-shared derived caches:
+  *    shingle table, embedding norms, IVF layout artifacts) is also
+  *    timed separately and reported as "warmup_sec";
+  *  - the per-query map comes from a SERIAL pass, so each figure is a
+  *    true single-query latency, not a latency under contention;
+  *  - after the serial pass, a concurrent pass (default 8 streams, the
+  *    production-load shape) re-runs the suite warm and reports its
+  *    wall as "wall_conc<N>". SPARK_GRAFT_CONC=1 skips it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,53 +35,60 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen path once so per-query numbers reflect
-    // execution, not first-call classloading.
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
     // optional comma-separated filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // The suite metric is wall-clock with a few concurrent query
-    // streams, default 8 (like any production engine under load — and the
-    // reference agent's own goroutine fan-out): per-query values are
-    // individual latencies, "value" is the wall time to drain the
-    // whole suite. SPARK_GRAFT_CONC=1 restores serial timing.
     val conc = sys.env.get("SPARK_GRAFT_CONC")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+
+    val t0 = System.nanoTime()
+    // Warm-up INSIDE the wall-clock: JVM/codegen classloading (q1) plus
+    // the session-shared derived caches and layout-time artifacts, so
+    // (a) per-query serial numbers reflect query work, not shared
+    // derivations, and (b) serial and concurrent passes measure the
+    // same per-query work. The cost isn't hidden — it's in "value" and
+    // broken out as warmup_sec.
+    SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    if (selected.exists(t => t._1.startsWith("dedup") || t._1.startsWith("doc_")))
+      operators.DedupOps.warmShared(spark, sfDir)
+    if (selected.exists(t => t._1.startsWith("ann") || t._1.startsWith("emb")))
+      operators.AnnOps.warmShared(spark, sfDir)
+    val warmupSec = (System.nanoTime() - t0) / 1e9
+
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+      val q0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - q0) / 1e9
     }
-    // Pre-warm the shared derived caches (shingle table, embedding
-    // norms) once, serially: otherwise the dedup/ann families race to
-    // materialize the same persists concurrently and duplicate the
-    // derivation work up to conc times.
-    if (conc > 1 && selected.exists(_._1.startsWith("dedup")))
-      SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    val t0 = System.nanoTime()
+
+    // serial pass: true per-query latencies
     val results: Seq[(String, Double)] =
-      if (conc <= 1) selected.map { case (n, f) => n -> run1(n, f) }
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val fs = selected.map { case (n, f) => Future(n -> run1(n, f)) }
-        val r = Await.result(Future.sequence(fs), Duration.Inf)
-        pool.shutdown()
-        r
-      }
-    val wall = (System.nanoTime() - t0) / 1e9
+      selected.map { case (n, f) => n -> run1(n, f) }
+    val serialWall = (System.nanoTime() - t0) / 1e9
+
+    // concurrent pass: suite wall under `conc` query streams (warm —
+    // the serial pass above already materialized all shared caches)
+    val wallConc: Option[Double] = if (conc <= 1) None else Some {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val c0 = System.nanoTime()
+      val fs = selected.map { case (n, f) => Future(n -> run1(n, f)) }
+      Await.result(Future.sequence(fs), Duration.Inf)
+      pool.shutdown()
+      (System.nanoTime() - c0) / 1e9
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","concurrency":$conc}""")
+    val concField = wallConc.map(w => s""","wall_conc$conc":$w""").getOrElse("")
+    println(s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField,"sf":"$sfDir","concurrency":1}""")
     spark.stop()
   }
 }

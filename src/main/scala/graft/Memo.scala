@@ -23,13 +23,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Memo {
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val buildLock = new Object
 
-  /** Build-once persisted DataFrame for `key` within this session. */
-  def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark, key),
-      new JFunction[(SparkSession, String), DataFrame] {
-        override def apply(k: (SparkSession, String)): DataFrame = build.persist()
-      })
+  /** Build-once persisted DataFrame for `key` within this session.
+    * A plain reentrant lock (not computeIfAbsent, which forbids the
+    * nested registration a layout artifact building on another one
+    * needs) guards the build; plan construction + persist registration
+    * are lazy and cheap, so serializing them costs nothing.
+    */
+  def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (spark, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else buildLock.synchronized {
+      val again = cache.get(k)
+      if (again != null) again
+      else { val b = build.persist(); cache.put(k, b); b }
+    }
+  }
+
+  private val values = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
+
+  /** Build-once arbitrary value (e.g. a collected model artifact like
+    * IVF centroids) for `key` within this session.
+    */
+  def value[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val k = (spark, key)
+    val hit = values.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else buildLock.synchronized {
+      val again = values.get(k)
+      if (again != null) again.asInstanceOf[T]
+      else { val b = build; values.put(k, b); b }
+    }
+  }
 
   /** Drop (and unpersist) everything cached for this session — test
     * teardown hook; harmless if nothing is cached.
@@ -43,5 +70,7 @@ object Memo {
         it.remove()
       }
     }
+    val vit = values.entrySet().iterator()
+    while (vit.hasNext) { if (vit.next().getKey._1 eq spark) vit.remove() }
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFns
 import graft.plans.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -82,42 +82,66 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** Nearest centroid(s) per vector by cosine: broadcast the (small)
-    * centroid table, bounded-heap TopKPerKey instead of a window sort.
+  /** Nearest-nprobe centroid assignment with ZERO shuffle: the m
+    * centroids collapse into one array-typed row that broadcasts to
+    * every vector, and each vector ranks them in-row (transform →
+    * array_sort → slice → explode, all codegen) — no per-vector
+    * shuffle, no window, no heap exchange. Ties break by cid
+    * ascending (negated sim sorts first, then cid). Keeps the vector
+    * payload (v, nrm) so callers never re-join the corpus to recover
+    * what they already scanned.
     */
-  private def assign(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val sims = vecs.join(broadcast(centroids))
-      .withColumn("csim",
-        VectorFns.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-    TopK.perKey(sims, Seq(col("vec_id")),
-        Seq(col("csim").desc, col("cid").asc), nprobe)
-      .select("vec_id", "cid")
-  }
+  private case class Cent(cid: Long, cv: Seq[Double], cnrm: Double)
 
-  /** IVF coarse quantizer — a LAYOUT-TIME artifact, built once per
-    * (session, dir) and persisted via Memo, exactly like BucketingOps
-    * pays its bucketing shuffle once. Deterministic k-means: first-m
-    * seed (cid = seed vec_id — stable, no partition-dependent id
-    * generation) + 1 Lloyd refinement round, all DataFrame
-    * aggregation. m = 16 here; on a real cluster m scales with
-    * √corpus and the artifact is written bucketed-by-cid to storage.
+  /** Nearest-nprobe centroid assignment with ZERO shuffle and zero
+    * extra jobs: the quantizer rides along as a literal array column,
+    * and each vector ranks the m centroids in-row (transform →
+    * array_sort → slice → explode, all codegen). Ties break by cid
+    * ascending (negated sim sorts first, then cid). Keeps the vector
+    * payload (v, nrm) so callers never re-join the corpus to recover
+    * what they already scanned.
     */
-  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.df(spark, s"ivfCentroids:$dir") {
+  private def assign(vecs: DataFrame, cents: Column, nprobe: Int): DataFrame =
+    vecs
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(slice(array_sort(transform(cents, c =>
+          struct((-VectorFns.cosine(col("v"), c.getField("cv"), col("nrm"),
+            c.getField("cnrm"))).as("negsim"),
+            c.getField("cid").as("cid")))), 1, nprobe)).as("pr"))
+      .select(col("vec_id"), col("pr.cid").as("cid"), col("v"), col("nrm"))
+
+  /** IVF coarse quantizer — a LAYOUT-TIME model artifact, built once
+    * per (session, dir), exactly like BucketingOps pays its bucketing
+    * shuffle once. Deterministic k-means: first-m seed (cid = seed
+    * vec_id — stable, no partition-dependent id generation) + 1 Lloyd
+    * refinement round; the mean recompute is distributed aggregation,
+    * only the m finished centroids are collected into a driver-side
+    * model (the Spark ML KMeansModel.clusterCenters shape — a coarse
+    * quantizer lives in memory on every node; m scales with √corpus,
+    * so even a 100 TB corpus keeps it in the low thousands of rows).
+    * Returned as a literal array column so query-time assignment is a
+    * pure projection.
+    */
+  private def ivfCentroids(spark: SparkSession, dir: String): Column =
+    graft.Memo.value(spark, s"ivfCentroids:$dir") {
       val emb = embDouble(spark, dir)
       val m = 16
-      val seed = emb.orderBy("vec_id").limit(m)
+      val seedRows = emb.orderBy("vec_id").limit(m)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      // Lloyd refinement: assign → element-wise mean per centroid.
-      // Intermediates stay lazy — only the final table persists, so no
-      // superseded-round cache leaks.
-      assign(emb, seed, 1).join(emb, "vec_id")
+        .collect()
+      val seed = typedLit(seedRows.map(r =>
+        Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
+      // Lloyd refinement: assign → element-wise mean per centroid
+      val refined = assign(emb, seed, 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("x"))
         .groupBy("cid").agg(
           array_sort(collect_list(struct(col("pos"), col("x")))).as("pv"))
         .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
         .withColumn("cnrm", VectorFns.norm(col("cv")))
+        .collect()
+      typedLit(refined.map(r =>
+        Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
     }
 
   /** IVF inverted lists: every corpus vector assigned to its nearest
@@ -127,9 +151,7 @@ object AnnOps {
     */
   private def ivfLists(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"ivfLists:$dir") {
-      val emb = embDouble(spark, dir)
-      assign(emb, ivfCentroids(spark, dir), 1)
-        .join(emb, "vec_id")
+      assign(embDouble(spark, dir), ivfCentroids(spark, dir), 1)
         .select(col("cid").as("c_cid"), col("vec_id").as("c_id"),
           col("v").as("cv2"), col("nrm").as("cn"))
         .repartition(col("c_cid"))
@@ -138,17 +160,16 @@ object AnnOps {
   /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
     * The coarse quantizer and inverted lists are layout-time artifacts
     * ([[ivfCentroids]]/[[ivfLists]], built once per session); the
-    * query path is only: assign probes (m-centroid broadcast compare
-    * over the QUERY vectors), broadcast the probes into the co-located
-    * list scan, bounded-heap top-k. Compare volume ≈ nprobe/m of brute
-    * force and zero corpus shuffle per query.
+    * query path is only: assign probes (an in-row rank against the
+    * quantizer literal over the QUERY vectors), broadcast the probes
+    * into the co-located list scan, bounded-heap top-k. Compare volume
+    * ≈ nprobe/m of brute force and zero corpus shuffle per query.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     val centroids = ivfCentroids(spark, dir)
     val lists = ivfLists(spark, dir)
     val probes = assign(emb.filter(col("vec_id") % 50 === 0), centroids, 4)
-      .join(emb, "vec_id")
       .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
     val sims = lists.join(broadcast(probes),
