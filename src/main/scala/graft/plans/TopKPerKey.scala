@@ -12,6 +12,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.{catalystExpr, datasetOfRows}
 import org.apache.spark.sql.types.LongType
 
+/** Which ranking function's `<= k` semantics the operator implements.
+  *
+  * RowNumber keeps exactly k rows per key. Rank keeps every row whose
+  * rank ≤ k — ties at the k-th position mean the output can exceed k
+  * rows (exactly like the window form). DenseRank keeps every row in
+  * the k best distinct order-key groups.
+  */
+sealed trait TopKMode
+object TopKMode {
+  case object RowNumber extends TopKMode
+  case object Rank extends TopKMode
+  case object DenseRank extends TopKMode
+}
+
 /** Top-k rows per key (SURVEY §2 G4): the whole-operator Catalyst path
   * — logical node + planner strategy + partial/final physical execs.
   *
@@ -21,10 +35,12 @@ import org.apache.spark.sql.types.LongType
   * k-bounded binary heap per key on the map side, shuffles only the
   * ≤ k×keys×partitions survivors, and merges heaps on the reduce side.
   * Shuffle volume and memory are O(k·|keys|), independent of row
-  * count per key.
+  * count per key (for Rank/DenseRank, plus the rows tied at the
+  * boundary — the same rows the window form would emit).
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
+    rankAttr: AttributeReference, child: LogicalPlan,
+    mode: TopKMode = TopKMode.RowNumber) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
@@ -32,18 +48,36 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = c)
 }
 
-/** Per-key k-bounded heap collector shared by both exec phases. */
+/** Per-key bounded collectors shared by both exec phases. */
 object TopKHeaps {
-  /** worst-of-the-best at index 0 (reverse sort order) */
-  final class Heap(ord: Ordering[InternalRow], k: Int) {
+  sealed trait Collector {
+    def offer(row: InternalRow): Unit
+    /** survivors, no ordering guarantee (map-side emission) */
+    def unsorted: Array[InternalRow]
+    /** survivors best-first (reduce-side rank assignment) */
+    def sorted: Array[InternalRow]
+  }
+
+  /** worst-of-the-best at index 0 (reverse sort order): exact k rows. */
+  final class Heap(ord: Ordering[InternalRow], k: Int) extends Collector {
     private val a = new Array[InternalRow](k)
     var size = 0
-    def offer(row: InternalRow): Unit = {
+    /** current worst kept row — only meaningful when size == k */
+    def worst: InternalRow = a(0)
+    override def offer(row: InternalRow): Unit = {
       if (size < k) {
         a(size) = row.copy(); size += 1; siftUp(size - 1)
       } else if (ord.compare(row, a(0)) < 0) { // better than current worst
         a(0) = row.copy(); siftDown(0)
       }
+    }
+    /** replace the worst with a strictly better row; returns the old
+      * worst (already a private copy). Caller must ensure size == k.
+      */
+    def replaceWorst(row: InternalRow): InternalRow = {
+      val old = a(0)
+      a(0) = row.copy(); siftDown(0)
+      old
     }
     private def siftUp(i0: Int): Unit = {
       var i = i0
@@ -64,32 +98,112 @@ object TopKHeaps {
         else { val t = a(i); a(i) = a(m); a(m) = t; i = m }
       }
     }
-    /** contents best-first */
-    def sorted: Array[InternalRow] = {
+    override def sorted: Array[InternalRow] = {
       val out = java.util.Arrays.copyOf(a, size)
       java.util.Arrays.sort(out, ord)
       out
     }
-    def unsorted: Array[InternalRow] = java.util.Arrays.copyOf(a, size)
+    override def unsorted: Array[InternalRow] = java.util.Arrays.copyOf(a, size)
   }
 
+  /** rank() ≤ k: the k-bounded heap plus a buffer of rows TIED with
+    * the boundary row — `rank(r) ≤ k  ⟺  key(r) ≤ key of the k-th
+    * row in row_number order`, so survivors = heap ∪ {rows equal to
+    * the final worst}. The buffer holds only boundary ties (pruned
+    * lazily at emission); everything strictly worse than the current
+    * worst is discarded immediately, so memory stays O(k + ties) —
+    * ties being exactly the extra rows the window form would emit.
+    */
+  final class RankCollector(ord: Ordering[InternalRow], k: Int) extends Collector {
+    private val heap = new Heap(ord, k)
+    private val ties = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    override def offer(row: InternalRow): Unit = {
+      if (heap.size < k) { heap.offer(row); return }
+      val c = ord.compare(row, heap.worst)
+      if (c < 0) {
+        val evicted = heap.replaceWorst(row)
+        // the evicted row may still tie the NEW worst (other copies of
+        // the same key remain in the heap) — then it is still a
+        // boundary tie, not a discard
+        if (ord.compare(evicted, heap.worst) == 0) ties += evicted
+      } else if (c == 0) ties += row.copy()
+      // c > 0: strictly worse than the current worst; the worst only
+      // ever improves, so the row can never tie the final boundary
+    }
+    private def survivors: Array[InternalRow] =
+      if (heap.size < k || ties.isEmpty) heap.unsorted
+      else {
+        val w = heap.worst
+        (heap.unsorted.iterator ++
+          ties.iterator.filter(t => ord.compare(t, w) == 0)).toArray
+      }
+    override def unsorted: Array[InternalRow] = survivors
+    override def sorted: Array[InternalRow] = {
+      val out = survivors
+      java.util.Arrays.sort(out, ord)
+      out
+    }
+  }
+
+  /** dense_rank() ≤ k: rows of the k smallest distinct order keys — a
+    * TreeMap keyed by the sort order, capped at k entries; a new key
+    * beyond capacity evicts the largest group wholesale.
+    */
+  final class DenseRankCollector(ord: Ordering[InternalRow], k: Int) extends Collector {
+    private val m = new java.util.TreeMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]](
+      new java.util.Comparator[InternalRow] {
+        override def compare(x: InternalRow, y: InternalRow): Int = ord.compare(x, y)
+      })
+    override def offer(row: InternalRow): Unit = {
+      val existing = m.get(row)
+      if (existing != null) { existing += row.copy(); return }
+      if (m.size < k) {
+        val c = row.copy()
+        m.put(c, scala.collection.mutable.ArrayBuffer(c))
+      } else if (ord.compare(row, m.lastKey) < 0) {
+        val c = row.copy()
+        m.put(c, scala.collection.mutable.ArrayBuffer(c))
+        m.pollLastEntry()
+      }
+    }
+    override def unsorted: Array[InternalRow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      val it = m.values().iterator()
+      while (it.hasNext) out ++= it.next()
+      out.toArray
+    }
+    // TreeMap iteration is already key-ascending = best-first
+    override def sorted: Array[InternalRow] = unsorted
+  }
+
+  def newCollector(mode: TopKMode, ord: Ordering[InternalRow], k: Int): Collector =
+    mode match {
+      case TopKMode.RowNumber => new Heap(ord, k)
+      case TopKMode.Rank => new RankCollector(ord, k)
+      case TopKMode.DenseRank => new DenseRankCollector(ord, k)
+    }
+
   def collect(it: Iterator[InternalRow], keyProj: UnsafeProjection,
-      ord: Ordering[InternalRow], k: Int): java.util.HashMap[UnsafeRow, Heap] = {
-    val heaps = new java.util.HashMap[UnsafeRow, Heap]()
+      ord: Ordering[InternalRow], k: Int,
+      mode: TopKMode): java.util.HashMap[UnsafeRow, Collector] = {
+    val heaps = new java.util.HashMap[UnsafeRow, Collector]()
     while (it.hasNext) {
       val row = it.next()
       val key = keyProj(row)
       var h = heaps.get(key)
-      if (h == null) { h = new Heap(ord, k); heaps.put(key.copy(), h) }
+      if (h == null) { h = newCollector(mode, ord, k); heaps.put(key.copy(), h) }
       h.offer(row)
     }
     heaps
   }
 }
 
-/** Map-side pre-pruning: emits at most k rows per key per partition. */
+/** Map-side pre-pruning: emits the per-partition survivors of the mode
+  * predicate — a safe over-approximation, since a row's partition-local
+  * rank never exceeds its global rank.
+  */
 case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, mode: TopKMode, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: Nil
@@ -98,7 +212,7 @@ case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ord = new LazilyGeneratedOrdering(order, child.output)
-      val heaps = TopKHeaps.collect(it, keyProj, ord, k)
+      val heaps = TopKHeaps.collect(it, keyProj, ord, k, mode)
       val hIt = heaps.values().iterator()
       new Iterator[InternalRow] {
         private var cur: Array[InternalRow] = Array.empty
@@ -115,9 +229,14 @@ case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
-/** Final per-key top-k + rank assignment; requires co-location by key. */
+/** Final per-key top-k + rank assignment; requires co-location by key.
+  * The appended rank column carries the mode's own numbering
+  * (row_number / rank-with-gaps / dense_rank), computed over the
+  * survivors — identical to the window value for every surviving row,
+  * because every better-ranked row also survives.
+  */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+    mode: TopKMode, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
@@ -128,7 +247,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ord = new LazilyGeneratedOrdering(order, child.output)
-      val heaps = TopKHeaps.collect(it, keyProj, ord, k)
+      val heaps = TopKHeaps.collect(it, keyProj, ord, k, mode)
       val outProj = UnsafeProjection.create(output, output)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
@@ -137,14 +256,29 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       new Iterator[InternalRow] {
         private var cur: Array[InternalRow] = Array.empty
         private var i = 0
+        private var prev: InternalRow = _
+        private var rank = 0
         override def hasNext: Boolean = {
-          while (i >= cur.length && hIt.hasNext) { cur = hIt.next().sorted; i = 0 }
+          while (i >= cur.length && hIt.hasNext) {
+            cur = hIt.next().sorted; i = 0; prev = null; rank = 0
+          }
           i < cur.length
         }
         override def next(): InternalRow = {
           val r = cur(i); i += 1
-          // 1-based rank within key, typed like the rewritten attribute
-          if (rankIsInt) rankRow.setInt(0, i) else rankRow.setLong(0, i.toLong)
+          // per-mode 1-based numbering, typed like the rewritten attribute
+          val rnk = mode match {
+            case TopKMode.RowNumber => i
+            case TopKMode.Rank =>
+              if (prev == null || ord.compare(r, prev) != 0) rank = i
+              prev = r
+              rank
+            case TopKMode.DenseRank =>
+              if (prev == null || ord.compare(r, prev) != 0) rank += 1
+              prev = r
+              rank
+          }
+          if (rankIsInt) rankRow.setInt(0, rnk) else rankRow.setLong(0, rnk.toLong)
           outProj(joined(r, rankRow))
         }
       }
@@ -160,8 +294,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKey =>
-      TopKPerKeyExec(t.keys, t.order, t.k, t.rankAttr,
-        PartialTopKPerKeyExec(t.keys, t.order, t.k, planLater(t.child))) :: Nil
+      TopKPerKeyExec(t.keys, t.order, t.k, t.mode, t.rankAttr,
+        PartialTopKPerKeyExec(t.keys, t.order, t.k, t.mode, planLater(t.child))) :: Nil
     case _ => Nil
   }
 }
@@ -177,10 +311,12 @@ object TopK {
 
   /** Top-k rows per key with a 1-based rank column appended. `order`
     * takes Column sort expressions (e.g. col("sim").desc, col("id").asc);
-    * ties must be broken by the ordering for deterministic output.
+    * ties must be broken by the ordering for deterministic output
+    * (RowNumber mode), or are kept wholesale (Rank/DenseRank modes).
     */
   def perKey(df: DataFrame, keyCols: Seq[Column], order: Seq[Column], k: Int,
-      rankName: String = "rnk"): DataFrame = {
+      rankName: String = "rnk",
+      mode: TopKMode = TopKMode.RowNumber): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[SparkSession]
     ensureRegistered(spark)
     val plan = df.queryExecution.analyzed
@@ -190,6 +326,6 @@ object TopK {
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
     })
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
-    datasetOfRows(spark, TopKPerKey(keys, sortOrders, k, rankAttr, plan))
+    datasetOfRows(spark, TopKPerKey(keys, sortOrders, k, rankAttr, plan, mode))
   }
 }

@@ -10,17 +10,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   df.withColumn("rn", row_number().over(Window.partitionBy(K).orderBy(O)))
   *     .filter($"rn" <= k)
   *
-  * into the [[TopKPerKey]] operator. The window form sorts every row of
-  * every key partition and shuffles the full input; the rewrite keeps
-  * k-bounded heaps per key and shuffles only per-partition survivors —
-  * same rows out (row_number over a non-unique ordering is
-  * tie-nondeterministic in both forms; with a tie-breaking ordering
-  * both are exact).
+  * — and its rank()/dense_rank() variants — into the [[TopKPerKey]]
+  * operator. The window form sorts every row of every key partition
+  * and shuffles the full input; the rewrite keeps k-bounded heaps per
+  * key and shuffles only per-partition survivors — same rows out
+  * (row_number over a non-unique ordering is tie-nondeterministic in
+  * both forms; with a tie-breaking ordering both are exact; rank and
+  * dense_rank are deterministic by construction and keep their
+  * boundary ties, so all three match the window semantics row for
+  * row).
   *
   * Conservative scope: a Filter directly over (optionally a
-  * pass-through Project over) a single-row_number Window, predicate
-  * `rn <= lit`, `rn < lit`, or `rn = 1`, with nothing else referencing
-  * intermediate window internals. Opt-in via [[GraftExtensions]].
+  * pass-through Project over) a single-ranking-function Window,
+  * predicate `rn <= lit`, `rn < lit`, or `rn = 1`, with nothing else
+  * referencing intermediate window internals. Opt-in via
+  * [[GraftExtensions]].
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
@@ -42,13 +46,22 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  private def modeOf(wf: Expression): Option[TopKMode] = wf match {
+    case _: RowNumber => Some(TopKMode.RowNumber)
+    case _: Rank => Some(TopKMode.Rank)
+    case _: DenseRank => Some(TopKMode.DenseRank)
+    case _ => None
+  }
+
   private def asTopK(cond: Expression, w: Window): Option[LogicalPlan] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) =>
-        extractK(cond, a.toAttribute).collect {
-          case k if k >= 1 =>
-            TopKPerKey(w.partitionSpec, w.orderSpec, k,
-              a.toAttribute.asInstanceOf[AttributeReference], w.child)
+      case Seq(a @ Alias(WindowExpression(wf, _), _)) =>
+        modeOf(wf).flatMap { mode =>
+          extractK(cond, a.toAttribute).collect {
+            case k if k >= 1 =>
+              TopKPerKey(w.partitionSpec, w.orderSpec, k,
+                a.toAttribute.asInstanceOf[AttributeReference], w.child, mode)
+          }
         }
       case _ => None
     }
