@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions.udf
 
 /** Zip-archive expansion (handler/kafka.go:210-270): one record per
   * non-directory entry; entry names that aren't valid UTF-8 are
-  * decoded as GBK (handler/handler.go:48-56 GBKToUTF8) — java.util.zip
-  * handles that via the fallback charset.
+  * decoded as GBK (handler/kafka.go:234-241 via handler.go:48-56
+  * GBKToUTF8) — Windows tools write simplified-Chinese entry names in
+  * GBK without the zip UTF-8 flag.
   *
   * Deliberately Scala UDFs, not Catalyst expressions: these run once
   * per ARCHIVE (coarse-grained, the zip inflate dominates the row
@@ -23,9 +24,26 @@ object ZipFns {
 
   case class Entry(name: String, content: Array[Byte], size: Long)
 
+  /** Entry-name decode matching the reference's utf8.ValidString →
+    * GBKToUTF8 fallback. The archive is opened with ISO-8859-1, which
+    * is byte-preserving for entries WITHOUT the zip UTF-8 flag (java
+    * .util.zip decodes flagged entries as UTF-8 regardless of the
+    * constructor charset), so the raw name bytes are recoverable here:
+    * valid UTF-8 → keep; otherwise → GBK. Names containing chars
+    * > 0xFF came from a flagged UTF-8 decode and pass through.
+    */
+  private[graft] def decodeEntryName(raw: String): String = {
+    if (raw.exists(_ > 0xFF)) return raw // already UTF-8-flag decoded
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    val dec = StandardCharsets.UTF_8.newDecoder()
+    try { dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString }
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      new String(bytes, "GBK") }
+  }
+
   def zipEntries(bytes: Array[Byte]): Seq[Entry] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes),
-      StandardCharsets.UTF_8)
+      StandardCharsets.ISO_8859_1)
     val out = Seq.newBuilder[Entry]
     var e: ZipEntry = zin.getNextEntry
     while (e != null) {
@@ -35,7 +53,7 @@ object ZipFns {
         var n = zin.read(buf)
         while (n >= 0) { bos.write(buf, 0, n); n = zin.read(buf) }
         val c = bos.toByteArray
-        out += Entry(e.getName, c, c.length.toLong)
+        out += Entry(decodeEntryName(e.getName), c, c.length.toLong)
       }
       e = zin.getNextEntry
     }

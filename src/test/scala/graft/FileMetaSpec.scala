@@ -52,4 +52,30 @@ class FileMetaSpec extends GraftSpec {
       .select(graft.functions.ContentFns.gbkDecode(col("b")).as("s"))
     assert(df.head().getString(0) == "日志采集")
   }
+
+  test("zip entry names: UTF-8 kept, GBK fallback (kafka.go:234-241)") {
+    import java.io.ByteArrayOutputStream
+    import java.nio.charset.{Charset, StandardCharsets}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // a Windows-style archive: GBK-encoded entry name, no UTF-8 flag
+    def archive(cs: Charset, name: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val zout = new ZipOutputStream(bos, cs)
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write("content".getBytes(StandardCharsets.UTF_8))
+      zout.closeEntry(); zout.close()
+      bos.toByteArray
+    }
+    val gbkNames = graft.functions.ZipFns
+      .zipEntries(archive(Charset.forName("GBK"), "测试日志/结果.txt"))
+      .map(_.name)
+    assert(gbkNames == Seq("测试日志/结果.txt"))
+    // UTF-8-flagged and plain-ASCII names pass through untouched
+    val utfNames = graft.functions.ZipFns
+      .zipEntries(archive(StandardCharsets.UTF_8, "日志.txt")).map(_.name)
+    assert(utfNames == Seq("日志.txt"))
+    val asciiNames = graft.functions.ZipFns
+      .zipEntries(archive(Charset.forName("GBK"), "plain/log.txt")).map(_.name)
+    assert(asciiNames == Seq("plain/log.txt"))
+  }
 }
