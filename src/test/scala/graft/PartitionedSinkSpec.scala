@@ -27,4 +27,46 @@ class PartitionedSinkSpec extends GraftSpec {
     spark.catalog.refreshByPath(dir) // drop stale FileStatusCache listing
     assert(spark.read.parquet(dir).count() == backCount) // other days untouched
   }
+
+  test("keyed upsert sink is replay-idempotent and replaces on PK (cassandra.go:208-265)") {
+    import spark.implicits._
+    import graft.sources.UpsertSink
+    val dir = Files.createTempDirectory("graft_upsert").toFile.getAbsolutePath + "/t"
+
+    def rec(date: String, time: Long, name: String, content: String, up: Long) =
+      (date, time, "BSI/line1", "pack.zip", name, content, up)
+    def batch(rows: (String, Long, String, String, String, String, Long)*) =
+      rows.toSeq.toDF("file_date", "file_time", "folder", "pack", "name",
+        "content", "upload_time")
+
+    val b1 = batch(
+      rec("2017-06-01", 100L, "a.txt", "v1", 10L),
+      rec("2017-06-01", 100L, "b.txt", "v1", 10L),
+      rec("2017-06-02", 200L, "c.txt", "v1", 10L))
+    UpsertSink.upsert(b1, dir)
+    assert(spark.read.parquet(dir).count() == 3)
+
+    // exact replay: no duplicates (the agent re-sends a failed batch)
+    UpsertSink.upsert(b1, dir)
+    val afterReplay = spark.read.parquet(dir)
+    assert(afterReplay.count() == 3)
+
+    // same PK, newer upload_time: the row is replaced, not appended;
+    // day 2017-06-02 is untouched by a batch that doesn't name it
+    val b2 = batch(
+      rec("2017-06-01", 100L, "a.txt", "v2", 20L),
+      rec("2017-06-01", 300L, "d.txt", "v1", 20L))
+    UpsertSink.upsert(b2, dir)
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 4)
+    val a = t.filter(col("name") === "a.txt").collect()
+    assert(a.length == 1 && a.head.getAs[String]("content") == "v2")
+    assert(t.filter(col("name") === "c.txt").count() == 1)
+
+    // stale replay of b1 (older upload_time): last-write-wins keeps v2
+    UpsertSink.upsert(b1, dir)
+    val t2 = spark.read.parquet(dir)
+    assert(t2.count() == 4)
+    assert(t2.filter(col("name") === "a.txt").head().getAs[String]("content") == "v2")
+  }
 }
