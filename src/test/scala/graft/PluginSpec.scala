@@ -56,4 +56,40 @@ class PluginSpec extends GraftSpec {
     val spiRow = out.find(_.getString(0) == "SPI.DAT").get
     assert(spiRow.getTimestamp(2) == zero) // SPI default: untouched
   }
+
+  test("the reference's real logagent.ini parses end-to-end") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/conf/logagent.ini")), "UTF-8")
+    val conf = IniConfig.parse(text)
+
+    // global section: switch + hostname survive the `;` comment style
+    val global = conf.sections.find(_.name == "").get
+    assert(global.values("switch") == "true")
+    assert(global.values.contains("hostname"))
+
+    // [KAFKA] carries brokers but no watch -> config-only, not a plugin
+    val kafka = conf.sections.find(_.name == "KAFKA").get
+    assert(kafka.values("brokers").split(",").length == 3)
+    assert(!kafka.values.contains("watch"))
+
+    // every BSI/SPI/ICT handler block in the file is `;`-commented out
+    // except [SPI.DAT] -> autoload yields exactly that one plugin
+    val plugins = PluginRegistry.autoload(conf)
+    assert(plugins.map(_.name) == Seq("SPI.DAT"))
+    val spi = plugins.head
+    assert(spi.isInstanceOf[SpiPlugin])
+    assert(spi.rule.patterns == ".*\\.dat$")
+    assert(spi.rule.maxNestingLevel == 1)
+    assert(spi.rule.debounceMs == 3000)
+    assert(!spi.rule.historyImport)
+
+    // and its rule actually scopes paths the way the agent would
+    assert(spi.rule.ignores == "") // `; ignores = .*` stays commented
+    // paths relative to watch/subdir, within max_nesting_level = 1
+    val scoped = PluginRegistry.pipeline(
+      Seq(("SPI.DAT", "Rockaway/x.dat"), ("SPI.DAT", "Rockaway/x.log"),
+        ("SPI.DAT", "Rockaway/deep/nested/x.dat")) // nesting 3 > cap
+        .toDF("biz", "path"), plugins).select("path").as[String].collect()
+    assert(scoped.toSeq == Seq("Rockaway/x.dat"))
+  }
 }
