@@ -283,7 +283,8 @@ object EventOps {
     * sampled on a 15-minute grid carrying the last event at-or-before
     * each grid point (the monitoring dashboard's query). Grid rows and
     * event rows union; one user-keyed window orders by (ts, is_grid
-    * desc-tiebreak) so an event AT a grid instant fills that instant;
+    * asc — events sort before the grid row at the same instant, so an
+    * event AT a grid instant fills that instant);
     * last_value(ignoreNulls) forward-fills. Grid explode is
     * executor-local; the only shuffle is the user-keyed window sort.
     */
