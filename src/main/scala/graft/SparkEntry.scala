@@ -19,6 +19,8 @@ object SparkEntry {
     "q_top_customers"      -> (RelationalOps.qTopCustomers _),
     "q_part_brand_stats"   -> (RelationalOps.qPartBrandStats _),
     "q_orders_window"      -> (RelationalOps.qOrdersWindow _),
+    "q_rank_parts"         -> (RelationalOps.qRankParts _),
+    "q_dense_size_parts"   -> (RelationalOps.qDenseSizeParts _),
     // B. log-agent event semantics
     "evt_latest_per_key"   -> (EventOps.latestPerKey _),
     "evt_debounce"         -> (EventOps.debounce _),
@@ -188,6 +190,20 @@ object SparkEntry {
          |  FROM orders
          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rank_parts" ->
+      """SELECT p_brand, p_partkey, p_size, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT p_brand, p_partkey, p_size,
+        |    RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 2 ORDER BY p_brand, p_size, p_partkey""".stripMargin,
+
+    "q_dense_size_parts" ->
+      """SELECT p_brand, p_partkey, p_size, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT p_brand, p_partkey, p_size,
+        |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 2 ORDER BY p_brand, p_size, p_partkey""".stripMargin,
 
     "evt_latest_per_key" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

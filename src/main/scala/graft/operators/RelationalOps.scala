@@ -129,4 +129,36 @@ object RelationalOps {
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
+
+  /** A7: rank-with-ties top-k — parts ranked by size within brand,
+    * keeping everything at rank ≤ 2 INCLUDING boundary ties (rank(),
+    * not row_number). The TopKRewrite turns the full window sort into
+    * the bounded heap + tie-buffer operator, so shuffle volume is
+    * O(k·|brands| + ties) instead of |part|.
+    */
+  def qRankParts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("rnk").cast(LongType).as("rnk"))
+      .orderBy("p_brand", "p_size", "p_partkey")
+  }
+
+  /** A8: dense-rank top-k — all parts in the 2 smallest distinct sizes
+    * per brand (dense_rank ≤ 2); the rewrite's TreeMap collector keeps
+    * whole groups, capped at k distinct order keys.
+    */
+  def qDenseSizeParts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size")
+      .withColumn("rnk", dense_rank().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("rnk").cast(LongType).as("rnk"))
+      .orderBy("p_brand", "p_size", "p_partkey")
+  }
 }
