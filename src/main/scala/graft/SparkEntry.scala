@@ -57,7 +57,9 @@ object SparkEntry {
     "dedup_incremental"    -> (CurationOps.dedupIncremental _),
     "doc_curation"         -> (CurationOps.curate _),
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
+    "doc_pack_tokens"      -> (CurationOps.packTokens _),
     "text_token_count"     -> (TextOps.tokenCount _),
+    "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -584,6 +586,35 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_pack_tokens" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens, bucket,
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST((SUM(n_tokens) OVER w - 1) // 256 AS BIGINT) AS bin_id
+        |FROM t WINDOW w AS (PARTITION BY lang, bucket ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrub_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

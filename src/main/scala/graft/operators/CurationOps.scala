@@ -107,4 +107,26 @@ object CurationOps {
       .select("doc_id", "lang", "h", "rnk")
       .orderBy("lang", "rnk")
   }
+
+  /** D19: token-budget sequence packing — docs assigned to training
+    * bins by cumulative token offset, the batch-construction step of a
+    * pretraining pipeline. Docs are hash-bucketed (doc_id % 8) inside
+    * each language so the running-sum window spreads over
+    * |langs|×buckets partitions instead of concentrating per language
+    * — at 100 TB the bucket count scales with the cluster and bins
+    * stay bucket-local (no bin ever crosses a shuffle boundary).
+    * Budget = 256 regex tokens; a doc straddling a boundary belongs
+    * to the bin of its last token.
+    */
+  def packTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      graft.functions.TextFns.regexTokenCount(col("text")).as("n_tokens"),
+      (col("doc_id") % 8).cast(LongType).as("bucket"))
+    val w = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("bin_id", expr("(cum_tokens - 1) DIV 256").cast(LongType))
+      .orderBy("doc_id")
+  }
 }

@@ -109,4 +109,35 @@ object TextOps {
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
+
+  /** Email/phone patterns restricted to the regex subset Java and RE2
+    * share (no lookaround), so the oracle replicates them verbatim.
+    */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** D18: PII scrub — email/phone redaction, the pre-training privacy
+    * pass. The synthetic corpus carries no PII, so every third doc
+    * gets a deterministic contact line appended first (same pattern as
+    * the multimodal stub decode) and the scrubber is verified to
+    * remove exactly it: per-type counts plus an md5 of the scrubbed
+    * text pin the behavior bit-for-bit against the oracle. Per-row
+    * expressions only — embarrassingly parallel at any scale.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).withColumn("pii_text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    withPii.select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("pii_text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
 }
