@@ -288,13 +288,25 @@ object EventOps {
     * last_value(ignoreNulls) forward-fills. Grid explode is
     * executor-local; the only shuffle is the user-keyed window sort.
     */
-  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame =
+    resampleGrid(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+
+  /** Core of B15 over any (user_id, event_id, ts, value) feed.
+    * `maxSpanDays` caps the grid per user to the trailing span — the
+    * open-ended-data guard: a key spanning years would otherwise
+    * explode ~35k grid rows/year. Events older than the cap still
+    * participate in the forward fill (resample the recent window,
+    * fill from full history); the default never fires on the bounded
+    * events table, so the oracle semantics are unchanged there.
+    */
+  def resampleGrid(ev: DataFrame, maxSpanDays: Int = 400): DataFrame = {
     val bounds = ev.groupBy("user_id")
       .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val gridStart = greatest(date_trunc("hour", col("t0")),
+      date_trunc("hour", col("t1") - expr(s"interval $maxSpanDays days")))
     val grid = bounds.select(col("user_id"),
-        explode(sequence(date_trunc("hour", col("t0")), col("t1"),
+        explode(sequence(gridStart, col("t1"),
           expr("interval 15 minutes"))).as("ts"))
       .withColumn("is_grid", lit(1))
       .withColumn("event_id", lit(null).cast(LongType))

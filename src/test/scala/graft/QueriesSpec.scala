@@ -64,4 +64,28 @@ class QueriesSpec extends GraftSpec {
     val perDoc = df.groupBy("doc_id").count()
     assert(perDoc.filter(col("count") =!= 2).count() == 0)
   }
+
+  test("resample grid span cap bounds a multi-year key, ffill sees full history") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: one event 3 years before a burst of two — uncapped
+      // grid would be ~105k rows
+      (1L, 10L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00"), 7.0),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, 12L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 2.0),
+      // user 2: narrow span — cap never fires
+      (2L, 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
+      (2L, 21L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 6.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.operators.EventOps.resampleGrid(ev, maxSpanDays = 10)
+    val u1 = out.filter(col("user_id") === 1).collect()
+    // 10 days × 96 grid points/day + the final partial day
+    assert(u1.length <= 10 * 96 + 1, s"grid not capped: ${u1.length} rows")
+    assert(u1.length >= 10 * 96 - 1)
+    // the first capped grid point forward-fills from the 2021 event
+    val first = u1.minBy(_.getTimestamp(1).getTime)
+    assert(first.getLong(2) == 10L && first.getDouble(3) == 7.0)
+    val u2 = out.filter(col("user_id") === 2).collect()
+    assert(u2.length == 5) // 00:00..01:00 every 15 min, no cap
+  }
 }
