@@ -129,4 +129,36 @@ class FileIngestStreamSpec extends GraftSpec {
       "broker:9092", "dcagent", Files.createTempDirectory("ckpt").toString)
     assert(w != null)
   }
+
+  test("file-mirror sink lays out folder/name, preserves mtime, replays idempotently") {
+    import graft.sources.FileMirrorSink
+    val in = Files.createTempDirectory("graft_mirror_in").toFile
+    val dest = Files.createTempDirectory("graft_mirror_out").toFile.getAbsolutePath
+    writeBatch(in)
+
+    def runOnce(): Unit = {
+      val q = IngestPipeline.prioritySinks(
+        IngestPipeline.enrich(
+          spark.readStream.schema(schema).parquet(in.getAbsolutePath)),
+        Seq(FileMirrorSink.sink(dest), FileMirrorSink.consoleSink())).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+
+    val flow = new java.io.File(dest, "LOUP/1395T2936101/2017-06-07/T1/FLOWLOG.TXT")
+    assert(flow.isFile, s"mirror missing: $flow")
+    assert(new String(Files.readAllBytes(flow.toPath), "UTF-8") == "line1 line2")
+    assert(flow.lastModified == 1496851200000L) // file.go:60-63 Chtimes
+    val wide = new java.io.File(dest, "SPI/Rockaway/a/b/wide.dat")
+    assert(wide.isFile && wide.length == 2000)
+
+    // replay the same input (new checkpoint-less query = full re-send):
+    // byte-identical overwrite, no duplicates, mtime still pinned
+    runOnce()
+    assert(new String(Files.readAllBytes(flow.toPath), "UTF-8") == "line1 line2")
+    assert(flow.lastModified == 1496851200000L)
+    def countFiles(f: java.io.File): Int =
+      if (f.isFile) 1 else Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+    assert(countFiles(new java.io.File(dest)) == 2)
+  }
 }
