@@ -76,6 +76,37 @@ class CheckpointRecoverySpec extends GraftSpec {
     assert(afterRun2.count(_.user_id == 7) == 1)
   }
 
+  test("E7 sessionize open-session state survives a checkpoint restart") {
+    val in = tmp("ckpt_sess_in")
+    val out = tmp("ckpt_sess_out")
+    val ckpt = tmp("ckpt_sess_state")
+
+    def start(): StreamingQuery =
+      StreamOps.sessionizeStream(
+        spark.readStream.schema(evSchema).parquet(in).as[Ev],
+        gapMs = 5 * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: user 7's 2-event session still open at stop time
+    addFile(in, Ev(1, ts(0), 7, "click", 2.0), Ev(2, ts(2), 7, "click", 3.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 0) // nothing closed yet
+
+    // run 2: watermark moves past the gap -> the session held in
+    // state closes with BOTH its pre-restart events aggregated
+    addFile(in, Ev(99, ts(30), 8, "view", 1.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).as[graft.streaming.SessionOut].collect()
+    val u7 = rows.filter(_.user_id == 7)
+    assert(u7.length == 1, s"expected closed session: ${rows.toSeq}")
+    assert(u7.head.n_events == 2 && u7.head.total_value == 5.0)
+    assert(u7.head.t_start == ts(0) && u7.head.t_end == ts(2))
+  }
+
   test("E5 change-detect last-seen state survives a checkpoint restart") {
     val in = tmp("ckpt_chg_in")
     val out = tmp("ckpt_chg_out")
