@@ -157,19 +157,15 @@ object AnnOps {
         .repartition(col("c_cid"))
     }
 
-  /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
-    * The coarse quantizer and inverted lists are layout-time artifacts
-    * ([[ivfCentroids]]/[[ivfLists]], built once per session); the
-    * query path is only: assign probes (an in-row rank against the
-    * quantizer literal over the QUERY vectors), broadcast the probes
-    * into the co-located list scan, bounded-heap top-k. Compare volume
-    * ≈ nprobe/m of brute force and zero corpus shuffle per query.
+  /** Query path over any inverted-list layout: assign probes (an
+    * in-row rank against the quantizer literal over the QUERY
+    * vectors), broadcast the probes into the co-located list scan,
+    * bounded-heap top-k. Compare volume ≈ nprobe/m of brute force and
+    * zero corpus shuffle per query.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir)
-    val centroids = ivfCentroids(spark, dir)
-    val lists = ivfLists(spark, dir)
-    val probes = assign(emb.filter(col("vec_id") % 50 === 0), centroids, 4)
+  private def searchIvf(lists: DataFrame, centroids: Column,
+      qVecs: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val probes = assign(qVecs, centroids, nprobe)
       .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
     val sims = lists.join(broadcast(probes),
@@ -177,10 +173,47 @@ object AnnOps {
       .withColumn("sim",
         VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
     TopK.perKey(sims, Seq(col("q_id")),
-        Seq(col("sim").desc, col("c_id").asc), 10)
+        Seq(col("sim").desc, col("c_id").asc), k)
       .select("q_id", "c_id", "sim", "rnk")
-      .orderBy("q_id", "rnk")
   }
+
+  /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
+    * The coarse quantizer and inverted lists are layout-time artifacts
+    * ([[ivfCentroids]]/[[ivfLists]], built once per session); the
+    * query path is [[searchIvf]] only.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    searchIvf(ivfLists(spark, dir), ivfCentroids(spark, dir),
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0))
+      .orderBy("q_id", "rnk")
+
+  /** Incremental index maintenance: assign a batch of NEW vectors to
+    * the EXISTING quantizer and append them to the inverted lists —
+    * the streaming story of the layout artifact. The corpus is never
+    * re-scanned and the quantizer never rebuilt (it is a stable model;
+    * re-layout is a periodic offline decision, like re-bucketing a
+    * table). Only the batch shuffles (repartition by its assigned
+    * centroid), so maintenance cost is O(|batch|) regardless of index
+    * size. Returns the widened lists; [[searchIvf]]-compatible.
+    */
+  def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
+    val prepped = newVecs
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select("vec_id", "v", "nrm")
+    val added = assign(prepped, ivfCentroids(spark, dir), 1)
+      .select(col("cid").as("c_cid"), col("vec_id").as("c_id"),
+        col("v").as("cv2"), col("nrm").as("cn"))
+      .repartition(col("c_cid"))
+    ivfLists(spark, dir).unionByName(added)
+  }
+
+  /** Test/maintenance hook: run the IVF query path over an explicit
+    * lists layout (e.g. one produced by [[ivfAppend]]).
+    */
+  def ivfSearchOn(spark: SparkSession, dir: String, lists: DataFrame,
+      qVecs: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame =
+    searchIvf(lists, ivfCentroids(spark, dir), qVecs, nprobe, k)
 
   /** D11: per-label embedding stats (exact: count/min/max of norms —
     * no FP-order-dependent aggregates, so safe at any parallelism).

@@ -59,6 +59,28 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("ivf append: new vectors are searchable without a rebuild") {
+    import spark.implicits._
+    // clone the embedding of corpus vector 0 under a fresh id: its
+    // assignment follows the existing quantizer, so a search FOR
+    // vector 0 must now surface the clone at sim == 1.0
+    val clone = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val widened = AnnOps.ivfAppend(spark, Sf, clone)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFns.norm(col("v")))
+    val hits = AnnOps.ivfSearchOn(spark, Sf, widened, q).collect()
+    val top = hits.minBy(_.getAs[Long]("rnk"))
+    assert(top.getAs[Long]("c_id") == 999999L, s"clone not found: ${hits.toSeq}")
+    assert(top.getAs[Double]("sim") > 0.999999)
+    // and the base index itself is untouched (append, not rebuild)
+    assert(widened.count() == AnnOps.ivfAppend(spark, Sf,
+      clone.limit(0)).count() + 1)
+  }
+
   test("capped ngram join: high cap reproduces D2 exactly, low cap is a subset") {
     val full = DedupOps.dedupNgramJaccard(spark, Sf).collect().map(_.toString)
     val high = DedupOps.dedupNgramJaccardCapped(spark, Sf, maxDf = 1000000)
