@@ -69,4 +69,36 @@ class PartitionedSinkSpec extends GraftSpec {
     assert(t2.count() == 4)
     assert(t2.filter(col("name") === "a.txt").head().getAs[String]("content") == "v2")
   }
+
+  test("compaction rewrites only fragmented partitions, preserving rows") {
+    import spark.implicits._
+    import graft.sources.CompactionOps
+    val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath + "/t"
+
+    // day 1: fragmented into 8 tiny files; day 2: already one file
+    (1 to 80).map(i => ("2017-06-01", i.toLong, s"v$i"))
+      .toDF("file_date", "id", "payload")
+      .repartition(8).write.partitionBy("file_date").mode("append").parquet(dir)
+    (81 to 90).map(i => ("2017-06-02", i.toLong, s"v$i"))
+      .toDF("file_date", "id", "payload")
+      .coalesce(1).write.partitionBy("file_date").mode("append").parquet(dir)
+
+    val before = CompactionOps.stats(spark, dir).map(s => s.dir -> s.files).toMap
+    assert(before("file_date=2017-06-01") == 8)
+    assert(before("file_date=2017-06-02") == 1)
+    val day2File = new java.io.File(s"$dir/file_date=2017-06-02")
+      .listFiles.filter(_.getName.endsWith(".parquet")).head.getName
+
+    val rewritten = CompactionOps.compact(spark, dir)
+    assert(rewritten == Seq("file_date=2017-06-01"))
+    val after = CompactionOps.stats(spark, dir).map(s => s.dir -> s.files).toMap
+    assert(after("file_date=2017-06-01") == 1)
+    // untouched partition keeps its exact files
+    assert(new java.io.File(s"$dir/file_date=2017-06-02")
+      .listFiles.filter(_.getName.endsWith(".parquet")).head.getName == day2File)
+    // data identical
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 90)
+    assert(back.agg(sum("id")).head.getLong(0) == (1 to 90).map(_.toLong).sum)
+  }
 }
