@@ -24,27 +24,57 @@ object ZipFns {
 
   case class Entry(name: String, content: Array[Byte], size: Long)
 
-  /** Entry-name decode matching the reference's utf8.ValidString →
-    * GBKToUTF8 fallback. The archive is opened with ISO-8859-1, which
-    * is byte-preserving for entries WITHOUT the zip UTF-8 flag (java
-    * .util.zip decodes flagged entries as UTF-8 regardless of the
-    * constructor charset), so the raw name bytes are recoverable here:
-    * valid UTF-8 → keep; otherwise → GBK. Names containing chars
-    * > 0xFF came from a flagged UTF-8 decode and pass through.
+  /** Raw-bytes name decode — EXACTLY the reference's rule
+    * (kafka.go:234-241): bytes that are valid UTF-8 stay UTF-8
+    * (covers both UTF-8-flagged entries and unflagged names that
+    * happen to be UTF-8), anything else decodes as GBK.
     */
-  private[graft] def decodeEntryName(raw: String): String = {
-    if (raw.exists(_ > 0xFF)) return raw // already UTF-8-flag decoded
-    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+  private[graft] def decodeEntryName(bytes: Array[Byte]): String = {
     val dec = StandardCharsets.UTF_8.newDecoder()
     try { dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString }
     catch { case _: java.nio.charset.CharacterCodingException =>
       new String(bytes, "GBK") }
   }
 
+  /** Raw entry-name bytes in local-entry order, read from the zip
+    * CENTRAL DIRECTORY — java.util.zip insists on decoding names
+    * itself (and its UTF-8 coder throws on GBK bytes), so the only
+    * way to apply the reference's bytes-based rule is to walk the
+    * central directory records: EOCD (sig 0x06054b50, scanned from
+    * the tail) → record chain (sig 0x02014b50, name bytes at +46),
+    * ordered by each record's local-header offset.
+    */
+  private def rawNames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    var e = bytes.length - 22 // min EOCD size; scan back over any comment
+    while (e >= 0 && !(bytes(e) == 0x50 && bytes(e + 1) == 0x4B &&
+      bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06)) e -= 1
+    if (e < 0) return IndexedSeq.empty // not a zip; reader will error out
+    val count = u16(e + 10)
+    var p = u32(e + 16).toInt // central directory offset
+    val recs = IndexedSeq.newBuilder[(Long, Array[Byte])]
+    var i = 0
+    while (i < count && p + 46 <= bytes.length && u32(p) == 0x02014B50L) {
+      val nameLen = u16(p + 28)
+      recs += ((u32(p + 42), // local header offset = local entry order
+        java.util.Arrays.copyOfRange(bytes, p + 46, p + 46 + nameLen)))
+      p += 46 + nameLen + u16(p + 30) + u16(p + 32)
+      i += 1
+    }
+    recs.result().sortBy(_._1).map(_._2)
+  }
+
+  /** Entry names per local entry, resolved to reference semantics. */
+  private def resolveNames(bytes: Array[Byte]): IndexedSeq[String] =
+    rawNames(bytes).map(decodeEntryName)
+
   def zipEntries(bytes: Array[Byte]): Seq[Entry] = {
+    val entryNames = resolveNames(bytes)
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes),
       StandardCharsets.ISO_8859_1)
     val out = Seq.newBuilder[Entry]
+    var i = 0
     var e: ZipEntry = zin.getNextEntry
     while (e != null) {
       if (!e.isDirectory) {
@@ -53,8 +83,11 @@ object ZipFns {
         var n = zin.read(buf)
         while (n >= 0) { bos.write(buf, 0, n); n = zin.read(buf) }
         val c = bos.toByteArray
-        out += Entry(decodeEntryName(e.getName), c, c.length.toLong)
+        // fall back to the reader's name if the central dir was short
+        val nm = if (i < entryNames.length) entryNames(i) else e.getName
+        out += Entry(nm, c, c.length.toLong)
       }
+      i += 1
       e = zin.getNextEntry
     }
     zin.close()

@@ -113,8 +113,14 @@ object FileMetaOps {
     * overwrite (re-ingesting a day replaces exactly that day).
     */
   def writePartitionedByDate(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy("file_date").parquet(path)
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy("file_date").parquet(path)
+    finally prev match { // don't leak dynamic semantics into the session
+      case Some(m) => conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** C6 (rows-only): real gzip via the custom Catalyst expressions —

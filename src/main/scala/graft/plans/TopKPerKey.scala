@@ -109,10 +109,12 @@ object TopKHeaps {
   /** rank() ≤ k: the k-bounded heap plus a buffer of rows TIED with
     * the boundary row — `rank(r) ≤ k  ⟺  key(r) ≤ key of the k-th
     * row in row_number order`, so survivors = heap ∪ {rows equal to
-    * the final worst}. The buffer holds only boundary ties (pruned
-    * lazily at emission); everything strictly worse than the current
-    * worst is discarded immediately, so memory stays O(k + ties) —
-    * ties being exactly the extra rows the window form would emit.
+    * the final worst}. The buffer only ever holds CURRENT boundary
+    * ties: the worst is non-increasing, so whenever it strictly
+    * improves every buffered tie is stale at once and the buffer is
+    * cleared (each row enters and leaves at most once — O(1)
+    * amortized, memory O(k + current ties), exactly the extra rows
+    * the window form would emit).
     */
   final class RankCollector(ord: Ordering[InternalRow], k: Int) extends Collector {
     private val heap = new Heap(ord, k)
@@ -124,19 +126,17 @@ object TopKHeaps {
         val evicted = heap.replaceWorst(row)
         // the evicted row may still tie the NEW worst (other copies of
         // the same key remain in the heap) — then it is still a
-        // boundary tie, not a discard
+        // boundary tie; otherwise the worst strictly improved and ALL
+        // buffered ties (they equaled the old worst) are stale
         if (ord.compare(evicted, heap.worst) == 0) ties += evicted
+        else if (ties.nonEmpty) ties.clear()
       } else if (c == 0) ties += row.copy()
       // c > 0: strictly worse than the current worst; the worst only
       // ever improves, so the row can never tie the final boundary
     }
     private def survivors: Array[InternalRow] =
       if (heap.size < k || ties.isEmpty) heap.unsorted
-      else {
-        val w = heap.worst
-        (heap.unsorted.iterator ++
-          ties.iterator.filter(t => ord.compare(t, w) == 0)).toArray
-      }
+      else (heap.unsorted.iterator ++ ties.iterator).toArray
     override def unsorted: Array[InternalRow] = survivors
     override def sorted: Array[InternalRow] = {
       val out = survivors

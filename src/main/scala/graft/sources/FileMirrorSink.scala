@@ -18,23 +18,38 @@ import org.apache.spark.sql.DataFrame
   */
 object FileMirrorSink {
 
-  /** Write one batch: content + mtime to destRoot/folder/name. */
+  /** Write one batch: content + mtime to destRoot/folder/name. The
+    * session's Hadoop configuration ships to the executors as a plain
+    * Map (Configuration itself is not serializable), so credentialed
+    * destinations (hdfs://, s3a://) resolve the same as driver-side
+    * reads; each partition opens its own non-cached FileSystem so the
+    * checksum toggle never leaks into the JVM-shared cached instance.
+    */
   def write(batch: DataFrame, destRoot: String): Unit = {
+    val confMap: Seq[(String, String)] = {
+      val it = batch.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     val rows = batch.select("folder", "name", "content", "modify_time")
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val conf = new Configuration()
+        val conf = new Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
         val root = new Path(destRoot)
-        val fs = FileSystem.get(root.toUri, conf)
-        fs.setWriteChecksum(false) // mirror bytes only, no .crc sidecars
-        it.foreach { r =>
-          val dest = new Path(new Path(root, r.getAs[String]("folder")),
-            r.getAs[String]("name"))
-          val out = fs.create(dest, true) // overwrite = idempotent replay
-          try out.write(r.getAs[String]("content").getBytes("UTF-8"))
-          finally out.close()
-          fs.setTimes(dest, r.getAs[Long]("modify_time"), -1)
-        }
+        val fs = FileSystem.newInstance(root.toUri, conf) // not the shared cache
+        try {
+          fs.setWriteChecksum(false) // mirror bytes only, no .crc sidecars
+          it.foreach { r =>
+            val dest = new Path(new Path(root, r.getAs[String]("folder")),
+              r.getAs[String]("name"))
+            val out = fs.create(dest, true) // overwrite = idempotent replay
+            try out.write(r.getAs[String]("content").getBytes("UTF-8"))
+            finally out.close()
+            fs.setTimes(dest, r.getAs[Long]("modify_time"), -1)
+          }
+        } finally fs.close()
       }
     }
   }

@@ -55,12 +55,20 @@ object UpsertSink {
     // cannot overwrite in place. Only the touched-day rows are staged,
     // and the dynamic overwrite replaces exactly those partitions.
     val staging = new org.apache.hadoop.fs.Path(path + "_upsert_staging")
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       spark.read.parquet(staging.toString)
         .write.mode(SaveMode.Overwrite).partitionBy("file_date").parquet(path)
       spark.catalog.refreshByPath(path)
-    } finally fs.delete(staging, true)
+    } finally {
+      // restore so the session-wide overwrite semantics don't leak
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      fs.delete(staging, true)
+    }
   }
 }

@@ -77,5 +77,10 @@ class FileMetaSpec extends GraftSpec {
     val asciiNames = graft.functions.ZipFns
       .zipEntries(archive(Charset.forName("GBK"), "plain/log.txt")).map(_.name)
     assert(asciiNames == Seq("plain/log.txt"))
+    // flagged Latin-1-supplement name: all chars <= 0xFF but the raw
+    // bytes are valid UTF-8 — must NOT fall into the GBK path
+    val latinNames = graft.functions.ZipFns
+      .zipEntries(archive(StandardCharsets.UTF_8, "müller.txt")).map(_.name)
+    assert(latinNames == Seq("müller.txt"))
   }
 }

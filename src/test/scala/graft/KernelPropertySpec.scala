@@ -84,4 +84,33 @@ class KernelPropertySpec extends AnyFunSuite {
     val got = heap.sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((4L, 4L), (4L, 9L), (4L, 14L)))
   }
+
+  test("rank collector drops stale boundary ties when the worst improves") {
+    // order by v asc: many early ties at a bad value, then better rows
+    val ord = new Ordering[InternalRow] {
+      def compare(a: InternalRow, b: InternalRow): Int =
+        java.lang.Long.compare(a.getLong(0), b.getLong(0))
+    }
+    def row(v: Long, id: Long): InternalRow = {
+      val r = new GenericInternalRow(2); r.setLong(0, v); r.setLong(1, id); r
+    }
+    val c = new TopKHeaps.RankCollector(ord, 2)
+    // 100k rows tying the initial boundary (v=40) — the stale-ties
+    // clear keeps memory at O(k + current ties), not O(n)
+    for (id <- 0L until 100000L) c.offer(row(40, id))
+    c.offer(row(1, 200001))
+    c.offer(row(2, 200002))
+    // all v=40 ties are stale now; survivors are exactly the two best
+    val got = c.sorted.map(r => (r.getLong(0))).toSeq
+    assert(got == Seq(1L, 2L), s"got $got")
+
+    // and genuine boundary ties at the final worst are all kept
+    val c2 = new TopKHeaps.RankCollector(ord, 2)
+    c2.offer(row(1, 1))
+    for (id <- 0L until 5L) c2.offer(row(7, 10 + id))
+    c2.offer(row(3, 2)) // improves worst 7 -> ... heap {1,3}; 7s stale
+    for (id <- 0L until 3L) c2.offer(row(3, 20 + id)) // ties at new worst
+    val got2 = c2.sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2.map(_._1) == Seq(1L, 3L, 3L, 3L, 3L), s"got $got2")
+  }
 }

@@ -100,5 +100,14 @@ class PartitionedSinkSpec extends GraftSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 90)
     assert(back.agg(sum("id")).head.getLong(0) == (1 to 90).map(_.toLong).sum)
+
+    // crash healing: simulate a swap interrupted between the two
+    // renames — live dir gone, data in the dot-old dir
+    val live = new java.io.File(s"$dir/file_date=2017-06-01")
+    val orphan = new java.io.File(s"$dir/.file_date=2017-06-01_old")
+    assert(live.renameTo(orphan))
+    CompactionOps.compact(spark, dir)
+    assert(live.isDirectory && !orphan.exists)
+    assert(spark.read.parquet(dir).count() == 90)
   }
 }
