@@ -123,6 +123,50 @@ object SparkEntry {
     s"THEN power(2, $nPlanes - 1 - p)::BIGINT ELSE 0 END) AS BIGINT) " +
     s"FROM range(0, $nPlanes) t(p))"
 
+  /** mod-2^64 poly fold (base 1000003) over the chars of column `c` —
+    * the StrHash.hash64 pre-mix accumulator (functions/MinHash.scala),
+    * ASCII corpus so ord(char) == byte.
+    */
+  private def strFold(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+    s"list_transform(range(1, length($c)+1), " +
+    s"i -> CAST(ord(substr($c, i, 1)) AS HUGEINT))), " +
+    s"(acc, b) -> (${mulmod("acc", "1000003")} + b) % $M64)"
+
+  private def TokFoldSql: String = strFold("tok")
+
+  private def u64(x: Long): String =
+    (BigInt(x) & (BigInt(2).pow(64) - 1)).toString
+
+  /** Shared CTE chain `documents → shingles → 64-slot minhash sig`,
+    * replicating MinHashKernel exactly: h = splitmix64(polyfold),
+    * slot_j = min over shingles of signed(mult_j·h + add_j mod 2^64)
+    * with the kernel's own mult/add constants inlined.
+    */
+  private def MinhashSigSql: String = {
+    val perms = (0 until 64).map { j =>
+      val m = graft.functions.WinnowFingerprints.mix(j.toLong * 2 + 1) | 1L
+      val a = graft.functions.WinnowFingerprints.mix(0x5deece66dL + j)
+      s"($j, CAST(${u64(m)} AS HUGEINT), CAST(${u64(a)} AS HUGEINT))"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |s AS (SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM d),
+       |sh AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
+       |h0 AS (SELECT doc_id, lang, ${strFold("shingle")} AS ph FROM sh),
+       |h AS (SELECT doc_id, lang, ${mix("ph")} AS hu FROM h0),
+       |perm(j, m, a) AS (VALUES $perms),
+       |slots AS (SELECT doc_id, lang, p.j,
+       |    MIN(CAST(${signed64(s"((${mulmod("p.m", "hu")} + p.a) % $M64)")}
+       |      AS BIGINT)) AS slot
+       |  FROM h CROSS JOIN perm p GROUP BY doc_id, lang, p.j),
+       |sig AS (SELECT doc_id, lang, list(slot ORDER BY j) AS sig
+       |  FROM slots GROUP BY doc_id, lang)""".stripMargin
+  }
+
   private val DEC = "DECIMAL(12,2)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
   private def drev =
@@ -485,6 +529,68 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
         |HAVING COUNT(*) >= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_minhash_lsh" -> (MinhashSigSql +
+      """,
+        |bands AS (SELECT doc_id, lang, b, list_slice(sig, b*8+1, b*8+8) AS bh,
+        |    sig FROM sig CROSS JOIN range(0, 8) t(b)),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.sig AS sa, b.sig AS sb, COUNT(*) AS nb
+        |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.b = b.b
+        |    AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, CAST(nb AS BIGINT) AS n_bands_hit,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0
+        |    AS est_jaccard
+        |FROM pairs ORDER BY a_id, b_id""".stripMargin),
+
+    "dedup_minhash_verified" -> (MinhashSigSql +
+      """,
+        |bands AS (SELECT doc_id, lang, b, list_slice(sig, b*8+1, b*8+8) AS bh
+        |    FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.b = b.b
+        |    AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.a_id, c.b_id,
+        |    CAST(len(sa.shingles) AS BIGINT) AS n_a,
+        |    CAST(len(sb.shingles) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+        |      AS inter_cnt
+        |  FROM cands c JOIN s sa ON sa.doc_id = c.a_id
+        |    JOIN s sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, n_a, n_b, inter_cnt,
+        |  CAST(inter_cnt AS DOUBLE) / CAST(n_a + n_b - inter_cnt AS DOUBLE) AS jacc
+        |FROM v
+        |WHERE CAST(inter_cnt AS DOUBLE) / CAST(n_a + n_b - inter_cnt AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    "dedup_simhash" -> {
+      val p2 = (0 until 64).map(b => s"($b, ${BigInt(1) << b})").mkString(", ")
+      val band = (0 until 4).map(k => s"($k, ${BigInt(1) << (k * 16)})").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents),
+         |h0 AS (SELECT doc_id, $TokFoldSql AS ph FROM t),
+         |h AS (SELECT doc_id, ${mix("ph")} AS hu FROM h0),
+         |p2(b, p) AS (VALUES $p2),
+         |votes AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM h CROSS JOIN p2 GROUP BY doc_id, b),
+         |sigu AS (SELECT v.doc_id,
+         |    SUM(CASE WHEN v.cnt > 0 THEN p2.p ELSE CAST(0 AS HUGEINT) END) AS su
+         |  FROM votes v JOIN p2 ON p2.b = v.b GROUP BY v.doc_id),
+         |sig AS (SELECT doc_id, CAST(${signed64("su")} AS BIGINT) AS sig, su
+         |  FROM sigu),
+         |bd(k, p) AS (VALUES $band),
+         |bands AS (SELECT doc_id, sig, k, CAST((su // bd.p) % 65536 AS BIGINT) AS v
+         |  FROM sig CROSS JOIN bd)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v
+         |  AND a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "dedup_clusters" ->
       """WITH RECURSIVE

@@ -6,13 +6,29 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** mod-2^64 polynomial string hash (base 1000003) + splitmix64
+  * finalizer — the SAME arithmetic the winnow kernel uses, chosen so
+  * every consumer (minhash, simhash) is replicable in the DuckDB
+  * oracle's HUGEINT SQL (a Murmur3 kernel would be correct but
+  * unverifiable there).
+  */
+object StrHash {
+  def hash64(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = acc * 1000003L + (s.getByte(i) & 0xFF); i += 1 }
+    WinnowFingerprints.mix(acc)
+  }
+}
 
 /** MinHash signature as a single custom expression: hash each shingle
-  * once (murmur3 64-bit from two seeds), then apply k affine
-  * permutations h_i = a_i*h + b_i (odd multipliers from splitmix64,
-  * fixed seed) keeping running minima — one tight k×n loop instead of
-  * k interpreted re-hashes of every shingle (the built-in HOF
+  * once ([[StrHash]] 64-bit), then apply k affine permutations
+  * h_i = a_i*h + b_i (odd multipliers from splitmix64, fixed seed)
+  * keeping running minima — one tight k×n loop instead of k
+  * interpreted re-hashes of every shingle (the built-in HOF
   * formulation this replaces spent ~9s at sf0.1; this is ~100ms).
   */
 case class MinHashSignature(child: Expression, k: Int)
@@ -38,12 +54,7 @@ object MinHashKernel {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = Murmur3_x86_32.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x12345678)
-        val h2 = Murmur3_x86_32.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x87654321)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = StrHash.hash64(arr.getUTF8String(i))
         var j = 0
         while (j < k) {
           val p = MinHashSignature.mult(j) * h + MinHashSignature.add(j)

@@ -6,13 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{DataType, LongType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array (SURVEY §2 G2).
   *
-  * Per token: two 32-bit murmur3 hashes (seeds 0x9747b28c / 0x85ebca6b)
-  * concatenated to 64 bits; each bit votes +1/-1 into 64 counters; the
+  * Per token: a 64-bit [[StrHash]] (poly + splitmix64, DuckDB-
+  * replicable); each bit votes +1/-1 into 64 counters; the
   * sign vector is the signature. Implemented as a custom Catalyst
   * Expression because the 64-counter inner loop has no efficient
   * built-in composition (an aggregate over zip_with of 64-wide arrays
@@ -39,13 +38,7 @@ object SimHashKernel {
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val base = s.getBaseObject
-        val off = s.getBaseOffset
-        val len = s.numBytes()
-        val h1 = Murmur3_x86_32.hashUnsafeBytes(base, off, len, 0x9747b28c)
-        val h2 = Murmur3_x86_32.hashUnsafeBytes(base, off, len, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = StrHash.hash64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -34,12 +34,13 @@ object VectorFns {
     MinHashSignature.minhash(shingles, k)
 
   /** LSH band hashes: split a k-length signature into nBands bands of
-    * rowsPerBand and hash each band (band join key for candidate
-    * generation).
+    * rowsPerBand; the band SLICE itself is the join key (engines hash
+    * it internally anyway, and an explicit xxhash64 here would be
+    * oracle-opaque — slices keep the candidate join DuckDB-checkable).
     */
   def bandHashes(sig: Column, nBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)),
-      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+      b => slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
 
   /** MinHash Jaccard estimate: fraction of matching signature slots. */
   def minhashEstimate(sa: Column, sb: Column): Column =

@@ -167,9 +167,9 @@ object DedupOps {
     * against the cached shingle table — never the shingle self-join
     * D2 pays — so the quadratic explosion is gone while the output
     * (for pairs LSH recalls) is bit-identical to D2 filtered at τ.
-    * Rows-only oracle (candidates depend on Spark-internal Murmur3);
-    * containment in D2 + recall ≥ 0.9 at τ=0.5 asserted in
-    * DedupAnnSpec.
+    * Fully oracle-checked (the kernel's poly+splitmix64 hash is
+    * replicated in DuckDB HUGEINT SQL); containment in D2 + recall
+    * ≥ 0.9 at τ=0.5 asserted in DedupAnnSpec.
     */
   def dedupMinhashLshVerified(spark: SparkSession, dir: String,
       tau: Double = 0.5): DataFrame = {
