@@ -11,17 +11,28 @@ import org.apache.spark.sql.execution.ExplainMode
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // audit the bench-shape plans: extensions on, like GraftSession
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    plans.TopK.ensureRegistered(spark)
+    if (!spark.experimental.extraOptimizations.contains(plans.TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.TopKRewriteRule
     spark.sparkContext.setLogLevel("ERROR")
 
     val broadcastExpected = Set("q3_shipping_priority", "q5_region_revenue",
       "q_top_customers", "q_part_brand_stats", "evt_handler_routing",
       "ann_cosine_topk", "ann_lsh")
+    // bounded-heap top-k must stay in these plans — a full window sort
+    // reappearing here is a scale regression, not a style choice
+    val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
+      "q_rank_parts", "q_dense_size_parts", "doc_sample_stratified",
+      "ann_cosine_topk", "ann_lsh", "ann_ivf")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
@@ -33,6 +44,9 @@ object ExplainAudit {
       }
       if (plan.contains("CartesianProduct")) {
         println(s"!! AUDIT $name: cartesian product in plan"); bad += 1
+      }
+      if (topkExpected(name) && !plan.contains("TopKPerKey")) {
+        println(s"!! AUDIT $name: expected the TopKPerKey operator"); bad += 1
       }
       // every parquet scan should prune columns (never SELECT *)
       if ("ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined) {
