@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_pack_tokens"      -> (CurationOps.packTokens _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
+    "text_repetition"      -> (TextOps.repetition _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -704,6 +705,26 @@ object SparkEntry {
         |FROM t WINDOW w AS (PARTITION BY lang, bucket ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(toks) - 1 AS BIGINT) AS n_grams,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM d),
+        |b2 AS (SELECT doc_id, n_tok, n_grams,
+        |    CAST(n_grams - len(list_distinct(grams)) AS DOUBLE)
+        |      / CAST(n_grams AS DOUBLE) AS dup_2gram_frac
+        |  FROM base),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_cnt
+        |  FROM c GROUP BY 1)
+        |SELECT b2.doc_id AS doc_id, n_tok, n_grams, dup_2gram_frac, top_tok_cnt,
+        |  CAST(top_tok_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac
+        |FROM b2 JOIN m ON b2.doc_id = m.doc_id ORDER BY b2.doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH p AS (SELECT doc_id,

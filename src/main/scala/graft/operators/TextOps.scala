@@ -110,6 +110,36 @@ object TextOps {
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** D20: self-repetition signals — the Gopher/C4-style quality rule
+    * family: fraction of duplicate word 2-grams and the most frequent
+    * token's share. High values flag boilerplate/spam for the curation
+    * pipeline. Per-row expressions only.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_grams", (size(col("toks")) - 1).cast(LongType))
+      .withColumn("dup_2gram_frac",
+        (col("n_grams") - size(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))).cast(LongType))
+          .cast(DoubleType) / col("n_grams").cast(DoubleType))
+    // top-token share via explode + two-level agg (linear and
+    // distributed — a per-row distinct×contains scan is O(len²))
+    val topTok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).cast(LongType).as("top_tok_cnt"))
+    base.join(topTok, "doc_id")
+      .withColumn("top_tok_frac",
+        col("top_tok_cnt").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .select("doc_id", "n_tok", "n_grams", "dup_2gram_frac",
+        "top_tok_cnt", "top_tok_frac")
+      .orderBy("doc_id")
+  }
+
   /** Email/phone patterns restricted to the regex subset Java and RE2
     * share (no lookaround), so the oracle replicates them verbatim.
     */

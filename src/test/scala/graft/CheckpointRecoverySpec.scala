@@ -107,6 +107,33 @@ class CheckpointRecoverySpec extends GraftSpec {
     assert(u7.head.t_start == ts(0) && u7.head.t_end == ts(2))
   }
 
+  test("E3 stream-dedup state survives a checkpoint restart") {
+    val in = tmp("ckpt_dd_in")
+    val out = tmp("ckpt_dd_out")
+    val ckpt = tmp("ckpt_dd_state")
+
+    def start(): StreamingQuery =
+      StreamOps.dedupStream(
+        spark.readStream.schema(evSchema).parquet(in), watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    addFile(in, Ev(1, ts(0), 7, "write", 1.0), Ev(2, ts(1), 7, "write", 2.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // replay event 1 after the restart plus a genuinely new event:
+    // only recovered dedup state can drop the replayed key
+    addFile(in, Ev(1, ts(0), 7, "write", 1.0), Ev(3, ts(2), 7, "write", 3.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 3, s"replayed key re-emitted: ${rows.toSeq}")
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("E5 change-detect last-seen state survives a checkpoint restart") {
     val in = tmp("ckpt_chg_in")
     val out = tmp("ckpt_chg_out")
