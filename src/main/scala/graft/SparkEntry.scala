@@ -58,6 +58,7 @@ object SparkEntry {
     "doc_curation"         -> (CurationOps.curate _),
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
     "doc_pack_tokens"      -> (CurationOps.packTokens _),
+    "doc_mixture"          -> (CurationOps.mixture _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
@@ -693,6 +694,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_mixture" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1) * 5
+        |      AS quota
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, quota, h,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM q)
+        |SELECT doc_id, source, quota, h, rnk FROM r
+        |WHERE rnk <= quota ORDER BY source, rnk""".stripMargin,
 
     "doc_pack_tokens" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -108,6 +108,28 @@ object CurationOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D21: dataset-mixture construction — weighted per-source sampling
+    * to a budget, the step that assembles a training mixture from
+    * heterogeneous sources. Each source's quota is a deterministic
+    * weight (here derived from the source id: (id mod 4 + 1)·5 docs);
+    * selection is by content-independent hash rank, so the mixture is
+    * reproducible with no RNG state. Executed with TopKPerKey (k =
+    * max quota): shuffle O(k·|sources|), never the corpus — the same
+    * scale shape as D17 with per-stratum quotas instead of fixed k.
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("quota",
+        ((regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType) % 4 + 1)
+          * 5).cast(LongType))
+    TopK.perKey(docs, Seq(col("source")),
+        Seq(col("h").asc, col("doc_id").asc), 20)
+      .filter(col("rnk") <= col("quota"))
+      .select("doc_id", "source", "quota", "h", "rnk")
+      .orderBy("source", "rnk")
+  }
+
   /** D19: token-budget sequence packing — docs assigned to training
     * bins by cumulative token offset, the batch-construction step of a
     * pretraining pipeline. Docs are hash-bucketed (doc_id % 8) inside
