@@ -32,7 +32,7 @@ object ExplainAudit {
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
       "q_rank_parts", "q_dense_size_parts", "doc_sample_stratified",
-      "ann_cosine_topk", "ann_lsh", "ann_ivf")
+      "doc_mixture", "ann_cosine_topk", "ann_lsh", "ann_ivf")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

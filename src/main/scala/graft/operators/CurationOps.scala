@@ -118,13 +118,19 @@ object CurationOps {
     * scale shape as D17 with per-stratum quotas instead of fixed k.
     */
   def mixture(spark: SparkSession, dir: String): DataFrame = {
+    // demo weight scheme: source id -> 1..4 weight units of 5 docs;
+    // k for the bounded-heap rank MUST bound the largest quota, so
+    // both are derived from the same constants
+    val weightMod = 4
+    val unitDocs = 5
+    val maxQuota = weightMod * unitDocs
     val docs = Tables.documents(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("quota",
-        ((regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType) % 4 + 1)
-          * 5).cast(LongType))
+        ((regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
+          % weightMod + 1) * unitDocs).cast(LongType))
     TopK.perKey(docs, Seq(col("source")),
-        Seq(col("h").asc, col("doc_id").asc), 20)
+        Seq(col("h").asc, col("doc_id").asc), maxQuota)
       .filter(col("rnk") <= col("quota"))
       .select("doc_id", "source", "quota", "h", "rnk")
       .orderBy("source", "rnk")
