@@ -65,18 +65,23 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("nsh"),
         explode(col("shingles")).as("shingle"))
 
-  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleExploded(spark, dir)
-    val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
-      col("doc_id").as("a_id"), col("nsh").as("n_a"))
-    val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
-      col("doc_id").as("b_id"), col("nsh").as("n_b"))
-    a.join(b, col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
-        col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
-      .filter(col("inter_cnt") >= 2)
-  }
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    // memoized: D2 (pairs + jaccard) and D13 (the CC edge list) share
+    // this self-join — the most expensive derivation in the dedup
+    // family; its output (candidate pairs) is tiny relative to the
+    // join work, so one session-cached copy serves both
+    graft.Memo.df(spark, s"ngramPairs:$dir") {
+      val ex = shingleExploded(spark, dir)
+      val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+        col("doc_id").as("a_id"), col("nsh").as("n_a"))
+      val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+        col("doc_id").as("b_id"), col("nsh").as("n_b"))
+      a.join(b, col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+        .filter(col("inter_cnt") >= 2)
+    }
 
   /** D2: n-gram Jaccard near-dup — candidate pairs + Jaccard from set
     * sizes. The relational form of MinHash's exact verify step.
