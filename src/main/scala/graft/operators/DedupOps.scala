@@ -45,11 +45,13 @@ object DedupOps {
     }
 
   /** Bench warm-up hook: materialize the session-shared derived caches
-    * (shingle table here, embedding norms in AnnOps) so serial and
-    * concurrent passes measure the same per-query work.
+    * (shingle table + ngram candidate pairs here, embedding norms in
+    * AnnOps) so serial and concurrent passes measure the same
+    * per-query work.
     */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     withShingles(spark, dir).write.format("noop").mode("overwrite").save()
+    ngramPairs(spark, dir).write.format("noop").mode("overwrite").save()
   }
 
   /** Unsorted near-dup candidate pairs (a_id < b_id) with set sizes and
