@@ -32,6 +32,7 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.contains(plans.TopKRewriteRule))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ plans.TopKRewriteRule
+    plans.GraftExtensions.registerFunctions(s)
     s
   }
 }

@@ -1,13 +1,18 @@
 package graft.plans
 
+import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
 /** SparkSessionExtensions entry point so deployments can enable the
-  * graft planner strategies declaratively:
+  * graft planner strategies AND SQL functions declaratively:
   *
   * {{{
   * spark.sql.extensions=graft.plans.GraftExtensions
   * // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  * spark.sql("SELECT graft_simhash64(split(text, ' ')) FROM docs")
   * }}}
   *
   * (TopK.perKey also self-registers via experimental strategies for
@@ -17,5 +22,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => TopKRewriteRule)
+    GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
+}
+
+object GraftExtensions {
+  private type Reg = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  private def fn(name: String, usage: String)(
+      build: PartialFunction[Seq[Expression], Expression]): Reg = {
+    val builder: Seq[Expression] => Expression = args =>
+      build.applyOrElse(args, (a: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name: unsupported arguments (${a.length}); $usage"))
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name), builder)
+  }
+
+  /** Kernel expressions for spark.sql users — the same codegen'd
+    * expressions the DataFrame API wraps.
+    */
+  private[graft] val sqlFunctions: Seq[Reg] = Seq(
+    fn("graft_gzip", "gzip-compress binary content") {
+      case Seq(c) => GzipCompress(c)
+    },
+    fn("graft_gunzip", "gzip-decompress binary content") {
+      case Seq(c) => GzipDecompress(c)
+    },
+    fn("graft_gbk_decode", "decode GBK bytes to string") {
+      case Seq(c) => GbkDecode(c)
+    },
+    fn("graft_simhash64", "64-bit simhash of a token array") {
+      case Seq(c) => SimHash64(c)
+    },
+    fn("graft_minhash",
+      "k-slot minhash signature of a string array; args (arr, k)") {
+      case Seq(c, IntegerLiteral(k)) => MinHashSignature(c, k)
+    },
+    fn("graft_winnow",
+      "winnowing fingerprints; args (text, kgram, window)") {
+      case Seq(c, IntegerLiteral(k), IntegerLiteral(w)) =>
+        WinnowFingerprints(c, k, w)
+    })
+
+  /** Idempotent registration into an EXISTING session — getOrCreate
+    * never applies `spark.sql.extensions` to a pre-existing session,
+    * so GraftSession (and tests) register directly, mirroring the
+    * TopK strategy self-registration.
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.SimHashKernel
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The kernel expressions exposed as SQL functions (GraftExtensions):
+  * a SQL user of the library gets the same codegen'd kernels the
+  * DataFrame API wraps.
+  */
+class SqlFunctionsSpec extends GraftSpec {
+
+  private lazy val sparkReady: Boolean = {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    true
+  }
+
+  test("graft_gzip / graft_gunzip roundtrip from SQL") {
+    assert(sparkReady)
+    val r = spark.sql(
+      """SELECT CAST(graft_gunzip(graft_gzip(encode('log agent payload', 'UTF-8')))
+        |AS STRING) AS s""".stripMargin).head()
+    assert(r.getString(0) == "log agent payload")
+  }
+
+  test("graft_simhash64 from SQL matches the kernel") {
+    assert(sparkReady)
+    val toks = Seq("spark", "native", "engine", "spark")
+    val expect = SimHashKernel.compute(
+      new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]))
+    val got = spark.sql(
+      s"SELECT graft_simhash64(array(${toks.map("'" + _ + "'").mkString(",")}))")
+      .head().getLong(0)
+    assert(got == expect)
+  }
+
+  test("graft_minhash from SQL produces the k-slot signature") {
+    assert(sparkReady)
+    val row = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d', 'c d e'), 16) AS sig").head()
+    val sig = row.getSeq[Long](0)
+    assert(sig.length == 16)
+    assert(sig.distinct.length > 1) // real minima, not a constant fill
+  }
+
+  test("graft_winnow from SQL fingerprints text") {
+    assert(sparkReady)
+    val fps = spark.sql(
+      "SELECT graft_winnow('the quick brown fox jumps over the dog', 8, 4) AS f")
+      .head().getSeq[Long](0)
+    assert(fps.nonEmpty)
+  }
+
+  test("graft_gbk_decode from SQL") {
+    assert(sparkReady)
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerFunctions(spark) // idempotent
+    val df = Seq(Tuple1("日志采集".getBytes("GBK"))).toDF("b")
+    df.createOrReplaceTempView("gbk_t")
+    assert(spark.sql("SELECT graft_gbk_decode(b) FROM gbk_t").head().getString(0)
+      == "日志采集")
+  }
+}
