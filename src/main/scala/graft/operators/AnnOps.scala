@@ -5,7 +5,7 @@ import graft.functions.VectorFns
 import graft.plans.TopK
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** D9–D11: similarity search over the embeddings table.
   *
@@ -93,6 +93,11 @@ object AnnOps {
     */
   private case class Cent(cid: Long, cv: Seq[Double], cnrm: Double)
 
+  /** 2^50 — scaling a float-derived double by it yields an exact
+    * integer (see the Lloyd-mean comment in [[ivfCentroids]]).
+    */
+  private val ScaleP2: Double = 1125899906842624.0
+
   /** Nearest-nprobe centroid assignment with ZERO shuffle and zero
     * extra jobs: the quantizer rides along as a literal array column,
     * and each vector ranks the m centroids in-row (transform →
@@ -131,10 +136,20 @@ object AnnOps {
         .collect()
       val seed = typedLit(seedRows.map(r =>
         Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
-      // Lloyd refinement: assign → element-wise mean per centroid
+      // Lloyd refinement: assign → element-wise mean per centroid.
+      // The mean is computed over EXACT integers (x·2^50 is integral for
+      // any float component with |x| ≥ 2^-27 — embedding floats have
+      // 24-bit mantissas, so their ulp ≥ 2^-50 in that range), summed as
+      // DECIMAL(38,0): order-independent at any parallelism AND
+      // replicable bit-for-bit by an external engine with plain GROUP BY
+      // (no FP-order-dependent avg), which is what makes ann_ivf fully
+      // oracle-checkable.
       val refined = assign(emb, seed, 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("x"))
+        .groupBy("cid", "pos").agg(
+          (sum((col("x") * lit(ScaleP2)).cast(DecimalType(38, 0)))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(ScaleP2))
+            .as("x"))
         .groupBy("cid").agg(
           array_sort(collect_list(struct(col("pos"), col("x")))).as("pv"))
         .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
