@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import graft.Tables
-import graft.functions.VectorFns
+import graft.functions.{IvfAssign, IvfModel, VectorFns}
 import graft.plans.TopK
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -34,7 +35,7 @@ object AnnOps {
     */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     embDouble(spark, dir).write.format("noop").mode("overwrite").save()
-    ivfLists(spark, dir).write.format("noop").mode("overwrite").save()
+    ivfLists(spark, dir, DefaultM).write.format("noop").mode("overwrite").save()
   }
 
   /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
@@ -82,31 +83,57 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** Nearest-nprobe centroid assignment with ZERO shuffle: the m
-    * centroids collapse into one array-typed row that broadcasts to
-    * every vector, and each vector ranks them in-row (transform →
-    * array_sort → slice → explode, all codegen) — no per-vector
-    * shuffle, no window, no heap exchange. Ties break by cid
-    * ascending (negated sim sorts first, then cid). Keeps the vector
-    * payload (v, nrm) so callers never re-join the corpus to recover
-    * what they already scanned.
-    */
   private case class Cent(cid: Long, cv: Seq[Double], cnrm: Double)
 
+  /** Default centroid count (the oracle-pinned configuration). */
+  val DefaultM = 16
+
+  /** Past this m, probe assignment switches from a plan-literal
+    * quantizer to a broadcast consumed by the [[IvfAssignExpr]] kernel:
+    * a typedLit of thousands of struct rows (each a dim-length array)
+    * bloats the plan tree and codegen, while the broadcast keeps plan
+    * size O(1) in m. Both paths produce identical rows (parity-tested),
+    * so the switch is purely physical.
+    */
+  val LiteralMaxM = 64
+
   /** 2^50 — scaling a float-derived double by it yields an exact
-    * integer (see the Lloyd-mean comment in [[ivfCentroids]]).
+    * integer (see the Lloyd-mean comment in [[ivfModel]]).
     */
   private val ScaleP2: Double = 1125899906842624.0
 
-  /** Nearest-nprobe centroid assignment with ZERO shuffle and zero
-    * extra jobs: the quantizer rides along as a literal array column,
-    * and each vector ranks the m centroids in-row (transform →
-    * array_sort → slice → explode, all codegen). Ties break by cid
-    * ascending (negated sim sorts first, then cid). Keeps the vector
-    * payload (v, nrm) so callers never re-join the corpus to recover
-    * what they already scanned.
+  private def toModel(rows: Array[Row]): IvfModel = {
+    val m = rows.length
+    val dim = if (m == 0) 0 else rows(0).getSeq[Double](1).length
+    val cids = new Array[Long](m)
+    val norms = new Array[Double](m)
+    val flat = new Array[Double](m * dim)
+    var i = 0
+    while (i < m) {
+      cids(i) = rows(i).getLong(0)
+      val s = rows(i).getSeq[Double](1)
+      var d = 0
+      while (d < dim) { flat(i * dim + d) = s(d); d += 1 }
+      norms(i) = rows(i).getDouble(2)
+      i += 1
+    }
+    new IvfModel(cids, flat, norms, dim)
+  }
+
+  private def centsLit(model: IvfModel): Column =
+    typedLit((0 until model.m).map(i => Cent(model.cids(i),
+      model.flat.slice(i * model.dim, (i + 1) * model.dim).toSeq,
+      model.norms(i))))
+
+  /** Literal-quantizer probe assignment with ZERO shuffle: the m
+    * centroids ride along as a literal array column and each vector
+    * ranks them in-row (transform → array_sort → slice → explode, all
+    * codegen). Ties break by cid ascending (negated sim sorts first,
+    * then cid). Keeps the vector payload (v, nrm) so callers never
+    * re-join the corpus to recover what they already scanned.
     */
-  private def assign(vecs: DataFrame, cents: Column, nprobe: Int): DataFrame =
+  private def assignLit(vecs: DataFrame, model: IvfModel, nprobe: Int): DataFrame = {
+    val cents = centsLit(model)
     vecs
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(slice(array_sort(transform(cents, c =>
@@ -114,37 +141,67 @@ object AnnOps {
             c.getField("cnrm"))).as("negsim"),
             c.getField("cid").as("cid")))), 1, nprobe)).as("pr"))
       .select(col("vec_id"), col("pr.cid").as("cid"), col("v"), col("nrm"))
+  }
+
+  /** Broadcast-quantizer probe assignment — same contract and row
+    * order semantics as [[assignLit]], via one kernel call per vector.
+    * Still zero shuffle; plan size independent of m.
+    */
+  private def assignBc(vecs: DataFrame, bc: Broadcast[IvfModel],
+      nprobe: Int): DataFrame =
+    vecs
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(IvfAssign.probes(col("v"), col("nrm"), bc, nprobe)).as("cid"))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+
+  private def assignModel(vecs: DataFrame, model: IvfModel,
+      nprobe: Int): DataFrame =
+    if (model.m <= LiteralMaxM) assignLit(vecs, model, nprobe)
+    else assignBc(vecs, vecs.sparkSession.sparkContext.broadcast(model), nprobe)
+
+  /** Test hook: probe assignment for the corpus at (m, nprobe), with
+    * the physical path forced — used to assert literal/kernel parity
+    * and the shuffle-free probe plan.
+    */
+  private[graft] def assignForTest(spark: SparkSession, dir: String, m: Int,
+      nprobe: Int, kernel: Boolean): DataFrame = {
+    val model = ivfModel(spark, dir, m)
+    val emb = embDouble(spark, dir)
+    val a = if (kernel)
+      assignBc(emb, spark.sparkContext.broadcast(model), nprobe)
+    else assignLit(emb, model, nprobe)
+    a.select("vec_id", "cid")
+  }
 
   /** IVF coarse quantizer — a LAYOUT-TIME model artifact, built once
-    * per (session, dir), exactly like BucketingOps pays its bucketing
-    * shuffle once. Deterministic k-means: first-m seed (cid = seed
-    * vec_id — stable, no partition-dependent id generation) + 1 Lloyd
-    * refinement round; the mean recompute is distributed aggregation,
-    * only the m finished centroids are collected into a driver-side
-    * model (the Spark ML KMeansModel.clusterCenters shape — a coarse
-    * quantizer lives in memory on every node; m scales with √corpus,
-    * so even a 100 TB corpus keeps it in the low thousands of rows).
-    * Returned as a literal array column so query-time assignment is a
-    * pure projection.
+    * per (session, dir, m), exactly like BucketingOps pays its
+    * bucketing shuffle once. Deterministic k-means: first-m seed (cid =
+    * seed vec_id — stable, no partition-dependent id generation) + 1
+    * Lloyd refinement round; the mean recompute is distributed
+    * aggregation, only the m finished centroids are collected into a
+    * driver-side model (the Spark ML KMeansModel.clusterCenters shape —
+    * a coarse quantizer lives in memory on every node; m scales with
+    * √corpus, so even a 100 TB corpus keeps it in the low thousands of
+    * rows — past [[LiteralMaxM]] it ships as a broadcast, so model size
+    * never touches the plan).
+    *
+    * The Lloyd mean is computed over EXACT integers (x·2^50 is integral
+    * for any float component with |x| ≥ 2^-27 — embedding floats have
+    * 24-bit mantissas, so their ulp ≥ 2^-50 in that range), summed as
+    * DECIMAL(38,0): order-independent at any parallelism AND replicable
+    * bit-for-bit by an external engine with plain GROUP BY (no
+    * FP-order-dependent avg), which is what makes ann_ivf fully
+    * oracle-checkable.
     */
-  private def ivfCentroids(spark: SparkSession, dir: String): Column =
-    graft.Memo.value(spark, s"ivfCentroids:$dir") {
+  private def ivfModel(spark: SparkSession, dir: String, m: Int): IvfModel =
+    graft.Memo.value(spark, s"ivfModel:$dir:$m") {
       val emb = embDouble(spark, dir)
-      val m = 16
       val seedRows = emb.orderBy("vec_id").limit(m)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
         .collect()
-      val seed = typedLit(seedRows.map(r =>
-        Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
-      // Lloyd refinement: assign → element-wise mean per centroid.
-      // The mean is computed over EXACT integers (x·2^50 is integral for
-      // any float component with |x| ≥ 2^-27 — embedding floats have
-      // 24-bit mantissas, so their ulp ≥ 2^-50 in that range), summed as
-      // DECIMAL(38,0): order-independent at any parallelism AND
-      // replicable bit-for-bit by an external engine with plain GROUP BY
-      // (no FP-order-dependent avg), which is what makes ann_ivf fully
-      // oracle-checkable.
-      val refined = assign(emb, seed, 1)
+      val seed = toModel(seedRows)
+      // Lloyd refinement: assign → element-wise exact mean per centroid
+      val refined = assignModel(emb, seed, 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(
           (sum((col("x") * lit(ScaleP2)).cast(DecimalType(38, 0)))
@@ -155,32 +212,51 @@ object AnnOps {
         .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
         .withColumn("cnrm", VectorFns.norm(col("cv")))
         .collect()
-      typedLit(refined.map(r =>
-        Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
+      toModel(refined)
     }
+
+  /** The quantizer as a session-memoized broadcast (kernel-path
+    * consumers); fetched once per executor, reused by every query in
+    * the session.
+    */
+  private def ivfModelBc(spark: SparkSession, dir: String,
+      m: Int): Broadcast[IvfModel] =
+    graft.Memo.value(spark, s"ivfModelBc:$dir:$m") {
+      spark.sparkContext.broadcast(ivfModel(spark, dir, m))
+    }
+
+  /** Probe assignment picking the physical path by m (literal
+    * quantizer ≤ [[LiteralMaxM]], broadcast kernel above).
+    */
+  private def assignFor(spark: SparkSession, dir: String, m: Int,
+      vecs: DataFrame, nprobe: Int): DataFrame = {
+    val model = ivfModel(spark, dir, m)
+    if (model.m <= LiteralMaxM) assignLit(vecs, model, nprobe)
+    else assignBc(vecs, ivfModelBc(spark, dir, m), nprobe)
+  }
 
   /** IVF inverted lists: every corpus vector assigned to its nearest
     * centroid, REPARTITIONED BY cid and persisted — the cluster layout
     * where each list is co-located, so a query-time probe is a local
     * scan of its lists and the corpus never shuffles per query.
     */
-  private def ivfLists(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.df(spark, s"ivfLists:$dir") {
-      assign(embDouble(spark, dir), ivfCentroids(spark, dir), 1)
+  private def ivfLists(spark: SparkSession, dir: String, m: Int): DataFrame =
+    graft.Memo.df(spark, s"ivfLists:$dir:$m") {
+      assignFor(spark, dir, m, embDouble(spark, dir), 1)
         .select(col("cid").as("c_cid"), col("vec_id").as("c_id"),
           col("v").as("cv2"), col("nrm").as("cn"))
         .repartition(col("c_cid"))
     }
 
   /** Query path over any inverted-list layout: assign probes (an
-    * in-row rank against the quantizer literal over the QUERY
-    * vectors), broadcast the probes into the co-located list scan,
-    * bounded-heap top-k. Compare volume ≈ nprobe/m of brute force and
-    * zero corpus shuffle per query.
+    * in-row rank against the quantizer over the QUERY vectors),
+    * broadcast the probes into the co-located list scan, bounded-heap
+    * top-k. Compare volume ≈ nprobe/m of brute force and zero corpus
+    * shuffle per query.
     */
-  private def searchIvf(lists: DataFrame, centroids: Column,
-      qVecs: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val probes = assign(qVecs, centroids, nprobe)
+  private def searchIvf(spark: SparkSession, dir: String, m: Int,
+      lists: DataFrame, qVecs: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probes = assignFor(spark, dir, m, qVecs, nprobe)
       .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
     val sims = lists.join(broadcast(probes),
@@ -194,12 +270,21 @@ object AnnOps {
 
   /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
     * The coarse quantizer and inverted lists are layout-time artifacts
-    * ([[ivfCentroids]]/[[ivfLists]], built once per session); the
-    * query path is [[searchIvf]] only.
+    * ([[ivfModel]]/[[ivfLists]], built once per session); the query
+    * path is [[searchIvf]] only. The oracle pins the [[DefaultM]]
+    * configuration; [[annIvfM]] exposes the tuning knobs.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    searchIvf(ivfLists(spark, dir), ivfCentroids(spark, dir),
-        embDouble(spark, dir).filter(col("vec_id") % 50 === 0))
+    annIvfM(spark, dir, DefaultM, 4)
+
+  /** IVF query at explicit (m, nprobe) — larger m = finer partition of
+    * the corpus (cheaper probes, more of them needed for the same
+    * recall).
+    */
+  def annIvfM(spark: SparkSession, dir: String, m: Int,
+      nprobe: Int, k: Int = 10): DataFrame =
+    searchIvf(spark, dir, m, ivfLists(spark, dir, m),
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k)
       .orderBy("q_id", "rnk")
 
   /** Incremental index maintenance: assign a batch of NEW vectors to
@@ -211,24 +296,26 @@ object AnnOps {
     * centroid), so maintenance cost is O(|batch|) regardless of index
     * size. Returns the widened lists; [[searchIvf]]-compatible.
     */
-  def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
+  def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame,
+      m: Int = DefaultM): DataFrame = {
     val prepped = newVecs
       .withColumn("v", VectorFns.toDouble(col("embedding")))
       .withColumn("nrm", VectorFns.norm(col("v")))
       .select("vec_id", "v", "nrm")
-    val added = assign(prepped, ivfCentroids(spark, dir), 1)
+    val added = assignFor(spark, dir, m, prepped, 1)
       .select(col("cid").as("c_cid"), col("vec_id").as("c_id"),
         col("v").as("cv2"), col("nrm").as("cn"))
       .repartition(col("c_cid"))
-    ivfLists(spark, dir).unionByName(added)
+    ivfLists(spark, dir, m).unionByName(added)
   }
 
   /** Test/maintenance hook: run the IVF query path over an explicit
     * lists layout (e.g. one produced by [[ivfAppend]]).
     */
   def ivfSearchOn(spark: SparkSession, dir: String, lists: DataFrame,
-      qVecs: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame =
-    searchIvf(lists, ivfCentroids(spark, dir), qVecs, nprobe, k)
+      qVecs: DataFrame, nprobe: Int = 4, k: Int = 10,
+      m: Int = DefaultM): DataFrame =
+    searchIvf(spark, dir, m, lists, qVecs, nprobe, k)
 
   /** D11: per-label embedding stats (exact: count/min/max of norms —
     * no FP-order-dependent aggregates, so safe at any parallelism).

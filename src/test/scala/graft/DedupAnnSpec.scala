@@ -59,6 +59,33 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("ivf probe assignment: broadcast kernel == literal path at m=16 and m=256") {
+    for (m <- Seq(16, 256); nprobe <- Seq(1, 4)) {
+      val lit = AnnOps.assignForTest(spark, Sf, m, nprobe, kernel = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ker = AnnOps.assignForTest(spark, Sf, m, nprobe, kernel = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(lit == ker, s"kernel/literal divergence at m=$m nprobe=$nprobe")
+    }
+  }
+
+  test("ivf at m=256: broadcast-kernel probe plan is shuffle-free, recall holds") {
+    val probes = AnnOps.assignForTest(spark, Sf, 256, 4, kernel = true)
+    val plan = probes.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"),
+      s"probe assignment shuffles:\n$plan")
+    assert(plan.contains("IvfAssign") || plan.contains("topProbes") ||
+      !plan.contains("array_sort"), "expected the kernel path (no literal sort)")
+    val bf = AnnOps.annCosineTopK(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
+    val ivf = AnnOps.annIvfM(spark, Sf, 256, 64).select("q_id", "c_id", "sim")
+    val j = ivf.join(bf, Seq("q_id", "c_id")).collect()
+    j.foreach(r => assert(r.getAs[Double]("sim") == r.getAs[Double]("bf_sim")))
+    val nQ = bf.select("q_id").distinct().count()
+    val recall = j.length.toDouble / (nQ * 10.0)
+    assert(recall >= 0.3, s"IVF m=256 recall@10 too low: $recall")
+  }
+
   test("ivf append: new vectors are searchable without a rebuild") {
     import spark.implicits._
     // clone the embedding of corpus vector 0 under a fresh id: its
