@@ -27,6 +27,14 @@ private case class DebState(event_id: Long, tsMs: Long, event_type: String,
 
 private case class SessState(n: Long, startMs: Long, endMs: Long, total: Double)
 
+/** Kafka value wire encoding — the reference ships both: the default
+  * {schema, payload} JSON (handler/kafka.go:354-357 MsgValueEncoder)
+  * and Confluent-framed Avro (kafka.go:449-472 AvroEncoder).
+  */
+sealed trait WireEncoding
+case object JsonWire extends WireEncoding
+final case class AvroWire(schemaId: Int) extends WireEncoding
+
 /** E-family: the watchdog's streaming semantics on Structured
   * Streaming. The reference's goroutine/timer machinery
   * (watchdog.go:190-250) becomes watermark + event-time-timeout state:
@@ -173,19 +181,29 @@ object StreamOps {
       """{"field":"checksum","type":"string"},{"field":"host","type":"string"},""" +
       """{"field":"folder_time","type":"int64"}]}"""
 
-  /** E4: Kafka sink envelope — (key, value) columns in the exact
-    * {schema, payload} JSON shape the reference produces; pluggable
-    * onto writeStream.format("kafka") unchanged.
+  /** E4: Kafka sink envelope — (key, value) columns, value in the
+    * selected wire encoding: the reference's {schema, payload} JSON
+    * shape, or Confluent-framed Avro binary
+    * ([[graft.functions.AvroEnvelope]]). Both are pluggable onto
+    * writeStream.format("kafka") unchanged (Kafka accepts string or
+    * binary value columns).
     */
-  def kafkaEnvelope(records: DataFrame): DataFrame = {
+  def kafkaEnvelope(records: DataFrame,
+      wire: WireEncoding = JsonWire): DataFrame = {
     val payload = struct(
       col("file_date"), col("file_time"), col("folder"), col("pack"),
       col("name"), col("size"), col("modify_time"), col("content"),
       col("compress"), col("compress_size"), col("checksum"), col("host"),
       col("folder_time"))
-    records.select(
-      PathFns.kafkaKey(col("folder"), col("pack"), col("name")).as("key"),
-      concat(lit("{\"schema\":"), lit(RecordSchemaJson),
-        lit(",\"payload\":"), to_json(payload), lit("}")).as("value"))
+    val key = PathFns.kafkaKey(col("folder"), col("pack"), col("name")).as("key")
+    wire match {
+      case JsonWire =>
+        records.select(key,
+          concat(lit("{\"schema\":"), lit(RecordSchemaJson),
+            lit(",\"payload\":"), to_json(payload), lit("}")).as("value"))
+      case AvroWire(schemaId) =>
+        records.select(key,
+          graft.functions.AvroEnvelope.envelope(payload, schemaId).as("value"))
+    }
   }
 }

@@ -127,6 +127,39 @@ class StreamingSpec extends GraftSpec {
       "checksum", "host", "folder_time"))
   }
 
+  test("E4 avro envelope: confluent framing, schema-true payload, non-JSON wire") {
+    import graft.functions.AvroEnvelope
+    import graft.streaming.AvroWire
+    val rec = Seq(("2017-06-07", 1496851200000L, "LOUP/1395T2936101", "",
+      "FLOWLOG.TXT", 123L, 1496851200000L, "0xdead", false, 123L,
+      "abc123", "host1", 1496851200000L))
+      .toDF("file_date", "file_time", "folder", "pack", "name", "size",
+        "modify_time", "content", "compress", "compress_size", "checksum",
+        "host", "folder_time")
+    val env = StreamOps.kafkaEnvelope(rec, AvroWire(42)).collect().head
+    assert(env.getAs[String]("key") == "LOUP/1395T2936101/FLOWLOG.TXT")
+    val bytes = env.getAs[Array[Byte]]("value")
+    // magic 0, not '{' — this is a binary wire, not the JSON envelope
+    assert(bytes(0) == 0.toByte && bytes(0) != '{'.toByte)
+    // decode against the PUBLISHED schema: proves the positional
+    // encoding conforms to it (the from_avro(to_avro(x)) == x dual)
+    val (schemaId, r) = AvroEnvelope.decode(bytes)
+    assert(schemaId == 42)
+    assert(r.get("file_date").toString == "2017-06-07")
+    assert(r.get("file_time") == 1496851200000L)
+    assert(r.get("folder").toString == "LOUP/1395T2936101")
+    assert(r.get("pack").toString == "")
+    assert(r.get("name").toString == "FLOWLOG.TXT")
+    assert(r.get("size") == 123L)
+    assert(r.get("modify_time") == 1496851200000L)
+    assert(r.get("content").toString == "0xdead")
+    assert(r.get("compress") == false)
+    assert(r.get("compress_size") == 123L)
+    assert(r.get("checksum").toString == "abc123")
+    assert(r.get("host").toString == "host1")
+    assert(r.get("folder_time") == 1496851200000L)
+  }
+
   test("E4 zip-entry records key as folder/pack/name") {
     val rec = Seq(("2017-06-07", 1L, "LOUP", "FLOWLOG.ZIP", "inner/a.txt",
       1L, 1L, "0x", false, 1L, "c", "h", 1L))
