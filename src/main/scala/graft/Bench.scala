@@ -57,11 +57,21 @@ object Bench {
       operators.AnnOps.warmShared(spark, sfDir)
     val warmupSec = (System.nanoTime() - t0) / 1e9
 
+    // A failed query must never ship a green-looking artifact: failures
+    // are collected, emitted in the JSON as "failed", and turn the exit
+    // code nonzero. SPARK_GRAFT_FAIL_INJECT=<name> is the test hook
+    // proving that path end-to-end.
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val q0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        if (failInject.contains(name))
+          throw new RuntimeException("injected bench failure")
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed.add(name)
       }
       (System.nanoTime() - q0) / 1e9
     }
@@ -88,7 +98,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val concField = wallConc.map(w => s""","wall_conc$conc":$w""").getOrElse("")
-    println(s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField,"sf":"$sfDir","concurrency":1}""")
+    // "queries" timings come from the serial pass (serial_queries);
+    // concurrency_streams is the ACTUAL stream count of the concurrent
+    // pass (1 = the pass was skipped), so artifact parsers can classify
+    // run conditions without decoding the dynamic wall_conc<N> key.
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.toArray(Array.empty[String]).sorted
+        .map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}""")
     spark.stop()
+    if (!failed.isEmpty) sys.exit(1)
   }
 }
