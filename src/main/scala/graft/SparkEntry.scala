@@ -59,6 +59,8 @@ object SparkEntry {
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
     "doc_pack_tokens"      -> (CurationOps.packTokens _),
     "doc_mixture"          -> (CurationOps.mixture _),
+    "doc_mixture_weighted" -> ((s: SparkSession, d: String) =>
+      CurationOps.mixtureWeighted(s, d, CurationOps.demoWeights(s))),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
@@ -706,6 +708,22 @@ object SparkEntry {
         |      AS BIGINT) AS rnk
         |  FROM q)
         |SELECT doc_id, source, quota, h, rnk FROM r
+        |WHERE rnk <= quota ORDER BY source, rnk""".stripMargin,
+
+    "doc_mixture_weighted" ->
+      """WITH w(source, quota) AS (VALUES
+        |    ('src0', CAST(40 AS BIGINT)), ('src2', CAST(10 AS BIGINT)),
+        |    ('src3', CAST(25 AS BIGINT)), ('src5', CAST(30 AS BIGINT)),
+        |    ('src7', CAST(5 AS BIGINT)), ('src12', CAST(15 AS BIGINT)),
+        |    ('src19', CAST(50 AS BIGINT))),
+        |q AS (SELECT d.doc_id, d.source AS src, w.quota,
+        |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d JOIN w ON d.source = w.source),
+        |r AS (SELECT doc_id, src, quota, h,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM q)
+        |SELECT doc_id, src AS source, quota, h, rnk FROM r
         |WHERE rnk <= quota ORDER BY source, rnk""".stripMargin,
 
     "doc_pack_tokens" ->

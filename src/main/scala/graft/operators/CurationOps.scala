@@ -136,6 +136,40 @@ object CurationOps {
       .orderBy("source", "rnk")
   }
 
+  /** D21 with an EXTERNAL weights table — the production shape of
+    * [[mixture]]: quotas come from a (source, quota) config DataFrame
+    * instead of an id-derived demo scheme. The table is config-sized,
+    * so it broadcasts into the corpus scan (sources absent from it are
+    * excluded — weight zero), and k for the bounded heap is the
+    * table's own max quota, read once driver-side — derived from the
+    * same rows that gate the filter, so the heap can never silently
+    * truncate a quota. Shuffle stays O(k·|sources|).
+    */
+  def mixtureWeighted(spark: SparkSession, dir: String,
+      weights: DataFrame): DataFrame = {
+    val maxQuota = weights.agg(max(col("quota"))).head.getLong(0).toInt
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .join(broadcast(weights), Seq("source"))
+    TopK.perKey(docs, Seq(col("source")),
+        Seq(col("h").asc, col("doc_id").asc), maxQuota)
+      .filter(col("rnk") <= col("quota"))
+      .select("doc_id", "source", "quota", "h", "rnk")
+      .orderBy("source", "rnk")
+  }
+
+  /** The registry/oracle demo weights: a handful of sources with
+    * varying quotas (some above the per-source doc count at small SF,
+    * some sources deliberately absent). Mirrored as a VALUES CTE in
+    * the DuckDB oracle.
+    */
+  def demoWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("src0", 40L), ("src2", 10L), ("src3", 25L), ("src5", 30L),
+      ("src7", 5L), ("src12", 15L), ("src19", 50L))
+      .toDF("source", "quota")
+  }
+
   /** D19: token-budget sequence packing — docs assigned to training
     * bins by cumulative token offset, the batch-construction step of a
     * pretraining pipeline. Docs are hash-bucketed (doc_id % 8) inside

@@ -32,4 +32,18 @@ class CurationSpec extends GraftSpec {
     perLang.foreach(n => assert(n <= 50))
     assert(a.forall(_.getAs[Long]("rnk") <= 50))
   }
+
+  test("weighted mixture honors external quotas and drops unlisted sources") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.mixtureWeighted(spark, Sf,
+      CurationOps.demoWeights(spark)).collect()
+    val listed = Set("src0", "src2", "src3", "src5", "src7", "src12", "src19")
+    assert(rows.map(_.getAs[String]("source")).toSet.subsetOf(listed))
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // every emitted rank respects that source's own quota, not the max
+    rows.foreach(r =>
+      assert(r.getAs[Long]("rnk") <= r.getAs[Long]("quota")))
+    // a small quota binds exactly when the stratum has enough docs
+    assert(bySource.get("src7").forall(_.length <= 5))
+  }
 }
