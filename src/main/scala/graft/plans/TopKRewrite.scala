@@ -70,10 +70,24 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     // Filter(rn <= k, Window(row_number))
     case f @ Filter(cond, w: Window) =>
       asTopK(cond, w).getOrElse(f)
-    // Filter(rn <= k, Project(passthrough, Window(row_number)))
-    case f @ Filter(cond, p @ Project(projList, w: Window))
-        if projList.forall(_.isInstanceOf[Attribute]) =>
-      asTopK(cond, w) match {
+    // Filter(rn <= k, Project(passthrough-or-alias, Window(row_number))).
+    // Aliases are resolved back to the window-side attribute before the
+    // predicate match, so select(col("rn").as("r")).filter($"r" <= k)
+    // rewrites too — TopKPerKey's output is the Window's output, so the
+    // projection re-applies unchanged on top.
+    case f @ Filter(cond, Project(projList, w: Window))
+        if projList.forall {
+          case _: Attribute => true
+          case Alias(_: Attribute, _) => true
+          case _ => false
+        } =>
+      val subst = projList.collect {
+        case a @ Alias(ref: Attribute, _) => a.exprId -> ref
+      }.toMap
+      val resolved = cond.transform {
+        case attr: Attribute if subst.contains(attr.exprId) => subst(attr.exprId)
+      }
+      asTopK(resolved, w) match {
         case Some(topk) => Project(projList, topk)
         case None => f
       }

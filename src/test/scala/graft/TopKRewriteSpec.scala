@@ -127,6 +127,38 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("alias-only projection between filter and window still rewrites") {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(spark, Sf)
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id").as("uid"), col("event_id").as("eid"),
+        col("rn").as("r"))
+      .filter(col("r") <= 4)
+    // the exact pre-rule shape (projects collapsed, filter NOT pushed)
+    // the rule must match on its own — the optimizer's own filter
+    // pushdown can also surface case 1, so this pins the
+    // Project-with-alias branch itself
+    val collapsed = org.apache.spark.sql.catalyst.optimizer.CollapseProject(
+      df.queryExecution.analyzed)
+    val direct = graft.plans.TopKRewriteRule(collapsed)
+    assert(direct.collectFirst {
+      case t: graft.plans.TopKPerKey => t }.isDefined,
+      s"alias projection not matched:\n${df.queryExecution.analyzed}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      "window survived the rewrite")
+    val ref = Tables.events(spark, Sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(w)) // second window expr -> no rewrite
+      .select(col("user_id").as("uid"), col("event_id").as("eid"),
+        col("rn").as("r"))
+      .filter(col("r") <= 4)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      ref.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+  }
+
   test("rn = 1 latest-per-key form is rewritten too") {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
