@@ -138,6 +138,27 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** E12: sliding-window error-rate monitor — the streaming dual of
+    * B7's burst detector (EventOps.errorBurst): OVERLAPPING event-time
+    * windows (`windowLen` long, advancing every `slide`), each counting
+    * its events and errors, so a burst is visible in every window that
+    * covers it rather than being split at tumbling boundaries. The
+    * watermark bounds state and (in append mode) finalizes a window
+    * once event time passes `w_end + watermark`. Runs identically on a
+    * batch frame — the spec's oracle — since `window()` and the aggs
+    * are mode-agnostic.
+    */
+  def slidingErrorRate(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n_events"), col("n_errors"),
+        (col("n_errors").cast("double") / col("n_events")).as("err_rate"))
+
   /** E3: streaming dedup within the watermark horizon (filterEvents'
     * newest-per-key via state-backed dropDuplicates).
     */

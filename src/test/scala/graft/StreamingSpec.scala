@@ -75,6 +75,45 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("E12 sliding windows overlap, finalize on watermark, match the batch oracle") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = Seq(
+      Ev(1, ts(0), 1, "error", 1.0), Ev(2, ts(3), 1, "click", 1.0),
+      Ev(3, ts(7), 2, "error", 1.0), Ev(4, ts(12), 1, "error", 1.0),
+      Ev(5, ts(14), 2, "click", 1.0))
+    val flush = Ev(99, Timestamp.valueOf("2024-01-01 11:30:00"), 9, "click", 1.0)
+    val out = StreamOps.slidingErrorRate(in.toDF(), "10 minutes", "5 minutes",
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // append emits nothing until the watermark passes the window end
+      assert(spark.table("slide").count() == 0)
+      in.addData(flush) // event time 11:30 -> watermark 11:20
+      q.processAllAvailable()
+      val got = spark.table("slide").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // an event at 10:07 sits in BOTH [10:00,10:10) and [10:05,10:15)
+      val w0700 = got.filter(_._1 == Timestamp.valueOf("2024-01-01 10:00:00"))
+      val w0705 = got.filter(_._1 == Timestamp.valueOf("2024-01-01 10:05:00"))
+      assert(w0700.size == 1 && w0700.head._3 == 3 && w0700.head._4 == 2)
+      assert(w0705.size == 1 && w0705.head._3 == 3 && w0705.head._4 == 2)
+      // batch oracle: same operator over the same rows, windows the
+      // watermark finalized (w_end <= 11:20)
+      val oracle = StreamOps.slidingErrorRate(
+          (events :+ flush).toDF(), "10 minutes", "5 minutes")
+        .filter(col("w_end") <= lit(Timestamp.valueOf("2024-01-01 11:20:00")))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == oracle, s"stream=$got oracle=$oracle")
+    } finally q.stop()
+  }
+
   test("E3 streaming dedup drops duplicate (user_id, event_id)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
