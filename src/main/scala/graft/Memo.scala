@@ -58,8 +58,33 @@ object Memo {
     }
   }
 
+  /** Drop (and unpersist) this session's entries derived from data
+    * under `dir`. The repo's own writers (UpsertSink, CompactionOps)
+    * call this after mutating files there, so memoized derivations
+    * cannot serve stale data within a session; for inputs mutated by
+    * anything else, the contract is immutable-input-per-session.
+    * Keys embed the source dir verbatim (`name:dir[:variant]`), so a
+    * substring match is exact (paths contain no ':').
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2.contains(":" + dir)) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    val vit = values.entrySet().iterator()
+    while (vit.hasNext) {
+      val e = vit.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2.contains(":" + dir)) vit.remove()
+    }
+  }
+
   /** Drop (and unpersist) everything cached for this session — test
-    * teardown hook; harmless if nothing is cached.
+    * teardown hook (wired into GraftSpec.afterAll); harmless if
+    * nothing is cached.
     */
   def clear(spark: SparkSession): Unit = {
     val it = cache.entrySet().iterator()

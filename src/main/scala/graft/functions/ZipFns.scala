@@ -52,7 +52,17 @@ object ZipFns {
       bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06)) e -= 1
     if (e < 0) return IndexedSeq.empty // not a zip; reader will error out
     val count = u16(e + 10)
-    var p = u32(e + 16).toInt // central directory offset
+    val cdOff = u32(e + 16)
+    // zip64 detection: a locator record (sig 0x07064b50) sits 20 bytes
+    // before the EOCD, and/or the 16-bit count / 32-bit offset carry
+    // their saturation sentinels. The walk below would then find too
+    // few records and the remaining entry names would silently fall
+    // back to ISO-8859-1 mojibake — fail loudly instead.
+    if ((e >= 20 && u32(e - 20) == 0x07064B50L) ||
+        count == 0xFFFF || cdOff == 0xFFFFFFFFL)
+      throw new UnsupportedOperationException(
+        "zip64 archive: central-directory name decoding not supported")
+    var p = cdOff.toInt // central directory offset
     val recs = IndexedSeq.newBuilder[(Long, Array[Byte])]
     var i = 0
     while (i < count && p + 46 <= bytes.length && u32(p) == 0x02014B50L) {

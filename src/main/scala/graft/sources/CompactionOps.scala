@@ -86,6 +86,8 @@ object CompactionOps {
       fs.delete(old, true)
     }
     spark.catalog.refreshByPath(path)
+    // memoized derivations over this path are now stale
+    if (flagged.nonEmpty) graft.Memo.invalidate(spark, path)
     flagged.map(_.dir)
   }
 }

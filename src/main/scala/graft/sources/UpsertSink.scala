@@ -37,7 +37,10 @@ object UpsertSink {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val touchedDays = batch.select("file_date").distinct().collect().map(_.getString(0))
+    // .get(0).toString, not getString: file_date may be STRING or DATE
+    // typed; isin with strings casts correctly against either
+    val touchedDays = batch.select("file_date").distinct().collect()
+      .map(_.get(0).toString)
     val existing =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         Some(spark.read.parquet(path)
@@ -54,21 +57,19 @@ object UpsertSink {
     // Stage then swap: the merged plan reads `path`, which parquet
     // cannot overwrite in place. Only the touched-day rows are staged,
     // and the dynamic overwrite replaces exactly those partitions.
+    // partitionOverwriteMode rides as a PER-WRITE option, so a
+    // concurrent overwrite elsewhere in the session never silently
+    // inherits dynamic semantics.
     val staging = new org.apache.hadoop.fs.Path(path + "_upsert_staging")
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       spark.read.parquet(staging.toString)
-        .write.mode(SaveMode.Overwrite).partitionBy("file_date").parquet(path)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_date").parquet(path)
       spark.catalog.refreshByPath(path)
-    } finally {
-      // restore so the session-wide overwrite semantics don't leak
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      fs.delete(staging, true)
-    }
+      // memoized derivations over this path are now stale
+      graft.Memo.invalidate(spark, path)
+    } finally fs.delete(staging, true)
   }
 }

@@ -83,4 +83,26 @@ class FileMetaSpec extends GraftSpec {
       .zipEntries(archive(StandardCharsets.UTF_8, "müller.txt")).map(_.name)
     assert(latinNames == Seq("müller.txt"))
   }
+
+  test("zip64 sentinels fail loudly instead of mis-decoding names") {
+    import java.io.ByteArrayOutputStream
+    import java.nio.charset.StandardCharsets
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val bos = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(bos, StandardCharsets.UTF_8)
+    zout.putNextEntry(new ZipEntry("a.txt"))
+    zout.write("x".getBytes(StandardCharsets.UTF_8))
+    zout.closeEntry(); zout.close()
+    val bytes = bos.toByteArray
+    // locate the EOCD and saturate its 16-bit entry count — the zip64
+    // shape java.util.zip produces for >65535-entry archives
+    var e = bytes.length - 22
+    while (!(bytes(e) == 0x50 && bytes(e + 1) == 0x4B &&
+      bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06)) e -= 1
+    bytes(e + 10) = 0xFF.toByte; bytes(e + 11) = 0xFF.toByte
+    val ex = intercept[UnsupportedOperationException] {
+      graft.functions.ZipFns.zipEntries(bytes)
+    }
+    assert(ex.getMessage.contains("zip64"))
+  }
 }

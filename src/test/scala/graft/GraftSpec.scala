@@ -1,17 +1,32 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session base — one local session per suite. */
-trait GraftSpec extends AnyFunSuite {
+trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   val Sf = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  @volatile private var sessionStarted = false
+
+  lazy val spark: SparkSession = {
+    sessionStarted = true
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Release this suite's memoized/persisted derivations so the shared
+    * test JVM never accumulates cached plans across suites (another
+    * suite sharing the session just re-derives on first use).
+    */
+  override protected def afterAll(): Unit = {
+    if (sessionStarted) Memo.clear(spark)
+    super.afterAll()
+  }
 }
