@@ -29,6 +29,7 @@ object SparkEntry {
     "evt_microbatch_stats" -> (EventOps.microbatchStats _),
     "evt_handler_routing"  -> (EventOps.handlerRouting _),
     "evt_error_burst"      -> (EventOps.errorBurst _),
+    "evt_sliding_error_rate" -> (EventOps.slidingErrorRate _),
     "evt_upsert_latest"    -> (EventOps.upsertLatest _),
     "evt_props_json"       -> (EventOps.propsJson _),
     "evt_asof_prior"       -> (EventOps.asofPriorError _),
@@ -316,6 +317,22 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Spark's sliding window(ts, 10m, 5m) replicated: slide-aligned
+    // floor of epoch micros, one row per (event, k) overlap offset
+    "evt_sliding_error_rate" ->
+      """WITH x AS (SELECT event_type,
+        |    (epoch_us(ts) // 300000000 - k) * 300000000 AS ws_us
+        |  FROM events, unnest([0, 1]) t(k)),
+        |g AS (SELECT make_timestamp(ws_us) AS w_start,
+        |    make_timestamp(ws_us + 600000000) AS w_end,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors
+        |  FROM x GROUP BY ws_us)
+        |SELECT w_start, w_end, n_events, n_errors,
+        |  CAST(n_errors AS DOUBLE) / n_events AS err_rate
+        |FROM g ORDER BY w_start""".stripMargin,
 
     "evt_handler_routing" ->
       """SELECT event_id, event_type, handler, CAST(priority AS BIGINT) AS priority,

@@ -152,6 +152,18 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** B7b: time-based sliding error-rate windows — the batch face of
+    * the E12 streaming monitor (StreamOps.slidingErrorRate): the SAME
+    * operator runs over the events table here (watermark a no-op in
+    * batch), so stream and batch alerting share one definition.
+    * Overlapping 10-minute windows every 5 minutes; each event lands
+    * in exactly windowLen/slide windows, epoch-aligned.
+    */
+  def slidingErrorRate(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.slidingErrorRate(
+        Tables.events(spark, dir).select("ts", "event_type"))
+      .orderBy("w_start")
+
   /** B13: incremental ingest ledger — the full badger-snapshot diff:
     * classify the current listing vs saved state as NEW / MODIFIED /
     * DELETED (fspolling emits NEW+MODIFIED; DELETED is what the

@@ -70,6 +70,36 @@ class PartitionedSinkSpec extends GraftSpec {
     assert(t2.filter(col("name") === "a.txt").head().getAs[String]("content") == "v2")
   }
 
+  test("table init pins the schema; drifted batches fail loudly (cassandra.go:326-360)") {
+    import spark.implicits._
+    import graft.sources.UpsertSink
+    val dir = Files.createTempDirectory("graft_schema").toFile.getAbsolutePath + "/t"
+    val b1 = Seq(("2017-06-01", 100L, "f", "p", "a.txt", "v1", 10L))
+      .toDF("file_date", "file_time", "folder", "pack", "name",
+        "content", "upload_time")
+    // first deploy initializes the empty table with its schema sidecar
+    UpsertSink.ensureTable(b1, dir)
+    assert(new java.io.File(dir, UpsertSink.SchemaFile).exists())
+    // an upsert into the freshly initialized (data-less) table works
+    UpsertSink.upsert(b1, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    // same columns, different order: fine (columns-by-name contract)
+    UpsertSink.upsert(b1.select("upload_time", "file_date", "file_time",
+      "folder", "pack", "name", "content"), dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    // changed type for an existing column: rejected before any write
+    val drifted = Seq(("2017-06-01", "not-a-long", "f", "p", "a.txt", "v1", 10L))
+      .toDF("file_date", "file_time", "folder", "pack", "name",
+        "content", "upload_time")
+    val ex = intercept[IllegalStateException] {
+      UpsertSink.upsert(drifted, dir)
+    }
+    assert(ex.getMessage.contains("schema drift"))
+    // and an extra column is drift too
+    val extra = b1.withColumn("surprise", lit(1))
+    intercept[IllegalStateException] { UpsertSink.upsert(extra, dir) }
+  }
+
   test("compaction rewrites only fragmented partitions, preserving rows") {
     import spark.implicits._
     import graft.sources.CompactionOps
