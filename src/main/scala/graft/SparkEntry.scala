@@ -62,6 +62,9 @@ object SparkEntry {
     "doc_mixture"          -> (CurationOps.mixture _),
     "doc_mixture_weighted" -> ((s: SparkSession, d: String) =>
       CurationOps.mixtureWeighted(s, d, CurationOps.demoWeights(s))),
+    // minHits=1 for the registry demo: any verbatim 3-gram hit flags
+    "doc_decontaminate"    -> ((s: SparkSession, d: String) =>
+      CurationOps.decontaminate(s, d, CurationOps.demoEvalSet(s), minHits = 1)),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
@@ -742,6 +745,31 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, src AS source, quota, h, rnk FROM r
         |WHERE rnk <= quota ORDER BY source, rnk""".stripMargin,
+
+    "doc_decontaminate" ->
+      """WITH ev(eval_id, etext) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'the table fast key value table part scan row agg'),
+        |    (CAST(1 AS BIGINT), 'group window hash merge data query batch line sort column'),
+        |    (CAST(2 AS BIGINT), 'spark stream filter join value big small slow vector customer')),
+        |et AS (SELECT eval_id, string_split(etext, ' ') AS toks FROM ev
+        |  WHERE len(string_split(etext, ' ')) >= 3),
+        |es AS (SELECT eval_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM et),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ds AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle
+        |  FROM (SELECT doc_id, list_distinct(list_transform(
+        |      range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |    FROM d)),
+        |j AS (SELECT doc_id, eval_id, nsh, COUNT(*) AS n_hits
+        |  FROM ds JOIN es USING (shingle) GROUP BY doc_id, eval_id, nsh)
+        |SELECT doc_id, eval_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_hits AS DOUBLE) / CAST(nsh AS DOUBLE) AS hit_frac
+        |FROM j WHERE n_hits >= 1 ORDER BY doc_id, eval_id""".stripMargin,
 
     "doc_pack_tokens" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -170,6 +170,47 @@ object CurationOps {
       .toDF("source", "quota")
   }
 
+  /** D22: benchmark decontamination — the eval-set overlap scan a
+    * training corpus runs before shipping: flag documents sharing at
+    * least `minHits` distinct word-3-grams with any benchmark item,
+    * with the overlap count and the contaminated fraction of the
+    * document's own shingle set. The eval set is benchmark-sized
+    * (thousands of rows) against a 100 TB corpus, so its shingles
+    * BROADCAST into the corpus shingle scan — the corpus never
+    * shuffles to meet the benchmark; only matched (doc, eval) pairs
+    * reach the aggregation. The corpus side reuses the session-shared
+    * shingle derivation D2/D13/D15 already pay for once.
+    */
+  def decontaminate(spark: SparkSession, dir: String, evalSet: DataFrame,
+      minHits: Int = 2): DataFrame = {
+    val evSh = evalSet
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingle", explode(TextFns.shingles3(col("toks"))))
+      .select("eval_id", "shingle")
+    DedupOps.shingleExploded(spark, dir)
+      .join(broadcast(evSh), Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"), col("nsh"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id"), col("eval_id"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("nsh").cast(DoubleType))
+          .as("hit_frac"))
+      .orderBy("doc_id", "eval_id")
+  }
+
+  /** Registry/oracle demo eval set: fixed benchmark-style items over
+    * the corpus vocabulary (mirrored as a VALUES CTE in the oracle).
+    */
+  def demoEvalSet(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the table fast key value table part scan row agg"),
+      (1L, "group window hash merge data query batch line sort column"),
+      (2L, "spark stream filter join value big small slow vector customer"))
+      .toDF("eval_id", "text")
+  }
+
   /** D19: token-budget sequence packing — docs assigned to training
     * bins by cumulative token offset, the batch-construction step of a
     * pretraining pipeline. Docs are hash-bucketed (doc_id % 8) inside

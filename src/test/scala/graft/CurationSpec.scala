@@ -46,4 +46,25 @@ class CurationSpec extends GraftSpec {
     // a small quota binds exactly when the stratum has enough docs
     assert(bySource.get("src7").forall(_.length <= 5))
   }
+
+  test("decontamination flags a doc whose text IS an eval item, fully") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    // eval set = two real corpus documents verbatim: their own doc must
+    // be flagged with n_hits == its full shingle count (hit_frac 1.0)
+    val sample = Tables.documents(spark, Sf).select("doc_id", "text")
+      .filter(col("doc_id").isin(3L, 17L)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evalSet = sample.toSeq.toDF("eval_id", "text")
+    val out = CurationOps.decontaminate(spark, Sf, evalSet, minHits = 2)
+      .collect()
+    for ((id, _) <- sample) {
+      val self = out.filter(r => r.getAs[Long]("doc_id") == id &&
+        r.getAs[Long]("eval_id") == id)
+      assert(self.length == 1, s"doc $id not flagged against itself")
+      assert(self.head.getAs[Double]("hit_frac") == 1.0)
+    }
+    // flagged rows always respect the threshold
+    out.foreach(r => assert(r.getAs[Long]("n_hits") >= 2))
+  }
 }
