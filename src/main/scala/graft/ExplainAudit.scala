@@ -33,8 +33,8 @@ object ExplainAudit {
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
       "q_rank_parts", "q_dense_size_parts", "doc_sample_stratified",
-      "doc_mixture", "doc_mixture_weighted", "ann_cosine_topk", "ann_lsh",
-      "ann_ivf")
+      "doc_mixture", "doc_mixture_weighted", "dedup_keep_best",
+      "ann_cosine_topk", "ann_lsh", "ann_ivf")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

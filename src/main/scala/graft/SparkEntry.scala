@@ -65,6 +65,7 @@ object SparkEntry {
     // minHits=1 for the registry demo: any verbatim 3-gram hit flags
     "doc_decontaminate"    -> ((s: SparkSession, d: String) =>
       CurationOps.decontaminate(s, d, CurationOps.demoEvalSet(s), minHits = 1)),
+    "dedup_keep_best"      -> (CurationOps.dedupKeepBest _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
@@ -643,6 +644,62 @@ object SparkEntry {
         |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
         |  FROM comp GROUP BY component) sz USING (component)
         |ORDER BY doc_id""".stripMargin,
+
+    // D13's recursive components + text_quality's score arithmetic,
+    // ROW_NUMBER()=1 per component by (score desc, doc_id)
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING COUNT(*) >= 2),
+        |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id AS u, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        |sz AS (SELECT component, COUNT(*) AS cluster_size
+        |  FROM comp GROUP BY component),
+        |qt AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |qc AS (SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct_cnt
+        |  FROM qt),
+        |qr AS (SELECT doc_id,
+        |    CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+        |    CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS len_ok
+        |  FROM qc),
+        |q AS (SELECT doc_id,
+        |    CAST(0.5 AS DOUBLE) * stop_ratio
+        |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - punct_ratio)
+        |      + CAST(0.2 AS DOUBLE) * len_ok AS score
+        |  FROM qr),
+        |j AS (SELECT comp.doc_id, comp.component, sz.cluster_size, q.score
+        |  FROM comp JOIN sz USING (component) JOIN q USING (doc_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+        |    ORDER BY score DESC, doc_id) AS rn FROM j)
+        |SELECT component, cluster_size, doc_id AS keeper_id,
+        |  score AS keeper_score,
+        |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

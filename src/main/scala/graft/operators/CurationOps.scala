@@ -199,6 +199,28 @@ object CurationOps {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** D23: near-dup cluster consolidation — the shrink step a dedup
+    * pipeline actually ships after D13 labels the graph: keep ONE
+    * representative per component, the highest-quality member (D6
+    * score, doc_id tie-break), and report what was dropped. Composed
+    * from the memoized cluster labels (the CC loop runs once per
+    * session across D13/D23) and the unsorted quality signals;
+    * selection is TopKPerKey k=1, so the shuffle is O(|components|),
+    * never corpus-sized, and no corpus-wide sort sneaks in between
+    * the stages.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupOps.clusterLabels(spark, dir)
+    val scores = TextOps.qualityScored(spark, dir).select(col("doc_id"), col("score"))
+    val joined = clusters.join(scores, Seq("doc_id"))
+    TopK.perKey(joined, Seq(col("component")),
+        Seq(col("score").desc, col("doc_id").asc), 1)
+      .select(col("component"), col("cluster_size"),
+        col("doc_id").as("keeper_id"), col("score").as("keeper_score"),
+        (col("cluster_size") - 1).cast(LongType).as("n_dropped"))
+      .orderBy("component")
+  }
+
   /** Registry/oracle demo eval set: fixed benchmark-style items over
     * the corpus vocabulary (mirrored as a VALUES CTE in the oracle).
     */

@@ -246,7 +246,17 @@ object DedupOps {
     * unchanged exact BigInt sum(label) means NO label changed; the sum
     * rides the same action that materializes the round.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** Unsorted (doc_id, component, cluster_size) labels — session-
+    * memoized so D13 and the consolidation step (D23 keep-best) pay
+    * the iterative CC loop once.
+    */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ccLabels:$dir") { clusterLabelsBuild(spark, dir) }
+
+  private def clusterLabelsBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = ngramPairs(spark, dir)
       .select(col("a_id"), col("b_id")).as[(Long, Long)]
@@ -315,7 +325,6 @@ object DedupOps {
     val sizes = all.groupBy("component").agg(lcount.as("cluster_size"))
     all.join(sizes, Seq("component"))
       .select(col("doc_id"), col("component"), col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** D12: embedding-cosine near-dup — candidates blocked by shared

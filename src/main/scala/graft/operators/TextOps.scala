@@ -26,7 +26,17 @@ object TextOps {
   /** D6: quality scoring — length/punct/digit/stopword signals folded
     * into a single deterministic score.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
+      .select("doc_id", "n_tok", "stop_cnt", "punct_cnt", "digit_cnt",
+        "stop_ratio", "punct_ratio", "avg_word_len", "score")
+      .orderBy("doc_id")
+
+  /** The D6 signals without the presentation sort — consumers that
+    * keep processing (D16 curation, D23 keep-best) compose this so no
+    * corpus-wide ordering sneaks into the middle of a pipeline.
+    */
+  private[operators] def qualityScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     Tables.documents(spark, dir)
       .withColumn("n_tok", size(toks).cast(LongType))
@@ -43,9 +53,6 @@ object TextOps {
       .withColumn("score",
         lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
         lit(0.2) * when(col("n_chars").between(100, 2000), 1.0).otherwise(0.0))
-      .select("doc_id", "n_tok", "stop_cnt", "punct_cnt", "digit_cnt",
-        "stop_ratio", "punct_ratio", "avg_word_len", "score")
-      .orderBy("doc_id")
   }
 
   /** Per-language token profiles (drawn from the corpus vocabulary —

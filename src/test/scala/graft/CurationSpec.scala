@@ -67,4 +67,19 @@ class CurationSpec extends GraftSpec {
     // flagged rows always respect the threshold
     out.foreach(r => assert(r.getAs[Long]("n_hits") >= 2))
   }
+
+  test("keep-best keeps exactly one member per cluster, accounting for all docs") {
+    import graft.operators.{CurationOps, DedupOps}
+    val kept = CurationOps.dedupKeepBest(spark, Sf).collect()
+    val clusters = DedupOps.dedupClusters(spark, Sf).collect()
+    // one keeper per component, each a member of its own component
+    assert(kept.map(_.getAs[Long]("component")).distinct.length == kept.length)
+    val membership = clusters.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("component"))).toSet
+    kept.foreach(r => assert(membership(
+      (r.getAs[Long]("keeper_id"), r.getAs[Long]("component")))))
+    // dropped + kept accounts for the whole corpus
+    val total = kept.map(r => r.getAs[Long]("n_dropped") + 1L).sum
+    assert(total == Tables.documents(spark, Sf).count())
+  }
 }
