@@ -64,6 +64,13 @@ object GraftExtensions {
       "winnowing fingerprints; args (text, kgram, window)") {
       case Seq(c, IntegerLiteral(k), IntegerLiteral(w)) =>
         WinnowFingerprints(c, k, w)
+    },
+    fn("graft_vec_dot", "dot product of two double arrays") {
+      case Seq(a, b) => VecDot(a, b)
+    },
+    fn("graft_hyperplane_bucket",
+      "LSH hyperplane bucket of a double array; args (vec, nPlanes)") {
+      case Seq(c, IntegerLiteral(n)) => HyperplaneBucketExpr(c, n)
     })
 
   /** Idempotent registration into an EXISTING session — getOrCreate

@@ -60,4 +60,20 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(spark.sql("SELECT graft_gbk_decode(b) FROM gbk_t").head().getString(0)
       == "日志采集")
   }
+
+  test("graft_vec_dot / graft_hyperplane_bucket from SQL match the kernels") {
+    assert(sparkReady)
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").createOrReplaceTempView("vec_t")
+    assert(spark.sql("SELECT graft_vec_dot(a, b) FROM vec_t")
+      .head().getDouble(0) == 32.0)
+    val viaSql = spark.sql("SELECT graft_hyperplane_bucket(a, 4) FROM vec_t")
+      .head().getLong(0)
+    val viaApi = spark.table("vec_t")
+      .select(graft.functions.VectorFns.hyperplaneBucket(
+        org.apache.spark.sql.functions.col("a"), 4)).head().getLong(0)
+    assert(viaSql == viaApi)
+  }
 }
