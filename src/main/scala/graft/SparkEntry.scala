@@ -67,6 +67,7 @@ object SparkEntry {
       CurationOps.decontaminate(s, d, CurationOps.demoEvalSet(s), minHits = 1)),
     "dedup_keep_best"      -> (CurationOps.dedupKeepBest _),
     "text_token_count"     -> (TextOps.tokenCount _),
+    "doc_length_stats"     -> (TextOps.lengthStats _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
     "text_normalize"       -> (TextOps.normalize _),
@@ -766,6 +767,19 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
         |  FROM documents)
         |WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
+
+    "doc_length_stats" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.1) AS chars_p10,
+        |  quantile_cont(n_chars, 0.5) AS chars_p50,
+        |  quantile_cont(n_chars, 0.9) AS chars_p90,
+        |  quantile_cont(n_tok, 0.1) AS tok_p10,
+        |  quantile_cont(n_tok, 0.5) AS tok_p50,
+        |  quantile_cont(n_tok, 0.9) AS tok_p90
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

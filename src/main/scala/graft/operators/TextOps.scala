@@ -55,6 +55,28 @@ object TextOps {
         lit(0.2) * when(col("n_chars").between(100, 2000), 1.0).otherwise(0.0))
   }
 
+  /** D24: per-language corpus length profile — the distribution a
+    * packing/truncation policy is tuned against: doc count plus exact
+    * p10/p50/p90 of characters and whitespace tokens per language.
+    * Exact interpolated percentile for oracle parity (at 100 TB the
+    * drop-in is approx_percentile with the same grouping shape —
+    * |langs| groups, so even the exact sort is per-group tiny after
+    * the partial agg).
+    */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        expr("percentile(n_chars, 0.1)").as("chars_p10"),
+        expr("percentile(n_chars, 0.5)").as("chars_p50"),
+        expr("percentile(n_chars, 0.9)").as("chars_p90"),
+        expr("percentile(n_tok, 0.1)").as("tok_p10"),
+        expr("percentile(n_tok, 0.5)").as("tok_p50"),
+        expr("percentile(n_tok, 0.9)").as("tok_p90"))
+      .orderBy("lang")
+
   /** Per-language token profiles (drawn from the corpus vocabulary —
     * the heuristic's shape, not a linguistic claim).
     */
