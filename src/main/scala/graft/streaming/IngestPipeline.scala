@@ -50,10 +50,11 @@ object IngestPipeline {
         col("mtime_ms").as("create_time"))
 
   /** Full pipeline: enrich + envelope → (key, value) ready for any
-    * text/bytes sink.
+    * text/bytes sink. `wire` selects the value encoding (JSON default,
+    * Confluent-framed Avro via AvroWire).
     */
-  def ingest(files: DataFrame): DataFrame =
-    StreamOps.kafkaEnvelope(enrich(files))
+  def ingest(files: DataFrame, wire: WireEncoding = JsonWire): DataFrame =
+    StreamOps.kafkaEnvelope(enrich(files), wire)
 
   /** Plugin-ETL variant (watchdog.fileProcessor's hook chain): rows
     * are tagged with their business (first path segment = the watch
@@ -64,7 +65,8 @@ object IngestPipeline {
     * per-row transforms, and union are all stateless narrow ops.
     */
   def ingestWithPlugins(files: DataFrame,
-      plugins: Seq[graft.plugins.GraftPlugin]): DataFrame = {
+      plugins: Seq[graft.plugins.GraftPlugin],
+      wire: WireEncoding = JsonWire): DataFrame = {
     // plugins operate on timestamp-typed folder/create times (like the
     // reference's FileMeta struct); the wire envelope carries int64 ms
     val tagged = enrich(files)
@@ -74,7 +76,7 @@ object IngestPipeline {
     val processed = graft.plugins.PluginRegistry.pipeline(tagged, plugins)
       .withColumn("folder_time", unix_millis(col("folder_time")))
       .withColumn("create_time", unix_millis(col("create_time")))
-    StreamOps.kafkaEnvelope(processed)
+    StreamOps.kafkaEnvelope(processed, wire)
   }
 
   /** Kafka sink wiring (handler/kafka.go:318-390): hash-partitioned by

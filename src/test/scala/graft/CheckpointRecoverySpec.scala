@@ -163,4 +163,47 @@ class CheckpointRecoverySpec extends GraftSpec {
       "unchanged mtime must not be flagged after restart")
     assert(afterRun2.find(_.event_id == 3).get.changed)
   }
+
+  test("E12 sliding-window aggregation state survives a checkpoint restart") {
+    val in = tmp("ckpt_slide_in")
+    val out = tmp("ckpt_slide_out")
+    val ckpt = tmp("ckpt_slide_state")
+    val outSchema = StructType(Seq(
+      StructField("w_start", TimestampType), StructField("w_end", TimestampType),
+      StructField("n_events", LongType), StructField("n_errors", LongType),
+      StructField("err_rate", DoubleType)))
+
+    def start(): StreamingQuery =
+      StreamOps.slidingErrorRate(
+          spark.readStream.schema(evSchema).parquet(in),
+          "10 minutes", "5 minutes", watermark = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: three events spread over four overlapping windows; the
+    // watermark has not passed any window end, so nothing is emitted
+    // and ALL partial counts live only in checkpointed state at stop
+    addFile(in, Ev(1, ts(0), 1, "error", 1.0), Ev(2, ts(7), 2, "error", 1.0),
+      Ev(3, ts(12), 1, "click", 1.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.schema(outSchema).parquet(out).count() == 0)
+
+    // run 2 from the same checkpoint: a far-future event advances the
+    // watermark past every run-1 window; the finalized counts can only
+    // be correct if the pre-restart partials were recovered (the
+    // run-1 source files' offsets are already committed)
+    addFile(in, Ev(99, Timestamp.valueOf("2024-01-01 11:30:00"), 9, "click", 1.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.schema(outSchema).parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(3))).toSet
+    val expect = Set(
+      (Timestamp.valueOf("2024-01-01 09:55:00"), 1L, 1L),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 2L),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 1L),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 0L))
+    assert(got == expect, s"got=$got")
+  }
 }

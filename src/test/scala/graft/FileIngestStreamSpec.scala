@@ -48,6 +48,32 @@ class FileIngestStreamSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest with the Avro wire emits decodable Confluent frames") {
+    import graft.functions.AvroEnvelope
+    import graft.streaming.AvroWire
+    val dir = Files.createTempDirectory("graft_ingest_avro").toFile
+    writeBatch(dir)
+    val q = IngestPipeline.ingest(
+        spark.readStream.schema(schema).parquet(dir.getAbsolutePath),
+        AvroWire(7))
+      .writeStream.format("memory").queryName("ingest_avro")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ingest_avro").collect()
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        val (id, rec) = AvroEnvelope.decode(r.getAs[Array[Byte]]("value"))
+        assert(id == 7)
+        assert(r.getAs[String]("key") ==
+          (rec.get("folder").toString + "/" + rec.get("name").toString))
+      }
+      val big = rows.find(_.getAs[String]("key").endsWith(".dat")).get
+      val (_, rec) = AvroEnvelope.decode(big.getAs[Array[Byte]]("value"))
+      assert(rec.get("compress") == true) // content policy ran upstream
+    } finally q.stop()
+  }
+
   test("plugin-ETL ingest: BSI time override, rule scoping, unmatched biz dropped") {
     import graft.plugins._
     val dir = Files.createTempDirectory("graft_ingest_plugin").toFile
