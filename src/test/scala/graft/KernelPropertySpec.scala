@@ -30,6 +30,52 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("avro envelope roundtrips random payloads bit-faithfully") {
+    import graft.functions.AvroEnvelope
+    def rndStr(): String = {
+      val n = rnd.nextInt(40)
+      // exercise multi-byte UTF-8 too (the kernel writes raw UTF-8
+      // bytes straight from the row; decode must agree)
+      val pool = "abc /.é日志"
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    for (_ <- 1 to 50) {
+      val strs = Array.fill(8)(rndStr())
+      val longs = Array.fill(5)(rnd.nextLong())
+      val compress = rnd.nextBoolean()
+      val schemaId = rnd.nextInt(Int.MaxValue)
+      val row = new GenericInternalRow(13)
+      // order: file_date, file_time, folder, pack, name, size,
+      // modify_time, content, compress, compress_size, checksum, host,
+      // folder_time
+      row.update(0, UTF8String.fromString(strs(0))); row.setLong(1, longs(0))
+      row.update(2, UTF8String.fromString(strs(1)))
+      row.update(3, UTF8String.fromString(strs(2)))
+      row.update(4, UTF8String.fromString(strs(3))); row.setLong(5, longs(1))
+      row.setLong(6, longs(2)); row.update(7, UTF8String.fromString(strs(4)))
+      row.setBoolean(8, compress); row.setLong(9, longs(3))
+      row.update(10, UTF8String.fromString(strs(5)))
+      row.update(11, UTF8String.fromString(strs(6)))
+      row.setLong(12, longs(4))
+      val bytes = AvroEnvelope.encode(row, schemaId)
+      assert(bytes(0) == 0.toByte)
+      val (id, rec) = AvroEnvelope.decode(bytes)
+      assert(id == schemaId)
+      assert(rec.get("file_date").toString == strs(0))
+      assert(rec.get("folder").toString == strs(1))
+      assert(rec.get("pack").toString == strs(2))
+      assert(rec.get("name").toString == strs(3))
+      assert(rec.get("content").toString == strs(4))
+      assert(rec.get("checksum").toString == strs(5))
+      assert(rec.get("host").toString == strs(6))
+      assert(rec.get("file_time") == longs(0) && rec.get("size") == longs(1))
+      assert(rec.get("modify_time") == longs(2))
+      assert(rec.get("compress_size") == longs(3))
+      assert(rec.get("folder_time") == longs(4))
+      assert(rec.get("compress") == compress)
+    }
+  }
+
   test("winnow kernel equals brute-force rolling minima") {
     val k = 8; val w = 4
     for (_ <- 1 to 30) {
