@@ -104,5 +104,18 @@ class FileMetaSpec extends GraftSpec {
       graft.functions.ZipFns.zipEntries(bytes)
     }
     assert(ex.getMessage.contains("zip64"))
+
+    // the other detection path: a zip64 EOCD locator record spliced
+    // directly before the (otherwise clean) EOCD
+    val clean = bos.toByteArray
+    var e2 = clean.length - 22
+    while (!(clean(e2) == 0x50 && clean(e2 + 1) == 0x4B &&
+      clean(e2 + 2) == 0x05 && clean(e2 + 3) == 0x06)) e2 -= 1
+    val locator = Array[Byte](0x50, 0x4B, 0x06, 0x07) ++ new Array[Byte](16)
+    val spliced = clean.take(e2) ++ locator ++ clean.drop(e2)
+    val ex2 = intercept[UnsupportedOperationException] {
+      graft.functions.ZipFns.zipEntries(spliced)
+    }
+    assert(ex2.getMessage.contains("zip64"))
   }
 }
