@@ -28,7 +28,7 @@ object ExplainAudit {
     val broadcastExpected = Set("q3_shipping_priority", "q5_region_revenue",
       "q_top_customers", "q_part_brand_stats", "evt_handler_routing",
       "ann_cosine_topk", "ann_lsh", "doc_mixture_weighted",
-      "doc_decontaminate")
+      "doc_decontaminate", "evt_value_zscore")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",

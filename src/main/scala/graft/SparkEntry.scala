@@ -30,6 +30,7 @@ object SparkEntry {
     "evt_handler_routing"  -> (EventOps.handlerRouting _),
     "evt_error_burst"      -> (EventOps.errorBurst _),
     "evt_sliding_error_rate" -> (EventOps.slidingErrorRate _),
+    "evt_value_zscore"     -> (EventOps.valueZscore _),
     "evt_upsert_latest"    -> (EventOps.upsertLatest _),
     "evt_props_json"       -> (EventOps.propsJson _),
     "evt_asof_prior"       -> (EventOps.asofPriorError _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "ann_cosine_topk"      -> (AnnOps.annCosineTopK _),
     "ann_lsh"              -> (AnnOps.annLsh _),
     "ann_ivf"              -> (AnnOps.annIvf _),
+    "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
@@ -322,6 +324,24 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mean/E[x²] over exact integers (value·2^59 / value²·2^66 are
+    // integral on this domain, HUGEINT sums) → order-independent
+    // stats, bit-identical z
+    "evt_value_zscore" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(SUM(CAST(value * 576460752303423488.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 576460752303423488.0 AS mean,
+        |    CAST(SUM(CAST(value * value * 73786976294838206464.0 AS HUGEINT))
+        |      AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 73786976294838206464.0 AS m2
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT event_type, mean, sqrt(m2 - mean * mean) AS std FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - t.mean) / t.std AS z,
+        |  abs((e.value - t.mean) / t.std) >= 3.0 AS is_anomaly
+        |FROM events e JOIN t USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     // Spark's sliding window(ts, 10m, 5m) replicated: slide-aligned
     // floor of epoch micros, one row per (event, k) overlap offset
@@ -1029,6 +1049,36 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+
+    // the ann_ivf oracle's pipeline truncated at the nprobe=1
+    // corpus assignment (the cluster-label step)
+    "emb_cluster_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |s0 AS (SELECT e.vec_id, e.v, s.cid,
+        |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+        |  FROM e, seed s),
+        |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+        |  WHERE rn = 1),
+        |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+        |  FROM a1),
+        |cx AS (SELECT cid, pos,
+        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+        |  FROM cm GROUP BY cid, pos),
+        |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+        |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM ref),
+        |l0 AS (SELECT e.vec_id, r.cid,
+        |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+        |  FROM e, ref2 r)
+        |SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM l0)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "dedup_embedding" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -317,6 +317,17 @@ object AnnOps {
       m: Int = DefaultM): DataFrame =
     searchIvf(spark, dir, m, lists, qVecs, nprobe, k)
 
+  /** D25: k-means cluster labels for every embedding — the default
+    * quantizer's nprobe=1 assignment exposed as a query: the layout
+    * step of IVF doubles as embedding clustering (the
+    * KMeansModel.transform shape). Zero shuffle: the quantizer is a
+    * plan literal / broadcast and each vector ranks it in-row.
+    */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame =
+    assignFor(spark, dir, DefaultM, embDouble(spark, dir), 1)
+      .select(col("vec_id"), col("cid"))
+      .orderBy("vec_id")
+
   /** D11: per-label embedding stats (exact: count/min/max of norms —
     * no FP-order-dependent aggregates, so safe at any parallelism).
     */

@@ -5,7 +5,7 @@ import graft.functions.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** B-family: the log-agent's event-pipeline semantics re-expressed as
   * distributed batch transforms over the `events` table.
@@ -219,6 +219,34 @@ object EventOps {
         expr("percentile(value, 0.99)").as("p99"),
         lcount.as("n"))
       .orderBy("event_type")
+
+  /** B17: per-type value anomaly flags — each event z-scored against
+    * its own event type's mean/std, |z| ≥ 3 flagged (the monitoring
+    * rule a collector raises alerts on). The mean and E[x²] sums go
+    * through EXACT integers (value·2^59 and value²·2^66 are integral
+    * for this value domain: doubles ≥ 2^-7 resp. squares ≥ 2^-14,
+    * verified across SFs; both summed as DECIMAL(38,0)), so the stats
+    * are order-independent at any parallelism and the whole query is
+    * oracle-replicable bit-for-bit. The per-type stats table is tiny →
+    * broadcast back onto the scan; one pass + one broadcast join.
+    */
+  def valueZscore(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = lit(576460752303423488.0)    // 2^59
+    val s2 = lit(73786976294838206464.0)  // 2^66
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type")).agg(
+        (sum((col("value") * s1).cast(DecimalType(38, 0))).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType) / s1).as("mean"),
+        (sum((col("value") * col("value") * s2).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType) / s2).as("m2"))
+      .withColumn("std", sqrt(col("m2") - col("mean") * col("mean")))
+      .select("event_type", "mean", "std")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .withColumn("is_anomaly", abs(col("z")) >= 3.0)
+      .select("event_id", "event_type", "value", "z", "is_anomaly")
+      .orderBy("event_id")
+  }
 
   /** B9: JSON property extraction — the events `props` column is a
     * JSON document (the agent's per-file metadata bag); parse, type
