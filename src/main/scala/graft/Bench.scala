@@ -104,7 +104,7 @@ object Bench {
     // run conditions without decoding the dynamic wall_conc<N> key.
     val failedField =
       if (failed.isEmpty) ""
-      else failed.toArray(Array.empty[String]).sorted
+      else failed.toArray(Array.empty[String]).distinct.sorted
         .map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}""")
     spark.stop()

@@ -63,14 +63,22 @@ object Memo {
     * call this after mutating files there, so memoized derivations
     * cannot serve stale data within a session; for inputs mutated by
     * anything else, the contract is immutable-input-per-session.
-    * Keys embed the source dir verbatim (`name:dir[:variant]`), so a
-    * substring match is exact (paths contain no ':').
+    * Keys are `name:dir[:variant]` (names and paths contain no ':'),
+    * so the dir segment is matched EXACTLY — `/data/sf1` must not
+    * invalidate `/data/sf10`'s derivations.
     */
   def invalidate(spark: SparkSession, dir: String): Unit = {
+    def dirMatches(key: String): Boolean = {
+      val i = key.indexOf(':')
+      i >= 0 && {
+        val rest = key.substring(i + 1)
+        rest == dir || rest.startsWith(dir + ":")
+      }
+    }
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if ((e.getKey._1 eq spark) && e.getKey._2.contains(":" + dir)) {
+      if ((e.getKey._1 eq spark) && dirMatches(e.getKey._2)) {
         try e.getValue.unpersist(false) catch { case _: Throwable => () }
         it.remove()
       }
@@ -78,8 +86,20 @@ object Memo {
     val vit = values.entrySet().iterator()
     while (vit.hasNext) {
       val e = vit.next()
-      if ((e.getKey._1 eq spark) && e.getKey._2.contains(":" + dir)) vit.remove()
+      if ((e.getKey._1 eq spark) && dirMatches(e.getKey._2)) {
+        dropValue(e.getValue)
+        vit.remove()
+      }
     }
+  }
+
+  /** Memoized values may hold cluster-side resources (the IVF model
+    * broadcast); release them when evicting.
+    */
+  private def dropValue(v: AnyRef): Unit = v match {
+    case b: org.apache.spark.broadcast.Broadcast[_] =>
+      try b.destroy() catch { case _: Throwable => () }
+    case _ => ()
   }
 
   /** Drop (and unpersist) everything cached for this session — test
@@ -96,6 +116,9 @@ object Memo {
       }
     }
     val vit = values.entrySet().iterator()
-    while (vit.hasNext) { if (vit.next().getKey._1 eq spark) vit.remove() }
+    while (vit.hasNext) {
+      val e = vit.next()
+      if (e.getKey._1 eq spark) { dropValue(e.getValue); vit.remove() }
+    }
   }
 }

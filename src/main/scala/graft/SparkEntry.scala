@@ -336,12 +336,13 @@ object SparkEntry {
         |      AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) / 73786976294838206464.0 AS m2
         |  FROM events GROUP BY event_type),
-        |t AS (SELECT event_type, mean, sqrt(m2 - mean * mean) AS std FROM s)
-        |SELECT e.event_id, e.event_type, e.value,
-        |  (e.value - t.mean) / t.std AS z,
-        |  abs((e.value - t.mean) / t.std) >= 3.0 AS is_anomaly
-        |FROM events e JOIN t USING (event_type)
-        |ORDER BY e.event_id""".stripMargin,
+        |t AS (SELECT event_type, mean, sqrt(m2 - mean * mean) AS std FROM s),
+        |z AS (SELECT e.event_id, e.event_type, e.value,
+        |    CASE WHEN t.std = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE (e.value - t.mean) / t.std END AS z
+        |  FROM events e JOIN t USING (event_type))
+        |SELECT event_id, event_type, value, z, abs(z) >= 3.0 AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
 
     // Spark's sliding window(ts, 10m, 5m) replicated: slide-aligned
     // floor of epoch micros, one row per (event, k) overlap offset

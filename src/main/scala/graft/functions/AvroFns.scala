@@ -62,10 +62,25 @@ object AvroEnvelope {
 
   private val encoderReuse = new ThreadLocal[BinaryEncoder]
 
+  private val FieldNames = Array("file_date", "file_time", "folder", "pack",
+    "name", "size", "modify_time", "content", "compress", "compress_size",
+    "checksum", "host", "folder_time")
+
   /** Confluent framing + positional Avro binary of the payload struct
-    * (column order must match [[RecordSchemaAvroJson]]).
+    * (column order must match [[RecordSchemaAvroJson]]). The schema has
+    * no null unions (the reference's Go struct cannot be null either),
+    * so a null field fails loudly by name instead of NPE-ing the
+    * micro-batch — the JSON wire would have encoded `null` silently,
+    * which an Avro consumer could not read back.
     */
   def encode(row: InternalRow, schemaId: Int): Array[Byte] = {
+    var i = 0
+    while (i < 13) {
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"avro envelope: null '${FieldNames(i)}' (schema has no null union)")
+      i += 1
+    }
     val out = new ByteArrayOutputStream(128)
     out.write(0) // Confluent serialization format magic; currently always 0
     out.write((schemaId >>> 24) & 0xff)

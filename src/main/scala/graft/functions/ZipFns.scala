@@ -57,9 +57,17 @@ object ZipFns {
     // before the EOCD, and/or the 16-bit count / 32-bit offset carry
     // their saturation sentinels. The walk below would then find too
     // few records and the remaining entry names would silently fall
-    // back to ISO-8859-1 mojibake — fail loudly instead.
-    if ((e >= 20 && u32(e - 20) == 0x07064B50L) ||
-        count == 0xFFFF || cdOff == 0xFFFFFFFFL)
+    // back to ISO-8859-1 mojibake — fail loudly instead. A sig match
+    // alone could be a coincidence in the preceding record's bytes, so
+    // the locator is validated by following its zip64-EOCD offset
+    // (u64; high half must be 0 for an in-memory archive) to the
+    // 0x06064b50 record signature.
+    val zip64Locator = e >= 20 && u32(e - 20) == 0x07064B50L && {
+      val z64Off = u32(e - 12) // low 32 bits of the u64 offset
+      u32(e - 8) == 0L && z64Off + 4 <= bytes.length &&
+        u32(z64Off.toInt) == 0x06064B50L
+    }
+    if (zip64Locator || count == 0xFFFF || cdOff == 0xFFFFFFFFL)
       throw new UnsupportedOperationException(
         "zip64 archive: central-directory name decoding not supported")
     var p = cdOff.toInt // central directory offset

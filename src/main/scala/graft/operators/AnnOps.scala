@@ -154,10 +154,15 @@ object AnnOps {
         explode(IvfAssign.probes(col("v"), col("nrm"), bc, nprobe)).as("cid"))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
 
-  private def assignModel(vecs: DataFrame, model: IvfModel,
-      nprobe: Int): DataFrame =
+  /** The one literal-vs-kernel dispatcher: `bcProvider` supplies the
+    * broadcast only when the kernel path is taken, so callers control
+    * its lifetime (session-memoized for queries, ephemeral + destroyed
+    * for the model build).
+    */
+  private def assignWith(vecs: DataFrame, model: IvfModel, nprobe: Int,
+      bcProvider: => Broadcast[IvfModel]): DataFrame =
     if (model.m <= LiteralMaxM) assignLit(vecs, model, nprobe)
-    else assignBc(vecs, vecs.sparkSession.sparkContext.broadcast(model), nprobe)
+    else assignBc(vecs, bcProvider, nprobe)
 
   /** Test hook: probe assignment for the corpus at (m, nprobe), with
     * the physical path forced — used to assert literal/kernel parity
@@ -200,8 +205,13 @@ object AnnOps {
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
         .collect()
       val seed = toModel(seedRows)
-      // Lloyd refinement: assign → element-wise exact mean per centroid
-      val refined = assignModel(emb, seed, 1)
+      // Lloyd refinement: assign → element-wise exact mean per centroid.
+      // The seed broadcast (kernel path only) lives for this one build
+      // and is destroyed after the collect below.
+      var seedBc: Broadcast[IvfModel] = null
+      val refined = assignWith(emb, seed, 1, {
+          seedBc = spark.sparkContext.broadcast(seed); seedBc
+        })
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(
           (sum((col("x") * lit(ScaleP2)).cast(DecimalType(38, 0)))
@@ -212,6 +222,7 @@ object AnnOps {
         .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
         .withColumn("cnrm", VectorFns.norm(col("cv")))
         .collect()
+      if (seedBc != null) { try seedBc.destroy() catch { case _: Throwable => () } }
       toModel(refined)
     }
 
@@ -229,11 +240,8 @@ object AnnOps {
     * quantizer ≤ [[LiteralMaxM]], broadcast kernel above).
     */
   private def assignFor(spark: SparkSession, dir: String, m: Int,
-      vecs: DataFrame, nprobe: Int): DataFrame = {
-    val model = ivfModel(spark, dir, m)
-    if (model.m <= LiteralMaxM) assignLit(vecs, model, nprobe)
-    else assignBc(vecs, ivfModelBc(spark, dir, m), nprobe)
-  }
+      vecs: DataFrame, nprobe: Int): DataFrame =
+    assignWith(vecs, ivfModel(spark, dir, m), nprobe, ivfModelBc(spark, dir, m))
 
   /** IVF inverted lists: every corpus vector assigned to its nearest
     * centroid, REPARTITIONED BY cid and persisted — the cluster layout

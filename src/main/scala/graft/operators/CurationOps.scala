@@ -147,7 +147,11 @@ object CurationOps {
     */
   def mixtureWeighted(spark: SparkSession, dir: String,
       weights: DataFrame): DataFrame = {
-    val maxQuota = weights.agg(max(col("quota"))).head.getLong(0).toInt
+    // empty weights table = every source has weight zero: max(quota)
+    // is null; k=1 keeps the plan valid and the inner join with the
+    // empty broadcast yields the correct empty result
+    val mq = weights.agg(max(col("quota"))).head
+    val maxQuota = if (mq.isNullAt(0)) 1 else mq.getLong(0).toInt
     val docs = Tables.documents(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .join(broadcast(weights), Seq("source"))

@@ -241,8 +241,12 @@ object EventOps {
           .cast(DoubleType) / count(lit(1)).cast(DoubleType) / s2).as("m2"))
       .withColumn("std", sqrt(col("m2") - col("mean") * col("mean")))
       .select("event_type", "mean", "std")
+    // zero-variance guard: a constant series (std = 0) is the LEAST
+    // anomalous input — without the branch, z = 0/0 = NaN and Spark's
+    // NaN-is-greatest ordering would flag every row
     ev.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .withColumn("z", when(col("std") === 0.0, 0.0)
+        .otherwise((col("value") - col("mean")) / col("std")))
       .withColumn("is_anomaly", abs(col("z")) >= 3.0)
       .select("event_id", "event_type", "value", "z", "is_anomaly")
       .orderBy("event_id")

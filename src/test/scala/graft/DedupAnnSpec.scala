@@ -72,10 +72,18 @@ class DedupAnnSpec extends GraftSpec {
   test("ivf at m=256: broadcast-kernel probe plan is shuffle-free, recall holds") {
     val probes = AnnOps.assignForTest(spark, Sf, 256, 4, kernel = true)
     val plan = probes.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"),
+    // Spark prints shuffles as plain "Exchange ..." — assert absence in
+    // the QUERY-side plan, i.e. everything above the cached embDouble
+    // relation (whose dump replays its one-time build exchange)
+    val querySide = plan.split("InMemoryRelation")(0)
+    assert(querySide.contains("InMemoryTableScan"), s"cache not used:\n$plan")
+    assert(!querySide.contains("Exchange"),
       s"probe assignment shuffles:\n$plan")
-    assert(plan.contains("IvfAssign") || plan.contains("topProbes") ||
-      !plan.contains("array_sort"), "expected the kernel path (no literal sort)")
+    // kernel path: the IvfAssignExpr kernel, not the literal-quantizer
+    // array_sort ranking
+    assert(querySide.contains("ivfassignexpr"), s"kernel not planned:\n$plan")
+    assert(!querySide.contains("array_sort"),
+      s"expected the kernel path (no literal sort):\n$plan")
     val bf = AnnOps.annCosineTopK(spark, Sf)
       .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
     val ivf = AnnOps.annIvfM(spark, Sf, 256, 64).select("q_id", "c_id", "sim")

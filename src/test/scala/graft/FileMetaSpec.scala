@@ -105,17 +105,29 @@ class FileMetaSpec extends GraftSpec {
     }
     assert(ex.getMessage.contains("zip64"))
 
-    // the other detection path: a zip64 EOCD locator record spliced
-    // directly before the (otherwise clean) EOCD
+    // the other detection path: a VALIDATED zip64 EOCD locator — sig
+    // 20 bytes before the EOCD whose offset field points at a real
+    // zip64-EOCD record signature (here spliced in just before it)
     val clean = bos.toByteArray
     var e2 = clean.length - 22
     while (!(clean(e2) == 0x50 && clean(e2 + 1) == 0x4B &&
       clean(e2 + 2) == 0x05 && clean(e2 + 3) == 0x06)) e2 -= 1
-    val locator = Array[Byte](0x50, 0x4B, 0x06, 0x07) ++ new Array[Byte](16)
-    val spliced = clean.take(e2) ++ locator ++ clean.drop(e2)
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val z64sig = Array[Byte](0x50, 0x4B, 0x06, 0x06) // record the locator points at
+    val locator = Array[Byte](0x50, 0x4B, 0x06, 0x07) ++ // locator sig
+      le32(0) ++ le32(e2) ++ le32(0) ++ le32(1) // disk#, offset u64(lo,hi), disks
+    val spliced = clean.take(e2) ++ z64sig ++ locator ++ clean.drop(e2)
     val ex2 = intercept[UnsupportedOperationException] {
       graft.functions.ZipFns.zipEntries(spliced)
     }
     assert(ex2.getMessage.contains("zip64"))
+
+    // a coincidental locator-sig byte pattern with no real zip64 EOCD
+    // behind it must NOT reject the archive
+    val fake = Array[Byte](0x50, 0x4B, 0x06, 0x07) ++ new Array[Byte](16)
+    val benign = clean.take(e2) ++ fake ++ clean.drop(e2)
+    assert(graft.functions.ZipFns.zipEntries(benign).map(_.name) == Seq("a.txt"))
   }
 }

@@ -88,4 +88,26 @@ class QueriesSpec extends GraftSpec {
     val u2 = out.filter(col("user_id") === 2).collect()
     assert(u2.length == 5) // 00:00..01:00 every 15 min, no cap
   }
+
+  test("evt_value_zscore: a constant series is never anomalous (std=0 guard)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zscore")
+      .toFile.getAbsolutePath
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // heartbeat: identical values -> std = 0; z must be 0, never NaN
+    Seq((1L, t(0), 1L, "heartbeat", 1.0), (2L, t(1), 1L, "heartbeat", 1.0),
+      (3L, t(2), 2L, "heartbeat", 1.0), (4L, t(3), 2L, "other", 5.0),
+      (5L, t(4), 2L, "other", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventOps.valueZscore(spark, dir).collect()
+    val hb = out.filter(_.getAs[String]("event_type") == "heartbeat")
+    assert(hb.length == 3)
+    hb.foreach { r =>
+      assert(r.getAs[Double]("z") == 0.0 && !r.getAs[Boolean]("is_anomaly"))
+    }
+    // non-degenerate types still get real z-scores
+    assert(out.filter(_.getAs[String]("event_type") == "other")
+      .forall(r => !r.getAs[Double]("z").isNaN))
+  }
 }
