@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_keep_best"      -> (CurationOps.dedupKeepBest _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "doc_length_stats"     -> (TextOps.lengthStats _),
+    "doc_source_quality"   -> (TextOps.sourceQuality _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
     "text_normalize"       -> (TextOps.normalize _),
@@ -788,6 +789,33 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
         |  FROM documents)
         |WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
+
+    "doc_source_quality" ->
+      """WITH qt AS (SELECT source, text, n_chars,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |qc AS (SELECT source, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct_cnt
+        |  FROM qt),
+        |qr AS (SELECT source,
+        |    CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+        |    CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS len_ok
+        |  FROM qc),
+        |q AS (SELECT source,
+        |    CAST(0.5 AS DOUBLE) * stop_ratio
+        |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - punct_ratio)
+        |      + CAST(0.2 AS DOUBLE) * len_ok AS score
+        |  FROM qr)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MIN(score) AS min_score,
+        |  quantile_cont(score, 0.5) AS median_score,
+        |  MAX(score) AS max_score
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_length_stats" ->
       """WITH t AS (SELECT lang, n_chars,

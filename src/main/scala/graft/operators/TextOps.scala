@@ -77,6 +77,22 @@ object TextOps {
         expr("percentile(n_tok, 0.9)").as("tok_p90"))
       .orderBy("lang")
 
+  /** D26: per-source quality profile — the signal a mixture/curation
+    * policy ranks sources by: doc count and min/median/max of the D6
+    * quality score per source. Only order-independent aggregates
+    * (count, min/max, sort-based exact percentile), so results are
+    * stable at any parallelism and oracle-replicable; |sources| groups
+    * after a partial agg, so the shuffle is tiny at any corpus size.
+    */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        min(col("score")).as("min_score"),
+        expr("percentile(score, 0.5)").as("median_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("source")
+
   /** Per-language token profiles (drawn from the corpus vocabulary —
     * the heuristic's shape, not a linguistic claim).
     */
