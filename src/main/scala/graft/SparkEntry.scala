@@ -56,6 +56,8 @@ object SparkEntry {
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "dedup_clusters"       -> (DedupOps.dedupClusters _),
+    "dedup_substring"      -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupSubstring(s, d)),
     "dedup_incremental"    -> (CurationOps.dedupIncremental _),
     "doc_curation"         -> (CurationOps.curate _),
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
@@ -638,6 +640,35 @@ object SparkEntry {
          |  AND a.doc_id < b.doc_id
          |WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) <= 3
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // suffix-array-family span dedup: L=8 token windows fingerprinted
+    // with the StrHash64 kernel (poly fold + splitmix64 — replicated
+    // below in staged HUGEINT CTEs), duplicated = fingerprint at ≥2
+    // sites corpus-wide, spans = merged overlapping windows per doc.
+    "dedup_substring" -> {
+      val wtext = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM d),
+         |wi AS (SELECT doc_id, toks, unnest(range(0, n_toks - 7)) AS i
+         |  FROM t WHERE n_toks >= 8),
+         |wt AS (SELECT doc_id, i, $wtext AS wtext FROM wi),
+         |w0 AS (SELECT doc_id, i AS start, ${strFold("wtext")} AS ph FROM wt),
+         |w AS (SELECT doc_id, start, ${mix("ph")} AS whash FROM w0),
+         |dup AS (SELECT whash FROM w GROUP BY whash HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+         |  FROM w JOIN dup USING (whash), range(0, 8) r(j)),
+         |sp AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS ns
+         |  FROM cov),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+         |    CAST(SUM(ns) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_toks,
+         |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / CAST(t.n_toks AS DOUBLE)
+         |    AS dup_frac
+         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
     "dedup_clusters" ->

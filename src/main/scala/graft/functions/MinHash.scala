@@ -22,6 +22,28 @@ object StrHash {
     while (i < n) { acc = acc * 1000003L + (s.getByte(i) & 0xFF); i += 1 }
     WinnowFingerprints.mix(acc)
   }
+
+  /** Column face of [[hash64]] — a single codegen'd long per string. */
+  def strhash64(c: Column): Column = columnOf(StrHash64(expressionOf(c)))
+}
+
+/** Scalar 64-bit string hash column ([[StrHash.hash64]]): poly fold
+  * base 1000003 mod 2^64 + splitmix64 finalizer. Used as the window
+  * fingerprint in substring-level dedup (DedupOps.dedupSubstring) and
+  * exposed in SQL as `graft_strhash64`. Oracle-replicable with the
+  * same HUGEINT fragments as the minhash/simhash kernels.
+  */
+case class StrHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    StrHash.hash64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StrHash.hash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): StrHash64 =
+    copy(child = c)
 }
 
 /** MinHash signature as a single custom expression: hash each shingle

@@ -327,6 +327,61 @@ object DedupOps {
       .select(col("doc_id"), col("component"), col("cluster_size"))
   }
 
+  /** D27: substring/span-level dedup — the suffix-array dedup family
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022) re-expressed for Spark: instead of one global
+    * suffix array, every length-L token window is fingerprinted
+    * (StrHash64 kernel) and windows whose fingerprint occurs at ≥2
+    * sites corpus-wide are duplicated spans. Per doc the overlapping
+    * duplicated windows are merged into maximal spans, and the output
+    * reports span count + duplicated-token fraction.
+    *
+    * Scale shape: the groupBy(whash) IS the suffix sort — the hash
+    * partitioner replaces suffix-array construction, so total work is
+    * O(total tokens), never an all-pairs join. The dup-site semi-join
+    * matches each window row against ≤1 hash row (no row blowup; AQE
+    * skew-split covers a viral boilerplate window), and the coverage
+    * explode multiplies only *duplicated* windows by L. The per-doc
+    * span merge partitions by doc_id — bounded by one doc's windows.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    import graft.functions.StrHash
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+    // per-row window fingerprints (transform before posexplode so the
+    // token array is hashed in place, not duplicated per window row)
+    val wins = docs.filter(col("n_toks") >= L)
+      .withColumn("whashes", transform(
+        sequence(lit(0), (col("n_toks") - L).cast("int")),
+        i => StrHash.strhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
+      .select(col("doc_id"), posexplode(col("whashes")).as(Seq("start", "whash")))
+    val dupHashes = wins.groupBy("whash")
+      .agg(count(lit(1)).as("sites"))
+      .filter(col("sites") >= 2)
+      .select("whash")
+    val covered = wins.join(dupHashes, Seq("whash"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (L - 1))).as("pos"))
+      .distinct()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = covered
+      .withColumn("newspan",
+        when(col("pos") - lag("pos", 1).over(byDoc) === 1, 0L).otherwise(1L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("dup_tokens"),
+        sum("newspan").cast(LongType).as("n_spans"))
+    docs.select("doc_id", "n_toks")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_toks").cast(DoubleType)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** D12: embedding-cosine near-dup — candidates blocked by shared
     * 8-plane LSH bucket, verified with exact cosine ≥ threshold.
     */

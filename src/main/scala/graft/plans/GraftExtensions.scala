@@ -65,6 +65,9 @@ object GraftExtensions {
       case Seq(c, IntegerLiteral(k), IntegerLiteral(w)) =>
         WinnowFingerprints(c, k, w)
     },
+    fn("graft_strhash64", "64-bit poly+splitmix64 hash of a string") {
+      case Seq(c) => StrHash64(c)
+    },
     fn("graft_vec_dot", "dot product of two double arrays") {
       case Seq(a, b) => VecDot(a, b)
     },

@@ -24,6 +24,31 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("dedup_substring: exact-dup docs are fully covered, invariants hold") {
+    val sub = DedupOps.dedupSubstring(spark, Sf)
+    assert(sub.count() == Tables.documents(spark, Sf).count())
+    sub.collect().foreach { r =>
+      val n = r.getAs[Long]("n_toks")
+      val dt = r.getAs[Long]("dup_tokens")
+      val ns = r.getAs[Long]("n_spans")
+      val f = r.getAs[Double]("dup_frac")
+      assert(dt <= n && ns <= dt && f >= 0.0 && f <= 1.0)
+      assert((ns == 0) == (dt == 0))
+    }
+    // every doc that shares its FULL text with another doc shares all
+    // its L-token windows, so every token sits in a duplicated span
+    val checksum = md5(col("text"))
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), checksum.as("ck"),
+        size(split(col("text"), " ")).as("nt"))
+    val dupGroups = docs.groupBy("ck").count().filter(col("count") >= 2)
+    val exactDups = docs.join(dupGroups, "ck").filter(col("nt") >= 8)
+    val full = exactDups.join(sub, "doc_id").collect()
+    assert(full.nonEmpty, "corpus should contain exact dups with >=8 tokens")
+    full.foreach(r => assert(r.getAs[Double]("dup_frac") == 1.0,
+      s"doc ${r.getAs[Long]("doc_id")} frac ${r.getAs[Double]("dup_frac")}"))
+  }
+
   test("simhash pairs respect the hamming bound") {
     DedupOps.dedupSimhash(spark, Sf).collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 3)

@@ -24,6 +24,13 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Release this suite's memoized/persisted derivations so the shared
     * test JVM never accumulates cached plans across suites (another
     * suite sharing the session just re-derives on first use).
+    *
+    * SEQUENTIAL-SUITE ASSUMPTION: Memo.clear destroys broadcasts on the
+    * getOrCreate-shared session, which is safe only because the forked
+    * test JVM runs suites sequentially (sbt's testForkedParallel stays
+    * at its false default — keep it that way in build.sbt). Parallel
+    * suites would let one suite's teardown destroy a broadcast another
+    * suite's in-flight query still references.
     */
   override protected def afterAll(): Unit = {
     if (sessionStarted) Memo.clear(spark)

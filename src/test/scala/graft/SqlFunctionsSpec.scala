@@ -61,6 +61,14 @@ class SqlFunctionsSpec extends GraftSpec {
       == "日志采集")
   }
 
+  test("graft_strhash64 from SQL matches the kernel") {
+    assert(sparkReady)
+    val got = spark.sql("SELECT graft_strhash64('spark native engine')")
+      .head().getLong(0)
+    assert(got == graft.functions.StrHash.hash64(
+      UTF8String.fromString("spark native engine")))
+  }
+
   test("graft_vec_dot / graft_hyperplane_bucket from SQL match the kernels") {
     assert(sparkReady)
     import spark.implicits._
