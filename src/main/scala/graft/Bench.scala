@@ -106,7 +106,18 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.toArray(Array.empty[String]).distinct.sorted
         .map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}""")
+    val json = s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}"""
+    // The artifact must survive log-tail truncation (BENCH_r04/r05 both
+    // lost the leading fields to tail capture): write the whole line to
+    // a file FIRST, then print it. SPARK_GRAFT_BENCH_OUT overrides the
+    // default ./bench.json.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
     if (!failed.isEmpty) sys.exit(1)
   }

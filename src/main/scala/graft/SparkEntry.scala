@@ -647,17 +647,20 @@ object SparkEntry {
     // below in staged HUGEINT CTEs), duplicated = fingerprint at ≥2
     // sites corpus-wide, spans = merged overlapping windows per doc.
     "dedup_substring" -> {
-      val wtext = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      // generated from the SAME constant the operator defaults to, so
+      // a window-length change cannot silently diverge from the oracle
+      val L = operators.DedupOps.SubstringL
+      val wtext = (1 to L).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM d),
-         |wi AS (SELECT doc_id, toks, unnest(range(0, n_toks - 7)) AS i
-         |  FROM t WHERE n_toks >= 8),
+         |wi AS (SELECT doc_id, toks, unnest(range(0, n_toks - ${L - 1})) AS i
+         |  FROM t WHERE n_toks >= $L),
          |wt AS (SELECT doc_id, i, $wtext AS wtext FROM wi),
          |w0 AS (SELECT doc_id, i AS start, ${strFold("wtext")} AS ph FROM wt),
          |w AS (SELECT doc_id, start, ${mix("ph")} AS whash FROM w0),
          |dup AS (SELECT whash FROM w GROUP BY whash HAVING COUNT(*) >= 2),
          |cov AS (SELECT DISTINCT doc_id, start + j AS pos
-         |  FROM w JOIN dup USING (whash), range(0, 8) r(j)),
+         |  FROM w JOIN dup USING (whash), range(0, $L) r(j)),
          |sp AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
          |    (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS ns
          |  FROM cov),

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf, AbstractDT}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** mod-2^64 polynomial string hash (base 1000003) + splitmix64
@@ -33,7 +33,11 @@ object StrHash {
   * exposed in SQL as `graft_strhash64`. Oracle-replicable with the
   * same HUGEINT fragments as the minhash/simhash kernels.
   */
-case class StrHash64(child: Expression) extends UnaryExpression {
+case class StrHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  // declared input type => graft_strhash64(123) from SQL is a clean
+  // analysis-time error (not a runtime ClassCastException in eval)
+  override def inputTypes: Seq[AbstractDT] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(v: Any): Any =

@@ -52,6 +52,8 @@ object DedupOps {
   def warmShared(spark: SparkSession, dir: String): Unit = {
     withShingles(spark, dir).write.format("noop").mode("overwrite").save()
     ngramPairs(spark, dir).write.format("noop").mode("overwrite").save()
+    substringWins(spark, dir, SubstringL)
+      .write.format("noop").mode("overwrite").save()
   }
 
   /** Unsorted near-dup candidate pairs (a_id < b_id) with set sizes and
@@ -344,34 +346,88 @@ object DedupOps {
     * explode multiplies only *duplicated* windows by L. The per-doc
     * span merge partitions by doc_id — bounded by one doc's windows.
     */
-  def dedupSubstring(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
-    import graft.functions.StrHash
+  def dedupSubstring(spark: SparkSession, dir: String, L: Int = SubstringL): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast(LongType).as("n_toks"))
+    // window-fingerprint rows, session-memoized: the fused kernel runs
+    // ONCE (not per join branch — Catalyst's inferred isnotnull
+    // constraints would otherwise push the whole derivation into the
+    // Filter below the exchange on BOTH sides of wins⋈dupHashes)
+    val wins = substringWins(spark, dir, L)
+    substringCore(docs, wins, L)
+  }
+
+  /** Default window length for D27 — the oracle SQL in SparkEntry is
+    * generated from THIS constant, so operator and oracle cannot drift.
+    */
+  final val SubstringL = 8
+
+  /** (doc_id, start, whash) rows — one per length-L token window —
+    * persisted once per session (same Memo discipline as every other
+    * dedup derivation in this file). The per-window fingerprint is the
+    * fused [[graft.functions.WindowHashes]] codegen kernel: one
+    * byte-fold per token + O(L) long arithmetic per window, replacing
+    * the interpreted transform/slice/concat_ws HOF chain that cost
+    * ~25 s at sf0.1 (~6× recomputation across join branches).
+    */
+  private def substringWins(spark: SparkSession, dir: String, L: Int): DataFrame = {
+    // two-step memo: the kernel output is cached BEFORE the posexplode,
+    // because InferFiltersFromGenerate plants `size(e)>0 AND
+    // isnotnull(e)` below the Generate — against a raw expression that
+    // filter re-evaluates the kernel twice per row; against the cached
+    // `whashes` attribute it is a cheap array-length check
+    val arrays = graft.Memo.df(spark, s"substrWhashes:$dir:$L") {
+      Tables.documents(spark, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .filter(size(col("toks")) >= L)
+        .withColumn("whashes",
+          graft.functions.WindowHashKernel.windowHashes(col("toks"), L))
+        .select("doc_id", "whashes")
+    }
+    graft.Memo.df(spark, s"substrWins:$dir:$L") {
+      arrays.select(col("doc_id"),
+        posexplode(col("whashes")).as(Seq("start", "whash")))
+    }
+  }
+
+  /** Test face: same span-merge semantics over an explicit documents
+    * DataFrame (doc_id, text), no memoization — lets specs union a
+    * cloned doc into the corpus and assert its dup_frac == 1.0.
+    */
+  private[graft] def dedupSubstringOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
+    val withToks = docs
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast(LongType))
-    // per-row window fingerprints (transform before posexplode so the
-    // token array is hashed in place, not duplicated per window row)
-    val wins = docs.filter(col("n_toks") >= L)
-      .withColumn("whashes", transform(
-        sequence(lit(0), (col("n_toks") - L).cast("int")),
-        i => StrHash.strhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
+    val wins = withToks.filter(col("n_toks") >= L)
+      .withColumn("whashes",
+        graft.functions.WindowHashKernel.windowHashes(col("toks"), L))
       .select(col("doc_id"), posexplode(col("whashes")).as(Seq("start", "whash")))
+    substringCore(withToks.select("doc_id", "n_toks"), wins, L)
+  }
+
+  private def substringCore(docs: DataFrame, wins: DataFrame, L: Int): DataFrame = {
     val dupHashes = wins.groupBy("whash")
       .agg(count(lit(1)).as("sites"))
       .filter(col("sites") >= 2)
       .select("whash")
-    val covered = wins.join(dupHashes, Seq("whash"))
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (L - 1))).as("pos"))
-      .distinct()
+    // duplicated windows are equal-length intervals [start, start+L-1];
+    // per doc the sorted-start interval union gives covered tokens
+    // WITHOUT exploding L position rows per window: the first window
+    // contributes L, each next min(gap, L) where gap = start − prev
+    // start, and a new maximal span begins exactly when gap > L
+    // (gap == L is position-contiguous). ~L× less shuffle volume than
+    // the explode+distinct formulation, same result by construction.
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val spans = covered
-      .withColumn("newspan",
-        when(col("pos") - lag("pos", 1).over(byDoc) === 1, 0L).otherwise(1L))
+      .partitionBy("doc_id").orderBy("start")
+    val spans = wins.join(dupHashes, Seq("whash"))
+      .withColumn("gap", col("start") - lag("start", 1).over(byDoc))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast(LongType).as("dup_tokens"),
-        sum("newspan").cast(LongType).as("n_spans"))
+      .agg(sum(when(col("gap").isNull, lit(L.toLong))
+          .otherwise(least(col("gap"), lit(L.toLong))))
+          .cast(LongType).as("dup_tokens"),
+        sum(when(col("gap").isNull || col("gap") > L, 1L).otherwise(0L))
+          .cast(LongType).as("n_spans"))
     docs.select("doc_id", "n_toks")
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),

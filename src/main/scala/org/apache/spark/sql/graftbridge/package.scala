@@ -8,6 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * DatasetFactory/ColumnDataset shims in SNIPPETS.md).
   */
 package object graftbridge {
+  /** Public alias of the private[sql] AbstractDataType so graft
+    * expressions can declare ExpectsInputTypes.inputTypes (clean
+    * analysis-time type errors instead of runtime ClassCastException).
+    */
+  type AbstractDT = org.apache.spark.sql.types.AbstractDataType
+
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
 

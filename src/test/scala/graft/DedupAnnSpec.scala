@@ -35,18 +35,42 @@ class DedupAnnSpec extends GraftSpec {
       assert(dt <= n && ns <= dt && f >= 0.0 && f <= 1.0)
       assert((ns == 0) == (dt == 0))
     }
-    // every doc that shares its FULL text with another doc shares all
-    // its L-token windows, so every token sits in a duplicated span
-    val checksum = md5(col("text"))
-    val docs = Tables.documents(spark, Sf)
-      .select(col("doc_id"), checksum.as("ck"),
-        size(split(col("text"), " ")).as("nt"))
-    val dupGroups = docs.groupBy("ck").count().filter(col("count") >= 2)
-    val exactDups = docs.join(dupGroups, "ck").filter(col("nt") >= 8)
-    val full = exactDups.join(sub, "doc_id").collect()
-    assert(full.nonEmpty, "corpus should contain exact dups with >=8 tokens")
+    // a doc sharing its FULL text with another doc shares all its
+    // L-token windows, so every token sits in a duplicated span —
+    // construct that fixture (the sf0.001 corpus has no organic
+    // full-text dups): clone one >=8-token doc under a fresh doc_id
+    // and run the span merge over the widened corpus
+    val base = Tables.documents(spark, Sf).select("doc_id", "text")
+    val donor = base.filter(size(split(col("text"), " ")) >= 8)
+      .orderBy("doc_id").limit(1)
+    val cloneId = 999999901L
+    val widened = base.unionByName(
+      donor.select(lit(cloneId).as("doc_id"), col("text")))
+    val subW = DedupOps.dedupSubstringOn(widened)
+    val donorId = donor.head.getAs[Long]("doc_id")
+    val full = subW.filter(col("doc_id").isin(donorId, cloneId)).collect()
+    assert(full.length == 2, s"fixture pair missing: ${full.toSeq}")
     full.foreach(r => assert(r.getAs[Double]("dup_frac") == 1.0,
       s"doc ${r.getAs[Long]("doc_id")} frac ${r.getAs[Double]("dup_frac")}"))
+  }
+
+  test("dedup_substring kernel == interpreted HOF window hashes") {
+    import graft.functions.{StrHash, WindowHashKernel}
+    val docs = Tables.documents(spark, Sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .limit(50)
+    val kernel = docs.select(col("doc_id"),
+      WindowHashKernel.windowHashes(col("toks"), 8).as("wh"))
+    val hof = docs.select(col("doc_id"), transform(
+      sequence(lit(0), (size(col("toks")) - 8).cast("int")),
+      i => StrHash.strhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))
+    ).as("wh"))
+    val k = kernel.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = hof.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(k == h)
   }
 
   test("simhash pairs respect the hamming bound") {
