@@ -81,6 +81,7 @@ object SparkEntry {
     "ann_cosine_topk"      -> (AnnOps.annCosineTopK _),
     "ann_lsh"              -> (AnnOps.annLsh _),
     "ann_ivf"              -> (AnnOps.annIvf _),
+    "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
@@ -1112,6 +1113,86 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+
+    // The measured recall contract: exact top-10 (ann_cosine_topk's
+    // chain), LSH top-10 per probe count, IVF top-10 per nprobe (the
+    // ann_ivf chain), hits counted per configuration. Probe counts and
+    // nprobe values come from AnnOps's own constants.
+    "ann_recall" -> {
+      val probesAll = Seq("bucket", "xor(bucket, 1)", "xor(bucket, 2)",
+        "xor(bucket, 4)", "xor(bucket, 8)")
+      val lshCtes = AnnOps.RecallLshProbes.map { p =>
+        val arr = probesAll.take(p).mkString("[", ", ", "]")
+        s"""lq$p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, probe
+           |  FROM b, unnest($arr) t(probe) WHERE vec_id % 50 = 0),
+           |ls$p AS (SELECT q_id, c.vec_id AS c_id,
+           |    list_dot_product(qv, c.v) / (qn * c.nrm) AS sim
+           |  FROM b c JOIN lq$p ON lq$p.probe = c.bucket AND lq$p.q_id <> c.vec_id),
+           |lt$p AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+           |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM ls$p)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
+      val ivfCtes = AnnOps.RecallIvfNprobes.map { np =>
+        s"""ip$np AS (SELECT q_cid, q_id, qv, qn FROM l0q WHERE rn <= $np),
+           |is$np AS (SELECT q_id, c_id,
+           |    list_dot_product(qv, cv2) / (qn * cn) AS sim
+           |  FROM lists JOIN ip$np ON q_cid = c_cid AND q_id <> c_id),
+           |it$np AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+           |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM is$np)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
+      val unions = (AnnOps.RecallLshProbes.map(p =>
+        s"SELECT 'lsh' AS method, CAST($p AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM lt$p JOIN ex ON lt$p.q_id = ex.q_id " +
+        s"AND lt$p.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallIvfNprobes.map(np =>
+        s"SELECT 'ivf' AS method, CAST($np AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM it$np JOIN ex ON it$np.q_id = ex.q_id " +
+        s"AND it$np.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+         |$lshCtes,
+         |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+         |  FROM e ORDER BY vec_id LIMIT 16),
+         |s0 AS (SELECT e.vec_id, e.v, s.cid,
+         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+         |  FROM e, seed s),
+         |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+         |  WHERE rn = 1),
+         |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+         |  FROM a1),
+         |cx AS (SELECT cid, pos,
+         |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+         |  FROM cm GROUP BY cid, pos),
+         |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+         |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM ref),
+         |l0 AS (SELECT e.vec_id, e.v, e.nrm, r.cid,
+         |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+         |  FROM e, ref2 r),
+         |lists AS (SELECT cid AS c_cid, vec_id AS c_id, v AS cv2, nrm AS cn
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
+         |l0q AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn, rn
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)),
+         |$ivfCtes,
+         |exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+         |  FROM e c, e q WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ex AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM exs)
+         |  WHERE rnk <= 10),
+         |hu AS ($unions)
+         |SELECT method, param, hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+         |  CAST(hits AS DOUBLE) / (SELECT COUNT(*) FROM ex) AS recall
+         |FROM hu ORDER BY method, param""".stripMargin
+    },
 
     // the ann_ivf oracle's pipeline truncated at the nprobe=1
     // corpus assignment (the cluster-label step)

@@ -63,14 +63,23 @@ object AnnOps {
     * The IVF-style scale path: probe count trades recall for compute
     * without touching the corpus layout. Recall vs D9 measured in tests.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshProbes(spark, dir, 5)
+
+  /** D10 with an explicit probe count p ∈ [1,5]: the query's own
+    * bucket plus the first p−1 single-plane flips. The recall/compute
+    * knob [[annRecall]] measures.
+    */
+  def annLshProbes(spark: SparkSession, dir: String, nProbes: Int): DataFrame = {
+    require(nProbes >= 1 && nProbes <= 5, s"nProbes $nProbes out of [1,5]")
     val emb = embDouble(spark, dir)
       .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 4))
+    val allProbes = Seq(col("bucket"), col("bucket").bitwiseXOR(1),
+      col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
+      col("bucket").bitwiseXOR(8))
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(array(col("bucket"), col("bucket").bitwiseXOR(1),
-          col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
-          col("bucket").bitwiseXOR(8))).as("probe"))
+        explode(array(allProbes.take(nProbes): _*)).as("probe"))
     val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
       col("nrm").as("cn"), col("bucket").as("c_bucket"))
     val sims = c.join(broadcast(q),
@@ -335,6 +344,45 @@ object AnnOps {
     assignFor(spark, dir, DefaultM, embDouble(spark, dir), 1)
       .select(col("vec_id"), col("cid"))
       .orderBy("vec_id")
+
+  /** The LSH probe counts and IVF nprobe values [[annRecall]] measures
+    * — shared with the oracle SQL generator in SparkEntry so the
+    * measured contract and its oracle cannot drift.
+    */
+  val RecallLshProbes: Seq[Int] = Seq(1, 3, 5)
+  val RecallIvfNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** D10e: the ANN recall contract, MEASURED as a query — recall@10 of
+    * the approximate indexes against the exact baseline (D9), per
+    * configuration: LSH at 1/3/5 probes, IVF (m=[[DefaultM]]) at
+    * nprobe 1/2/4/8. Everything in the pipeline is deterministic
+    * (stable tie-breaks, exact-integer quantizer), so the whole curve
+    * is DuckDB-replicable — a recall REGRESSION shows up as an oracle
+    * hash mismatch, not just a drifting number in a doc.
+    *
+    * Scale shape: 8 bounded-heap top-k queries over the shared cached
+    * embedding table + tiny per-config hit counts; the recall join keys
+    * on (q_id, c_id) pairs (≤ 10·|queries| rows per side).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graft.Memo.df(spark, s"annExactPairs:$dir") {
+      annCosineTopK(spark, dir).select("q_id", "c_id")
+    }
+    val nExact = exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
+    val configs: Seq[(String, Int, DataFrame)] =
+      RecallLshProbes.map(p => ("lsh", p, annLshProbes(spark, dir, p))) ++
+      RecallIvfNprobes.map(np => ("ivf", np, annIvfM(spark, dir, DefaultM, np)))
+    val hits = configs.map { case (m, p, df) =>
+      df.select("q_id", "c_id").join(exact, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).cast(LongType).as("hits"))
+        .select(lit(m).as("method"), lit(p.toLong).as("param"), col("hits"))
+    }.reduce(_.unionByName(_))
+    hits.crossJoin(nExact)
+      .withColumn("recall",
+        col("hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .select("method", "param", "hits", "n_exact", "recall")
+      .orderBy("method", "param")
+  }
 
   /** D11: per-label embedding stats (exact: count/min/max of norms —
     * no FP-order-dependent aggregates, so safe at any parallelism).

@@ -195,6 +195,25 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.9, s"LSH recall at tau=$tau too low: $recall")
   }
 
+  test("ann_recall: bounded, and non-decreasing in probes (candidate supersets)") {
+    val rows = AnnOps.annRecall(spark, Sf).collect()
+    assert(rows.length ==
+      AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_exact"))
+    }
+    // more probes strictly widens the candidate set, so recall cannot
+    // drop along either curve
+    for (m <- Seq("lsh", "ivf")) {
+      val curve = rows.filter(_.getAs[String]("method") == m)
+        .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"$m recall curve not monotone: ${curve.toSeq}")
+    }
+  }
+
   test("embedding near-dup cosines are symmetric-bounded") {
     DedupOps.dedupEmbedding(spark, Sf).collect().foreach { r =>
       val c = r.getAs[Double]("cos")
