@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_substring"      -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSubstring(s, d)),
     "dedup_incremental"    -> (CurationOps.dedupIncremental _),
+    "dedup_incremental_lsh" -> ((s: SparkSession, d: String) =>
+      CurationOps.dedupIncrementalLsh(s, d)),
     "doc_curation"         -> (CurationOps.curate _),
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
     "doc_pack_tokens"      -> (CurationOps.packTokens _),
@@ -603,6 +605,29 @@ object SparkEntry {
         |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.b = b.b
         |    AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.a_id, c.b_id,
+        |    CAST(len(sa.shingles) AS BIGINT) AS n_a,
+        |    CAST(len(sb.shingles) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+        |      AS inter_cnt
+        |  FROM cands c JOIN s sa ON sa.doc_id = c.a_id
+        |    JOIN s sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, n_a, n_b, inter_cnt,
+        |  CAST(inter_cnt AS DOUBLE) / CAST(n_a + n_b - inter_cnt AS DOUBLE) AS jacc
+        |FROM v
+        |WHERE CAST(inter_cnt AS DOUBLE) / CAST(n_a + n_b - inter_cnt AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // dedup_minhash_verified restricted to cross-partition pairs:
+    // a = incoming crawl (doc_id % 10 = 7), b = standing corpus
+    "dedup_incremental_lsh" -> (MinhashSigSql +
+      """,
+        |bands AS (SELECT doc_id, lang, b, list_slice(sig, b*8+1, b*8+8) AS bh
+        |    FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.b = b.b
+        |    AND a.bh = b.bh
+        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
         |v AS (SELECT c.a_id, c.b_id,
         |    CAST(len(sa.shingles) AS BIGINT) AS n_a,
         |    CAST(len(sb.shingles) AS BIGINT) AS n_b,

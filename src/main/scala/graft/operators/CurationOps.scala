@@ -64,6 +64,44 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** D15b: incremental near-dup via MinHash-LSH — the scale face of
+    * [[dedupIncremental]]'s near-dup leg, and the batch dual of the
+    * streaming [[graft.streaming.StreamOps.nearDupStream]]: incoming
+    * docs (doc_id % 10 = 7) meet the corpus ONLY through shared LSH
+    * band buckets (candidate volume bounded by bucket co-occupancy,
+    * never the corpus size), then each candidate pair is verified
+    * against the true shingle sets (Jaccard ≥ τ, bit-identical to the
+    * D2-style exact check). At 100 TB the corpus signature table is the
+    * standing index; a new crawl probes it without ever reshuffling
+    * the corpus.
+    */
+  def dedupIncrementalLsh(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
+    val sigs = DedupOps.minhashBandSigs(spark, dir)
+    val inc = sigs.filter(col("doc_id") % 10 === 7)
+      .select(col("lang").as("l_a"), col("band_id").as("bi_a"),
+        col("band_hash").as("bh_a"), col("doc_id").as("a_id"))
+    val corp = sigs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("lang").as("l_b"), col("band_id").as("bi_b"),
+        col("band_hash").as("bh_b"), col("doc_id").as("b_id"))
+    val cands = inc.join(corp, col("l_a") === col("l_b") &&
+        col("bi_a") === col("bi_b") && col("bh_a") === col("bh_b"))
+      .select("a_id", "b_id").distinct()
+    val sh = DedupOps.withShingles(spark, dir)
+    cands
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),
+        col("nsh").as("n_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
+        col("nsh").as("n_b")), "b_id")
+      .withColumn("inter_cnt",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jacc", col("inter_cnt").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter_cnt")).cast(DoubleType))
+      .filter(col("jacc") >= tau)
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
+      .orderBy("a_id", "b_id")
+  }
+
   /** D16: curation pipeline — quality score + language verification +
     * exact-dedup keep-first composed into one keep/drop verdict per
     * document (normalize → score → langid → dedup, the canonical

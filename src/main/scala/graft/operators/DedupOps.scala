@@ -34,7 +34,7 @@ object DedupOps {
     * invocations share one cache entry instead of re-registering the
     * same plan.
     */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def withShingles(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"shingles:$dir") {
       Tables.documents(spark, dir)
         .withColumn("toks", TextFns.tokens(col("text")))
@@ -136,7 +136,7 @@ object DedupOps {
     * once per session — shared by the candidate query (D3) and the
     * candidates→exact-verify composition (D3v).
     */
-  private def minhashBandSigs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashBandSigs(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"minhashSigs:$dir") {
       withShingles(spark, dir)
         .withColumn("sig", VectorFns.minhashSignature(col("shingles"), 64))

@@ -189,6 +189,75 @@ object StreamOps {
         })
   }
 
+  /** E15: streaming near-dup — the continuous-arrival face of
+    * incremental MinHash dedup (the watchdog's always-on arrival loop,
+    * watchdog.go:252-276, applied to the LLM-data pipeline): incoming
+    * documents (with an event-time `ts`) are signature-hashed in-row
+    * (MinHash kernel), probe the STATIC corpus band-signature index
+    * through a stream-static equi-join on (lang, band, band_hash), and
+    * every candidate pair is verified against the true shingle sets —
+    * emitted immediately at Jaccard ≥ τ.
+    *
+    * Scale shape: the corpus is a standing persisted index (never
+    * reshuffled per batch); per micro-batch work is proportional to
+    * the batch's bucket co-occupancy. Pair-level state
+    * (`dropDuplicatesWithinWatermark`) suppresses re-emission when a
+    * doc re-arrives inside the watermark horizon and is evicted after
+    * it, so state is bounded by arrival rate × watermark — checkpoint
+    * restart keeps both source offsets and this state (see
+    * CheckpointRecoverySpec).
+    *
+    * `corpusSigs`: (lang, band_id, band_hash, b_id);
+    * `corpusShingles`: (b_id, sh_b, n_b) — see the dir-based wrapper.
+    * Batch parity with CurationOps.dedupIncrementalLsh is asserted in
+    * StreamBatchParitySpec.
+    */
+  def nearDupStream(incoming: DataFrame, corpusSigs: DataFrame,
+      corpusShingles: DataFrame, tau: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{TextFns, VectorFns}
+    val inc = incoming
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", TextFns.shingles3(col("toks")))
+      .withColumn("nsh", size(col("shingles")).cast("long"))
+      .withColumn("bands", VectorFns.bandHashes(
+        VectorFns.minhashSignature(col("shingles"), 64), 8, 8))
+      .select(col("doc_id").as("a_id"), col("ts"), col("lang"),
+        col("shingles").as("sh_a"), col("nsh").as("n_a"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .withWatermark("ts", watermark)
+    val cands = inc
+      .join(corpusSigs, Seq("lang", "band_id", "band_hash"))
+      .select("a_id", "b_id", "ts", "sh_a", "n_a")
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+    cands.join(corpusShingles, "b_id")
+      .withColumn("inter_cnt",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc", col("inter_cnt").cast("double") /
+        (col("n_a") + col("n_b") - col("inter_cnt")).cast("double"))
+      .filter(col("jacc") >= tau)
+      .select("a_id", "b_id", "ts", "n_a", "n_b", "inter_cnt", "jacc")
+  }
+
+  /** [[nearDupStream]] against the standing corpus index of `dir`
+    * (docs outside the incoming partition doc_id % 10 = 7, matching
+    * the batch dual's split).
+    */
+  def nearDupStreamFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+      incoming: DataFrame, tau: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    val sigs = graft.operators.DedupOps.minhashBandSigs(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(col("lang"), col("band_id"), col("band_hash"),
+        col("doc_id").as("b_id"))
+    val sh = graft.operators.DedupOps.withShingles(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
+        col("nsh").as("n_b"))
+    nearDupStream(incoming, sigs, sh, tau, watermark)
+  }
+
   /** The reference's Kafka record schema (handler/kafka.go:40-105),
     * verbatim field list.
     */

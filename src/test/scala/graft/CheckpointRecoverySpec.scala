@@ -206,4 +206,49 @@ class CheckpointRecoverySpec extends GraftSpec {
       (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 0L))
     assert(got == expect, s"got=$got")
   }
+
+  test("E15 near-dup pair state survives a checkpoint restart (no replay)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val in = tmp("ckpt_ndup_in")
+    val out = tmp("ckpt_ndup_out")
+    val ckpt = tmp("ckpt_ndup_state")
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("lang"), col("text"),
+        lit(Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    val schema = incoming.schema
+
+    def start(): StreamingQuery =
+      StreamOps.nearDupStreamFor(spark, Sf,
+          spark.readStream.schema(schema).parquet(in), watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: the full incoming crawl arrives; its near-dup pairs emit
+    incoming.write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("a_id", LongType), StructField("b_id", LongType),
+      StructField("ts", TimestampType), StructField("n_a", LongType),
+      StructField("n_b", LongType), StructField("inter_cnt", LongType),
+      StructField("jacc", DoubleType)))
+    val run1 = spark.read.schema(outSchema).parquet(out)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(run1.nonEmpty, "fixture produced no near-dup pairs")
+    assert(run1.distinct.length == run1.length, "pairs emitted twice within run 1")
+
+    // run 2 from the same checkpoint: the SAME crawl re-arrives with
+    // the same event time (inside the watermark horizon). Only the
+    // recovered dropDuplicatesWithinWatermark state can suppress the
+    // replayed pairs — a state-less restart would re-emit all of them.
+    incoming.write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val run2 = spark.read.schema(outSchema).parquet(out)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(run2.sorted.toSeq == run1.sorted.toSeq,
+      s"re-arrival emitted duplicates: ${run2.length} vs ${run1.length}")
+  }
 }

@@ -42,6 +42,31 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream == batch dedupIncrementalLsh on the real corpus") {
+    val expected = operators.CurationOps.dedupIncrementalLsh(spark, Sf)
+      .select("a_id", "b_id", "inter_cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val d = Files.createTempDirectory("ndup_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("lang"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.nearDupStreamFor(spark, Sf,
+        spark.readStream.schema(incoming.schema).parquet(d),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ndup_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ndup_par")
+        .select("a_id", "b_id", "inter_cnt").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty, "parity fixture found no near-dup pairs at all")
+    } finally q.stop()
+  }
+
   test("debounceStream == batch debounce (30m gap) on real events") {
     val expected = operators.EventOps.debounce(spark, Sf)
       .filter(col("user_id") <= 3)
