@@ -275,6 +275,67 @@ object CurationOps {
       .toDF("eval_id", "text")
   }
 
+  /** D28: corpus_build — the one query a training-data user actually
+    * ships: the full manifest pipeline composed end-to-end over the
+    * session-memoized derivations.
+    *
+    *   D1  exact keep-first  (checksum window; dup texts collapse)
+    *   D13 cluster labels    (memoized CC over the near-dup graph —
+    *                          at 100 TB the edge feed swaps to D3v's
+    *                          LSH-verified pairs, same τ semantics)
+    *   D23 representative    (TopKPerKey k=1 per component by quality)
+    *   D21 mixture quotas    (per-source hash-ranked selection)
+    *   D19 token packing     (bin assignment by cumulative tokens)
+    *
+    * Output: one row per doc that survives every stage, with its
+    * provenance (component, cluster_size, score, quota, rnk) and
+    * training-bin assignment. No stage adds a shuffle beyond its own:
+    * exact-keep shuffles by checksum, CC labels come from the session
+    * cache, the keeper heap shuffles O(|components|), mixture
+    * O(quota·|sources|), packing by (lang, bucket) — the corpus text
+    * rides the scan and is never reshuffled twice by the same key.
+    */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // D1: keep-first per exact-content checksum
+    val exact = docs
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "lang", "source", "text")
+    // D13+D23: one representative per near-dup component (labels + the
+    // CC loop are paid once per session and shared with D13/D23)
+    val clusters = DedupOps.clusterLabels(spark, dir)
+    val scores = TextOps.qualityScored(spark, dir).select(col("doc_id"), col("score"))
+    val reps = TopK.perKey(clusters.join(scores, Seq("doc_id")),
+        Seq(col("component")), Seq(col("score").desc, col("doc_id").asc), 1)
+      .select(col("doc_id"), col("component"), col("cluster_size"), col("score"))
+    val survivors = exact.join(reps, Seq("doc_id"))
+    // D21: per-source quota selection (demo weight scheme, same
+    // constants as doc_mixture)
+    val quoted = survivors
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("quota",
+        ((regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
+          % 4 + 1) * 5).cast(LongType))
+    val selected = TopK.perKey(quoted, Seq(col("source")),
+        Seq(col("h").asc, col("doc_id").asc), 20)
+      .filter(col("rnk") <= col("quota"))
+    // D19: token-budget packing of the selected mixture
+    val packed = selected
+      .withColumn("n_tokens", TextFns.regexTokenCount(col("text")))
+      .withColumn("bucket", (col("doc_id") % 8).cast(LongType))
+    val w = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("bin_id", expr("(cum_tokens - 1) DIV 256").cast(LongType))
+      .select(col("doc_id"), col("source"), col("lang"), col("component"),
+        col("cluster_size"), col("score"), col("quota"), col("rnk"),
+        col("n_tokens"), col("bucket"), col("cum_tokens"), col("bin_id"))
+      .orderBy("doc_id")
+  }
+
   /** D19: token-budget sequence packing — docs assigned to training
     * bins by cumulative token offset, the batch-construction step of a
     * pretraining pipeline. Docs are hash-bucketed (doc_id % 8) inside

@@ -82,4 +82,40 @@ class CurationSpec extends GraftSpec {
     val total = kept.map(r => r.getAs[Long]("n_dropped") + 1L).sum
     assert(total == Tables.documents(spark, Sf).count())
   }
+
+  test("corpus_build manifest composes its stages consistently") {
+    import graft.operators.CurationOps
+    import org.apache.spark.sql.functions._
+    val m = CurationOps.corpusBuild(spark, Sf).collect()
+    assert(m.nonEmpty)
+    // every manifest doc is its cluster's keeper
+    val keepers = CurationOps.dedupKeepBest(spark, Sf).collect()
+      .map(_.getAs[Long]("keeper_id")).toSet
+    m.foreach(r => assert(keepers(r.getAs[Long]("doc_id"))))
+    // exact-dedup stage held: one doc per content checksum
+    val texts = Tables.documents(spark, Sf)
+      .select(col("doc_id"), md5(col("text")).as("ck")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cks = m.map(r => texts(r.getAs[Long]("doc_id")))
+    assert(cks.distinct.length == cks.length, "manifest contains exact dups")
+    // mixture quotas respected per source
+    m.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val quota = rows.head.getAs[Long]("quota")
+      assert(rows.length <= quota)
+      rows.foreach(r => assert(r.getAs[Long]("rnk") <= quota))
+    }
+    // packing: cum_tokens strictly increases with doc_id within
+    // (lang, bucket) and bin_id is its integer-budget image
+    m.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")))
+      .foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+        var prev = 0L
+        sorted.foreach { r =>
+          val c = r.getAs[Long]("cum_tokens")
+          assert(c == prev + r.getAs[Long]("n_tokens"))
+          assert(r.getAs[Long]("bin_id") == (c - 1) / 256)
+          prev = c
+        }
+      }
+  }
 }
