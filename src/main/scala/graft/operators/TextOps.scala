@@ -58,10 +58,9 @@ object TextOps {
   /** D24: per-language corpus length profile — the distribution a
     * packing/truncation policy is tuned against: doc count plus exact
     * p10/p50/p90 of characters and whitespace tokens per language.
-    * Exact interpolated percentile for oracle parity (at 100 TB the
-    * drop-in is approx_percentile with the same grouping shape —
-    * |langs| groups, so even the exact sort is per-group tiny after
-    * the partial agg).
+    * Exact interpolated percentile for oracle parity;
+    * [[lengthStatsApprox]] is the sketch-based 100 TB drop-in with the
+    * same grouping shape, tolerance-pinned against this operator.
     */
   def lengthStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -75,6 +74,30 @@ object TextOps {
         expr("percentile(n_tok, 0.1)").as("tok_p10"),
         expr("percentile(n_tok, 0.5)").as("tok_p50"),
         expr("percentile(n_tok, 0.9)").as("tok_p90"))
+      .orderBy("lang")
+
+  /** D24 at 100 TB: the approx_percentile drop-in the exact operator's
+    * doc promises — IDENTICAL grouping shape, t-digest sketch
+    * aggregation instead of the exact sort, so per-group state is
+    * O(1/accuracy) regardless of group size and the partial aggregate
+    * is mergeable (one pass, no per-group sort buffer). Bounded rank
+    * error ⇒ asserted against [[lengthStats]] within tolerance in
+    * TextAnalysisSpec (no DuckDB oracle by design: sketch internals
+    * are implementation-defined; the exact twin IS the contract).
+    */
+  def lengthStatsApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        expr(s"approx_percentile(n_chars, 0.1, $accuracy)").cast(DoubleType).as("chars_p10"),
+        expr(s"approx_percentile(n_chars, 0.5, $accuracy)").cast(DoubleType).as("chars_p50"),
+        expr(s"approx_percentile(n_chars, 0.9, $accuracy)").cast(DoubleType).as("chars_p90"),
+        expr(s"approx_percentile(n_tok, 0.1, $accuracy)").cast(DoubleType).as("tok_p10"),
+        expr(s"approx_percentile(n_tok, 0.5, $accuracy)").cast(DoubleType).as("tok_p50"),
+        expr(s"approx_percentile(n_tok, 0.9, $accuracy)").cast(DoubleType).as("tok_p90"))
       .orderBy("lang")
 
   /** D26: per-source quality profile — the signal a mixture/curation
