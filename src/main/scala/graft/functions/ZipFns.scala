@@ -43,41 +43,84 @@ object ZipFns {
     * central directory records: EOCD (sig 0x06054b50, scanned from
     * the tail) → record chain (sig 0x02014b50, name bytes at +46),
     * ordered by each record's local-header offset.
+    *
+    * Zip64 (APPNOTE 4.3.14/4.5.3) is handled positively: a VALIDATED
+    * locator (sig 0x07064b50 twenty bytes before the EOCD, whose u64
+    * offset lands on a 0x06064b50 record) routes entry count and
+    * CD offset through the zip64 EOCD record, and a CD record whose
+    * 32-bit local-header offset is saturated reads the u64 from its
+    * 0x0001 extra field (skipping the u64s of whichever size fields
+    * are saturated, in APPNOTE order). A locator-sig byte coincidence
+    * with no real record behind it falls back to the classic path;
+    * saturated sentinels with NO locator, or a truncated/out-of-range
+    * zip64 structure, still fail loudly — silently mis-walking the
+    * directory would mojibake every name after the break.
     */
   private def rawNames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
     def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def u64(o: Int): Long = u32(o) | (u32(o + 4) << 32)
     var e = bytes.length - 22 // min EOCD size; scan back over any comment
     while (e >= 0 && !(bytes(e) == 0x50 && bytes(e + 1) == 0x4B &&
       bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06)) e -= 1
     if (e < 0) return IndexedSeq.empty // not a zip; reader will error out
-    val count = u16(e + 10)
-    val cdOff = u32(e + 16)
-    // zip64 detection: a locator record (sig 0x07064b50) sits 20 bytes
-    // before the EOCD, and/or the 16-bit count / 32-bit offset carry
-    // their saturation sentinels. The walk below would then find too
-    // few records and the remaining entry names would silently fall
-    // back to ISO-8859-1 mojibake — fail loudly instead. A sig match
-    // alone could be a coincidence in the preceding record's bytes, so
-    // the locator is validated by following its zip64-EOCD offset
-    // (u64; high half must be 0 for an in-memory archive) to the
-    // 0x06064b50 record signature.
-    val zip64Locator = e >= 20 && u32(e - 20) == 0x07064B50L && {
-      val z64Off = u32(e - 12) // low 32 bits of the u64 offset
-      u32(e - 8) == 0L && z64Off + 4 <= bytes.length &&
-        u32(z64Off.toInt) == 0x06064B50L
+    var count: Long = u16(e + 10)
+    var cdOff: Long = u32(e + 16)
+    // locator validation: the sig alone could be a coincidence in the
+    // preceding record's bytes, so follow its offset (high half must
+    // be 0 for an in-memory archive) to the record signature
+    val z64At: Option[Int] =
+      if (e >= 20 && u32(e - 20) == 0x07064B50L && u32(e - 8) == 0L &&
+          u32(e - 12) + 4 <= bytes.length &&
+          u32(u32(e - 12).toInt) == 0x06064B50L)
+        Some(u32(e - 12).toInt)
+      else None
+    z64At match {
+      case Some(z) =>
+        if (z + 56 > bytes.length)
+          throw new UnsupportedOperationException(
+            "zip64 EOCD record truncated")
+        count = u64(z + 32) // total entry count (u64)
+        cdOff = u64(z + 48) // central directory offset (u64)
+        if ((cdOff >> 32) != 0 || cdOff > bytes.length)
+          throw new UnsupportedOperationException(
+            "zip64 central-directory offset beyond the in-memory archive")
+      case None =>
+        if (count == 0xFFFF || cdOff == 0xFFFFFFFFL)
+          throw new UnsupportedOperationException(
+            "zip64 sentinels without a zip64 EOCD locator (corrupt archive)")
     }
-    if (zip64Locator || count == 0xFFFF || cdOff == 0xFFFFFFFFL)
-      throw new UnsupportedOperationException(
-        "zip64 archive: central-directory name decoding not supported")
     var p = cdOff.toInt // central directory offset
     val recs = IndexedSeq.newBuilder[(Long, Array[Byte])]
-    var i = 0
+    var i = 0L
     while (i < count && p + 46 <= bytes.length && u32(p) == 0x02014B50L) {
       val nameLen = u16(p + 28)
-      recs += ((u32(p + 42), // local header offset = local entry order
+      val extraLen = u16(p + 30)
+      var off = u32(p + 42) // local header offset = local entry order
+      if (off == 0xFFFFFFFFL) {
+        // u64 offset lives in the 0x0001 extra field, after the u64s
+        // of whichever size fields are saturated (APPNOTE order:
+        // uncompressed size, compressed size, local-header offset)
+        var q = p + 46 + nameLen
+        val qEnd = q + extraLen
+        var found = false
+        while (!found && q + 4 <= qEnd) {
+          val id = u16(q); val sz = u16(q + 2)
+          if (id == 0x0001) {
+            var r = q + 4
+            if (u32(p + 24) == 0xFFFFFFFFL) r += 8 // uncompressed size
+            if (u32(p + 20) == 0xFFFFFFFFL) r += 8 // compressed size
+            if (r + 8 <= q + 4 + sz) { off = u64(r); found = true }
+          }
+          q += 4 + sz
+        }
+        if (!found || (off >> 32) != 0)
+          throw new UnsupportedOperationException(
+            "zip64 local-header offset missing or beyond the in-memory archive")
+      }
+      recs += ((off,
         java.util.Arrays.copyOfRange(bytes, p + 46, p + 46 + nameLen)))
-      p += 46 + nameLen + u16(p + 30) + u16(p + 32)
+      p += 46 + nameLen + extraLen + u16(p + 32)
       i += 1
     }
     recs.result().sortBy(_._1).map(_._2)

@@ -130,4 +130,86 @@ class FileMetaSpec extends GraftSpec {
     val benign = clean.take(e2) ++ fake ++ clean.drop(e2)
     assert(graft.functions.ZipFns.zipEntries(benign).map(_.name) == Seq("a.txt"))
   }
+
+  /** Rewrite a classic archive into zip64 form: EOCD count/offset
+    * saturated, a real zip64 EOCD record + locator appended, and the
+    * FIRST central record's local-header offset moved into a 0x0001
+    * extra field — the exact shape a >4 GiB writer produces, scaled
+    * down so it fits in memory.
+    */
+  private def toZip64(bytes: Array[Byte]): Array[Byte] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def le16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64(v: Long): Array[Byte] = le32(v & 0xFFFFFFFFL) ++ le32(v >>> 32)
+    var e = bytes.length - 22
+    while (!(bytes(e) == 0x50 && bytes(e + 1) == 0x4B &&
+      bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06)) e -= 1
+    val count = u16(e + 10)
+    val cdOff = u32(e + 16).toInt
+    val cdSize = u32(e + 12).toInt
+    // rebuild the CD, first record's offset -> zip64 extra field
+    val out = Array.newBuilder[Byte]
+    var p = cdOff
+    var first = true
+    while (p < cdOff + cdSize) {
+      assert(u32(p) == 0x02014B50L)
+      val nameLen = u16(p + 28); val extraLen = u16(p + 30)
+      val cmtLen = u16(p + 32)
+      if (first) {
+        val rec = java.util.Arrays.copyOfRange(bytes, p, p + 46 + nameLen + extraLen + cmtLen)
+        val off = u32(p + 42)
+        // saturate the offset field, grow the extra area by 12 bytes
+        System.arraycopy(le16(extraLen + 12), 0, rec, 30, 2)
+        System.arraycopy(le32(0xFFFFFFFFL), 0, rec, 42, 4)
+        out ++= rec.take(46 + nameLen + extraLen)
+        out ++= le16(0x0001) ++ le16(8) ++ le64(off)
+        out ++= rec.drop(46 + nameLen + extraLen)
+        first = false
+      } else out ++= java.util.Arrays.copyOfRange(bytes, p,
+        p + 46 + nameLen + extraLen + cmtLen)
+      p += 46 + nameLen + extraLen + cmtLen
+    }
+    val newCd = out.result()
+    val z64At = cdOff + newCd.length
+    val z64 = Array[Byte](0x50, 0x4B, 0x06, 0x06) ++ le64(44) ++
+      le16(45) ++ le16(45) ++ le32(0) ++ le32(0) ++
+      le64(count) ++ le64(count) ++ le64(newCd.length) ++ le64(cdOff)
+    val locator = Array[Byte](0x50, 0x4B, 0x06, 0x07) ++ le32(0) ++
+      le64(z64At + 0L) ++ le32(1)
+    val eocd = java.util.Arrays.copyOfRange(bytes, e, bytes.length)
+    System.arraycopy(le16(0xFFFF), 0, eocd, 8, 2)  // entries on disk
+    System.arraycopy(le16(0xFFFF), 0, eocd, 10, 2) // total entries
+    System.arraycopy(le32(0xFFFFFFFFL), 0, eocd, 16, 4) // cd offset
+    bytes.take(cdOff) ++ newCd ++ z64 ++ locator ++ eocd
+  }
+
+  test("zip64 positive path: a real zip64 archive expands with correct names") {
+    import java.io.ByteArrayOutputStream
+    import java.nio.charset.{Charset, StandardCharsets}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // multi-entry archive with a GBK-named entry (no UTF-8 flag): the
+    // zip64 walk must still apply the reference's byte-level name rule
+    val bos = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(bos, Charset.forName("GBK"))
+    for ((n, c) <- Seq("测试/结果.txt" -> "alpha", "plain/b.log" -> "beta",
+        "c.dat" -> "gamma")) {
+      zout.putNextEntry(new ZipEntry(n))
+      zout.write(c.getBytes(StandardCharsets.UTF_8))
+      zout.closeEntry()
+    }
+    zout.close()
+    val classic = bos.toByteArray
+    val expected = graft.functions.ZipFns.zipEntries(classic)
+      .map(en => (en.name, en.size, new String(en.content, "UTF-8")))
+    val z64 = toZip64(classic)
+    val got = graft.functions.ZipFns.zipEntries(z64)
+      .map(en => (en.name, en.size, new String(en.content, "UTF-8")))
+    assert(got == expected, s"zip64 roundtrip diverged: $got")
+    assert(got.map(_._1) == Seq("测试/结果.txt", "plain/b.log", "c.dat"))
+  }
 }
