@@ -145,11 +145,12 @@ object AnnOps {
     val cents = centsLit(model)
     vecs
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(slice(array_sort(transform(cents, c =>
+        posexplode(slice(array_sort(transform(cents, c =>
           struct((-VectorFns.cosine(col("v"), c.getField("cv"), col("nrm"),
             c.getField("cnrm"))).as("negsim"),
-            c.getField("cid").as("cid")))), 1, nprobe)).as("pr"))
-      .select(col("vec_id"), col("pr.cid").as("cid"), col("v"), col("nrm"))
+            c.getField("cid").as("cid")))), 1, nprobe)).as(Seq("p_rnk", "pr")))
+      .select(col("vec_id"), col("pr.cid").as("cid"), col("v"), col("nrm"),
+        col("p_rnk"))
   }
 
   /** Broadcast-quantizer probe assignment — same contract and row
@@ -160,8 +161,9 @@ object AnnOps {
       nprobe: Int): DataFrame =
     vecs
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(IvfAssign.probes(col("v"), col("nrm"), bc, nprobe)).as("cid"))
-      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+        posexplode(IvfAssign.probes(col("v"), col("nrm"), bc, nprobe))
+          .as(Seq("p_rnk", "cid")))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"), col("p_rnk"))
 
   /** The one literal-vs-kernel dispatcher: `bcProvider` supplies the
     * broadcast only when the kernel path is taken, so callers control
@@ -369,14 +371,52 @@ object AnnOps {
       annCosineTopK(spark, dir).select("q_id", "c_id")
     }
     val nExact = exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
-    val configs: Seq[(String, Int, DataFrame)] =
-      RecallLshProbes.map(p => ("lsh", p, annLshProbes(spark, dir, p))) ++
-      RecallIvfNprobes.map(np => ("ivf", np, annIvfM(spark, dir, DefaultM, np)))
-    val hits = configs.map { case (m, p, df) =>
-      df.select("q_id", "c_id").join(exact, Seq("q_id", "c_id"))
+    // Each family's candidate sims are computed ONCE with a probe-rank
+    // column and memoized; every configuration is then a filter +
+    // bounded-heap top-k over the cache. Sound because a (q, c) pair
+    // matches at most one LSH probe (the probed buckets are distinct)
+    // and exactly one IVF list — so filtering rank < p reproduces the
+    // p-probe candidate set verbatim. Turns 3 bucket joins + 4 list
+    // joins into 1 + 1.
+    val lshSims = graft.Memo.df(spark, s"annLshRankSims:$dir") {
+      val emb = embDouble(spark, dir)
+        .withColumn("bucket", VectorFns.hyperplaneBucket(col("v"), 4))
+      val allProbes = array(col("bucket"), col("bucket").bitwiseXOR(1),
+        col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
+        col("bucket").bitwiseXOR(8))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          posexplode(allProbes).as(Seq("p_rnk", "probe")))
+      emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("bucket").as("c_bucket"))
+        .join(broadcast(q),
+          col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), col("p_rnk"),
+          VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    }
+    val ivfSims = graft.Memo.df(spark, s"annIvfRankSims:$dir") {
+      val probes = assignFor(spark, dir, DefaultM,
+          embDouble(spark, dir).filter(col("vec_id") % 50 === 0),
+          RecallIvfNprobes.max)
+        .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn"), col("p_rnk"))
+      ivfLists(spark, dir, DefaultM).join(broadcast(probes),
+          col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), col("p_rnk"),
+          VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")).as("sim"))
+    }
+    def hitsOf(method: String, param: Int, sims: DataFrame): DataFrame =
+      TopK.perKey(sims.filter(col("p_rnk") < param), Seq(col("q_id")),
+          Seq(col("sim").desc, col("c_id").asc), 10)
+        .select("q_id", "c_id").join(exact, Seq("q_id", "c_id"))
         .agg(count(lit(1)).cast(LongType).as("hits"))
-        .select(lit(m).as("method"), lit(p.toLong).as("param"), col("hits"))
-    }.reduce(_.unionByName(_))
+        .select(lit(method).as("method"), lit(param.toLong).as("param"),
+          col("hits"))
+    val hits =
+      (RecallLshProbes.map(p => hitsOf("lsh", p, lshSims)) ++
+       RecallIvfNprobes.map(np => hitsOf("ivf", np, ivfSims)))
+        .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
       .withColumn("recall",
         col("hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
