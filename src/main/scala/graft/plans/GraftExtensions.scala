@@ -68,6 +68,10 @@ object GraftExtensions {
     fn("graft_strhash64", "64-bit poly+splitmix64 hash of a string") {
       case Seq(c) => StrHash64(c)
     },
+    fn("graft_window_hashes",
+      "all L-token window fingerprints of a token array; args (arr, L)") {
+      case Seq(c, IntegerLiteral(l)) => WindowHashes(c, l)
+    },
     fn("graft_vec_dot", "dot product of two double arrays") {
       case Seq(a, b) => VecDot(a, b)
     },

@@ -69,6 +69,27 @@ class SqlFunctionsSpec extends GraftSpec {
       UTF8String.fromString("spark native engine")))
   }
 
+  test("graft_window_hashes from SQL matches the kernel, and type-errors cleanly") {
+    assert(sparkReady)
+    val got = spark.sql(
+      "SELECT graft_window_hashes(split('a b c d', ' '), 2)")
+      .head().getSeq[Long](0)
+    val expect = (0 to 2).map(i =>
+      graft.functions.StrHash.hash64(UTF8String.fromString(
+        Seq("a", "b", "c", "d").slice(i, i + 2).mkString(" "))))
+    assert(got == expect)
+    // ExpectsInputTypes: a non-array argument is an ANALYSIS error,
+    // not a runtime ClassCastException
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_window_hashes('not an array', 2)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_strhash64(123)").collect()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("type"))
+  }
+
   test("graft_vec_dot / graft_hyperplane_bucket from SQL match the kernels") {
     assert(sparkReady)
     import spark.implicits._
