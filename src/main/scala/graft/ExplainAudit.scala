@@ -34,7 +34,8 @@ object ExplainAudit {
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
       "q_rank_parts", "q_dense_size_parts", "doc_sample_stratified",
       "doc_mixture", "doc_mixture_weighted", "dedup_keep_best",
-      "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build")
+      "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build",
+      "text_vocab")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

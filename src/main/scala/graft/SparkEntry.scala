@@ -73,6 +73,8 @@ object SparkEntry {
     "dedup_keep_best"      -> (CurationOps.dedupKeepBest _),
     "corpus_build"         -> (CurationOps.corpusBuild _),
     "text_token_count"     -> (TextOps.tokenCount _),
+    "text_vocab"           -> ((s: SparkSession, d: String) =>
+      TextOps.vocabTopK(s, d)),
     "doc_length_stats"     -> (TextOps.lengthStats _),
     "doc_source_quality"   -> (TextOps.sourceQuality _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
@@ -1046,6 +1048,21 @@ object SparkEntry {
         |FROM t WINDOW w AS (PARTITION BY lang, bucket ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_tokens
+        |  FROM t GROUP BY 1),
+        |r AS (SELECT lang, tok, cnt, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT r.lang AS lang, tok, cnt, rnk,
+        |  CAST(cnt AS DOUBLE) / CAST(lang_tokens AS DOUBLE) AS tok_frac
+        |FROM r JOIN tt ON r.lang = tt.lang
+        |WHERE rnk <= 50 ORDER BY r.lang, rnk""".stripMargin,
 
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -100,6 +100,31 @@ object TextOps {
         expr(s"approx_percentile(n_tok, 0.9, $accuracy)").cast(DoubleType).as("tok_p90"))
       .orderBy("lang")
 
+  /** D29: per-language vocabulary profile — the tokenizer-induction
+    * input: top-k tokens by frequency per language with each token's
+    * share of the language's token mass. Scale shape: one partial-agg
+    * shuffle keyed by (lang, token) — high-cardinality, skew-free —
+    * then the bounded-heap TopKPerKey (shuffle O(k·|langs|), never the
+    * vocabulary), with the |langs|-row totals broadcast back for the
+    * share. A BPE trainer's first pass is exactly this query with a
+    * pair-expanded token column.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("lang", "tok")
+      .agg(graft.functions.Exact.lcount.as("cnt"))
+    val totals = toks.groupBy("lang")
+      .agg(graft.functions.Exact.lcount.as("lang_tokens"))
+    graft.plans.TopK.perKey(counts, Seq(col("lang")),
+        Seq(col("cnt").desc, col("tok").asc), k)
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("tok"), col("cnt"), col("rnk"),
+        (col("cnt").cast(DoubleType) / col("lang_tokens").cast(DoubleType))
+          .as("tok_frac"))
+      .orderBy("lang", "rnk")
+  }
+
   /** D26: per-source quality profile — the signal a mixture/curation
     * policy ranks sources by: doc count and min/median/max of the D6
     * quality score per source. Only order-independent aggregates
