@@ -54,6 +54,10 @@ object DedupOps {
     ngramPairs(spark, dir).write.format("noop").mode("overwrite").save()
     substringWins(spark, dir, SubstringL)
       .write.format("noop").mode("overwrite").save()
+    // the CC-label artifact is shared by D13/D23/corpus_build; the
+    // iterative loop materializes eagerly inside Memo, so touching it
+    // here is enough
+    clusterLabels(spark, dir).write.format("noop").mode("overwrite").save()
   }
 
   /** Unsorted near-dup candidate pairs (a_id < b_id) with set sizes and
