@@ -58,12 +58,16 @@ object SparkEntry {
     "dedup_clusters"       -> (DedupOps.dedupClusters _),
     "dedup_substring"      -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSubstring(s, d)),
+    "dedup_substring_scrub" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupSubstringScrub(s, d)),
     "dedup_incremental"    -> (CurationOps.dedupIncremental _),
     "dedup_incremental_lsh" -> ((s: SparkSession, d: String) =>
       CurationOps.dedupIncrementalLsh(s, d)),
     "doc_curation"         -> (CurationOps.curate _),
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
     "doc_pack_tokens"      -> (CurationOps.packTokens _),
+    "doc_chunk"            -> ((s: SparkSession, d: String) =>
+      CurationOps.docChunk(s, d)),
     "doc_mixture"          -> (CurationOps.mixture _),
     "doc_mixture_weighted" -> ((s: SparkSession, d: String) =>
       CurationOps.mixtureWeighted(s, d, CurationOps.demoWeights(s))),
@@ -703,6 +707,39 @@ object SparkEntry {
          |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
+    // the dedup ACTION: same w/dup chain as dedup_substring, kept
+    // tokens = positions outside the covered interval union,
+    // reassembled in order
+    "dedup_substring_scrub" -> {
+      val L = operators.DedupOps.SubstringL
+      val wtext = (1 to L).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM d),
+         |wi AS (SELECT doc_id, toks, unnest(range(0, n_toks - ${L - 1})) AS i
+         |  FROM t WHERE n_toks >= $L),
+         |wt AS (SELECT doc_id, i, $wtext AS wtext FROM wi),
+         |w0 AS (SELECT doc_id, i AS start, ${strFold("wtext")} AS ph FROM wt),
+         |w AS (SELECT doc_id, start, ${mix("ph")} AS whash FROM w0),
+         |dup AS (SELECT whash FROM w GROUP BY whash HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+         |  FROM w JOIN dup USING (whash), range(0, $L) r(j)),
+         |tp AS (SELECT doc_id, unnest(range(0, n_toks)) AS pos FROM t),
+         |kept AS (SELECT tp.doc_id, tp.pos FROM tp LEFT JOIN cov
+         |    ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |sc AS (SELECT kept.doc_id,
+         |    string_agg(t2.toks[kept.pos + 1], ' ' ORDER BY kept.pos)
+         |      AS scrubbed_text,
+         |    CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM kept JOIN t t2 ON t2.doc_id = kept.doc_id
+         |  GROUP BY kept.doc_id)
+         |SELECT t.doc_id, t.n_toks,
+         |  CAST(COALESCE(sc.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(t.n_toks - COALESCE(sc.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(sc.scrubbed_text, '') AS scrubbed_text
+         |FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_clusters" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
@@ -1036,6 +1073,27 @@ object SparkEntry {
         |SELECT doc_id, eval_id, CAST(n_hits AS BIGINT) AS n_hits,
         |  CAST(n_hits AS DOUBLE) / CAST(nsh AS DOUBLE) AS hit_frac
         |FROM j WHERE n_hits >= 1 ORDER BY doc_id, eval_id""".stripMargin,
+
+    // chunk=32, overlap=8, stride=24; final chunk = tail remainder
+    "doc_chunk" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |t AS (SELECT doc_id, lang, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+        |n AS (SELECT *, CASE WHEN n_toks <= 32 THEN 1
+        |    ELSE CAST(ceil(CAST(n_toks - 32 AS DOUBLE) / 24) AS BIGINT) + 1
+        |    END AS n_chunks FROM t),
+        |c AS (SELECT doc_id, lang, toks, n_toks,
+        |    unnest(range(0, n_chunks)) AS chunk_id FROM n),
+        |s AS (SELECT doc_id, lang, chunk_id,
+        |    chunk_id * 24 AS tok_start,
+        |    least(chunk_id * 24 + 32, n_toks) AS tok_end, toks FROM c)
+        |SELECT doc_id, lang, chunk_id, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(tok_end AS BIGINT) AS tok_end,
+        |  CAST(tok_end - tok_start AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "doc_pack_tokens" ->
       """WITH t AS (SELECT doc_id, lang,

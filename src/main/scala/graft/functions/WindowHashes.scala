@@ -95,3 +95,60 @@ object WindowHashKernel {
   def windowHashes(toks: Column, l: Int): Column =
     columnOf(WindowHashes(expressionOf(toks), l))
 }
+
+/** The dedup ACTION for substring-level dedup: rebuild a document's
+  * text with every token covered by a duplicated L-window removed.
+  * `starts` is the doc's sorted duplicated-window start list; coverage
+  * is the interval union of [s, s+L) walked with one pointer — O(n+m)
+  * per doc, zero allocation beyond the kept-token array, codegen'd so
+  * the scrub stays inside WholeStageCodegen.
+  */
+case class RemoveSpans(left: Expression, right: Expression, windowLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  require(windowLen >= 1)
+  override def inputTypes: Seq[AbstractDT] =
+    Seq(ArrayType(StringType), ArrayType(LongType))
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(toks: Any, starts: Any): Any =
+    SpanScrubKernel.remove(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], windowLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.SpanScrubKernel.remove($t, $s, $windowLen)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): RemoveSpans = copy(left = l, right = r)
+}
+
+/** static kernel referenced from generated code */
+object SpanScrubKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  def remove(toks: ArrayData, starts: ArrayData, l: Int): UTF8String = {
+    val n = toks.numElements()
+    val m = starts.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var idx = 0
+    var coveredUntil = -1L
+    var pos = 0
+    while (pos < n) {
+      while (idx < m && starts.getLong(idx) <= pos) {
+        val end = starts.getLong(idx) + l
+        if (end > coveredUntil) coveredUntil = end
+        idx += 1
+      }
+      if (pos >= coveredUntil)
+        kept.add(if (toks.isNullAt(pos)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(pos))
+      pos += 1
+    }
+    UTF8String.concatWs(Space, kept.toArray(new Array[UTF8String](kept.size)): _*)
+  }
+
+  /** (tokens, sorted dup-window starts) -> scrubbed text. */
+  def removeSpans(toks: Column, starts: Column, l: Int): Column =
+    columnOf(RemoveSpans(expressionOf(toks), expressionOf(starts), l))
+}

@@ -336,6 +336,38 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** D30: document chunking — split each document into fixed-size
+    * token windows with overlap (the context-length preprocessing step
+    * between curation and packing: long docs become training-sized
+    * chunks, the overlap preserves cross-boundary context). Stride =
+    * chunk − overlap; the final chunk is the tail remainder. Purely
+    * per-row (explode + slice + concat, all codegen) — zero shuffle at
+    * any corpus size; output order is the only sort.
+    */
+  def docChunk(spark: SparkSession, dir: String, chunkTokens: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens)
+    val stride = chunkTokens - overlap
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+    docs
+      .withColumn("n_chunks",
+        when(col("n_toks") <= chunkTokens, 1L)
+          .otherwise(ceil((col("n_toks") - chunkTokens).cast(DoubleType)
+            / stride).cast(LongType) + 1L))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("tok_end",
+        least(col("tok_start") + chunkTokens, col("n_toks")))
+      .select(col("doc_id"), col("lang"), col("chunk_id"), col("tok_start"),
+        col("tok_end"), (col("tok_end") - col("tok_start")).as("n_chunk_toks"),
+        concat_ws(" ", slice(col("toks"), (col("tok_start") + 1).cast("int"),
+          (col("tok_end") - col("tok_start")).cast("int"))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** D19: token-budget sequence packing — docs assigned to training
     * bins by cumulative token offset, the batch-construction step of a
     * pretraining pipeline. Docs are hash-bucketed (doc_id % 8) inside

@@ -442,6 +442,42 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** D27b: the dedup ACTION for D27 — rewrite every document with its
+    * duplicated spans removed (the corpus-rewriting step of Lee et al.
+    * 2022, where D27 is the reporting step). Per doc the sorted
+    * duplicated-window starts are collected (bounded by the doc's own
+    * window count) and a codegen kernel ([[graft.functions.RemoveSpans]])
+    * walks tokens once against the interval union. Shuffle profile =
+    * D27's (hash groupBy + one doc_id exchange); the corpus text rides
+    * the scan.
+    */
+  def dedupSubstringScrub(spark: SparkSession, dir: String,
+      L: Int = SubstringL): DataFrame = {
+    val wins = substringWins(spark, dir, L)
+    val dupHashes = wins.groupBy("whash")
+      .agg(count(lit(1)).as("sites"))
+      .filter(col("sites") >= 2)
+      .select("whash")
+    val dupStarts = wins.join(dupHashes, Seq("whash"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("scrubbed", graft.functions.SpanScrubKernel.removeSpans(
+        col("toks"),
+        coalesce(col("starts"), array().cast("array<long>")), L))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        when(col("scrubbed") === "", 0L)
+          .otherwise(size(split(col("scrubbed"), " "))).cast(LongType)
+          .as("n_kept"),
+        col("scrubbed").as("scrubbed_text"))
+      .withColumn("n_removed", col("n_toks") - col("n_kept"))
+      .select("doc_id", "n_toks", "n_kept", "n_removed", "scrubbed_text")
+      .orderBy("doc_id")
+  }
+
   /** D12: embedding-cosine near-dup — candidates blocked by shared
     * 8-plane LSH bucket, verified with exact cosine ≥ threshold.
     */

@@ -54,6 +54,24 @@ class DedupAnnSpec extends GraftSpec {
       s"doc ${r.getAs[Long]("doc_id")} frac ${r.getAs[Double]("dup_frac")}"))
   }
 
+  test("dedup_substring_scrub removes exactly the duplicated-span tokens") {
+    val sub = DedupOps.dedupSubstring(spark, Sf)
+      .select(col("doc_id"), col("n_toks"), col("dup_tokens"))
+    val scrub = DedupOps.dedupSubstringScrub(spark, Sf)
+    val j = scrub.join(sub, Seq("doc_id")).collect()
+    assert(j.length == Tables.documents(spark, Sf).count())
+    j.foreach { r =>
+      assert(r.getAs[Long]("n_removed") == r.getAs[Long]("dup_tokens"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_toks") - r.getAs[Long]("dup_tokens"))
+      // the scrubbed text's token count matches n_kept
+      val txt = r.getAs[String]("scrubbed_text")
+      val nTok = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(nTok == r.getAs[Long]("n_kept"))
+    }
+  }
+
   test("dedup_substring kernel == interpreted HOF window hashes") {
     import graft.functions.{StrHash, WindowHashKernel}
     val docs = Tables.documents(spark, Sf)
