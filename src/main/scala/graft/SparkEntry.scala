@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
+    "dedup_embedding_clusters" -> (DedupOps.dedupEmbeddingClusters _),
     "dedup_clusters"       -> (DedupOps.dedupClusters _),
     "dedup_substring"      -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSubstring(s, d)),
@@ -1418,6 +1419,29 @@ object SparkEntry {
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.35
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // D12's pair graph closed transitively (recursive CTE), one
+    // component label + size per embedding
+    "dedup_embedding_clusters" ->
+      (s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, ${hpBucket(6)} AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) >= 0.35),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM p
+         |  UNION ALL SELECT b_id, a_id FROM p),
+         |reach(u, r) AS (
+         |  SELECT vec_id AS u, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
+         |comp AS (SELECT u AS vec_id, MIN(r) AS component FROM reach GROUP BY u)
+         |SELECT comp.vec_id, comp.component, sz.cluster_size
+         |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
+         |  FROM comp GROUP BY component) sz USING (component)
+         |ORDER BY vec_id""".stripMargin),
 
     "emb_label_stats" ->
       """WITH e AS (SELECT label,

@@ -262,11 +262,20 @@ object DedupOps {
   private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"ccLabels:$dir") { clusterLabelsBuild(spark, dir) }
 
-  private def clusterLabelsBuild(spark: SparkSession, dir: String): DataFrame = {
+  private def clusterLabelsBuild(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(spark,
+      ngramPairs(spark, dir).select(col("a_id"), col("b_id")),
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id")
+
+  /** The generic CC engine behind D13 (shingle near-dup graph) and
+    * D12b (embedding near-dup graph): min-label propagation over any
+    * (a_id, b_id) edge list + vertex frame. Output: (idCol, component,
+    * cluster_size).
+    */
+  private[operators] def connectedComponents(spark: SparkSession,
+      edgesDF: DataFrame, vertices: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    val edges = ngramPairs(spark, dir)
-      .select(col("a_id"), col("b_id")).as[(Long, Long)]
-    val vertices = Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = edgesDF.as[(Long, Long)]
 
     // undirected: both directions, partitioned by src once, reused
     // every round (iterate only vertices that have edges; isolated
@@ -317,20 +326,20 @@ object DedupOps {
     if (!converged) {
       rawUnd.unpersist(false); und.unpersist(false); labels.unpersist(false)
       throw new IllegalStateException(
-        s"dedupClusters: min-label propagation did not converge in $rounds rounds")
+        s"connectedComponents: min-label propagation did not converge in $rounds rounds")
     }
     // Pin the converged labels (eager localCheckpoint truncates the
     // loop lineage), then release the loop's working-set caches so a
     // long-lived session doesn't accumulate edge RDDs in storage.
-    val labDF = labels.toDF("doc_id", "component").localCheckpoint()
+    val labDF = labels.toDF(idCol, "component").localCheckpoint()
     rawUnd.unpersist(false); und.unpersist(false); labels.unpersist(false)
-    val active = labDF.select(col("doc_id"))
-    val singletons = vertices.join(active, Seq("doc_id"), "left_anti")
-      .withColumn("component", col("doc_id"))
+    val active = labDF.select(col(idCol))
+    val singletons = vertices.join(active, Seq(idCol), "left_anti")
+      .withColumn("component", col(idCol))
     val all = labDF.unionByName(singletons)
     val sizes = all.groupBy("component").agg(lcount.as("cluster_size"))
     all.join(sizes, Seq("component"))
-      .select(col("doc_id"), col("component"), col("cluster_size"))
+      .select(col(idCol), col("component"), col("cluster_size"))
   }
 
   /** D27: substring/span-level dedup — the suffix-array dedup family
@@ -477,6 +486,19 @@ object DedupOps {
       .select("doc_id", "n_toks", "n_kept", "n_removed", "scrubbed_text")
       .orderBy("doc_id")
   }
+
+  /** D12b: embedding near-dup clusters — the same generic CC engine
+    * D13 uses, over D12's cosine graph (vertices = every embedding,
+    * edges = verified cosine ≥ τ pairs). The semantic-dedup
+    * counterpart of token-level clustering: transitive closure groups
+    * paraphrase chains a pairwise threshold alone would split.
+    */
+  def dedupEmbeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"embCcLabels:$dir") {
+      connectedComponents(spark,
+        dedupEmbedding(spark, dir).select(col("a_id"), col("b_id")),
+        Tables.embeddings(spark, dir).select(col("vec_id")), "vec_id")
+    }.orderBy("vec_id")
 
   /** D12: embedding-cosine near-dup — candidates blocked by shared
     * 8-plane LSH bucket, verified with exact cosine ≥ threshold.

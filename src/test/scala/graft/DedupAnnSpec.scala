@@ -238,4 +238,25 @@ class DedupAnnSpec extends GraftSpec {
       assert(c >= 0.35 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("embedding clusters: total cover, min-label components, pairs co-labeled") {
+    val cc = DedupOps.dedupEmbeddingClusters(spark, Sf)
+    assert(cc.count() == Tables.embeddings(spark, Sf).count())
+    val rows = cc.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("cluster_size"))).toMap
+    // component label is the min vec_id of its members, size is the group size
+    rows.groupBy(_._2._1).foreach { case (comp, members) =>
+      assert(members.keys.min == comp, s"component $comp label not min id")
+      members.values.foreach { case (_, sz) =>
+        assert(sz == members.size, s"component $comp size $sz != ${members.size}")
+      }
+    }
+    // every verified cosine pair lands in one component
+    DedupOps.dedupEmbedding(spark, Sf).collect().foreach { r =>
+      val a = rows(r.getAs[Long]("a_id"))._1
+      val b = rows(r.getAs[Long]("b_id"))._1
+      assert(a == b, s"pair split across components $a vs $b")
+    }
+  }
 }
