@@ -94,6 +94,12 @@ object SparkEntry {
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
+    "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
+      AnnOps.decontaminateSemantic(s, d)),
+    "doc_keywords"         -> ((s: SparkSession, d: String) =>
+      TextOps.docKeywords(s, d)),
+    "text_collocations"    -> ((s: SparkSession, d: String) =>
+      TextOps.collocations(s, d)),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
     "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _)
@@ -1449,6 +1455,67 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    // D22b: every corpus (label<>0) vector vs every eval (label=0)
+    // vector, exact cosine, count/max of hits >= tau
+    "decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS e_id, v AS evec, nrm AS en FROM e WHERE label = 0),
+        |c AS (SELECT vec_id, v, nrm FROM e WHERE label <> 0),
+        |p AS (SELECT c.vec_id,
+        |    list_dot_product(c.v, ev.evec) / (c.nrm * ev.en) AS cos
+        |  FROM c JOIN ev ON c.vec_id <> ev.e_id),
+        |h AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(cos) AS max_cos
+        |  FROM p WHERE cos >= 0.35 GROUP BY 1)
+        |SELECT c.vec_id, COALESCE(n_hits, 0) AS n_hits, max_cos,
+        |  COALESCE(n_hits, 0) > 0 AS contaminated
+        |FROM c LEFT JOIN h USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    // D31: rational tf-idf — score = (tf*N)/df, integer cross products,
+    // one double division (bit-reproducible; no libm log)
+    "doc_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |dfv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tok, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN dfv USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS BIGINT) AS rnk FROM s)
+        |SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    // D32: rational PMI — assoc = (c_ab*N)/(c_a*c_b), same exactness
+    // contract as doc_keywords
+    "text_collocations" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT lang, unnest(toks) AS tok FROM d),
+        |ca AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM u GROUP BY 1),
+        |bgl AS (SELECT lang, list_transform(range(1, len(toks)),
+        |    i -> [toks[i], toks[i+1]]) AS grams FROM d WHERE len(toks) >= 2),
+        |bg AS (SELECT lang, unnest(grams) AS g FROM bgl),
+        |cab AS (SELECT lang, g[1] AS tok1, g[2] AS tok2,
+        |    CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 3),
+        |s AS (SELECT cab.lang AS lang, tok1, tok2, c_ab, a.c AS c_a, b.c AS c_b,
+        |    CAST(c_ab * n_tokens AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS assoc
+        |  FROM cab
+        |  JOIN ca a ON cab.lang = a.lang AND cab.tok1 = a.tok
+        |  JOIN ca b ON cab.lang = b.lang AND cab.tok2 = b.tok
+        |  JOIN n ON cab.lang = n.lang),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY assoc DESC, tok1, tok2) AS BIGINT) AS rnk FROM s)
+        |SELECT lang, tok1, tok2, c_ab, c_a, c_b, assoc, rnk FROM r
+        |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
 
     "media_features" -> {
       // fakeDecode replication: h = fold((31·h + byte) mod 2^64) from

@@ -434,4 +434,32 @@ object AnnOps {
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
       .orderBy("label")
+
+  /** D22b: semantic decontamination — the embedding-space face of
+    * D22's verbatim-shingle check: flag corpus vectors whose cosine to
+    * ANY eval-set vector ≥ τ (paraphrased benchmark leakage that
+    * n-gram matching misses). Demo eval set: label = 0. Scale shape:
+    * eval benchmarks are tiny versus a 100 TB corpus, so the eval side
+    * is broadcast and the corpus is scanned once with no shuffle; the
+    * per-vector verdict is a partial-agg count/max (order-independent,
+    * exactly-rounded ops only — bit-reproducible).
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+      tau: Double = 0.35): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val eval = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("e_id"), col("v").as("ev"), col("nrm").as("en"))
+    val corpus = emb.filter(col("label") =!= 0)
+    val hits = corpus.join(broadcast(eval), col("vec_id") =!= col("e_id"))
+      .withColumn("cos", VectorFns.cosine(col("v"), col("ev"), col("nrm"), col("en")))
+      .filter(col("cos") >= tau)
+      .groupBy("vec_id")
+      .agg(graft.functions.Exact.lcount.as("n_hits"), max("cos").as("max_cos"))
+    corpus.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("vec_id")
+  }
 }

@@ -125,6 +125,77 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D31: per-doc top-k TF-IDF keywords — the tagging/indexing signal
+    * a curation UI or topic router ranks documents by. The idf is kept
+    * RATIONAL: score = (tf · N) / df, integer numerator and
+    * denominator with ONE exactly-rounded double division, so values
+    * and ordering are bit-reproducible on any engine (log-idf is not:
+    * libm log differs across platforms in ULPs, and a float SUM of
+    * logs is order-dependent). Scale shape: one (doc, tok) partial-agg
+    * shuffle; the df table is vocab-sized (≪ corpus) and joins on tok
+    * after aggregation; N rides a broadcast single-row join; the
+    * per-doc top-k is the bounded-heap TopKPerKey, never a global
+    * window over all (doc, tok) pairs.
+    */
+  def docKeywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val tf = t.groupBy("doc_id", "tok").agg(graft.functions.Exact.lcount.as("tf"))
+    val dfTok = t.distinct().groupBy("tok").agg(graft.functions.Exact.lcount.as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(graft.functions.Exact.lcount.as("n_docs")).withColumn("one", lit(1))
+    val scored = tf.join(dfTok, "tok")
+      .withColumn("one", lit(1)).join(broadcast(nDocs), "one")
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+    graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+        Seq(col("score").desc, col("tok").asc), k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** D32: per-language top-k bigram collocations — the association
+    * signal for multi-word-expression mining and tokenizer merges.
+    * PMI is kept RATIONAL for the same bit-reproducibility reason as
+    * D31: assoc = (c_ab · N) / (c_a · c_b), all-integer cross products
+    * and one double division. Scale shape: bigram and unigram counts
+    * are each one partial-agg shuffle; the two unigram joins key on
+    * (lang, tok) — vocab-sized sides, never the corpus; per-lang
+    * top-k via bounded heaps.
+    */
+  def collocations(spark: SparkSession, dir: String, k: Int = 20,
+      minCount: Int = 3): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+    val uni = d.select(col("lang"), explode(col("toks")).as("tok"))
+    val ca = uni.groupBy("lang", "tok").agg(graft.functions.Exact.lcount.as("c"))
+    val totals = uni.groupBy("lang").agg(graft.functions.Exact.lcount.as("n_tokens"))
+    val bg = d.filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("tok1"),
+          element_at(col("toks"), i + 2).as("tok2")))).as("g"))
+      .select(col("lang"), col("g.tok1"), col("g.tok2"))
+    val cab = bg.groupBy("lang", "tok1", "tok2")
+      .agg(graft.functions.Exact.lcount.as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = cab
+      .join(ca.withColumnRenamed("tok", "tok1").withColumnRenamed("c", "c_a"),
+        Seq("lang", "tok1"))
+      .join(ca.withColumnRenamed("tok", "tok2").withColumnRenamed("c", "c_b"),
+        Seq("lang", "tok2"))
+      .join(broadcast(totals), "lang")
+      .withColumn("assoc",
+        (col("c_ab") * col("n_tokens")).cast(DoubleType) /
+          (col("c_a") * col("c_b")).cast(DoubleType))
+    graft.plans.TopK.perKey(scored, Seq(col("lang")),
+        Seq(col("assoc").desc, col("tok1").asc, col("tok2").asc), k)
+      .select(col("lang"), col("tok1"), col("tok2"), col("c_ab"),
+        col("c_a"), col("c_b"), col("assoc"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** D26: per-source quality profile — the signal a mixture/curation
     * policy ranks sources by: doc count and min/median/max of the D6
     * quality score per source. Only order-independent aggregates

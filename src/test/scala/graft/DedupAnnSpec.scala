@@ -239,6 +239,22 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("semantic decontamination: full corpus cover, verdicts consistent") {
+    val d = AnnOps.decontaminateSemantic(spark, Sf)
+    val nCorpus = Tables.embeddings(spark, Sf)
+      .filter(col("label") =!= 0).count()
+    val rows = d.collect()
+    assert(rows.length == nCorpus)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(r.getAs[Boolean]("contaminated") == (hits > 0))
+      if (hits > 0) {
+        val mc = r.getAs[Double]("max_cos")
+        assert(mc >= 0.35 && mc <= 1.0 + 1e-9)
+      } else assert(r.isNullAt(r.fieldIndex("max_cos")))
+    }
+  }
+
   test("embedding clusters: total cover, min-label components, pairs co-labeled") {
     val cc = DedupOps.dedupEmbeddingClusters(spark, Sf)
     assert(cc.count() == Tables.embeddings(spark, Sf).count())

@@ -39,4 +39,41 @@ class TextAnalysisSpec extends GraftSpec {
       }
     }
   }
+
+  test("doc_keywords: k per doc, score == tf*N/df, rare tokens outrank common") {
+    val kw = TextOps.docKeywords(spark, Sf, k = 3)
+    val nDocs = Tables.documents(spark, Sf).count()
+    val byDoc = kw.collect().groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      sorted.foreach { r =>
+        val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df")
+        assert(df >= 1 && df <= nDocs)
+        assert(r.getAs[Double]("score") == (tf * nDocs).toDouble / df.toDouble)
+      }
+      // rnk ordering is score-descending
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+        case _ =>
+      }
+    }
+  }
+
+  test("text_collocations: assoc == c_ab*N/(c_a*c_b), counts consistent") {
+    val co = TextOps.collocations(spark, Sf, k = 10, minCount = 2)
+    co.collect().foreach { r =>
+      val cab = r.getAs[Long]("c_ab"); val ca = r.getAs[Long]("c_a")
+      val cb = r.getAs[Long]("c_b")
+      assert(cab >= 2 && cab <= math.min(ca, cb),
+        s"bigram count $cab exceeds a unigram count ($ca, $cb)")
+      assert(r.getAs[Double]("assoc") > 0.0)
+    }
+    // per-lang rnk is 1..n contiguous
+    co.collect().groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.toSeq == (1L to rnks.length).toSeq)
+    }
+  }
 }
