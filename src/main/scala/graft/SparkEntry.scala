@@ -96,6 +96,7 @@ object SparkEntry {
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
     "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
       AnnOps.decontaminateSemantic(s, d)),
+    "emb_pq_codes"         -> (AnnOps.pqCodes _),
     "doc_keywords"         -> ((s: SparkSession, d: String) =>
       TextOps.docKeywords(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
@@ -1472,6 +1473,52 @@ object SparkEntry {
         |SELECT c.vec_id, COALESCE(n_hits, 0) AS n_hits, max_cos,
         |  COALESCE(n_hits, 0) > 0 AS contaminated
         |FROM c LEFT JOIN h USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    // D33: product quantization — 4 subspaces x 16 codes; seed = first-16
+    // subvectors (k = rank by vec_id), one Lloyd round with the same
+    // exact-integer HUGEINT mean ann_ivf uses; L2 via the dot identity
+    // (no division), argmin ties -> k asc; err = d0+d1+d2+d3 in s order
+    "emb_pq_codes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS s) t),
+        |seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
+        |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
+        |  FROM sub WHERE vec_id IN
+        |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+        |s0 AS (SELECT sub.vec_id, sub.s, sub.x, seed.k,
+        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+        |      + list_dot_product(cv, cv) AS d
+        |  FROM sub JOIN seed ON sub.s = seed.s),
+        |a0 AS (SELECT vec_id, s, x, k FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s0)
+        |  WHERE rn = 1),
+        |cm AS (SELECT s, k, unnest(range(len(x))) AS pos, unnest(x) AS xv
+        |  FROM a0),
+        |cx AS (SELECT s, k, pos,
+        |    CAST(SUM(CAST(xv * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS xv
+        |  FROM cm GROUP BY 1, 2, 3),
+        |ref AS (SELECT s, k, list(xv ORDER BY pos) AS cv FROM cx GROUP BY 1, 2),
+        |s1 AS (SELECT sub.vec_id, sub.s, ref.k,
+        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+        |      + list_dot_product(cv, cv) AS d
+        |  FROM sub JOIN ref ON sub.s = ref.s),
+        |a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |w AS (SELECT vec_id,
+        |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
+        |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
+        |    MAX(CASE WHEN s = 2 THEN k END) AS c2,
+        |    MAX(CASE WHEN s = 3 THEN k END) AS c3,
+        |    MAX(CASE WHEN s = 0 THEN d END) AS d0,
+        |    MAX(CASE WHEN s = 1 THEN d END) AS d1,
+        |    MAX(CASE WHEN s = 2 THEN d END) AS d2,
+        |    MAX(CASE WHEN s = 3 THEN d END) AS d3
+        |  FROM a1 GROUP BY vec_id)
+        |SELECT vec_id, c0, c1, c2, c3, d0 + d1 + d2 + d3 AS err
+        |FROM w ORDER BY vec_id""".stripMargin,
 
     // D31: rational tf-idf — score = (tf*N)/df, integer cross products,
     // one double division (bit-reproducible; no libm log)

@@ -462,4 +462,115 @@ object AnnOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy("vec_id")
   }
+
+  // ---------------------------------------------------------------
+  // D33: product quantization — the embedding STORAGE compression path
+  // (64 dims × 4 B → PqS codes × 1 B): at 100 TB the PQ-coded corpus is
+  // what fits in executor memory for re-ranking, the same way IVF's
+  // layout is what keeps probes local.
+
+  /** PQ geometry: 4 subspaces × 16 centroids (codes fit in a byte). */
+  val PqS = 4
+  val PqK = 16
+
+  private case class PqC(k: Long, cv: Seq[Double])
+
+  /** In-row code assignment against a literal per-subspace codebook:
+    * argmin_k of the L2 distance, computed as dot(x,x) − 2·dot(x,c) +
+    * dot(c,c) — dot products and one subtraction chain only, no
+    * division (a zero subvector would NaN a cosine), every op exactly
+    * rounded so the argmin (ties → k asc) is engine-independent.
+    * Zero shuffle: the codebook rides the plan as a literal.
+    */
+  private def pqAssign(sub: DataFrame, model: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+      model.filter(_._1 == s).sortBy(_._2).map { case (_, k, cv) => PqC(k, cv) }
+    }
+    val centsL = typedLit(bys)
+    sub.withColumn("best",
+        element_at(array_sort(transform(element_at(centsL, col("s") + 1), c =>
+          struct((VectorFns.dot(col("x"), col("x"))
+            - lit(2d) * VectorFns.dot(col("x"), c.getField("cv"))
+            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d"),
+            c.getField("k").as("k")))), 1))
+      .select(col("vec_id"), col("s"), col("x"),
+        col("best.k").as("k"), col("best.d").as("d"))
+  }
+
+  /** (vec_id, s, x): each vector split into PqS contiguous subvectors. */
+  private def pqSub(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+    emb.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(PqS - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("x"))
+  }
+
+  /** Per-subspace codebooks — a layout-time model artifact like
+    * [[ivfModel]]: seed = the first-PqK vectors' subvectors (k = rank
+    * by vec_id, stable), one Lloyd round with the same exact-integer
+    * DECIMAL(38,0) mean (order-independent at any parallelism,
+    * bit-replicable by a plain GROUP BY in an external engine).
+    * Empty codes drop out of the refined book on both sides alike.
+    */
+  private def pqModel(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    graft.Memo.value(spark, s"pqModel:$dir") {
+      val emb = embDouble(spark, dir)
+      val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+      val firstK = emb.orderBy("vec_id").limit(PqK)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      val seed: Seq[(Int, Long, Seq[Double])] = for {
+        s <- 0 until PqS; k <- 0 until PqK
+      } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
+      val refined = pqAssign(pqSub(spark, dir), seed)
+        .select(col("s"), col("k"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy("s", "k", "pos").agg(
+          (sum((col("xv") * lit(ScaleP2)).cast(DecimalType(38, 0)))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(ScaleP2))
+            .as("xv"))
+        .groupBy("s", "k").agg(
+          array_sort(collect_list(struct(col("pos"), col("xv")))).as("pv"))
+        .select(col("s"), col("k"), expr("transform(pv, p -> p.xv)").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .toSeq
+      refined
+    }
+
+  /** Test hook: mean squared reconstruction error over the corpus with
+    * either the seed or the refined codebook — Lloyd must not increase
+    * it.
+    */
+  private[graft] def pqMeanErr(spark: SparkSession, dir: String,
+      refined: Boolean): Double = {
+    val emb = embDouble(spark, dir)
+    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+    val firstK = emb.orderBy("vec_id").limit(PqK)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val seed: Seq[(Int, Long, Seq[Double])] = for {
+      s <- 0 until PqS; k <- 0 until PqK
+    } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
+    val model = if (refined) pqModel(spark, dir) else seed
+    pqAssign(pqSub(spark, dir), model)
+      .agg(avg(col("d"))).head.getDouble(0)
+  }
+
+  /** D33: every vector's PQ code word (one code per subspace) plus the
+    * total squared reconstruction error. One corpus scan, in-row
+    * argmin against the literal codebooks, a (vec_id → wide) partial
+    * agg — no join, no corpus shuffle; err sums the per-subspace
+    * distances in fixed s order so the double is bit-stable.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val a = pqAssign(pqSub(spark, dir), pqModel(spark, dir))
+    def codeAt(s: Int) = max(when(col("s") === s, col("k"))).as(s"c$s")
+    def distAt(s: Int) = max(when(col("s") === s, col("d"))).as(s"d$s")
+    a.groupBy("vec_id")
+      .agg(codeAt(0), distAt(0), codeAt(1), distAt(1),
+        codeAt(2), distAt(2), codeAt(3), distAt(3))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("err"))
+      .orderBy("vec_id")
+  }
 }

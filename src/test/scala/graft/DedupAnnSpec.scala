@@ -239,6 +239,22 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("pq codes: full cover, codes in range, Lloyd does not increase error") {
+    val pq = AnnOps.pqCodes(spark, Sf)
+    assert(pq.count() == Tables.embeddings(spark, Sf).count())
+    pq.collect().foreach { r =>
+      Seq("c0", "c1", "c2", "c3").foreach { c =>
+        val k = r.getAs[Long](c)
+        assert(k >= 0 && k < AnnOps.PqK, s"$c=$k out of range")
+      }
+      assert(r.getAs[Double]("err") >= -1e-9)
+    }
+    val seedErr = AnnOps.pqMeanErr(spark, Sf, refined = false)
+    val refErr = AnnOps.pqMeanErr(spark, Sf, refined = true)
+    assert(refErr <= seedErr + 1e-12,
+      s"Lloyd round increased mean sq error: $seedErr -> $refErr")
+  }
+
   test("semantic decontamination: full corpus cover, verdicts consistent") {
     val d = AnnOps.decontaminateSemantic(spark, Sf)
     val nCorpus = Tables.embeddings(spark, Sf)
