@@ -97,6 +97,8 @@ object SparkEntry {
     "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
       AnnOps.decontaminateSemantic(s, d)),
     "emb_pq_codes"         -> (AnnOps.pqCodes _),
+    "ann_pq_adc"           -> ((s: SparkSession, d: String) =>
+      AnnOps.annPqAdc(s, d)),
     "doc_keywords"         -> ((s: SparkSession, d: String) =>
       TextOps.docKeywords(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
@@ -155,6 +157,42 @@ object SparkEntry {
     s"list_transform(range(0, len(v)), d -> CAST($hpCoef AS DOUBLE))) >= 0 " +
     s"THEN power(2, $nPlanes - 1 - p)::BIGINT ELSE 0 END) AS BIGINT) " +
     s"FROM range(0, $nPlanes) t(p))"
+
+  /** Shared CTE chain for the PQ family (D33/D33b) — the codebook
+    * build and final per-(vec, subspace) assignment `a1`, replicating
+    * AnnOps.pqModel/pqAssign: 4 subspaces × 16-dim slices, first-16
+    * seed (k = rank by vec_id), exact-integer Lloyd mean, L2 via the
+    * dot identity, argmin ties → k asc.
+    */
+  private val PqCtes =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS x
+      |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS s) t),
+      |seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
+      |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
+      |  FROM sub WHERE vec_id IN
+      |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+      |s0 AS (SELECT sub.vec_id, sub.s, sub.x, seed.k,
+      |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+      |      + list_dot_product(cv, cv) AS d
+      |  FROM sub JOIN seed ON sub.s = seed.s),
+      |a0 AS (SELECT vec_id, s, x, k FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s0)
+      |  WHERE rn = 1),
+      |cm AS (SELECT s, k, unnest(range(len(x))) AS pos, unnest(x) AS xv
+      |  FROM a0),
+      |cx AS (SELECT s, k, pos,
+      |    CAST(SUM(CAST(xv * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS xv
+      |  FROM cm GROUP BY 1, 2, 3),
+      |ref AS (SELECT s, k, list(xv ORDER BY pos) AS cv FROM cx GROUP BY 1, 2),
+      |s1 AS (SELECT sub.vec_id, sub.s, ref.k,
+      |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+      |      + list_dot_product(cv, cv) AS d
+      |  FROM sub JOIN ref ON sub.s = ref.s),
+      |a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s1)
+      |  WHERE rn = 1)""".stripMargin
 
   /** mod-2^64 poly fold (base 1000003) over the chars of column `c` —
     * the StrHash.hash64 pre-mix accumulator (functions/MinHash.scala),
@@ -1479,34 +1517,7 @@ object SparkEntry {
     // exact-integer HUGEINT mean ann_ivf uses; L2 via the dot identity
     // (no division), argmin ties -> k asc; err = d0+d1+d2+d3 in s order
     "emb_pq_codes" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |sub AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS x
-        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS s) t),
-        |seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
-        |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
-        |  FROM sub WHERE vec_id IN
-        |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-        |s0 AS (SELECT sub.vec_id, sub.s, sub.x, seed.k,
-        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
-        |      + list_dot_product(cv, cv) AS d
-        |  FROM sub JOIN seed ON sub.s = seed.s),
-        |a0 AS (SELECT vec_id, s, x, k FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s0)
-        |  WHERE rn = 1),
-        |cm AS (SELECT s, k, unnest(range(len(x))) AS pos, unnest(x) AS xv
-        |  FROM a0),
-        |cx AS (SELECT s, k, pos,
-        |    CAST(SUM(CAST(xv * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS xv
-        |  FROM cm GROUP BY 1, 2, 3),
-        |ref AS (SELECT s, k, list(xv ORDER BY pos) AS cv FROM cx GROUP BY 1, 2),
-        |s1 AS (SELECT sub.vec_id, sub.s, ref.k,
-        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
-        |      + list_dot_product(cv, cv) AS d
-        |  FROM sub JOIN ref ON sub.s = ref.s),
-        |a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s1)
-        |  WHERE rn = 1),
+      (PqCtes + """,
         |w AS (SELECT vec_id,
         |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
         |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
@@ -1518,7 +1529,34 @@ object SparkEntry {
         |    MAX(CASE WHEN s = 3 THEN d END) AS d3
         |  FROM a1 GROUP BY vec_id)
         |SELECT vec_id, c0, c1, c2, c3, d0 + d1 + d2 + d3 AS err
-        |FROM w ORDER BY vec_id""".stripMargin,
+        |FROM w ORDER BY vec_id""".stripMargin),
+
+    // D33b: ADC search — per-query distance table vs the refined
+    // codebooks, candidate distance = 4 table lookups summed in s order
+    "ann_pq_adc" ->
+      (PqCtes + """,
+        |qd AS (SELECT sub.vec_id AS q_id, sub.s, ref.k,
+        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+        |      + list_dot_product(cv, cv) AS d
+        |  FROM sub JOIN ref ON sub.s = ref.s WHERE sub.vec_id % 50 = 0),
+        |codes AS (SELECT vec_id AS c_id,
+        |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
+        |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
+        |    MAX(CASE WHEN s = 2 THEN k END) AS c2,
+        |    MAX(CASE WHEN s = 3 THEN k END) AS c3
+        |  FROM a1 GROUP BY vec_id),
+        |adc0 AS (SELECT q0.q_id AS q_id, codes.c_id AS c_id,
+        |    q0.d + q1.d + q2.d + q3.d AS adc
+        |  FROM codes
+        |  JOIN qd q0 ON q0.s = 0 AND q0.k = codes.c0
+        |  JOIN qd q1 ON q1.q_id = q0.q_id AND q1.s = 1 AND q1.k = codes.c1
+        |  JOIN qd q2 ON q2.q_id = q0.q_id AND q2.s = 2 AND q2.k = codes.c2
+        |  JOIN qd q3 ON q3.q_id = q0.q_id AND q3.s = 3 AND q3.k = codes.c3
+        |  WHERE q0.q_id <> codes.c_id),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY adc, c_id) AS BIGINT) AS rnk FROM adc0)
+        |SELECT q_id, c_id, adc, rnk FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin),
 
     // D31: rational tf-idf — score = (tf*N)/df, integer cross products,
     // one double division (bit-reproducible; no libm log)

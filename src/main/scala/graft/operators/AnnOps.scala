@@ -562,15 +562,60 @@ object AnnOps {
     * agg — no join, no corpus shuffle; err sums the per-subspace
     * distances in fixed s order so the double is bit-stable.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val a = pqAssign(pqSub(spark, dir), pqModel(spark, dir))
-    def codeAt(s: Int) = max(when(col("s") === s, col("k"))).as(s"c$s")
-    def distAt(s: Int) = max(when(col("s") === s, col("d"))).as(s"d$s")
-    a.groupBy("vec_id")
-      .agg(codeAt(0), distAt(0), codeAt(1), distAt(1),
-        codeAt(2), distAt(2), codeAt(3), distAt(3))
-      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        (col("d0") + col("d1") + col("d2") + col("d3")).as("err"))
-      .orderBy("vec_id")
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesCore(spark, dir).orderBy("vec_id")
+
+  /** The session-memoized compressed corpus: one wide row of codes +
+    * error per vector (the artifact ADC search scans).
+    */
+  private def pqCodesCore(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"pqCodes:$dir") {
+      val a = pqAssign(pqSub(spark, dir), pqModel(spark, dir))
+      def codeAt(s: Int) = max(when(col("s") === s, col("k"))).as(s"c$s")
+      def distAt(s: Int) = max(when(col("s") === s, col("d"))).as(s"d$s")
+      a.groupBy("vec_id")
+        .agg(codeAt(0), distAt(0), codeAt(1), distAt(1),
+          codeAt(2), distAt(2), codeAt(3), distAt(3))
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          (col("d0") + col("d1") + col("d2") + col("d3")).as("err"))
+    }
+
+  /** D33b: PQ search by asymmetric distance computation (ADC) — the
+    * query stays exact, the corpus stays compressed: each query builds
+    * a PqS × PqK distance table against the codebooks (64 doubles,
+    * computed once per query, shipped via broadcast), and a candidate's
+    * approximate squared L2 is four map lookups + three adds over its
+    * CODES — the corpus scan never touches a float vector. Scale
+    * shape: the compressed corpus is ~64× smaller than the raw one,
+    * queries broadcast, bounded-heap top-k; zero corpus shuffle.
+    * Ties (identical code words) break by c_id ascending.
+    */
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+    val model = pqModel(spark, dir)
+    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
+    }
+    val q0 = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val qd = (0 until PqS).foldLeft(q0) { (df, s) =>
+      val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
+      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
+        struct(c.getField("k").as("k"),
+          (VectorFns.dot(sub, sub)
+            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
+            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+    }.drop("v")
+    val cand = pqCodesCore(spark, dir)
+      .select(col("vec_id").as("c_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    val sims = cand.join(broadcast(qd), col("q_id") =!= col("c_id"))
+      .withColumn("adc",
+        element_at(col("dt0"), col("c0")) + element_at(col("dt1"), col("c1"))
+          + element_at(col("dt2"), col("c2")) + element_at(col("dt3"), col("c3")))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").asc, col("c_id").asc), k)
+      .select("q_id", "c_id", "adc", "rnk")
+      .orderBy("q_id", "rnk")
   }
 }

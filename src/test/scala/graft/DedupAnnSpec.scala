@@ -255,6 +255,41 @@ class DedupAnnSpec extends GraftSpec {
       s"Lloyd round increased mean sq error: $seedErr -> $refErr")
   }
 
+  test("ann_pq_adc: k rows per query, measurable recall vs exact L2") {
+    val adc = AnnOps.annPqAdc(spark, Sf).collect()
+    val byQ = adc.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to 10L))
+      sorted.foreach(r => assert(r.getAs[Double]("adc") >= -1e-9))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("adc") <= b.getAs[Double]("adc"))
+        case _ =>
+      }
+    }
+    // exact L2 top-10 on the driver (the corpus is tiny at test sf)
+    val all = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0d)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    var hits = 0; var total = 0
+    byQ.foreach { case (qid, rows) =>
+      val qv = all.find(_._1 == qid).get._2
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) => (d2(qv, v), id) }.sortBy(identity).take(10)
+        .map(_._2).toSet
+      hits += rows.count(r => exact(r.getAs[Long]("c_id"))); total += 10
+    }
+    val recall = hits.toDouble / total
+    info(s"pq-adc recall@10 vs exact L2: $recall")
+    // random top-10 over ~500 candidates would score ~0.02; measured
+    // 0.19 at sf0.001 with the coarse 4x16 code
+    assert(recall >= 0.1, s"recall $recall below floor")
+  }
+
   test("semantic decontamination: full corpus cover, verdicts consistent") {
     val d = AnnOps.decontaminateSemantic(spark, Sf)
     val nCorpus = Tables.embeddings(spark, Sf)
