@@ -141,7 +141,9 @@ object TextOps {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val tf = t.groupBy("doc_id", "tok").agg(graft.functions.Exact.lcount.as("tf"))
-    val dfTok = t.distinct().groupBy("tok").agg(graft.functions.Exact.lcount.as("df"))
+    // df rides tf's shuffle output (one row per (doc, tok) already) —
+    // never a second corpus-wide explode+distinct
+    val dfTok = tf.groupBy("tok").agg(graft.functions.Exact.lcount.as("df"))
     val nDocs = Tables.documents(spark, dir)
       .agg(graft.functions.Exact.lcount.as("n_docs")).withColumn("one", lit(1))
     val scored = tf.join(dfTok, "tok")
@@ -170,7 +172,9 @@ object TextOps {
       .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
     val uni = d.select(col("lang"), explode(col("toks")).as("tok"))
     val ca = uni.groupBy("lang", "tok").agg(graft.functions.Exact.lcount.as("c"))
-    val totals = uni.groupBy("lang").agg(graft.functions.Exact.lcount.as("n_tokens"))
+    // lang totals roll up from the unigram counts (exact long sum) —
+    // no second pass over the exploded corpus
+    val totals = ca.groupBy("lang").agg(sum(col("c")).cast(LongType).as("n_tokens"))
     val bg = d.filter(size(col("toks")) >= 2)
       .select(col("lang"), explode(transform(
         sequence(lit(0), size(col("toks")) - 2),
