@@ -27,6 +27,11 @@ private case class DebState(event_id: Long, tsMs: Long, event_type: String,
 
 private case class SessState(n: Long, startMs: Long, endMs: Long, total: Double)
 
+/** One eval doc's distinct shingles, carried as a literal into the
+  * streaming decontamination plan.
+  */
+case class EvalShingles(eval_id: Long, ev_sh: Seq[String])
+
 /** Kafka value wire encoding — the reference ships both: the default
   * {schema, payload} JSON (handler/kafka.go:354-357 MsgValueEncoder)
   * and Confluent-framed Avro (kafka.go:449-472 AvroEncoder).
@@ -256,6 +261,41 @@ object StreamOps {
       .select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
         col("nsh").as("n_b"))
     nearDupStream(incoming, sigs, sh, tau, watermark)
+  }
+
+  /** E16: streaming decontamination — D22's ingest-time face: the
+    * eval-leak gate a crawl pipeline runs BEFORE a document enters the
+    * corpus. The eval set is collected once into a literal (benchmark
+    * suites are driver-sized next to a 100 TB corpus) and each
+    * incoming doc's distinct 3-gram shingles are intersected against
+    * every eval doc IN-ROW — a stateless map-only plan: no stream
+    * state beyond source offsets, verdicts emit with the arriving
+    * micro-batch, and throughput scales with executors alone.
+    * Semantics match CurationOps.decontaminate: n_hits = |shared
+    * distinct shingles|, emitted when ≥ minHits.
+    */
+  def decontaminateStream(incoming: DataFrame, evalSet: DataFrame,
+      minHits: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val ev: Seq[EvalShingles] = evalSet
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("eval_id"), graft.functions.TextFns.shingles3(col("toks")).as("ev_sh"))
+      .collect().toSeq
+      .map(r => EvalShingles(r.getLong(0), r.getSeq[String](1)))
+    incoming
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", graft.functions.TextFns.shingles3(col("toks")))
+      .withColumn("nsh", size(col("sh")).cast(LongType))
+      .withColumn("ev", explode(typedLit(ev)))
+      .withColumn("n_hits",
+        size(array_intersect(col("sh"), col("ev.ev_sh"))).cast(LongType))
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id"), col("ev.eval_id").as("eval_id"), col("ts"),
+        col("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("nsh").cast(DoubleType))
+          .as("hit_frac"))
   }
 
   /** The reference's Kafka record schema (handler/kafka.go:40-105),

@@ -67,6 +67,30 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream == batch decontaminate on the real corpus") {
+    val evalSet = operators.CurationOps.demoEvalSet(spark)
+    val expected = operators.CurationOps.decontaminate(spark, Sf, evalSet, minHits = 1)
+      .select("doc_id", "eval_id", "n_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val d = Files.createTempDirectory("decon_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.decontaminateStream(
+        spark.readStream.schema(incoming.schema).parquet(d), evalSet, minHits = 1)
+      .writeStream.format("memory").queryName("decon_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decon_par")
+        .select("doc_id", "eval_id", "n_hits").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty, "parity fixture produced no contamination hits")
+    } finally q.stop()
+  }
+
   test("debounceStream == batch debounce (30m gap) on real events") {
     val expected = operators.EventOps.debounce(spark, Sf)
       .filter(col("user_id") <= 3)
