@@ -29,14 +29,16 @@ object ExplainAudit {
       "q_top_customers", "q_part_brand_stats", "evt_handler_routing",
       "ann_cosine_topk", "ann_lsh", "doc_mixture_weighted",
       "doc_decontaminate", "evt_value_zscore", "ann_recall",
-      "decontaminate_semantic", "doc_keywords", "text_collocations")
+      "decontaminate_semantic", "doc_keywords", "text_collocations",
+      "ann_pq_adc", "ann_pq_rerank")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
       "q_rank_parts", "q_dense_size_parts", "doc_sample_stratified",
       "doc_mixture", "doc_mixture_weighted", "dedup_keep_best",
       "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build",
-      "text_vocab", "doc_keywords", "text_collocations")
+      "text_vocab", "doc_keywords", "text_collocations",
+      "ann_pq_adc", "ann_pq_rerank")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

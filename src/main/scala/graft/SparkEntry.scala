@@ -99,6 +99,8 @@ object SparkEntry {
     "emb_pq_codes"         -> (AnnOps.pqCodes _),
     "ann_pq_adc"           -> ((s: SparkSession, d: String) =>
       AnnOps.annPqAdc(s, d)),
+    "ann_pq_rerank"        -> ((s: SparkSession, d: String) =>
+      AnnOps.annPqRerank(s, d)),
     "doc_keywords"         -> ((s: SparkSession, d: String) =>
       TextOps.docKeywords(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
@@ -193,6 +195,32 @@ object SparkEntry {
       |a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
       |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s1)
       |  WHERE rn = 1)""".stripMargin
+
+  /** [[PqCtes]] extended with the ADC stage shared by D33b/D33c:
+    * per-query distance tables `qd`, the code words `codes`, and every
+    * (query, candidate) approximate distance `adc0` (4 lookups summed
+    * in s order, self excluded).
+    */
+  private val PqAdcCtes =
+    PqCtes + """,
+      |qd AS (SELECT sub.vec_id AS q_id, sub.s, ref.k,
+      |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+      |      + list_dot_product(cv, cv) AS d
+      |  FROM sub JOIN ref ON sub.s = ref.s WHERE sub.vec_id % 50 = 0),
+      |codes AS (SELECT vec_id AS c_id,
+      |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
+      |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
+      |    MAX(CASE WHEN s = 2 THEN k END) AS c2,
+      |    MAX(CASE WHEN s = 3 THEN k END) AS c3
+      |  FROM a1 GROUP BY vec_id),
+      |adc0 AS (SELECT q0.q_id AS q_id, codes.c_id AS c_id,
+      |    q0.d + q1.d + q2.d + q3.d AS adc
+      |  FROM codes
+      |  JOIN qd q0 ON q0.s = 0 AND q0.k = codes.c0
+      |  JOIN qd q1 ON q1.q_id = q0.q_id AND q1.s = 1 AND q1.k = codes.c1
+      |  JOIN qd q2 ON q2.q_id = q0.q_id AND q2.s = 2 AND q2.k = codes.c2
+      |  JOIN qd q3 ON q3.q_id = q0.q_id AND q3.s = 3 AND q3.k = codes.c3
+      |  WHERE q0.q_id <> codes.c_id)""".stripMargin
 
   /** mod-2^64 poly fold (base 1000003) over the chars of column `c` —
     * the StrHash.hash64 pre-mix accumulator (functions/MinHash.scala),
@@ -1534,28 +1562,28 @@ object SparkEntry {
     // D33b: ADC search — per-query distance table vs the refined
     // codebooks, candidate distance = 4 table lookups summed in s order
     "ann_pq_adc" ->
-      (PqCtes + """,
-        |qd AS (SELECT sub.vec_id AS q_id, sub.s, ref.k,
-        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
-        |      + list_dot_product(cv, cv) AS d
-        |  FROM sub JOIN ref ON sub.s = ref.s WHERE sub.vec_id % 50 = 0),
-        |codes AS (SELECT vec_id AS c_id,
-        |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
-        |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
-        |    MAX(CASE WHEN s = 2 THEN k END) AS c2,
-        |    MAX(CASE WHEN s = 3 THEN k END) AS c3
-        |  FROM a1 GROUP BY vec_id),
-        |adc0 AS (SELECT q0.q_id AS q_id, codes.c_id AS c_id,
-        |    q0.d + q1.d + q2.d + q3.d AS adc
-        |  FROM codes
-        |  JOIN qd q0 ON q0.s = 0 AND q0.k = codes.c0
-        |  JOIN qd q1 ON q1.q_id = q0.q_id AND q1.s = 1 AND q1.k = codes.c1
-        |  JOIN qd q2 ON q2.q_id = q0.q_id AND q2.s = 2 AND q2.k = codes.c2
-        |  JOIN qd q3 ON q3.q_id = q0.q_id AND q3.s = 3 AND q3.k = codes.c3
-        |  WHERE q0.q_id <> codes.c_id),
+      (PqAdcCtes + """,
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY adc, c_id) AS BIGINT) AS rnk FROM adc0)
         |SELECT q_id, c_id, adc, rnk FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin),
+
+    // D33c: two-stage retrieval — ADC top-50 shortlist, exact cosine
+    // re-rank of the shortlist only
+    "ann_pq_rerank" ->
+      (PqAdcCtes + """,
+        |short AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY adc, c_id) AS arnk FROM adc0)
+        |  WHERE arnk <= 50),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |ex AS (SELECT s.q_id, s.c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |  FROM short s
+        |  JOIN en q ON q.vec_id = s.q_id
+        |  JOIN en c ON c.vec_id = s.c_id),
+        |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM ex)
+        |SELECT q_id, c_id, sim, rnk FROM rr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin),
 
     // D31: rational tf-idf — score = (tf*N)/df, integer cross products,

@@ -619,4 +619,30 @@ object AnnOps {
       .select("q_id", "c_id", "adc", "rnk")
       .orderBy("q_id", "rnk")
   }
+
+  /** D33c: two-stage retrieval — the production ANN stack: the ADC
+    * pass shortlists R candidates per query over the compressed codes
+    * (never touching a float vector), then ONLY the shortlist is
+    * re-ranked with exact cosine. Scale shape: stage 1 scans the
+    * 64×-smaller code table; stage 2 touches R·|queries| float rows —
+    * the shortlist is broadcast into the corpus scan, so the full
+    * corpus is read once per stage and never shuffled.
+    */
+  def annPqRerank(spark: SparkSession, dir: String, r: Int = 50,
+      k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val shortlist = annPqAdc(spark, dir, r).select("q_id", "c_id")
+    val qv = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = emb
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(shortlist), "c_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(exact, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -290,6 +290,33 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.1, s"recall $recall below floor")
   }
 
+  test("ann_pq_rerank: exact sims, recall lifts over raw ADC") {
+    val exact = AnnOps.annCosineTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val rerank = AnnOps.annPqRerank(spark, Sf).collect()
+    // re-ranked sims are true cosines: every (q, c) pair must carry the
+    // same sim the exact query computes when it kept the pair
+    val exactSims = AnnOps.annCosineTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
+        r.getAs[Double]("sim")).toMap
+    rerank.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      exactSims.get(key).foreach(s => assert(s == r.getAs[Double]("sim")))
+    }
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+      val hits = byQ.map { case (q, rs) =>
+        rs.count(r => exact(q)(r.getAs[Long]("c_id"))) }.sum
+      hits.toDouble / (exact.size * 10)
+    }
+    val rAdc = recall(AnnOps.annPqAdc(spark, Sf).collect())
+    val rRr = recall(rerank)
+    info(s"recall@10 vs exact cosine: adc=$rAdc rerank=$rRr")
+    assert(rRr >= rAdc - 1e-12, "re-ranking must not lose recall")
+    assert(rRr >= 0.3, s"rerank recall $rRr below floor")
+  }
+
   test("semantic decontamination: full corpus cover, verdicts consistent") {
     val d = AnnOps.decontaminateSemantic(spark, Sf)
     val nCorpus = Tables.embeddings(spark, Sf)
