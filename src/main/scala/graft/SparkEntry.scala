@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_substring_scrub" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSubstringScrub(s, d)),
     "dedup_incremental"    -> (CurationOps.dedupIncremental _),
+    "dedup_incremental_bloom" -> (CurationOps.dedupIncrementalBloom _),
     "dedup_incremental_lsh" -> ((s: SparkSession, d: String) =>
       CurationOps.dedupIncrementalLsh(s, d)),
     "doc_curation"         -> (CurationOps.curate _),
@@ -159,6 +160,36 @@ object SparkEntry {
     s"list_transform(range(0, len(v)), d -> CAST($hpCoef AS DOUBLE))) >= 0 " +
     s"THEN power(2, $nPlanes - 1 - p)::BIGINT ELSE 0 END) AS BIGINT) " +
     s"FROM range(0, $nPlanes) t(p))"
+
+  /** D15/D15c shared oracle: the Bloom variant is a plan
+    * optimization with identical verdicts, so both queries check
+    * against one SQL definition.
+    */
+  private val IncrementalDedupSql =
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |near AS (SELECT DISTINCT a_id AS doc_id FROM (
+        |  SELECT a.doc_id AS a_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING COUNT(*) >= 2 AND CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) >= 0.5)),
+        |ex AS (SELECT DISTINCT i.doc_id FROM documents i JOIN documents c
+        |  ON i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+        |  AND md5(i.text) = md5(c.text))
+        |SELECT i.doc_id,
+        |  i.doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
+        |  i.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+        |  NOT (i.doc_id IN (SELECT doc_id FROM ex)
+        |    OR i.doc_id IN (SELECT doc_id FROM near)) AS keep
+        |FROM documents i WHERE i.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain for the PQ family (D33/D33b) — the codebook
     * build and final per-(vec, subspace) assignment `a1`, replicating
@@ -981,31 +1012,10 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM d),
-        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
-        |    unnest(shingles) AS shingle FROM s),
-        |near AS (SELECT DISTINCT a_id AS doc_id FROM (
-        |  SELECT a.doc_id AS a_id
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
-        |    AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
-        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-        |  HAVING COUNT(*) >= 2 AND CAST(COUNT(*) AS DOUBLE) /
-        |    CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) >= 0.5)),
-        |ex AS (SELECT DISTINCT i.doc_id FROM documents i JOIN documents c
-        |  ON i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-        |  AND md5(i.text) = md5(c.text))
-        |SELECT i.doc_id,
-        |  i.doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
-        |  i.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
-        |  NOT (i.doc_id IN (SELECT doc_id FROM ex)
-        |    OR i.doc_id IN (SELECT doc_id FROM near)) AS keep
-        |FROM documents i WHERE i.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> IncrementalDedupSql,
+    // D15c: same verdict contract as D15 — the Bloom pass is a plan
+    // optimization, not a semantic change
+    "dedup_incremental_bloom" -> IncrementalDedupSql,
 
     "doc_curation" ->
       """WITH t AS (SELECT doc_id, lang, text, n_chars,

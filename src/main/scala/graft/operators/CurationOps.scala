@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns
 import graft.plans.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -25,13 +25,37 @@ object CurationOps {
     * across the cluster, with the incoming side orders of magnitude
     * smaller than the corpus.
     */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalVerdicts(spark, dir, ckPreFilter = None)
+
+  /** D15c: [[dedupIncremental]] with the corpus checksum SET carried
+    * as a Bloom filter (built once per session by Spark's own
+    * BloomFilterAggregate, ~1.2 B/key at 3% FPP): the incoming batch
+    * probes the filter in-row and only might-contain survivors enter
+    * the exact-dup join — at 100 TB the overwhelmingly non-dup
+    * majority of a crawl never shuffles at all. Verdicts are
+    * IDENTICAL to D15: a Bloom miss is a definitive non-member, and
+    * false positives are re-verified by the real checksum join.
+    */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = graft.Memo.value(spark, s"ckBloom:$dir") {
+      val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+      val n = math.max(corpus.count(), 1L)
+      graft.functions.BloomFns.build(
+        corpus.select(md5(col("text")).as("ck")), col("ck"), n)
+    }
+    incrementalVerdicts(spark, dir,
+      Some(graft.functions.BloomFns.mightContain(bloom, col("ck"))))
+  }
+
+  private def incrementalVerdicts(spark: SparkSession, dir: String,
+      ckPreFilter: Option[Column]): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val incoming = docs.filter(col("doc_id") % 10 === 7)
     val corpus = docs.filter(col("doc_id") % 10 =!= 7)
 
-    val exactDup = incoming
-      .select(col("doc_id"), md5(col("text")).as("ck"))
+    val incCk = incoming.select(col("doc_id"), md5(col("text")).as("ck"))
+    val exactDup = ckPreFilter.fold(incCk)(f => incCk.filter(f))
       .join(corpus.select(md5(col("text")).as("ck")).distinct(), "ck")
       .select(col("doc_id")).distinct()
       .withColumn("e", lit(true))

@@ -17,6 +17,30 @@ class CurationSpec extends GraftSpec {
     }
   }
 
+  test("bloom incremental dedup: identical verdicts, bloom actually prunes") {
+    val plain = CurationOps.dedupIncremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    val bloom = CurationOps.dedupIncrementalBloom(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(bloom.toSeq == plain.toSeq,
+      "bloom pre-filter changed incremental-dedup verdicts")
+    // the filter must reject most of the non-dup majority (3% FPP):
+    // count might-contain survivors directly
+    val docs = Tables.documents(spark, Sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val blm = graft.functions.BloomFns.build(
+      corpus.select(md5(col("text")).as("ck")), col("ck"),
+      math.max(corpus.count(), 1L))
+    val incoming = docs.filter(col("doc_id") % 10 === 7)
+      .select(md5(col("text")).as("ck"))
+    val survivors = incoming
+      .filter(graft.functions.BloomFns.mightContain(blm, col("ck"))).count()
+    val exactDups = plain.count(_._2)
+    assert(survivors >= exactDups, "bloom dropped a true member")
+    assert(survivors < incoming.count(),
+      s"bloom pruned nothing ($survivors of ${incoming.count()})")
+  }
+
   test("curation keeps only best-of-checksum, lang-matched, quality-passing docs") {
     val df = CurationOps.curate(spark, Sf)
     val kept = df.filter(col("keep")).collect()
