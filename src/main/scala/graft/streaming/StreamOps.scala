@@ -298,6 +298,50 @@ object StreamOps {
           .as("hit_frac"))
   }
 
+  /** E17: the streaming ingest gate — every arriving document judged
+    * by the three curation gates in ONE stream, emitted as a verdict
+    * LEDGER (one row per (doc, reason), reasons ∈ {exact_dup,
+    * near_dup, contaminated}); a sink keeps the docs absent from the
+    * ledger. Ledger-of-events beats a wide per-doc row here: each leg
+    * stays a stateless map / stream-static probe of a standing index
+    * (Bloom + checksum set, LSH band sigs, literal eval shingles) and
+    * no stream-stream join or per-doc stateful aggregation is ever
+    * needed — state is only the (doc, reason) suppression window.
+    *
+    *   exact_dup     — in-row Bloom pre-filter (D15c's filter), then
+    *                   verified against the static checksum set;
+    *   near_dup      — [[nearDupStream]]'s LSH-verified pairs,
+    *                   collapsed to the arriving doc;
+    *   contaminated  — [[decontaminateStream]]'s eval hits.
+    */
+  def ingestGateStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      incoming: DataFrame, evalSet: DataFrame, tau: Double = 0.5,
+      minHits: Int = 2, watermark: String = "10 minutes"): DataFrame = {
+    val corpus = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+    val bloom = graft.Memo.value(spark, s"ckBloom:$dir") {
+      graft.functions.BloomFns.build(
+        corpus.select(md5(col("text")).as("ck")), col("ck"),
+        math.max(corpus.count(), 1L))
+    }
+    val cks = corpus.select(md5(col("text")).as("ck")).distinct()
+    val exact = incoming.withColumn("ck", md5(col("text")))
+      .filter(graft.functions.BloomFns.mightContain(bloom, col("ck")))
+      .join(cks, "ck")
+      .select(col("doc_id"), col("ts"), lit("exact_dup").as("reason"))
+    val near = nearDupStreamFor(spark, dir, incoming, tau, watermark)
+      .select(col("a_id").as("doc_id"), col("ts"),
+        lit("near_dup").as("reason"))
+    val cont = decontaminateStream(incoming, evalSet, minHits)
+      .select(col("doc_id"), col("ts"), lit("contaminated").as("reason"))
+    // each leg watermarks its own branch (the near leg already does,
+    // inside nearDupStream); the union inherits the combined watermark
+    exact.withWatermark("ts", watermark)
+      .unionByName(near)
+      .unionByName(cont.withWatermark("ts", watermark))
+      .dropDuplicatesWithinWatermark("doc_id", "reason")
+  }
+
   /** The reference's Kafka record schema (handler/kafka.go:40-105),
     * verbatim field list.
     */

@@ -41,6 +41,22 @@ class CurationSpec extends GraftSpec {
       s"bloom pruned nothing ($survivors of ${incoming.count()})")
   }
 
+  test("bloom filter: zero false negatives, bounded false-positive rate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val members = (1 to 2000).map(_ => rnd.nextString(12)).distinct
+    val outsiders = (1 to 2000).map(_ => "out:" + rnd.nextString(12)).distinct
+    val blm = graft.functions.BloomFns.build(
+      members.toDF("v"), col("v"), members.size.toLong)
+    val fn = members.toDF("v")
+      .filter(!graft.functions.BloomFns.mightContain(blm, col("v"))).count()
+    assert(fn == 0, s"$fn false negatives — bloom contract broken")
+    val fp = outsiders.toDF("v")
+      .filter(graft.functions.BloomFns.mightContain(blm, col("v"))).count()
+    assert(fp.toDouble / outsiders.size < 0.15,
+      s"false-positive rate ${fp.toDouble / outsiders.size} too high")
+  }
+
   test("curation keeps only best-of-checksum, lang-matched, quality-passing docs") {
     val df = CurationOps.curate(spark, Sf)
     val kept = df.filter(col("keep")).collect()

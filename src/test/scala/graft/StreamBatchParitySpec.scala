@@ -91,6 +91,39 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("ingestGateStream ledger == union of the batch gate verdicts") {
+    val evalSet = operators.CurationOps.demoEvalSet(spark)
+    val exactExp = operators.CurationOps.dedupIncremental(spark, Sf).collect()
+      .filter(_.getAs[Boolean]("is_exact_dup"))
+      .map(r => (r.getLong(0), "exact_dup"))
+    val nearExp = operators.CurationOps.dedupIncrementalLsh(spark, Sf)
+      .select("a_id").distinct().collect().map(r => (r.getLong(0), "near_dup"))
+    val contExp = operators.CurationOps.decontaminate(spark, Sf, evalSet, minHits = 1)
+      .filter(col("doc_id") % 10 === 7)
+      .select("doc_id").distinct().collect()
+      .map(r => (r.getLong(0), "contaminated"))
+    val expected = (exactExp ++ nearExp ++ contExp).toSet
+    val d = Files.createTempDirectory("gate_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("lang"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.ingestGateStream(spark, Sf,
+        spark.readStream.schema(incoming.schema).parquet(d), evalSet,
+        minHits = 1, watermark = "1 hour")
+      .writeStream.format("memory").queryName("gate_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gate_par")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(got == expected,
+        s"ledger ${got.size} rows vs batch ${expected.size}")
+      assert(expected.nonEmpty, "gate fixture produced no verdicts at all")
+    } finally q.stop()
+  }
+
   test("debounceStream == batch debounce (30m gap) on real events") {
     val expected = operators.EventOps.debounce(spark, Sf)
       .filter(col("user_id") <= 3)
