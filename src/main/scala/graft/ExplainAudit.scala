@@ -30,7 +30,7 @@ object ExplainAudit {
       "ann_cosine_topk", "ann_lsh", "doc_mixture_weighted",
       "doc_decontaminate", "evt_value_zscore", "ann_recall",
       "decontaminate_semantic", "doc_keywords", "text_collocations",
-      "ann_pq_adc", "ann_pq_rerank")
+      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -38,7 +38,7 @@ object ExplainAudit {
       "doc_mixture", "doc_mixture_weighted", "dedup_keep_best",
       "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build",
       "text_vocab", "doc_keywords", "text_collocations",
-      "ann_pq_adc", "ann_pq_rerank")
+      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -104,6 +104,8 @@ object SparkEntry {
       AnnOps.annPqRerank(s, d)),
     "doc_keywords"         -> ((s: SparkSession, d: String) =>
       TextOps.docKeywords(s, d)),
+    "doc_search_bm25"      -> ((s: SparkSession, d: String) =>
+      TextOps.docSearchBm25(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
       TextOps.collocations(s, d)),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
@@ -1595,6 +1597,54 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM ex)
         |SELECT q_id, c_id, sim, rnk FROM rr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin),
+
+    // D34: BM25 with rational idf = (N-df+0.5)/(df+0.5) — no libm log,
+    // same bit-reproducibility contract as doc_keywords; expression
+    // shapes mirror TextOps.docSearchBm25 operator-for-operator
+    "doc_search_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM d),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
+        |  WHERE tok IN ('scan', 'window', 'merge') GROUP BY 1, 2),
+        |tfw AS (SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN tok = 'scan' THEN cnt END), 0) AS tf0,
+        |    COALESCE(MAX(CASE WHEN tok = 'window' THEN cnt END), 0) AS tf1,
+        |    COALESCE(MAX(CASE WHEN tok = 'merge' THEN cnt END), 0) AS tf2
+        |  FROM tf GROUP BY doc_id),
+        |dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |dfw AS (SELECT
+        |    COALESCE(MAX(CASE WHEN tok = 'scan' THEN df END), 0) AS df0,
+        |    COALESCE(MAX(CASE WHEN tok = 'window' THEN df END), 0) AS df1,
+        |    COALESCE(MAX(CASE WHEN tok = 'merge' THEN df END), 0) AS df2
+        |  FROM dfc),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS total FROM d),
+        |st2 AS (SELECT n_docs,
+        |    CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st),
+        |s AS (SELECT l.doc_id, l.n_tok,
+        |    COALESCE(tf0, 0) AS tf0, COALESCE(tf1, 0) AS tf1,
+        |    COALESCE(tf2, 0) AS tf2, df0, df1, df2, n_docs, avgdl
+        |  FROM l LEFT JOIN tfw USING (doc_id) CROSS JOIN dfw CROSS JOIN st2),
+        |sc AS (SELECT doc_id, n_tok,
+        |  (CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+        |    * (CAST(tf0 AS DOUBLE) * 2.2)
+        |    / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |      + 0.75 * CAST(n_tok AS DOUBLE) / avgdl))
+        |  + (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+        |    * (CAST(tf1 AS DOUBLE) * 2.2)
+        |    / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |      + 0.75 * CAST(n_tok AS DOUBLE) / avgdl))
+        |  + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+        |    * (CAST(tf2 AS DOUBLE) * 2.2)
+        |    / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |      + 0.75 * CAST(n_tok AS DOUBLE) / avgdl)) AS score
+        |  FROM s),
+        |r AS (SELECT doc_id, n_tok, score, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM sc WHERE score > 0.0)
+        |SELECT doc_id, n_tok, score, rnk FROM r WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin,
 
     // D31: rational tf-idf — score = (tf*N)/df, integer cross products,
     // one double division (bit-reproducible; no libm log)

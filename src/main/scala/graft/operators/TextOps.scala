@@ -200,6 +200,67 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D34's demo query terms (common corpus tokens). */
+  val Bm25Terms: Seq[String] = Seq("scan", "window", "merge")
+
+  /** D34: BM25 full-text search over the corpus — the retrieval scorer
+    * a curation/inspection UI runs. RATIONAL idf (the D31 contract):
+    * idf = (N − df + ½)/(df + ½) with no libm log, every op exactly
+    * rounded, so scores and ranking are bit-reproducible. Scale shape:
+    * the explode is pre-filtered to the query terms (predicate under
+    * the generate, the corpus scan emits |terms|·|docs| rows max), df
+    * and length stats are single-row/|terms|-row broadcasts, the final
+    * global top-k runs on bounded per-partition heaps — no corpus
+    * sort, no unfiltered shuffle.
+    */
+  def docSearchBm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tok"))
+    val t = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = t.groupBy("doc_id", "tok").agg(graft.functions.Exact.lcount.as("cnt"))
+    val tfw = tf.groupBy("doc_id").agg(
+      coalesce(max(when(col("tok") === terms.head, col("cnt"))), lit(0L)).as("tf0"),
+      terms.zipWithIndex.tail.map { case (tm, i) =>
+        coalesce(max(when(col("tok") === tm, col("cnt"))), lit(0L)).as(s"tf$i")
+      }: _*)
+    val dfw = tf.groupBy("tok").agg(graft.functions.Exact.lcount.as("df"))
+      .agg(
+        coalesce(max(when(col("tok") === terms.head, col("df"))), lit(0L)).as("df0"),
+        terms.zipWithIndex.tail.map { case (tm, i) =>
+          coalesce(max(when(col("tok") === tm, col("df"))), lit(0L)).as(s"df$i")
+        }: _*)
+    val stats = docs.agg(graft.functions.Exact.lcount.as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("total"))
+      .select(col("n_docs"), (col("total").cast(DoubleType) /
+        col("n_docs").cast(DoubleType)).as("avgdl"))
+    val scored = docs.select("doc_id", "n_tok")
+      .join(tfw, Seq("doc_id"), "left")
+      .na.fill(0L, terms.indices.map(i => s"tf$i"))
+      .withColumn("one", lit(1))
+      .join(broadcast(dfw.withColumn("one", lit(1))), "one")
+      .join(broadcast(stats.withColumn("one", lit(1))), "one")
+    def w(i: Int): Column = {
+      val tfd = col(s"tf$i").cast(DoubleType)
+      val idf = ((col("n_docs") - col(s"df$i")).cast(DoubleType) + lit(0.5)) /
+        (col(s"df$i").cast(DoubleType) + lit(0.5))
+      idf * (tfd * lit(2.2)) / (tfd + lit(1.2) *
+        (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("n_tok").cast(DoubleType) / col("avgdl")))
+    }
+    val withScore = scored.withColumn("score",
+        terms.indices.map(w).reduceLeft(_ + _))
+      .filter(col("score") > 0.0)
+    graft.plans.TopK.perKey(withScore, Seq(lit(1)),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("doc_id"), col("n_tok"), col("score"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   /** D26: per-source quality profile — the signal a mixture/curation
     * policy ranks sources by: doc count and min/median/max of the D6
     * quality score per source. Only order-independent aggregates

@@ -61,6 +61,26 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("doc_search_bm25: ranked hits all contain a query term, scores ordered") {
+    val hits = TextOps.docSearchBm25(spark, Sf).collect()
+    assert(hits.nonEmpty && hits.length <= 20)
+    assert(hits.map(_.getAs[Long]("rnk")).toSeq == (1L to hits.length))
+    hits.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+      case _ =>
+    }
+    val texts = Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+      assert(r.getAs[Double]("score") > 0.0)
+      assert(TextOps.Bm25Terms.exists(toks.contains),
+        s"doc ${r.getAs[Long]("doc_id")} ranked but contains no query term")
+    }
+  }
+
   test("text_collocations: assoc == c_ab*N/(c_a*c_b), counts consistent") {
     val co = TextOps.collocations(spark, Sf, k = 10, minCount = 2)
     co.collect().foreach { r =>
