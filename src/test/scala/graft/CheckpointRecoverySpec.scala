@@ -251,4 +251,48 @@ class CheckpointRecoverySpec extends GraftSpec {
     assert(run2.sorted.toSeq == run1.sorted.toSeq,
       s"re-arrival emitted duplicates: ${run2.length} vs ${run1.length}")
   }
+
+  test("E17 ingest-gate ledger state survives a checkpoint restart (no replay)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val in = tmp("ckpt_gate_in")
+    val out = tmp("ckpt_gate_out")
+    val ckpt = tmp("ckpt_gate_state")
+    val evalSet = graft.operators.CurationOps.demoEvalSet(spark)
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("lang"), col("text"),
+        lit(Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    val schema = incoming.schema
+    def start(): StreamingQuery =
+      StreamOps.ingestGateStream(spark, Sf,
+          spark.readStream.schema(schema).parquet(in), evalSet,
+          minHits = 1, watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    incoming.write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("reason", StringType)))
+    val run1 = spark.read.schema(outSchema).parquet(out)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(run1.nonEmpty, "fixture produced no gate verdicts")
+    assert(run1.distinct.length == run1.length,
+      "ledger rows emitted twice within run 1")
+
+    // the SAME crawl re-arrives inside the watermark horizon; only the
+    // recovered (doc, reason) suppression state stops a replay
+    incoming.write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val run2 = spark.read.schema(outSchema).parquet(out)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(run2.sorted.toSeq == run1.sorted.toSeq,
+      s"re-arrival emitted duplicates: ${run2.length} vs ${run1.length}")
+  }
 }
