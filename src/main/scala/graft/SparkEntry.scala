@@ -27,6 +27,7 @@ object SparkEntry {
     "evt_change_detect"    -> (EventOps.changeDetect _),
     "evt_sessionize"       -> (EventOps.sessionize _),
     "evt_microbatch_stats" -> (EventOps.microbatchStats _),
+    "evt_cardinality"      -> (EventOps.cardinality _),
     "evt_handler_routing"  -> (EventOps.handlerRouting _),
     "evt_error_burst"      -> (EventOps.errorBurst _),
     "evt_sliding_error_rate" -> (EventOps.slidingErrorRate _),
@@ -444,6 +445,12 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "evt_cardinality" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mean/E[x²] over exact integers (value·2^59 / value²·2^66 are
     // integral on this domain, HUGEINT sums) → order-independent

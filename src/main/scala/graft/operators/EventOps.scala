@@ -390,4 +390,35 @@ object EventOps {
       .agg(count(lit(1)).cast(LongType).as("n_users"))
       .orderBy("cohort", "wk")
   }
+
+  /** B18: per-type cardinality profile — exact distinct users and
+    * active days per event type (the capacity-planning numbers a
+    * collector reports). countDistinct expands each group to its
+    * distinct value set before the final count: exact, but the
+    * shuffle carries every distinct (type, user) pair.
+    */
+  def cardinality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(lcount.as("n_events"),
+        countDistinct(col("user_id")).cast(LongType).as("n_users"),
+        countDistinct(date_trunc("day", col("ts"))).cast(LongType).as("n_days"))
+      .orderBy("event_type")
+
+  /** B18b: the HLL twin of [[cardinality]] — approx_count_distinct
+    * partial-aggregates into a fixed-width sketch map-side and merges
+    * sketches, so the shuffle is |types| × sketch-size REGARDLESS of
+    * user count: at 100 TB the exact version's distinct expansion is
+    * the bottleneck and the sketch is the deployable shape. rsd=2%;
+    * tolerance vs the exact twin asserted in spec (engine-specific
+    * sketch ⇒ no cross-engine oracle, like lengthStatsApprox).
+    */
+  def cardinalityApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(lcount.as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users"),
+        approx_count_distinct(date_trunc("day", col("ts")), rsd).as("n_days"))
+      .orderBy("event_type")
 }

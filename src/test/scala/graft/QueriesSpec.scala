@@ -39,6 +39,21 @@ class QueriesSpec extends GraftSpec {
     }
   }
 
+  test("evt_cardinality_approx tracks the exact distinct counts within rsd") {
+    val exact = graft.operators.EventOps.cardinality(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = graft.operators.EventOps.cardinalityApprox(spark, Sf).collect()
+    assert(approx.map(_.getString(0)).toSet == exact.keySet)
+    approx.foreach { r =>
+      val (eu, ed) = exact(r.getString(0))
+      // rsd = 2% nominal; allow 5x slack for small groups
+      assert(math.abs(r.getLong(2) - eu) <= math.max(1L, (eu * 0.10).toLong),
+        s"${r.getString(0)} users: approx ${r.getLong(2)} vs exact $eu")
+      assert(math.abs(r.getLong(3) - ed) <= math.max(1L, (ed * 0.10).toLong),
+        s"${r.getString(0)} days: approx ${r.getLong(3)} vs exact $ed")
+    }
+  }
+
   test("evt_latest_per_key has one row per user") {
     val df = SparkEntry.queries("evt_latest_per_key")(spark, Sf)
     val users = Tables.events(spark, Sf).select("user_id").distinct().count()
