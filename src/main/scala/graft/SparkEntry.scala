@@ -51,6 +51,7 @@ object SparkEntry {
     "zip_expand"           -> (ZipOps.zipExpand _),
     // D. LLM-training-data pipeline
     "dedup_exact"          -> (DedupOps.dedupExact _),
+    "dedup_source_stats"   -> (DedupOps.sourceDupStats _),
     "dedup_ngram_jaccard"  -> (DedupOps.dedupNgramJaccard _),
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
@@ -685,6 +686,13 @@ object SparkEntry {
       """SELECT md5(text) AS checksum, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

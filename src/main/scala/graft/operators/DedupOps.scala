@@ -487,6 +487,24 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** D1b: per-source duplication profile — the crawl-health signal a
+    * curation policy acts on first ("which source is spamming us"):
+    * doc count, distinct texts, and the duplicated fraction per
+    * source. One partial-agg shuffle keyed by source (the checksum
+    * distinct rides the same exchange); |sources| output rows at any
+    * corpus size.
+    */
+  def sourceDupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("ck"))
+      .groupBy(col("source"))
+      .agg(lcount.as("n_docs"),
+        countDistinct(col("ck")).cast(LongType).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_frac"))
+      .orderBy("source")
+
   /** D12b: embedding near-dup clusters — the same generic CC engine
     * D13 uses, over D12's cosine graph (vertices = every embedding,
     * edges = verified cosine ≥ τ pairs). The semantic-dedup
