@@ -108,6 +108,8 @@ object SparkEntry {
       TextOps.docKeywords(s, d)),
     "doc_search_bm25"      -> ((s: SparkSession, d: String) =>
       TextOps.docSearchBm25(s, d)),
+    "text_inverted_postings" -> ((s: SparkSession, d: String) =>
+      TextOps.invertedPostings(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
       TextOps.collocations(s, d)),
     // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
@@ -1612,6 +1614,23 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM ex)
         |SELECT q_id, c_id, sim, rnk FROM rr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin),
+
+    // D35: posting lists doc-sorted, serialized "doc:tf ..." so the
+    // layout hash-compares across engines
+    "text_inverted_postings" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |inv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |    array_to_string(list(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(tf AS VARCHAR) ORDER BY doc_id), ' ') AS postings
+        |  FROM tf GROUP BY tok),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, tok)
+        |    AS BIGINT) AS rnk FROM inv)
+        |SELECT tok, df, total_tf, postings, rnk FROM r WHERE rnk <= 100
+        |ORDER BY rnk""".stripMargin,
 
     // D34: BM25 with rational idf = (N-df+0.5)/(df+0.5) — no libm log,
     // same bit-reproducibility contract as doc_keywords; expression

@@ -200,6 +200,31 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D35: inverted-index build — the posting-list layout BM25 (D34)
+    * consumes at scale: per term, df, total tf, and the doc-sorted
+    * posting list "doc:tf …". The groupBy(term) exchange IS the index
+    * build: each term's postings land co-located (in production the
+    * aggregate writes term-bucketed parquet instead of a string; the
+    * string form here keeps the layout oracle-checkable). Demo output
+    * capped to the top-k terms by df via the global bounded heap.
+    */
+  def invertedPostings(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val tf = t.groupBy("doc_id", "tok").agg(graft.functions.Exact.lcount.as("tf"))
+    val inv = tf.groupBy("tok").agg(
+      graft.functions.Exact.lcount.as("df"),
+      sum(col("tf")).cast(LongType).as("total_tf"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+        p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), " ")
+        .as("postings"))
+    graft.plans.TopK.perKey(inv, Seq(lit(1)),
+        Seq(col("df").desc, col("tok").asc), k)
+      .select(col("tok"), col("df"), col("total_tf"), col("postings"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   /** D34's demo query terms (common corpus tokens). */
   val Bm25Terms: Seq[String] = Seq("scan", "window", "merge")
 

@@ -61,6 +61,17 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("inverted postings: sorted, entry count == df, tfs sum to total_tf") {
+    TextOps.invertedPostings(spark, Sf).collect().foreach { r =>
+      val entries = r.getAs[String]("postings").split(" ")
+      assert(entries.length == r.getAs[Long]("df"))
+      assert(entries.map(_.split(":")(1).toLong).sum == r.getAs[Long]("total_tf"))
+      val ids = entries.map(_.split(":")(0).toLong)
+      assert(ids.zip(ids.tail).forall(p => p._1 < p._2),
+        s"postings for ${r.getAs[String]("tok")} not doc-sorted")
+    }
+  }
+
   test("doc_search_bm25: ranked hits all contain a query term, scores ordered") {
     val hits = TextOps.docSearchBm25(spark, Sf).collect()
     assert(hits.nonEmpty && hits.length <= 20)
