@@ -38,7 +38,8 @@ object ExplainAudit {
       "doc_mixture", "doc_mixture_weighted", "dedup_keep_best",
       "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build",
       "text_vocab", "doc_keywords", "text_collocations",
-      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25")
+      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25",
+      "text_inverted_postings", "evt_trending")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -28,6 +28,8 @@ object SparkEntry {
     "evt_sessionize"       -> (EventOps.sessionize _),
     "evt_microbatch_stats" -> (EventOps.microbatchStats _),
     "evt_cardinality"      -> (EventOps.cardinality _),
+    "evt_trending"         -> ((s: SparkSession, d: String) =>
+      EventOps.trending(s, d)),
     "evt_handler_routing"  -> (EventOps.handlerRouting _),
     "evt_error_burst"      -> (EventOps.errorBurst _),
     "evt_sliding_error_rate" -> (EventOps.slidingErrorRate _),
@@ -454,6 +456,15 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(DISTINCT date_trunc('day', ts)) AS n_days
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_trending" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+        |    ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk FROM c)
+        |SELECT bucket, event_type, n_events, rnk FROM r WHERE rnk <= 3
+        |ORDER BY bucket, rnk""".stripMargin,
 
     // mean/E[x²] over exact integers (value·2^59 / value²·2^66 are
     // integral on this domain, HUGEINT sums) → order-independent

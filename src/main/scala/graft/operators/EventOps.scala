@@ -391,6 +391,22 @@ object EventOps {
       .orderBy("cohort", "wk")
   }
 
+  /** B19: hourly trending — top-k event types per tumbling hour by
+    * event count (ties → type asc): the "what's hot right now" board.
+    * Counts partial-aggregate map-side; the top-k per hour runs on
+    * bounded heaps keyed by the window start — shuffle O(k·|hours|).
+    * Streaming face: [[graft.streaming.StreamOps.trendingStream]].
+    */
+  def trending(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(lcount.as("n_events"))
+    graft.plans.TopK.perKey(counts, Seq(col("bucket")),
+        Seq(col("n_events").desc, col("event_type").asc), k)
+      .select(col("bucket"), col("event_type"), col("n_events"), col("rnk"))
+      .orderBy("bucket", "rnk")
+  }
+
   /** B18: per-type cardinality profile — exact distinct users and
     * active days per event type (the capacity-planning numbers a
     * collector reports). countDistinct expands each group to its

@@ -298,6 +298,32 @@ object StreamOps {
           .as("hit_frac"))
   }
 
+  /** E18: streaming trending — top-k event types per closed tumbling
+    * hour (the continuous "what's hot" board; batch dual:
+    * EventOps.trending). Two chained event-time aggregations — the
+    * supported append-mode shape: per-(window, type) counts, then the
+    * per-window top-k computed IN-ROW over the window's collected
+    * (count, type) pairs when the watermark closes it (array_sort on
+    * negated counts — no rank function, no second sort shuffle). State
+    * is bounded by |types| per open window.
+    */
+  def trendingStream(events: DataFrame, k: Int = 3,
+      watermark: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .groupBy(col("window"))
+      .agg(collect_list(struct((-col("n_events")).as("neg"),
+        col("event_type").as("t"), col("n_events").as("n"))).as("cs"))
+      .select(col("window.start").as("bucket"),
+        posexplode(slice(array_sort(col("cs")), 1, k)).as(Seq("i", "e")))
+      .select(col("bucket"), col("e.t").as("event_type"),
+        col("e.n").as("n_events"), (col("i") + 1).cast(LongType).as("rnk"))
+  }
+
   /** E17: the streaming ingest gate — every arriving document judged
     * by the three curation gates in ONE stream, emitted as a verdict
     * LEDGER (one row per (doc, reason), reasons ∈ {exact_dup,

@@ -91,6 +91,30 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("trendingStream == batch trending per closed hour on real events") {
+    val expected = operators.EventOps.trending(spark, Sf)
+      .filter(col("bucket") < "2029-01-01").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val d = Files.createTempDirectory("trend_par").toFile.getAbsolutePath
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    all.write.mode("overwrite").parquet(d)
+    val q = StreamOps.trendingStream(
+        spark.readStream.schema(all.schema).parquet(d))
+      .writeStream.format("memory").queryName("trend_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("trend_par").filter(col("bucket") < "2029-01-01")
+        .as[(java.sql.Timestamp, String, Long, Long)].collect()
+        .map(r => (r._1.getTime, r._2, r._3, r._4)).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("ingestGateStream ledger == union of the batch gate verdicts") {
     val evalSet = operators.CurationOps.demoEvalSet(spark)
     val exactExp = operators.CurationOps.dedupIncremental(spark, Sf).collect()
