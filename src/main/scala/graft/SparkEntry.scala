@@ -54,6 +54,8 @@ object SparkEntry {
     // D. LLM-training-data pipeline
     "dedup_exact"          -> (DedupOps.dedupExact _),
     "dedup_source_stats"   -> (DedupOps.sourceDupStats _),
+    "dedup_winnow"         -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupWinnow(s, d)),
     "dedup_ngram_jaccard"  -> (DedupOps.dedupNgramJaccard _),
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
@@ -144,6 +146,18 @@ object SparkEntry {
     xor64(z3, shr(z3, 31))
   }
   /** poly hash of the 8-gram at 1-based position i (ASCII corpus). */
+  /** Shared winnow CTE chain (G5 kernel replication): per-doc sorted
+    * distinct fingerprints `w.fps` — used by doc_fingerprint and
+    * dedup_winnow.
+    */
+  private lazy val WinnowFpCtes: String =
+    "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+    "g AS (SELECT doc_id, n, list_transform(range(1, n - 6), " +
+    s"i -> CAST(${signed64(mix(winnowPoly("i")))} AS BIGINT)) AS hashes FROM d), " +
+    "w AS (SELECT doc_id, list_sort(list_distinct(" +
+    "list_transform(range(4, len(hashes) + 1), " +
+    "i -> list_min(hashes[i-3:i])))) AS fps FROM g)"
+
   private def winnowPoly(i: String): String = {
     val pows = (0 until 8).map(j => BigInt(1000003).pow(7 - j).mod(BigInt(2).pow(64)))
     val terms = (0 until 8).map { j =>
@@ -1329,15 +1343,30 @@ object SparkEntry {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
-       "g AS (SELECT doc_id, n, list_transform(range(1, n - 6), " +
-       s"i -> CAST(${signed64(mix(winnowPoly("i")))} AS BIGINT)) AS hashes FROM d), " +
-       "w AS (SELECT doc_id, list_sort(list_distinct(" +
-       "list_transform(range(4, len(hashes) + 1), " +
-       "i -> list_min(hashes[i-3:i])))) AS fps FROM g) " +
-       "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, " +
+      (WinnowFpCtes +
+       " SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, " +
        "fps[1] AS min_fp, fps[len(fps)] AS max_fp " +
        "FROM w ORDER BY doc_id"),
+
+    // D4b: fingerprint-containment pairs (shared / smaller fp set >= 0.5);
+    // blocking key = the fingerprint itself
+    "dedup_winnow" ->
+      (WinnowFpCtes + ", " +
+       "e0 AS (SELECT doc_id, unnest(fps) AS fp FROM w), " +
+       "rare AS (SELECT fp FROM e0 GROUP BY fp " +
+       "HAVING COUNT(*) <= (SELECT COUNT(*) // 20 FROM documents)), " +
+       "ef AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare ON e0.fp = rare.fp), " +
+       "nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp " +
+       "FROM ef GROUP BY doc_id), " +
+       "e AS (SELECT ef.doc_id, nf.n_fp, ef.fp FROM ef JOIN nf USING (doc_id)), " +
+       "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+       "a.n_fp AS n_a, b.n_fp AS n_b, CAST(COUNT(*) AS BIGINT) AS shared_fp " +
+       "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+       "GROUP BY 1, 2, 3, 4) " +
+       "SELECT a_id, b_id, shared_fp, CAST(shared_fp AS DOUBLE) " +
+       "/ CAST(least(n_a, n_b) AS DOUBLE) AS containment " +
+       "FROM p WHERE CAST(shared_fp AS DOUBLE) " +
+       "/ CAST(least(n_a, n_b) AS DOUBLE) >= 0.5 ORDER BY a_id, b_id"),
 
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -487,6 +487,55 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** D4b: winnowing near-dup pairs — the MOSS-style member of the
+    * candidate-generation family next to ngram (D2), MinHash (D3),
+    * SimHash (D4) and substring (D27): docs sharing ≥ minShared winnow
+    * fingerprints (the G5 kernel — position-robust local minima of a
+    * rolling hash). The fingerprint itself is the blocking key
+    * (explode + equi-join), so compare volume scales with fingerprint
+    * co-occupancy, never all pairs; the exploded table is
+    * session-memoized like every other signature derivation.
+    */
+  def dedupWinnow(spark: SparkSession, dir: String,
+      minContainment: Double = 0.5): DataFrame = {
+    // the raw exploded table is memoized on its own: the rare-filter
+    // below reads it twice (df groupBy + join) and an unpersisted
+    // kernel would be re-derived per branch by the inferred
+    // isnotnull(fp) constraints (the SURVEY §7 round-1 lesson)
+    val ex = graft.Memo.df(spark, s"winnowFpsRaw:$dir") {
+      Tables.documents(spark, dir)
+        .withColumn("fps", TextFns.winnowFingerprints(col("text"), 8, 4))
+        .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
+          explode(col("fps")).as("fp"))
+    }
+    val fps = graft.Memo.df(spark, s"winnowFps:$dir") {
+      // ubiquity cap (standard winnowing practice, and the join-cost
+      // bound): a fingerprint present in > 5% of docs carries no
+      // near-dup signal but quadratic join cost. The containment is
+      // measured over the RARE fingerprint space on BOTH sides —
+      // numerator and denominator drop ubiquitous fps together, so the
+      // ratio stays calibrated. Part of the operator's defined
+      // semantics; the oracle applies the same cap.
+      val nDocs = Tables.documents(spark, dir).count()
+      val rare = ex.groupBy("fp").agg(lcount.as("df"))
+        .filter(col("df") <= nDocs / 20).select("fp")
+      val filtered = ex.join(rare, "fp").select("doc_id", "fp")
+      val nf = filtered.groupBy("doc_id").agg(lcount.as("n_fp"))
+      filtered.join(nf, "doc_id")
+    }
+    val a = fps.select(col("doc_id").as("a_id"), col("n_fp").as("n_a"), col("fp"))
+    val b = fps.select(col("doc_id").as("b_id"), col("n_fp").as("n_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "n_a", "n_b").agg(lcount.as("shared_fp"))
+      // containment (shared / smaller fingerprint set) rather than a raw
+      // count: common 8-char windows make absolute counts meaningless
+      .withColumn("containment", col("shared_fp").cast(DoubleType) /
+        least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+      .select("a_id", "b_id", "shared_fp", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** D1b: per-source duplication profile — the crawl-health signal a
     * curation policy acts on first ("which source is spamming us"):
     * doc count, distinct texts, and the duplicated fraction per

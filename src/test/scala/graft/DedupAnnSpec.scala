@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnOps, DedupOps}
+import graft.operators.{AnnOps, DedupOps, TextOps}
 import org.apache.spark.sql.functions._
 
 class DedupAnnSpec extends GraftSpec {
@@ -89,6 +89,17 @@ class DedupAnnSpec extends GraftSpec {
     val h = hof.collect().map(r =>
       r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(k == h)
+  }
+
+  test("winnow pairs: containment bounded, shared never exceeds a doc's fp count") {
+    val fp = TextOps.fingerprint(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fp")).toMap
+    DedupOps.dedupWinnow(spark, Sf).collect().foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.5 && c <= 1.0 + 1e-9)
+      val shared = r.getAs[Long]("shared_fp")
+      assert(shared <= math.min(fp(r.getAs[Long]("a_id")), fp(r.getAs[Long]("b_id"))))
+    }
   }
 
   test("simhash pairs respect the hamming bound") {
