@@ -154,7 +154,7 @@ object SparkEntry {
     "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
     "g AS (SELECT doc_id, n, list_transform(range(1, n - 6), " +
     s"i -> CAST(${signed64(mix(winnowPoly("i")))} AS BIGINT)) AS hashes FROM d), " +
-    "w AS (SELECT doc_id, list_sort(list_distinct(" +
+    "w AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(" +
     "list_transform(range(4, len(hashes) + 1), " +
     "i -> list_min(hashes[i-3:i])))) AS fps FROM g)"
 
@@ -1352,13 +1352,13 @@ object SparkEntry {
     // blocking key = the fingerprint itself
     "dedup_winnow" ->
       (WinnowFpCtes + ", " +
-       "e0 AS (SELECT doc_id, unnest(fps) AS fp FROM w), " +
+       "e0 AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w), " +
        "rare AS (SELECT fp FROM e0 GROUP BY fp " +
        "HAVING COUNT(*) <= (SELECT COUNT(*) // 20 FROM documents)), " +
        "ef AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare ON e0.fp = rare.fp), " +
        "nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp " +
        "FROM ef GROUP BY doc_id), " +
-       "e AS (SELECT ef.doc_id, nf.n_fp, ef.fp FROM ef JOIN nf USING (doc_id)), " +
+       "e AS MATERIALIZED (SELECT ef.doc_id, nf.n_fp, ef.fp FROM ef JOIN nf USING (doc_id)), " +
        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
        "a.n_fp AS n_a, b.n_fp AS n_b, CAST(COUNT(*) AS BIGINT) AS shared_fp " +
        "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
