@@ -30,7 +30,7 @@ object ExplainAudit {
       "ann_cosine_topk", "ann_lsh", "doc_mixture_weighted",
       "doc_decontaminate", "evt_value_zscore", "ann_recall",
       "decontaminate_semantic", "doc_keywords", "text_collocations",
-      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25")
+      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25", "q7_nation_volume")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",

@@ -16,6 +16,8 @@ object SparkEntry {
     "q1_pricing_summary"   -> (RelationalOps.q1PricingSummary _),
     "q3_shipping_priority" -> (RelationalOps.q3ShippingPriority _),
     "q5_region_revenue"    -> (RelationalOps.q5RegionRevenue _),
+    "q7_nation_volume"     -> ((s: SparkSession, d: String) =>
+      RelationalOps.q7NationVolume(s, d)),
     "q_top_customers"      -> (RelationalOps.qTopCustomers _),
     "q_part_brand_stats"   -> (RelationalOps.qPartBrandStats _),
     "q_orders_window"      -> (RelationalOps.qOrdersWindow _),
@@ -364,6 +366,23 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year, $drev AS revenue
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         |    l_extendedprice, l_discount
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = '${RelationalOps.Q7Nation1}' AND n2.n_name = '${RelationalOps.Q7Nation2}')
+         |      OR (n1.n_name = '${RelationalOps.Q7Nation2}' AND n2.n_name = '${RelationalOps.Q7Nation1}'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') s
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_top_customers" ->
       s"""SELECT c_custkey, c_name, c_mktsegment, order_cnt, total_spent

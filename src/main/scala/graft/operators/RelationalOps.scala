@@ -99,6 +99,39 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** A9: nation-pair shipping volume (TPC-H Q7 shape) — revenue moved
+    * between two fixed nations by (supp nation, cust nation, ship
+    * year). The join-order test case: the nation filter lands on the
+    * BROADCAST dim sides before the fact join, so supplier/customer
+    * shrink to the two nations' keys and the only shuffle is
+    * lineitem ⋈ orders on orderkey.
+    */
+  val Q7Nation1 = "NATION_18"
+  val Q7Nation2 = "NATION_19"
+
+  def q7NationVolume(spark: SparkSession, dir: String,
+      n1: String = Q7Nation1, n2: String = Q7Nation2): DataFrame = {
+    val nation = Tables.nation(spark, dir).filter(col("n_name").isin(n1, n2))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+              (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** A5: per-brand sales stats (fact⋈broadcast-dim + multi-aggregate). */
   def qPartBrandStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
