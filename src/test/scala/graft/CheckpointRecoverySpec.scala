@@ -252,6 +252,54 @@ class CheckpointRecoverySpec extends GraftSpec {
       s"re-arrival emitted duplicates: ${run2.length} vs ${run1.length}")
   }
 
+  test("E18 trending chained-agg window state survives a checkpoint restart") {
+    import org.apache.spark.sql.functions.col
+    val in = tmp("ckpt_trend_in")
+    val out = tmp("ckpt_trend_out")
+    val ckpt = tmp("ckpt_trend_state")
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val schema = all.schema
+    // watermark longer than the data span: NO window closes during
+    // run 1, so every partial count lives purely in recovered state
+    def start(): StreamingQuery =
+      StreamOps.trendingStream(
+          spark.readStream.schema(schema).parquet(in), watermark = "365 days")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: only half the events arrive; their windows stay OPEN
+    all.filter(col("event_id") % 2 === 0).write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2 from the checkpoint: the other half + a far-future flush
+    // closes every window; counts must merge recovered + new state
+    all.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(in)
+    (0L to 3L).map(u => (888880L + u,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), u, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val outSchema = StructType(Seq(
+      StructField("bucket", TimestampType), StructField("event_type", StringType),
+      StructField("n_events", LongType), StructField("rnk", LongType)))
+    val got = spark.read.schema(outSchema).parquet(out)
+      .filter(col("bucket") < "2029-01-01")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    val expected = graft.operators.EventOps.trending(spark, Sf)
+      .filter(col("bucket") < "2029-01-01")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == expected,
+      s"restart merged counts wrong: ${got.length} vs ${expected.length}")
+  }
+
   test("E17 ingest-gate ledger state survives a checkpoint restart (no replay)") {
     import org.apache.spark.sql.functions.{col, lit}
     val in = tmp("ckpt_gate_in")
