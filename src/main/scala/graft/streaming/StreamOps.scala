@@ -324,6 +324,24 @@ object StreamOps {
         col("e.n").as("n_events"), (col("i") + 1).cast(LongType).as("rnk"))
   }
 
+  /** E19: streaming per-window cardinality — approx_count_distinct
+    * inside a watermarked tumbling window: the HLL sketch is the ONLY
+    * state (fixed width per (window, type)) and merges associatively
+    * across micro-batches, so state is independent of user count —
+    * the streaming dual of EventOps.cardinalityApprox, where an exact
+    * streaming distinct would hold every id in state. Sketch merge is
+    * deterministic: the streamed estimate equals the batch estimate
+    * bit-for-bit (StreamBatchParitySpec).
+    */
+  def cardinalityStream(events: DataFrame,
+      watermark: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_users"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("n_users"))
+
   /** E17: the streaming ingest gate — every arriving document judged
     * by the three curation gates in ONE stream, emitted as a verdict
     * LEDGER (one row per (doc, reason), reasons ∈ {exact_dup,

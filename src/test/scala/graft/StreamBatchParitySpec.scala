@@ -91,6 +91,33 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("cardinalityStream sketch == batch sketch per closed day (exact merge)") {
+    val expected = Tables.events(spark, Sf)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_users"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val d = Files.createTempDirectory("card_par").toFile.getAbsolutePath
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    all.write.mode("overwrite").parquet(d)
+    val q = StreamOps.cardinalityStream(
+        spark.readStream.schema(all.schema).parquet(d))
+      .writeStream.format("memory").queryName("card_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("card_par").filter(col("bucket") < "2029-01-01")
+        .as[(java.sql.Timestamp, String, Long, Long)].collect()
+        .map(r => (r._1.getTime, r._2, r._3, r._4)).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("trendingStream == batch trending per closed hour on real events") {
     val expected = operators.EventOps.trending(spark, Sf)
       .filter(col("bucket") < "2029-01-01").collect()
