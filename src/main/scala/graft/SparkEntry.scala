@@ -1373,7 +1373,7 @@ object SparkEntry {
       (WinnowFpCtes + ", " +
        "e0 AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w), " +
        "rare AS (SELECT fp FROM e0 GROUP BY fp " +
-       "HAVING COUNT(*) <= (SELECT COUNT(*) // 20 FROM documents)), " +
+       "HAVING COUNT(*) <= (SELECT greatest(1, COUNT(*) // 20) FROM documents)), " +
        "ef AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare ON e0.fp = rare.fp), " +
        "nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp " +
        "FROM ef GROUP BY doc_id), " +

@@ -18,6 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * splitmix64-finalized — so the DuckDB HUGEINT oracle fragments that
   * replicate StrHash stay valid verbatim.
   *
+  * Null elements hash as EMPTY STRINGS with their separators retained
+  * (a null token folds as fold=0/pow=1, i.e. `[a, null, b]` hashes as
+  * `"a" + " " + "" + " " + "b"`). This intentionally differs from
+  * `concat_ws`, which would drop the null AND its separator — under
+  * concat_ws semantics `[a, null, b]` and `[a, b, null]` would
+  * collide as windows even though the token positions differ, which
+  * is wrong for positional window dedup. Internal callers only feed
+  * `split()` output (never null); the SQL surface
+  * (`graft_window_hashes`) follows the documented null-as-empty rule,
+  * pinned by a spec test.
+  *
   * Why a kernel: the equivalent built-in formulation
   * (`transform(sequence(…), i -> strhash64(concat_ws(" ",
   * slice(toks, i+1, L))))`) allocates a sliced array + a concatenated

@@ -86,9 +86,16 @@ object ZipFns {
           throw new UnsupportedOperationException(
             "zip64 central-directory offset beyond the in-memory archive")
       case None =>
-        if (count == 0xFFFF || cdOff == 0xFFFFFFFFL)
+        if (cdOff == 0xFFFFFFFFL)
           throw new UnsupportedOperationException(
-            "zip64 sentinels without a zip64 EOCD locator (corrupt archive)")
+            "zip64 central-directory offset sentinel without a zip64 " +
+            "EOCD locator (corrupt archive)")
+        // 0xFFFF is a sentinel only when zip64 structures exist; a
+        // classic archive with exactly 65535 entries writes it
+        // literally. Walk the central directory by signature instead
+        // of trusting the count — the loop below is already bounded
+        // by the 0x02014B50 record signature check.
+        if (count == 0xFFFF) count = Long.MaxValue
     }
     var p = cdOff.toInt // central directory offset
     val recs = IndexedSeq.newBuilder[(Long, Array[Byte])]

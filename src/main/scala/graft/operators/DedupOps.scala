@@ -470,20 +470,29 @@ object DedupOps {
     val dupStarts = wins.join(dupHashes, Seq("whash"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("start"))).as("starts"))
+    // n_removed = |union of [s, s+L) over sorted starts| via a fold:
+    // the first window contributes L, each later one min(L, s - prev).
+    // Counting removed POSITIONS (not re-splitting the scrubbed text)
+    // keeps n_kept exact even when a kept token is the empty string
+    // (a doc whose text is ""), where split-based counting under-counts.
+    val Ll = lit(L.toLong)
     Tables.documents(spark, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<long>")))
       .withColumn("scrubbed", graft.functions.SpanScrubKernel.removeSpans(
-        col("toks"),
-        coalesce(col("starts"), array().cast("array<long>")), L))
-      .select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("n_toks"),
-        when(col("scrubbed") === "", 0L)
-          .otherwise(size(split(col("scrubbed"), " "))).cast(LongType)
-          .as("n_kept"),
+        col("toks"), col("starts"), L))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .withColumn("n_removed", aggregate(
+        col("starts"),
+        struct(lit(-1L).as("prev"), lit(0L).as("tot")),
+        (acc, s) => struct(s.as("prev"),
+          (acc("tot") + when(acc("prev") < lit(0L), Ll)
+            .otherwise(least(Ll, s - acc("prev")))).as("tot")),
+        acc => acc("tot")))
+      .withColumn("n_kept", col("n_toks") - col("n_removed"))
+      .select(col("doc_id"), col("n_toks"), col("n_kept"), col("n_removed"),
         col("scrubbed").as("scrubbed_text"))
-      .withColumn("n_removed", col("n_toks") - col("n_kept"))
-      .select("doc_id", "n_toks", "n_kept", "n_removed", "scrubbed_text")
       .orderBy("doc_id")
   }
 
@@ -516,9 +525,11 @@ object DedupOps {
       // numerator and denominator drop ubiquitous fps together, so the
       // ratio stays calibrated. Part of the operator's defined
       // semantics; the oracle applies the same cap.
+      // max(1, ...): integer division would make the cap 0 for corpora
+      // under 20 docs and silently filter EVERY fingerprint
       val nDocs = Tables.documents(spark, dir).count()
       val rare = ex.groupBy("fp").agg(lcount.as("df"))
-        .filter(col("df") <= nDocs / 20).select("fp")
+        .filter(col("df") <= math.max(1L, nDocs / 20)).select("fp")
       val filtered = ex.join(rare, "fp").select("doc_id", "fp")
       val nf = filtered.groupBy("doc_id").agg(lcount.as("n_fp"))
       filtered.join(nf, "doc_id")

@@ -94,14 +94,25 @@ class FileMetaSpec extends GraftSpec {
     zout.write("x".getBytes(StandardCharsets.UTF_8))
     zout.closeEntry(); zout.close()
     val bytes = bos.toByteArray
-    // locate the EOCD and saturate its 16-bit entry count — the zip64
-    // shape java.util.zip produces for >65535-entry archives
+    // saturate the EOCD's 16-bit entry count with NO zip64 structures:
+    // 0xFFFF is a sentinel only when zip64 records exist — a classic
+    // archive with exactly 65535 entries writes it literally, so the
+    // reader must fall back to walking the central directory by
+    // signature rather than rejecting the archive
     var e = bytes.length - 22
     while (!(bytes(e) == 0x50 && bytes(e + 1) == 0x4B &&
       bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06)) e -= 1
     bytes(e + 10) = 0xFF.toByte; bytes(e + 11) = 0xFF.toByte
+    assert(graft.functions.ZipFns.zipEntries(bytes).map(_.name) ==
+      Seq("a.txt"))
+    // the CD OFFSET sentinel without zip64 is genuinely unresolvable
+    val bytes2 = bos.toByteArray
+    var eo = bytes2.length - 22
+    while (!(bytes2(eo) == 0x50 && bytes2(eo + 1) == 0x4B &&
+      bytes2(eo + 2) == 0x05 && bytes2(eo + 3) == 0x06)) eo -= 1
+    for (k <- 16 to 19) bytes2(eo + k) = 0xFF.toByte
     val ex = intercept[UnsupportedOperationException] {
-      graft.functions.ZipFns.zipEntries(bytes)
+      graft.functions.ZipFns.zipEntries(bytes2)
     }
     assert(ex.getMessage.contains("zip64"))
 

@@ -90,6 +90,19 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(ex2.getMessage.toLowerCase.contains("type"))
   }
 
+  test("graft_window_hashes: null elements hash as empty strings with separators retained") {
+    assert(sparkReady)
+    // the documented rule (WindowHashes Scaladoc): a null token folds
+    // as the empty string but KEEPS its separator — positional, unlike
+    // concat_ws which would drop null + separator and collide windows
+    val got = spark.sql(
+      "SELECT graft_window_hashes(array('a', CAST(NULL AS STRING), 'b'), 3)")
+      .head().getSeq[Long](0)
+    val expect = Seq(graft.functions.StrHash.hash64(
+      UTF8String.fromString("a  b")))
+    assert(got == expect)
+  }
+
   test("graft_vec_dot / graft_hyperplane_bucket from SQL match the kernels") {
     assert(sparkReady)
     import spark.implicits._
