@@ -328,10 +328,17 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents: min-label propagation did not converge in $rounds rounds")
     }
-    // Pin the converged labels (eager localCheckpoint truncates the
-    // loop lineage), then release the loop's working-set caches so a
-    // long-lived session doesn't accumulate edge RDDs in storage.
-    val labDF = labels.toDF(idCol, "component").localCheckpoint()
+    // Pin the converged labels with an EAGER persist (count
+    // materializes the blocks while the loop's per-round caches are
+    // still live), then release the working set so a long-lived
+    // session doesn't accumulate edge RDDs in storage. persist, not
+    // localCheckpoint: blocks lost to an executor failure recompute
+    // from lineage (slow but correct — the propagation is a
+    // deterministic min-fold), where localCheckpoint's truncated
+    // lineage would fail the job unrecoverably.
+    val labDF = labels.toDF(idCol, "component")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labDF.count()
     rawUnd.unpersist(false); und.unpersist(false); labels.unpersist(false)
     val active = labDF.select(col(idCol))
     val singletons = vertices.join(active, Seq(idCol), "left_anti")

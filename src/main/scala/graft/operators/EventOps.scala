@@ -307,15 +307,23 @@ object EventOps {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
     // each stage feeds BOTH the next stage and the final join — pin
-    // them (eager localCheckpoint) or the scan+agg subtree re-executes
-    // per consumer (v would run 3x, c 2x: measured 4.7 s -> ~2 s)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-      .localCheckpoint()
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
-      .localCheckpoint()
+    // them (session-memoized persist) or the scan+agg subtree
+    // re-executes per consumer (v would run 3x, c 2x: measured
+    // 4.7 s -> ~2 s). Lazy persist via Memo (not localCheckpoint):
+    // cache substitution happens on the analyzed plan, so every
+    // consumer hits the same InMemoryRelation within one action,
+    // building the DataFrame runs no jobs, and on a real cluster a
+    // lost block recomputes from lineage instead of failing the job
+    // (localCheckpoint truncates lineage to executor-local blocks).
+    val v = graft.Memo.df(spark, s"funnelView:$dir") {
+      ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    }
+    val c = graft.Memo.df(spark, s"funnelClick:$dir") {
+      ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    }
     val pu = ev.filter(col("event_type") === "purchase")
       .join(c.select("user_id", "t_click"), "user_id")
       .filter(col("ts") > col("t_click"))
