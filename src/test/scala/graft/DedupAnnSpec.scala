@@ -227,20 +227,33 @@ class DedupAnnSpec extends GraftSpec {
   test("ann_recall: bounded, and non-decreasing in probes (candidate supersets)") {
     val rows = AnnOps.annRecall(spark, Sf).collect()
     assert(rows.length ==
-      AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size)
+      AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size +
+      AnnOps.RecallPqR.size + AnnOps.RecallIvfPqNprobes.size)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0)
       assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_exact"))
     }
-    // more probes strictly widens the candidate set, so recall cannot
-    // drop along either curve
-    for (m <- Seq("lsh", "ivf")) {
+    // more probes (or a deeper shortlist) strictly widens the
+    // candidate set, so recall cannot drop along any curve
+    for (m <- Seq("lsh", "ivf", "pq", "ivfpq")) {
       val curve = rows.filter(_.getAs[String]("method") == m)
         .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
+      assert(curve.nonEmpty, s"$m curve missing")
       assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
         s"$m recall curve not monotone: ${curve.toSeq}")
     }
+    def at(m: String, p: Long): Double =
+      rows.find(r => r.getAs[String]("method") == m &&
+        r.getAs[Long]("param") == p).get.getAs[Double]("recall")
+    // the 8x256 codebook target: two-stage PQ at full shortlist depth
+    // must clear 0.85 recall@10, and the composed ivfpq stack at
+    // nprobe=8 must not fall behind IVF-Flat nprobe=8 by more than the
+    // shortlist can explain (R=50 >= 5x k keeps the loss ~0)
+    assert(at("pq", AnnOps.RecallPqR.max) >= 0.85,
+      s"pq rerank recall ${at("pq", AnnOps.RecallPqR.max)} below 0.85")
+    assert(at("ivfpq", 8) >= at("ivf", 8) - 0.02,
+      s"ivfpq@8 ${at("ivfpq", 8)} behind ivf@8 ${at("ivf", 8)}")
   }
 
   test("embedding near-dup cosines are symmetric-bounded") {
@@ -254,7 +267,7 @@ class DedupAnnSpec extends GraftSpec {
     val pq = AnnOps.pqCodes(spark, Sf)
     assert(pq.count() == Tables.embeddings(spark, Sf).count())
     pq.collect().foreach { r =>
-      Seq("c0", "c1", "c2", "c3").foreach { c =>
+      (0 until AnnOps.PqS).map(s => s"c$s").foreach { c =>
         val k = r.getAs[Long](c)
         assert(k >= 0 && k < AnnOps.PqK, s"$c=$k out of range")
       }
