@@ -120,9 +120,11 @@ object SparkEntry {
       TextOps.invertedPostings(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
       TextOps.collocations(s, d)),
-    // F. multimodal plumbing (decode kernel stubbed; see MultimodalOps)
+    // F. multimodal plumbing (image decode REAL via JDK ImageIO;
+    // audio/video kernel stubbed — see MultimodalOps)
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
-    "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _)
+    "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _),
+    "media_image_stats"    -> (multimodal.MultimodalOps.imagePixelStats _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -1917,6 +1919,30 @@ object SparkEntry {
         |    ELSE 'video' END AS kind,
         |  COUNT(*) AS n,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // F6: the Spark side REALLY encodes + decodes PNGs (JDK ImageIO);
+    // the oracle computes the same channel sums analytically from the
+    // deterministic pixel function — a hash match proves the codec
+    // roundtrip preserved every pixel
+    "media_image_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        |    CAST(8 + doc_id % 3 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT media_id, width, height, x, y
+        |  FROM ids, range(0, 13) rx(x), range(0, 11) ry(y)
+        |  WHERE x < width AND y < height),
+        |s AS (SELECT media_id, width, height,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM((media_id*7 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+        |    CAST(SUM((media_id*11 + x*13 + y*17) % 256) AS BIGINT) AS sum_g,
+        |    CAST(SUM((media_id*19 + x*23 + y*29) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT media_id, width, height, n_pixels, sum_r, sum_g, sum_b,
+        |  CAST(sum_r AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_r,
+        |  CAST(sum_g AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_g,
+        |  CAST(sum_b AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin
   )
 }

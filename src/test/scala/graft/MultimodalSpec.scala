@@ -42,4 +42,45 @@ class MultimodalSpec extends GraftSpec {
       assert(m.meta.width == 32 && m.meta.height >= 1)
     }
   }
+
+  test("real PNG roundtrip: ImageIO decode returns the exact synthesized pixels") {
+    for (id <- Seq(0L, 3L, 42L, 123L)) {
+      val png = MultimodalOps.synthPng(id)
+      // PNG magic: the payload is a real encoded image, not a stub
+      assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val Some((w, h, sr, sg, sb)) = MultimodalOps.decodeImage(png)
+      assert(w == MultimodalOps.imgW(id) && h == MultimodalOps.imgH(id))
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += MultimodalOps.pixelR(id, x, y)
+        eg += MultimodalOps.pixelG(id, x, y)
+        eb += MultimodalOps.pixelB(id, x, y)
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)),
+        s"channel sums drifted through the codec for id=$id")
+      // channel means (the query's reported statistics) follow exactly
+      assert(sr.toDouble / (w * h) == er.toDouble / (w * h))
+    }
+    // bytes no installed reader recognises -> None -> fakeDecode fallback
+    assert(MultimodalOps.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("media_image_stats: distributed decode matches per-image analytic sums") {
+    val rows = MultimodalOps.imagePixelStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(id % 3 == 0)
+      assert(r.getAs[Long]("width") == MultimodalOps.imgW(id).toLong)
+      assert(r.getAs[Long]("n_pixels") ==
+        r.getAs[Long]("width") * r.getAs[Long]("height"))
+      // spot-check one image's sums against the pixel function
+      if (id == 0L) {
+        var er = 0L
+        for (y <- 0 until MultimodalOps.imgH(id); x <- 0 until MultimodalOps.imgW(id))
+          er += MultimodalOps.pixelR(id, x, y)
+        assert(r.getAs[Long]("sum_r") == er)
+      }
+    }
+  }
 }
