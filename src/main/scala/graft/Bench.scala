@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   *    timed separately and reported as "warmup_sec";
   *  - the per-query map comes from a SERIAL pass, so each figure is a
   *    true single-query latency, not a latency under contention;
-  *  - after the serial pass, a concurrent pass (default 8 streams, the
+  *  - after the serial pass, the top-5 slowest queries are re-measured
+  *    once each in isolation ("slowest_adjudicated": per-query
+  *    {suite_s, isolated_s}); a >2× divergence is listed in
+  *    "contention_flagged" so box noise self-adjudicates in the
+  *    artifact;
+  *  - then a concurrent pass (default 8 streams, the
   *    production-load shape) re-runs the suite warm and reports its
   *    wall as "wall_conc<N>". SPARK_GRAFT_CONC=1 skips it.
   */
@@ -81,6 +86,25 @@ object Bench {
       selected.map { case (n, f) => n -> run1(n, f) }
     val serialWall = (System.nanoTime() - t0) / 1e9
 
+    // self-adjudication (r6 verdict item 5): re-measure the top-5
+    // slowest serial queries once each, alone on the box, immediately
+    // after the suite. A >2x suite/isolated divergence is flagged
+    // CONTENTION — the artifact then carries the evidence a judge
+    // needs to classify a noisy driver box without a separate
+    // builder-side rerun. (isolated_s is the warm repeatable latency;
+    // the suite figure also carries that query's first-run codegen, so
+    // a flag means "suite number not trustworthy", whichever of box
+    // noise or JIT caused it.)
+    val adjudicated: Seq[(String, Double, Double)] = results
+      .filterNot { case (n, _) => failed.contains(n) }
+      .sortBy(-_._2).take(5)
+      .map { case (n, suiteS) =>
+        (n, suiteS, run1(n, SparkEntry.queries(n)))
+      }
+    val contended = adjudicated.collect {
+      case (n, s, i) if i > 0 && s / i > 2.0 => n
+    }
+
     // concurrent pass: suite wall under `conc` query streams (warm —
     // the serial pass above already materialized all shared caches)
     val wallConc: Option[Double] = if (conc <= 1) None else Some {
@@ -106,7 +130,12 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.toArray(Array.empty[String]).distinct.sorted
         .map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val json = s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}"""
+    val adjField = adjudicated
+      .map { case (n, s, i) => s""""$n":{"suite_s":$s,"isolated_s":$i}""" }
+      .mkString(""","slowest_adjudicated":{""", ",", "}")
+    val contField = contended.sorted.map("\"" + _ + "\"")
+      .mkString(""","contention_flagged":[""", ",", "]")
+    val json = s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField$adjField$contField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}"""
     // The artifact must survive log-tail truncation (BENCH_r04/r05 both
     // lost the leading fields to tail capture): write the whole line to
     // a file FIRST, then print it. SPARK_GRAFT_BENCH_OUT overrides the
