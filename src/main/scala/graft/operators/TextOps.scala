@@ -149,7 +149,7 @@ object TextOps {
     val scored = tf.join(dfTok, "tok")
       .withColumn("one", lit(1)).join(broadcast(nDocs), "one")
       .withColumn("score",
-        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+        graft.functions.ScoreFns.tfidf(col("tf"), col("df"), col("n_docs")))
     graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
         Seq(col("score").desc, col("tok").asc), k)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
@@ -190,9 +190,8 @@ object TextOps {
       .join(ca.withColumnRenamed("tok", "tok2").withColumnRenamed("c", "c_b"),
         Seq("lang", "tok2"))
       .join(broadcast(totals), "lang")
-      .withColumn("assoc",
-        (col("c_ab") * col("n_tokens")).cast(DoubleType) /
-          (col("c_a") * col("c_b")).cast(DoubleType))
+      .withColumn("assoc", graft.functions.ScoreFns.pmi(
+        col("c_ab"), col("c_a"), col("c_b"), col("n_tokens")))
     graft.plans.TopK.perKey(scored, Seq(col("lang")),
         Seq(col("assoc").desc, col("tok1").asc, col("tok2").asc), k)
       .select(col("lang"), col("tok1"), col("tok2"), col("c_ab"),
@@ -271,8 +270,7 @@ object TextOps {
       .join(broadcast(stats.withColumn("one", lit(1))), "one")
     def w(i: Int): Column = {
       val tfd = col(s"tf$i").cast(DoubleType)
-      val idf = ((col("n_docs") - col(s"df$i")).cast(DoubleType) + lit(0.5)) /
-        (col(s"df$i").cast(DoubleType) + lit(0.5))
+      val idf = graft.functions.ScoreFns.bm25Idf(col("n_docs"), col(s"df$i"))
       idf * (tfd * lit(2.2)) / (tfd + lit(1.2) *
         (lit(1.0) - lit(0.75) +
           lit(0.75) * col("n_tok").cast(DoubleType) / col("avgdl")))

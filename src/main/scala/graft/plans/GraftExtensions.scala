@@ -78,6 +78,18 @@ object GraftExtensions {
     fn("graft_hyperplane_bucket",
       "LSH hyperplane bucket of a double array; args (vec, nPlanes)") {
       case Seq(c, IntegerLiteral(n)) => HyperplaneBucketExpr(c, n)
+    },
+    fn("graft_tfidf",
+      "rational tf-idf score (tf*nDocs)/df; args (tf, df, nDocs) as longs") {
+      case Seq(tf, df, n) => TfIdfScore(tf, df, n)
+    },
+    fn("graft_pmi",
+      "rational PMI association (cAb*nTokens)/(cA*cB); args (cAb, cA, cB, nTokens) as longs") {
+      case Seq(cab, ca, cb, n) => PmiScore(cab, ca, cb, n)
+    },
+    fn("graft_bm25_idf",
+      "rational BM25 idf (nDocs-df+0.5)/(df+0.5); args (nDocs, df) as longs") {
+      case Seq(n, df) => Bm25Idf(n, df)
     })
 
   /** Idempotent registration into an EXISTING session — getOrCreate

@@ -103,6 +103,29 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(got == expect)
   }
 
+  test("graft_tfidf / graft_pmi / graft_bm25_idf: rational scores from SQL, analysis-checked") {
+    assert(sparkReady)
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    // the exact arithmetic contract: integer cross products, one
+    // exactly-rounded double division — replicable by plain SQL in any
+    // engine, which is what the D31/D32/D34 oracles rely on
+    val r = spark.sql(
+      "SELECT graft_tfidf(3L, 2L, 500L), graft_pmi(4L, 10L, 20L, 60000L), " +
+      "graft_bm25_idf(500L, 7L)").head()
+    assert(r.getDouble(0) == (3L * 500L).toDouble / 2.0)
+    assert(r.getDouble(1) == (4L * 60000L).toDouble / (10L * 20L).toDouble)
+    assert(r.getDouble(2) == ((500L - 7L).toDouble + 0.5) / (7L.toDouble + 0.5))
+    // ExpectsInputTypes: wrong argument types are ANALYSIS errors
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bm25_idf('x', 7L)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_tfidf(array(1L), 2L, 3L)").collect()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("type"))
+  }
+
   test("graft_vec_dot / graft_hyperplane_bucket from SQL match the kernels") {
     assert(sparkReady)
     import spark.implicits._
