@@ -54,6 +54,9 @@ object DedupOps {
     ngramPairs(spark, dir).write.format("noop").mode("overwrite").save()
     substringWins(spark, dir, SubstringL)
       .write.format("noop").mode("overwrite").save()
+    // the winnow layout artifacts (inverted lists + denominators) are
+    // session-shared derivations like the shingle table above
+    winnowNf(spark, dir).write.format("noop").mode("overwrite").save()
     // the CC-label artifact is shared by D13/D23/corpus_build; the
     // iterative loop materializes eagerly inside Memo, so touching it
     // here is enough
@@ -518,35 +521,96 @@ object DedupOps {
     // below reads it twice (df groupBy + join) and an unpersisted
     // kernel would be re-derived per branch by the inferred
     // isnotnull(fp) constraints (the SURVEY §7 round-1 lesson)
-    val ex = graft.Memo.df(spark, s"winnowFpsRaw:$dir") {
+    // INVERTED-LIST pair counting (replaces the r6 fp self-join): one
+    // groupBy(fp) builds each rare fingerprint's doc-sorted posting
+    // list, ordered pairs (a < b by construction — explode the sorted
+    // list once with position, then its strict suffix) generate
+    // IN-ROW with no join, and the pair-count aggregation is the
+    // whole verify step. Versus the self-join this HALVES generated
+    // rows (sum C(df,2), never both orders), drops one corpus-wide
+    // exchange (no probe side), and needs no distinct-then-intersect
+    // stage. A prefix/banded pre-block was built and measured first:
+    // at this corpus's fp density (6.4k distinct fps, mean rare df
+    // ~27 at sf0.1) junk pairs share exactly one fp, so blocking cut
+    // generation ~2x but forced a 3.6M-pair distinct + per-pair
+    // intersect verify that cost MORE than counting — the
+    // count-by-construction flow won the measurement (PLANS_r7).
+    val inv = winnowInv(spark, dir)
+    val pairs = inv.filter(col("df") >= 2)
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(slice(col("docs"), col("i") + lit(2),
+        size(col("docs")) - col("i") - lit(1))).as("b_id"))
+    val nf = winnowNf(spark, dir)
+    // the nf sides are |docs| rows — AQE broadcasts them at bench SF;
+    // at cluster scale they key-join the already-shuffled pair table
+    pairs.groupBy("a_id", "b_id").agg(lcount.as("shared_fp"))
+      .join(nf.select(col("doc_id").as("a_id"), col("n_fp").as("n_a")), "a_id")
+      .join(nf.select(col("doc_id").as("b_id"), col("n_fp").as("n_b")), "b_id")
+      // containment (shared / smaller fingerprint set) rather than a raw
+      // count: common 8-char windows make absolute counts meaningless
+      .withColumn("containment", col("shared_fp").cast(DoubleType) /
+        least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+      .select("a_id", "b_id", "shared_fp", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Rare-fingerprint inverted lists (fp → doc-sorted posting list +
+    * df), session-memoized — the layout [[dedupWinnow]] generates
+    * pairs from. The kernel output is read exactly once (no raw-table
+    * memo needed any more).
+    *
+    * Ubiquity cap (standard winnowing practice, and the pair-cost
+    * bound): a fingerprint present in > 5% of docs carries no
+    * near-dup signal but quadratic pair cost. The containment is
+    * measured over the RARE fingerprint space on BOTH sides —
+    * numerator and denominator drop ubiquitous fps together, so the
+    * ratio stays calibrated. Part of the operator's defined
+    * semantics; the oracle applies the same cap.
+    * max(1, ...): integer division would make the cap 0 for corpora
+    * under 20 docs and silently filter EVERY fingerprint.
+    */
+  private def winnowInv(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"winnowInv:$dir") {
+      val nDocs = Tables.documents(spark, dir).count()
       Tables.documents(spark, dir)
         .withColumn("fps", TextFns.winnowFingerprints(col("text"), 8, 4))
-        .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
-          explode(col("fps")).as("fp"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .groupBy("fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
+          lcount.as("df"))
+        .filter(col("df") <= math.max(1L, nDocs / 20))
     }
-    val fps = graft.Memo.df(spark, s"winnowFps:$dir") {
-      // ubiquity cap (standard winnowing practice, and the join-cost
-      // bound): a fingerprint present in > 5% of docs carries no
-      // near-dup signal but quadratic join cost. The containment is
-      // measured over the RARE fingerprint space on BOTH sides —
-      // numerator and denominator drop ubiquitous fps together, so the
-      // ratio stays calibrated. Part of the operator's defined
-      // semantics; the oracle applies the same cap.
-      // max(1, ...): integer division would make the cap 0 for corpora
-      // under 20 docs and silently filter EVERY fingerprint
-      val nDocs = Tables.documents(spark, dir).count()
-      val rare = ex.groupBy("fp").agg(lcount.as("df"))
-        .filter(col("df") <= math.max(1L, nDocs / 20)).select("fp")
-      val filtered = ex.join(rare, "fp").select("doc_id", "fp")
-      val nf = filtered.groupBy("doc_id").agg(lcount.as("n_fp"))
-      filtered.join(nf, "doc_id")
+
+  /** Per-doc rare-fingerprint counts (the containment denominators),
+    * rolled up from the inverted lists — no second kernel pass.
+    */
+  private def winnowNf(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"winnowNf:$dir") {
+      winnowInv(spark, dir).select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(lcount.as("n_fp"))
     }
+
+  /** Test hook: the r6 formulation of [[dedupWinnow]] (full fp
+    * equi-join + pair groupBy) built standalone — the spec asserts the
+    * inverted-list flow reproduces it row-for-row.
+    */
+  private[graft] def dedupWinnowUnblocked(spark: SparkSession, dir: String,
+      minContainment: Double = 0.5): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).count()
+    val ex = Tables.documents(spark, dir)
+      .withColumn("fps", TextFns.winnowFingerprints(col("text"), 8, 4))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .persist()
+    val rare = ex.groupBy("fp").agg(lcount.as("df"))
+      .filter(col("df") <= math.max(1L, nDocs / 20)).select("fp")
+    val filtered = ex.join(rare, "fp").select("doc_id", "fp")
+    val nf = filtered.groupBy("doc_id").agg(lcount.as("n_fp"))
+    val fps = filtered.join(nf, "doc_id")
     val a = fps.select(col("doc_id").as("a_id"), col("n_fp").as("n_a"), col("fp"))
     val b = fps.select(col("doc_id").as("b_id"), col("n_fp").as("n_b"), col("fp"))
     a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "n_a", "n_b").agg(lcount.as("shared_fp"))
-      // containment (shared / smaller fingerprint set) rather than a raw
-      // count: common 8-char windows make absolute counts meaningless
       .withColumn("containment", col("shared_fp").cast(DoubleType) /
         least(col("n_a"), col("n_b")).cast(DoubleType))
       .filter(col("containment") >= minContainment)

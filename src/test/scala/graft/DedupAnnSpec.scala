@@ -102,6 +102,21 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("winnow inverted-list flow is EXACT: == the classic fp self-join") {
+    // the inverted-list formulation (DedupOps.dedupWinnow) generates
+    // each unordered co-occupancy pair exactly once from the sorted
+    // posting list, so its pair counts must equal the r6 self-join's —
+    // asserted row-for-row
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("shared_fp"), r.getAs[Double]("containment"))
+    val inverted = DedupOps.dedupWinnow(spark, Sf).collect().map(key).toSet
+    val selfJoin = DedupOps.dedupWinnowUnblocked(spark, Sf).collect().map(key).toSet
+    assert(inverted == selfJoin,
+      s"inverted-list flow diverged: only-inv=${inverted.diff(selfJoin).take(3)} " +
+      s"only-join=${selfJoin.diff(inverted).take(3)}")
+  }
+
   test("simhash pairs respect the hamming bound") {
     DedupOps.dedupSimhash(spark, Sf).collect().foreach { r =>
       assert(r.getAs[Long]("hamming") <= 3)
