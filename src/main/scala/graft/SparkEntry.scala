@@ -86,6 +86,7 @@ object SparkEntry {
       CurationOps.decontaminate(s, d, CurationOps.demoEvalSet(s), minHits = 1)),
     "dedup_keep_best"      -> (CurationOps.dedupKeepBest _),
     "corpus_build"         -> (CurationOps.corpusBuild _),
+    "corpus_build_incremental" -> (CurationOps.corpusBuildIncremental _),
     "text_token_count"     -> (TextOps.tokenCount _),
     "text_vocab"           -> ((s: SparkSession, d: String) =>
       TextOps.vocabTopK(s, d)),
@@ -218,6 +219,88 @@ object SparkEntry {
         |  NOT (i.doc_id IN (SELECT doc_id FROM ex)
         |    OR i.doc_id IN (SELECT doc_id FROM near)) AS keep
         |FROM documents i WHERE i.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin
+
+  /** D28/D28b shared oracle: the full manifest rebuild. */
+  private val CorpusBuildSql =
+    """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING COUNT(*) >= 2),
+        |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id AS u, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        |sz AS (SELECT component, COUNT(*) AS cluster_size
+        |  FROM comp GROUP BY component),
+        |qt AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |qc AS (SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct_cnt
+        |  FROM qt),
+        |qr AS (SELECT doc_id,
+        |    CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+        |    CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS len_ok
+        |  FROM qc),
+        |q AS (SELECT doc_id,
+        |    CAST(0.5 AS DOUBLE) * stop_ratio
+        |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - punct_ratio)
+        |      + CAST(0.2 AS DOUBLE) * len_ok AS score
+        |  FROM qr),
+        |j AS (SELECT comp.doc_id, comp.component, sz.cluster_size, q.score
+        |  FROM comp JOIN sz USING (component) JOIN q USING (doc_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+        |    ORDER BY score DESC, doc_id) AS rn FROM j),
+        |reps AS (SELECT doc_id, component, cluster_size, score
+        |  FROM r WHERE rn = 1),
+        |exk AS (SELECT doc_id, lang, source, text FROM (
+        |    SELECT doc_id, lang, source, text,
+        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM documents)
+        |  WHERE doc_id = keep_id),
+        |surv AS (SELECT exk.doc_id, exk.lang, exk.source, exk.text,
+        |    reps.component, reps.cluster_size, reps.score
+        |  FROM exk JOIN reps USING (doc_id)),
+        |qd AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1) * 5
+        |      AS quota
+        |  FROM surv),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY h, doc_id) AS BIGINT) AS rnk FROM qd),
+        |sel AS (SELECT * FROM rk WHERE rnk <= quota),
+        |pk AS (SELECT doc_id, source, lang, component, cluster_size, score,
+        |    CAST(quota AS BIGINT) AS quota, rnk,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(doc_id % 8 AS BIGINT) AS bucket
+        |  FROM sel)
+        |SELECT doc_id, source, lang, component, cluster_size, score, quota,
+        |  rnk, n_tokens, bucket,
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST((SUM(n_tokens) OVER w - 1) // 256 AS BIGINT) AS bin_id
+        |FROM pk WINDOW w AS (PARTITION BY lang, bucket ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin
+
 
   // PQ geometry, shared with AnnOps so the oracle cannot drift.
   private val PqS = operators.AnnOps.PqS
@@ -1012,85 +1095,12 @@ object SparkEntry {
     // the full manifest composition: dedup_keep_best's CC+quality chain
     // -> exact keep-first -> doc_mixture's quota rank -> doc_pack_tokens'
     // bin assignment, each stage the same SQL as its standalone oracle
-    "corpus_build" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM d),
-        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
-        |    unnest(shingles) AS shingle FROM s),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-        |  HAVING COUNT(*) >= 2),
-        |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(u, r) AS (
-        |  SELECT doc_id AS u, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
-        |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
-        |sz AS (SELECT component, COUNT(*) AS cluster_size
-        |  FROM comp GROUP BY component),
-        |qt AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |qc AS (SELECT doc_id, n_chars,
-        |    CAST(len(toks) AS BIGINT) AS n_tok,
-        |    CAST(len(list_filter(toks, x -> x IN
-        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
-        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-        |      AS BIGINT) AS punct_cnt
-        |  FROM qt),
-        |qr AS (SELECT doc_id,
-        |    CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
-        |    CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
-        |    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN CAST(1 AS DOUBLE)
-        |      ELSE CAST(0 AS DOUBLE) END AS len_ok
-        |  FROM qc),
-        |q AS (SELECT doc_id,
-        |    CAST(0.5 AS DOUBLE) * stop_ratio
-        |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - punct_ratio)
-        |      + CAST(0.2 AS DOUBLE) * len_ok AS score
-        |  FROM qr),
-        |j AS (SELECT comp.doc_id, comp.component, sz.cluster_size, q.score
-        |  FROM comp JOIN sz USING (component) JOIN q USING (doc_id)),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
-        |    ORDER BY score DESC, doc_id) AS rn FROM j),
-        |reps AS (SELECT doc_id, component, cluster_size, score
-        |  FROM r WHERE rn = 1),
-        |exk AS (SELECT doc_id, lang, source, text FROM (
-        |    SELECT doc_id, lang, source, text,
-        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-        |    FROM documents)
-        |  WHERE doc_id = keep_id),
-        |surv AS (SELECT exk.doc_id, exk.lang, exk.source, exk.text,
-        |    reps.component, reps.cluster_size, reps.score
-        |  FROM exk JOIN reps USING (doc_id)),
-        |qd AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h,
-        |    (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1) * 5
-        |      AS quota
-        |  FROM surv),
-        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
-        |    ORDER BY h, doc_id) AS BIGINT) AS rnk FROM qd),
-        |sel AS (SELECT * FROM rk WHERE rnk <= quota),
-        |pk AS (SELECT doc_id, source, lang, component, cluster_size, score,
-        |    CAST(quota AS BIGINT) AS quota, rnk,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT)
-        |      AS n_tokens,
-        |    CAST(doc_id % 8 AS BIGINT) AS bucket
-        |  FROM sel)
-        |SELECT doc_id, source, lang, component, cluster_size, score, quota,
-        |  rnk, n_tokens, bucket,
-        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
-        |  CAST((SUM(n_tokens) OVER w - 1) // 256 AS BIGINT) AS bin_id
-        |FROM pk WINDOW w AS (PARTITION BY lang, bucket ORDER BY doc_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY doc_id""".stripMargin,
+    "corpus_build" -> CorpusBuildSql,
+    // D28b: the incremental update's oracle IS the full rebuild — hash
+    // parity proves the delta algebra (Bloom-gated keeper resolution,
+    // mini-CC merge, touched-entity recompute) loses nothing
+    "corpus_build_incremental" -> CorpusBuildSql,
+
 
     "dedup_incremental" -> IncrementalDedupSql,
     // D15c: same verdict contract as D15 — the Bloom pass is a plan

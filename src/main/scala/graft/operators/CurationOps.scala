@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns
+import graft.functions.Exact.lcount
 import graft.plans.TopK
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -321,43 +322,333 @@ object CurationOps {
     */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // D1: keep-first per exact-content checksum
+    val scores = TextOps.qualityScored(spark, dir).select(col("doc_id"), col("score"))
+    val survivors = survivorsStage(docs,
+      DedupOps.clusterLabels(spark, dir), scores)
+    packStage(mixtureStage(survivors)).orderBy("doc_id")
+  }
+
+  // -- corpusBuild stages, shared with the incremental twin ---------
+
+  /** D1 keep-first ∩ D23 representatives over the given doc frame +
+    * cluster labels: one row per doc that is BOTH the first of its
+    * exact-content group and its component's best-quality member,
+    * carrying everything downstream stages need (n_tokens computed
+    * here, per-row, so later stages never re-join the text).
+    */
+  private def survivorsStage(docs: DataFrame, labels: DataFrame,
+      scores: DataFrame): DataFrame = {
     val exact = docs
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
-      .select("doc_id", "lang", "source", "text")
-    // D13+D23: one representative per near-dup component (labels + the
-    // CC loop are paid once per session and shared with D13/D23)
-    val clusters = DedupOps.clusterLabels(spark, dir)
-    val scores = TextOps.qualityScored(spark, dir).select(col("doc_id"), col("score"))
-    val reps = TopK.perKey(clusters.join(scores, Seq("doc_id")),
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextFns.regexTokenCount(col("text")).as("n_tokens"))
+    val reps = TopK.perKey(labels.join(scores, Seq("doc_id")),
         Seq(col("component")), Seq(col("score").desc, col("doc_id").asc), 1)
       .select(col("doc_id"), col("component"), col("cluster_size"), col("score"))
-    val survivors = exact.join(reps, Seq("doc_id"))
-    // D21: per-source quota selection (demo weight scheme, same
-    // constants as doc_mixture)
+    exact.join(reps, Seq("doc_id"))
+  }
+
+  /** D21 per-source quota selection over a survivor frame (demo
+    * weight scheme, same constants as doc_mixture).
+    */
+  private def mixtureStage(survivors: DataFrame): DataFrame = {
     val quoted = survivors
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("quota",
         ((regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
           % 4 + 1) * 5).cast(LongType))
-    val selected = TopK.perKey(quoted, Seq(col("source")),
+    TopK.perKey(quoted, Seq(col("source")),
         Seq(col("h").asc, col("doc_id").asc), 20)
       .filter(col("rnk") <= col("quota"))
-    // D19: token-budget packing of the selected mixture
-    val packed = selected
-      .withColumn("n_tokens", TextFns.regexTokenCount(col("text")))
-      .withColumn("bucket", (col("doc_id") % 8).cast(LongType))
+  }
+
+  /** D19 token-budget packing of a selected mixture (needs n_tokens
+    * already on the rows).
+    */
+  private def packStage(selected: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed
+    selected
+      .withColumn("bucket", (col("doc_id") % 8).cast(LongType))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
       .withColumn("bin_id", expr("(cum_tokens - 1) DIV 256").cast(LongType))
       .select(col("doc_id"), col("source"), col("lang"), col("component"),
         col("cluster_size"), col("score"), col("quota"), col("rnk"),
         col("n_tokens"), col("bucket"), col("cum_tokens"), col("bin_id"))
-      .orderBy("doc_id")
+  }
+
+  // -- D28b: incremental corpus maintenance -------------------------
+
+  /** Standing-corpus cluster labels: the CC loop over the
+    * corpus-only near-dup graph (doc_id % 10 != 7 on both edge ends),
+    * built once per session — the standing layout artifact a daily
+    * delta probes, exactly like ivfLists for ANN.
+    */
+  private def standingLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ccLabelsStanding:$dir") {
+      val ex = DedupOps.shingleExploded(spark, dir)
+        .filter(col("doc_id") % 10 =!= 7)
+      val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+        col("doc_id").as("a_id"), col("nsh").as("n_a"))
+      val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+        col("doc_id").as("b_id"), col("nsh").as("n_b"))
+      val edges = a.join(b, col("l_a") === col("l_b") &&
+          col("sh_a") === col("sh_b") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+        .filter(col("inter_cnt") >= 2)
+        .select("a_id", "b_id")
+      DedupOps.connectedComponents(spark, edges,
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id")), "doc_id")
+    }
+
+  /** Standing manifest artifacts, memoized per session. */
+  private def standingCkMin(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"stdCkMin:$dir") {
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+        .groupBy(md5(col("text")).as("ck"))
+        .agg(min(col("doc_id")).as("m_std"))
+    }
+
+  private def standingSurvivors(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"stdSurvivors:$dir") {
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+      val scores = TextOps.qualityScored(spark, dir)
+        .select(col("doc_id"), col("score"))
+      survivorsStage(docs, standingLabels(spark, dir), scores)
+    }
+
+  private def standingSelected(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"stdSelected:$dir") {
+      mixtureStage(standingSurvivors(spark, dir))
+    }
+
+  private def standingPacked(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"stdPacked:$dir") {
+      packStage(standingSelected(spark, dir))
+    }
+
+  /** D28b: corpus_build_incremental — the daily-delta face of D28: the
+    * standing corpus (doc_id % 10 != 7) has a built manifest + layout
+    * artifacts (checksum keeper map, cluster labels, survivor/
+    * selection tables — all session-memoized above); the delta
+    * (doc_id % 10 = 7, the same "new crawl" D15 gates) is folded in
+    * WITHOUT rebuilding: Bloom-gated exact-keeper resolution (D15c's
+    * filter, displacement handled), delta-incident near-dup edges
+    * only (delta × union blocked join — never corpus × corpus),
+    * a mini connected-components run over delta docs + touched
+    * standing component labels (label = min member id is
+    * path-independent, so merged labels equal the full rebuild's),
+    * then representative / mixture / packing recomputed ONLY for
+    * touched components / sources / (lang, bucket) groups, with
+    * untouched manifest rows taken verbatim from the standing build.
+    *
+    * The ORACLE is the full rebuild itself (corpus_build's SQL on the
+    * unioned corpus): hash parity proves the incremental algebra
+    * loses nothing. Marginal cost shape: every heavy exchange is
+    * keyed by the delta or a touched set; the only corpus-sized scans
+    * are the memoized standing artifacts (paid once per session) and
+    * the final row assembly, which any manifest update must write
+    * anyway.
+    */
+  def corpusBuildIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (survivorsUnion, compMap, touchedSizes) =
+      incrementalSurvivors(spark, dir)
+    incrementalAssembly(spark, dir, survivorsUnion, compMap, touchedSizes)
+  }
+
+  /** Stages A–C of [[corpusBuildIncremental]]: the union survivor set
+    * plus the touched-component label/size remaps (exposed for the
+    * parity spec).
+    */
+  private[graft] def incrementalSurvivors(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val scores = TextOps.qualityScored(spark, dir)
+      .select(col("doc_id"), col("score"))
+
+    // -- stage A: exact keep-first, delta vs standing checksum map.
+    // Bloom gate (the D15c artifact, same memo key): misses are
+    // definitively new checksums; might-contains verify by joining
+    // the real keeper map — false positives fall out naturally.
+    val bloom = graft.Memo.value(spark, s"ckBloom:$dir") {
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val n = math.max(corpus.count(), 1L)
+      graft.functions.BloomFns.build(
+        corpus.select(md5(col("text")).as("ck")), col("ck"), n)
+    }
+    val dMin = delta.select(col("doc_id"), md5(col("text")).as("ck"))
+      .groupBy("ck").agg(min(col("doc_id")).as("m_dlt"))
+    val hit = dMin
+      .filter(graft.functions.BloomFns.mightContain(bloom, col("ck")))
+      .join(standingCkMin(spark, dir), "ck")
+    // a delta doc with a smaller id than the standing keeper DISPLACES
+    // it from the keep-first set (keep-first is min-id over the union)
+    val displaced = hit.filter(col("m_dlt") < col("m_std"))
+      .select(col("m_std").as("doc_id"))
+    val deltaKeepers = dMin.join(hit.select("ck", "m_std"), Seq("ck"), "left")
+      .filter(col("m_std").isNull || col("m_dlt") < col("m_std"))
+      .select(col("m_dlt").as("doc_id"))
+
+    // -- stage B: cluster merge. Only delta-incident edges are joined
+    // (delta side × union side); corpus-corpus edges cannot change.
+    val ex = DedupOps.shingleExploded(spark, dir)
+    val exD = ex.filter(col("doc_id") % 10 === 7)
+      .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+        col("doc_id").as("a_id"))
+    val exU = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+      col("doc_id").as("b_id"))
+    val deltaEdges = exD.join(exU, col("l_a") === col("l_b") &&
+        col("sh_a") === col("sh_b") && col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 2)
+      .select("a_id", "b_id")
+    val stdLab = standingLabels(spark, dir)
+    // project standing endpoints onto their component label: the mini
+    // graph's nodes are delta doc ids + touched standing labels, so
+    // min-label over a mini component IS the union component's min id
+    val miniEdges = deltaEdges
+      .join(stdLab.select(col("doc_id").as("b_id"),
+        col("component").as("b_comp")), Seq("b_id"), "left")
+      .select(col("a_id"), coalesce(col("b_comp"), col("b_id")).as("b_id"))
+    val miniVerts = delta.select(col("doc_id"))
+      .unionByName(miniEdges.select(col("b_id").as("doc_id")))
+      .distinct()
+    val mini = DedupOps.connectedComponents(spark, miniEdges, miniVerts,
+      "doc_id").select(col("doc_id").as("node"), col("component").as("fin"))
+    val deltaLab = delta.select(col("doc_id"))
+      .join(mini, col("doc_id") === col("node")).select("doc_id", "fin")
+    // touched standing components → their merged (final) label
+    val compMap = stdLab.select(col("component")).distinct()
+      .join(mini, col("component") === col("node"))
+      .select(col("component").as("old_comp"), col("fin"))
+    // union sizes for every touched final component: standing members
+    // of merged comps + delta members
+    val stdCompSizes = stdLab.select("component", "cluster_size").distinct()
+    val touchedSizes = compMap
+      .join(stdCompSizes, col("old_comp") === col("component"))
+      .groupBy("fin").agg(sum(col("cluster_size")).as("std_n"))
+      .join(deltaLab.groupBy("fin").agg(lcount.as("dlt_n")), Seq("fin"), "full")
+      .select(col("fin"), (coalesce(col("std_n"), lit(0L)) +
+        coalesce(col("dlt_n"), lit(0L))).cast(LongType).as("u_size"))
+
+    // -- stage C: representatives recomputed for TOUCHED components
+    // only (members = standing docs of merged comps + delta docs)
+    val touchedStdMembers = stdLab
+      .join(compMap, col("component") === col("old_comp"))
+      .select(col("doc_id"), col("fin"))
+    val touchedMembers = touchedStdMembers.unionByName(deltaLab)
+    val newLabels = touchedMembers.join(touchedSizes, "fin")
+      .select(col("doc_id"), col("fin").as("component"),
+        col("u_size").as("cluster_size"))
+
+    // -- survivors for the touched doc set, via the same stage code
+    // the full build runs: union keep-first membership is
+    // (standing keeper ∧ not displaced) ∪ delta keepers, and the docs
+    // frame below is exactly the touched membership, so the
+    // keep-first window inside survivorsStage must see all union
+    // members of each touched checksum group — delta docs plus every
+    // standing doc of a touched comp. Standing docs OUTSIDE touched
+    // comps cannot change survivor status unless displaced (keeper
+    // loss), which is handled as an explicit remove.
+    val touchedDocIds = touchedMembers.select("doc_id")
+      .unionByName(displaced.select("doc_id")).distinct()
+    // keep-first over the union is doc-set-global (a checksum group
+    // may span touched and untouched docs), so resolve keeper status
+    // directly instead of re-running the window: union keeper =
+    // standing keeper minus displaced, plus delta keepers
+    val stdSurv = standingSurvivors(spark, dir)
+    val unionKeepers = standingCkMin(spark, dir)
+      .join(displaced.select(col("doc_id").as("m_std")), Seq("m_std"), "left_anti")
+      .select(col("m_std").as("doc_id"))
+      .unionByName(deltaKeepers)
+    val newReps = TopK.perKey(newLabels.join(scores, Seq("doc_id")),
+        Seq(col("component")), Seq(col("score").desc, col("doc_id").asc), 1)
+      .select(col("doc_id"), col("component"), col("cluster_size"), col("score"))
+    val docMeta = docs.select(col("doc_id"), col("lang"), col("source"),
+      TextFns.regexTokenCount(col("text")).as("n_tokens"))
+    val touchedSurvivors = newReps.join(unionKeepers, Seq("doc_id"))
+      .join(docMeta, Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_tokens",
+        "component", "cluster_size", "score")
+    // union survivors = standing rows minus (touched-comp members ∪
+    // displaced) plus the recomputed touched rows
+    // lazy persist: stages D/E read the survivor union three times
+    // (diff, recompute, assembly) — cache substitution dedupes the
+    // whole delta chain within one action
+    val survivorsUnion = stdSurv
+      .join(touchedDocIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_tokens",
+        "component", "cluster_size", "score")
+      .unionByName(touchedSurvivors)
+      .persist()
+    (survivorsUnion, compMap, touchedSizes)
+  }
+
+  /** Stages D–E of [[corpusBuildIncremental]]. */
+  private def incrementalAssembly(spark: SparkSession, dir: String,
+      survivorsUnion: DataFrame, compMap: DataFrame,
+      touchedSizes: DataFrame): DataFrame = {
+    // -- stage D: mixture recomputed for TOUCHED sources (sources
+    // whose survivor set changed in either direction)
+    val stdSurv = standingSurvivors(spark, dir)
+    val stdSel = standingSelected(spark, dir)
+    val survDiff = stdSurv.select("doc_id", "source")
+      .unionByName(survivorsUnion.select("doc_id", "source"))
+      .groupBy("doc_id", "source").agg(lcount.as("n")).filter(col("n") === 1)
+    val touchedSources = survDiff.select("source").distinct()
+    val selRecomputed = mixtureStage(
+      survivorsUnion.join(touchedSources, Seq("source")))
+    val selectedUnion = stdSel
+      .join(touchedSources, Seq("source"), "left_anti")
+      .select("doc_id", "lang", "source", "n_tokens",
+        "component", "cluster_size", "score", "h", "quota", "rnk")
+      .unionByName(selRecomputed
+        .select("doc_id", "lang", "source", "n_tokens",
+          "component", "cluster_size", "score", "h", "quota", "rnk"))
+      // rows of untouched sources may still sit in a merged component:
+      // remap their label/size (broadcast-sized touched mapping)
+      .join(compMap.withColumnRenamed("old_comp", "component"),
+        Seq("component"), "left")
+      .join(touchedSizes, Seq("fin"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        coalesce(col("fin"), col("component")).as("component"),
+        coalesce(col("u_size"), col("cluster_size")).as("cluster_size"),
+        col("score"), col("h"), col("quota"), col("rnk"))
+      .persist() // read by selDiff, keptRows and repacked
+
+    // -- stage E: packing recomputed for TOUCHED (lang, bucket)
+    // groups (any group whose selected membership changed); untouched
+    // groups take standing manifest rows verbatim, with only the
+    // component remap applied
+    val selDiff = stdSel.select("doc_id", "lang")
+      .unionByName(selectedUnion.select("doc_id", "lang"))
+      .groupBy("doc_id", "lang").agg(lcount.as("n")).filter(col("n") === 1)
+    val touchedGroups = selDiff
+      .select(col("lang"), (col("doc_id") % 8).cast(LongType).as("bucket"))
+      .distinct()
+    val stdPk = standingPacked(spark, dir)
+    // untouched groups: ONLY the packing columns (bucket/cum_tokens/
+    // bin_id — functions of group membership + n_tokens, both
+    // unchanged) come from the standing manifest; every other column
+    // (rnk shifts when a touched source loses a survivor, component/
+    // cluster_size when comps merge) reads the up-to-date selection
+    val keptRows = stdPk.join(touchedGroups, Seq("lang", "bucket"), "left_anti")
+      .select("doc_id", "bucket", "cum_tokens", "bin_id")
+      .join(selectedUnion, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("component"),
+        col("cluster_size"), col("score"), col("quota"), col("rnk"),
+        col("n_tokens"), col("bucket"), col("cum_tokens"), col("bin_id"))
+    val repacked = packStage(selectedUnion
+      .withColumn("bucket", (col("doc_id") % 8).cast(LongType))
+      .join(touchedGroups, Seq("lang", "bucket"))
+      .drop("bucket"))
+    keptRows.unionByName(repacked).orderBy("doc_id")
   }
 
   /** D30: document chunking — split each document into fixed-size

@@ -123,6 +123,21 @@ class CurationSpec extends GraftSpec {
     assert(total == Tables.documents(spark, Sf).count())
   }
 
+  test("corpus_build_incremental == full rebuild, row for row") {
+    import graft.operators.CurationOps
+    // the whole point of the delta algebra: Bloom-gated keeper
+    // resolution + mini-CC merge + touched-entity recompute must
+    // reproduce the from-scratch manifest EXACTLY
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toList
+    val full = rows(CurationOps.corpusBuild(spark, Sf))
+    val inc = rows(CurationOps.corpusBuildIncremental(spark, Sf))
+    assert(full.nonEmpty)
+    assert(inc == full,
+      s"incremental diverged; first diff: ${
+        inc.zip(full).find { case (a, b) => a != b }}")
+  }
+
   test("corpus_build manifest composes its stages consistently") {
     import graft.operators.CurationOps
     import org.apache.spark.sql.functions._
