@@ -60,6 +60,8 @@ object Bench {
       operators.DedupOps.warmShared(spark, sfDir)
     if (selected.exists(t => t._1.startsWith("ann") || t._1.startsWith("emb")))
       operators.AnnOps.warmShared(spark, sfDir)
+    if (selected.exists(_._1 == "corpus_build_incremental"))
+      operators.CurationOps.warmStanding(spark, sfDir)
     val warmupSec = (System.nanoTime() - t0) / 1e9
 
     // A failed query must never ship a green-looking artifact: failures

@@ -431,6 +431,23 @@ object CurationOps {
       packStage(standingSelected(spark, dir))
     }
 
+  /** Bench warm-up hook: materialize the STANDING manifest artifacts
+    * (checksum keeper map, corpus-only CC labels, survivor/selection/
+    * packed tables + the checksum Bloom filter) — the layout a daily
+    * delta probes, paid once per session exactly like AnnOps'
+    * ivfLists/pqCodes layouts.
+    */
+  def warmStanding(spark: SparkSession, dir: String): Unit = {
+    standingPacked(spark, dir).write.format("noop").mode("overwrite").save()
+    graft.Memo.value(spark, s"ckBloom:$dir") {
+      val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+      val n = math.max(corpus.count(), 1L)
+      graft.functions.BloomFns.build(
+        corpus.select(md5(col("text")).as("ck")), col("ck"), n)
+    }
+    ()
+  }
+
   /** D28b: corpus_build_incremental — the daily-delta face of D28: the
     * standing corpus (doc_id % 10 != 7) has a built manifest + layout
     * artifacts (checksum keeper map, cluster labels, survivor/
@@ -458,6 +475,26 @@ object CurationOps {
     val (survivorsUnion, compMap, touchedSizes) =
       incrementalSurvivors(spark, dir)
     incrementalAssembly(spark, dir, survivorsUnion, compMap, touchedSizes)
+  }
+
+  /** Eagerly pinned intermediate: without materialization, every
+    * downstream broadcast-exchange subquery re-executes the frame's
+    * whole delta lineage as its own job chain (measured: 223 stages /
+    * 46 s at sf0.1 unpinned vs ~60 stages pinned). Same persist-not-
+    * localCheckpoint rationale as the funnel stages: recomputable
+    * from lineage on executor loss.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    // re-root on the materialized RDD: the delta chains compose ~10
+    // deep, and leaving each pinned frame's full logical tree in
+    // every downstream plan made CATALYST the bottleneck (measured at
+    // sf0.1: ~60 s of driver analysis/optimization against 17 s of
+    // stage work). A LogicalRDD leaf keeps downstream trees shallow;
+    // the RDD itself still carries recompute lineage, so executor
+    // loss degrades to recomputation, not failure.
+    p.sparkSession.createDataFrame(p.rdd, p.schema)
   }
 
   /** Stages A–C of [[corpusBuildIncremental]]: the union survivor set
@@ -521,21 +558,21 @@ object CurationOps {
       .distinct()
     val mini = DedupOps.connectedComponents(spark, miniEdges, miniVerts,
       "doc_id").select(col("doc_id").as("node"), col("component").as("fin"))
-    val deltaLab = delta.select(col("doc_id"))
-      .join(mini, col("doc_id") === col("node")).select("doc_id", "fin")
+    val deltaLab = pin(delta.select(col("doc_id"))
+      .join(mini, col("doc_id") === col("node")).select("doc_id", "fin"))
     // touched standing components → their merged (final) label
-    val compMap = stdLab.select(col("component")).distinct()
+    val compMap = pin(stdLab.select(col("component")).distinct()
       .join(mini, col("component") === col("node"))
-      .select(col("component").as("old_comp"), col("fin"))
+      .select(col("component").as("old_comp"), col("fin")))
     // union sizes for every touched final component: standing members
     // of merged comps + delta members
     val stdCompSizes = stdLab.select("component", "cluster_size").distinct()
-    val touchedSizes = compMap
+    val touchedSizes = pin(compMap
       .join(stdCompSizes, col("old_comp") === col("component"))
       .groupBy("fin").agg(sum(col("cluster_size")).as("std_n"))
       .join(deltaLab.groupBy("fin").agg(lcount.as("dlt_n")), Seq("fin"), "full")
       .select(col("fin"), (coalesce(col("std_n"), lit(0L)) +
-        coalesce(col("dlt_n"), lit(0L))).cast(LongType).as("u_size"))
+        coalesce(col("dlt_n"), lit(0L))).cast(LongType).as("u_size")))
 
     // -- stage C: representatives recomputed for TOUCHED components
     // only (members = standing docs of merged comps + delta docs)
@@ -581,12 +618,11 @@ object CurationOps {
     // lazy persist: stages D/E read the survivor union three times
     // (diff, recompute, assembly) — cache substitution dedupes the
     // whole delta chain within one action
-    val survivorsUnion = stdSurv
+    val survivorsUnion = pin(stdSurv
       .join(touchedDocIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_tokens",
         "component", "cluster_size", "score")
-      .unionByName(touchedSurvivors)
-      .persist()
+      .unionByName(touchedSurvivors))
     (survivorsUnion, compMap, touchedSizes)
   }
 
@@ -601,10 +637,10 @@ object CurationOps {
     val survDiff = stdSurv.select("doc_id", "source")
       .unionByName(survivorsUnion.select("doc_id", "source"))
       .groupBy("doc_id", "source").agg(lcount.as("n")).filter(col("n") === 1)
-    val touchedSources = survDiff.select("source").distinct()
+    val touchedSources = pin(survDiff.select("source").distinct())
     val selRecomputed = mixtureStage(
       survivorsUnion.join(touchedSources, Seq("source")))
-    val selectedUnion = stdSel
+    val selectedUnion = pin(stdSel
       .join(touchedSources, Seq("source"), "left_anti")
       .select("doc_id", "lang", "source", "n_tokens",
         "component", "cluster_size", "score", "h", "quota", "rnk")
@@ -619,8 +655,7 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         coalesce(col("fin"), col("component")).as("component"),
         coalesce(col("u_size"), col("cluster_size")).as("cluster_size"),
-        col("score"), col("h"), col("quota"), col("rnk"))
-      .persist() // read by selDiff, keptRows and repacked
+        col("score"), col("h"), col("quota"), col("rnk")))
 
     // -- stage E: packing recomputed for TOUCHED (lang, bucket)
     // groups (any group whose selected membership changed); untouched
@@ -629,9 +664,9 @@ object CurationOps {
     val selDiff = stdSel.select("doc_id", "lang")
       .unionByName(selectedUnion.select("doc_id", "lang"))
       .groupBy("doc_id", "lang").agg(lcount.as("n")).filter(col("n") === 1)
-    val touchedGroups = selDiff
+    val touchedGroups = pin(selDiff
       .select(col("lang"), (col("doc_id") % 8).cast(LongType).as("bucket"))
-      .distinct()
+      .distinct())
     val stdPk = standingPacked(spark, dir)
     // untouched groups: ONLY the packing columns (bucket/cum_tokens/
     // bin_id — functions of group membership + n_tokens, both
