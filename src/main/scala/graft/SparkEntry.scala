@@ -125,7 +125,8 @@ object SparkEntry {
     // audio/video kernel stubbed — see MultimodalOps)
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
     "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _),
-    "media_image_stats"    -> (multimodal.MultimodalOps.imagePixelStats _)
+    "media_image_stats"    -> (multimodal.MultimodalOps.imagePixelStats _),
+    "media_audio_stats"    -> (multimodal.MultimodalOps.audioSampleStats _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -1953,6 +1954,25 @@ object SparkEntry {
         |  CAST(sum_r AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_r,
         |  CAST(sum_g AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_g,
         |  CAST(sum_b AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_b
-        |FROM s ORDER BY media_id""".stripMargin
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // F7: the audio twin — the Spark side REALLY encodes + decodes
+    // 16-bit PCM WAV (JDK javax.sound.sampled); the oracle computes
+    // the amplitude stats analytically from the sample function
+    "media_audio_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(800 + (doc_id % 5) * 100 AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT media_id, n_samples,
+        |    ((media_id*31 + i*7) % 65536) - 32768 AS s
+        |  FROM ids, range(0, 1300) r(i) WHERE i < n_samples),
+        |g AS (SELECT media_id, n_samples,
+        |    CAST(SUM(s) AS BIGINT) AS sum_amp,
+        |    CAST(MIN(s) AS BIGINT) AS min_amp,
+        |    CAST(MAX(s) AS BIGINT) AS max_amp
+        |  FROM sm GROUP BY 1, 2)
+        |SELECT media_id, n_samples, sum_amp, min_amp, max_amp,
+        |  CAST(sum_amp AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean_amp
+        |FROM g ORDER BY media_id""".stripMargin
   )
 }

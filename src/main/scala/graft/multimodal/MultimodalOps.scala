@@ -212,6 +212,93 @@ object MultimodalOps {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Real audio decode (F7): javax.sound.sampled — also pure JDK.
+
+  /** Deterministic 16-bit PCM sample function (pure arithmetic in
+    * (id, i), SQL-replicable — the audio twin of [[pixelR]]).
+    */
+  @inline def sampleAmp(id: Long, i: Int): Int =
+    ((id * 31 + i * 7) % 65536).toInt - 32768
+  @inline def nSamples(id: Long): Int = 800 + (id % 5).toInt * 100
+
+  /** Synthesize the WAV payload for one media id through the REAL
+    * javax.sound.sampled encoder (16 kHz mono signed 16-bit PCM,
+    * little-endian; PCM is lossless, so decode must return the exact
+    * samples).
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = nSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAmp(id, i)
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: parse the container with the JDK's AudioSystem and
+    * fold the PCM frames into exact amplitude stats. Returns None for
+    * bytes no installed reader recognises (fakeDecode fallback).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unexpected PCM layout: $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = 0
+      while (i < n) {
+        val s = ((pcm(i * 2) & 0xFF) | (pcm(i * 2 + 1) << 8)).toShort.toLong
+        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+        i += 1
+      }
+      Some((n.toLong, sum, mn, mx))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+
+  /** F7: real decoded amplitude statistics — the audio twin of
+    * [[imagePixelStats]]: synthesize a WAV per audio id (kind = audio,
+    * id % 3 = 1), push it through the REAL AudioSystem decode inside
+    * one batched mapPartitions pass, emit exact sample counts +
+    * amplitude sums/extrema + double mean. The oracle computes the
+    * same stats analytically from the sample function, so a hash
+    * match proves the PCM roundtrip preserved every sample.
+    */
+  def audioSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id")).where(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wav = synthWav(id)
+          val (n, sum, mn, mx) = decodeAudio(wav).getOrElse(
+            throw new IllegalStateException(
+              s"JDK WAV reader missing for media $id"))
+          (id, n, sum, mn, mx)
+        }
+      }.toDF("media_id", "n_samples", "sum_amp", "min_amp", "max_amp")
+    stats.select(col("media_id"), col("n_samples"), col("sum_amp"),
+        col("min_amp"), col("max_amp"),
+        (col("sum_amp").cast("double") / col("n_samples")).as("mean_amp"))
+      .orderBy("media_id")
+  }
+
   /** F6: real decoded pixel statistics — synthesize a PNG per image id
     * (kind = image, id % 3 = 0), push it through the REAL
     * ImageIO decode inside one batched mapPartitions pass, and emit

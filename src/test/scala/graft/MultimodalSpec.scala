@@ -65,6 +65,24 @@ class MultimodalSpec extends GraftSpec {
     assert(MultimodalOps.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real WAV roundtrip: AudioSystem decode returns the exact synthesized samples") {
+    for (id <- Seq(1L, 4L, 43L, 124L)) {
+      val wav = MultimodalOps.synthWav(id)
+      // RIFF magic: a real encoded container, not a stub
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+      val Some((n, sum, mn, mx)) = MultimodalOps.decodeAudio(wav)
+      assert(n == MultimodalOps.nSamples(id).toLong)
+      var es = 0L; var emn = Long.MaxValue; var emx = Long.MinValue
+      for (i <- 0 until MultimodalOps.nSamples(id)) {
+        val s = MultimodalOps.sampleAmp(id, i).toLong
+        es += s; emn = math.min(emn, s); emx = math.max(emx, s)
+      }
+      assert((sum, mn, mx) == ((es, emn, emx)),
+        s"amplitude stats drifted through the codec for id=$id")
+    }
+    assert(MultimodalOps.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("media_image_stats: distributed decode matches per-image analytic sums") {
     val rows = MultimodalOps.imagePixelStats(spark, Sf).collect()
     assert(rows.nonEmpty)
