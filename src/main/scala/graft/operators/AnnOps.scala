@@ -565,13 +565,32 @@ object AnnOps {
   }
 
   /** (vec_id, s, x): each vector split into PqS contiguous subvectors. */
-  private def pqSub(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir)
-    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
-    emb.select(col("vec_id"), col("v"),
+  private def pqSub(spark: SparkSession, dir: String): DataFrame =
+    pqSubOf(spark, dir, embDouble(spark, dir))
+
+  /** (vec_id, s, x) subvector rows for an arbitrary (vec_id, v) frame
+    * (subspace geometry comes from the corpus dimensionality).
+    */
+  private def pqSubOf(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val subDim = embDouble(spark, dir)
+      .select(size(col("v"))).head.getInt(0) / PqS
+    vecs.select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(PqS - 1))).as("s"))
       .select(col("vec_id"), col("s"),
         slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("x"))
+  }
+
+  /** PQ code words for an arbitrary (vec_id, v) frame against the
+    * EXISTING codebooks — in-row argmin, no shuffle beyond the wide
+    * partial agg; what incremental maintenance encodes a batch with.
+    */
+  private def pqCodesOf(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val a = pqAssign(pqSubOf(spark, dir, vecs), pqModel(spark, dir))
+    val aggs = (0 until PqS).map(s =>
+      max(when(col("s") === s, col("k"))).as(s"c$s"))
+    a.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-subspace codebooks — a layout-time model artifact like
@@ -665,23 +684,29 @@ object AnnOps {
     */
   private def pqQueryTables(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"pqQueryTables:$dir") {
-      val emb = embDouble(spark, dir)
-      val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
-      val model = pqModel(spark, dir)
-      val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
-        model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
-      }
-      val q0 = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v"))
-      (0 until PqS).foldLeft(q0) { (df, s) =>
-        val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
-        df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
-          struct(c.getField("k").as("k"),
-            (VectorFns.dot(sub, sub)
-              - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
-              + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
-      }.drop("v")
+      pqDistTablesOf(spark, dir, embDouble(spark, dir)
+        .filter(col("vec_id") % 50 === 0))
     }
+
+  /** ADC distance tables for an arbitrary (vec_id, v) query frame. */
+  private def pqDistTablesOf(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val subDim = embDouble(spark, dir)
+      .select(size(col("v"))).head.getInt(0) / PqS
+    val model = pqModel(spark, dir)
+    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
+    }
+    val q0 = vecs.select(col("vec_id").as("q_id"), col("v"))
+    (0 until PqS).foldLeft(q0) { (df, s) =>
+      val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
+      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
+        struct(c.getField("k").as("k"),
+          (VectorFns.dot(sub, sub)
+            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
+            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+    }.drop("v")
+  }
 
   /** ADC distance column: PqS map lookups summed in fixed s order (so
     * the double is bit-stable).
@@ -781,5 +806,68 @@ object AnnOps {
         Seq(col("adc").asc, col("c_id").asc), r)
       .select("q_id", "c_id")
     exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
+  }
+
+  /** D33e: incremental maintenance of the COMPOSED index — the
+    * [[ivfAppend]] story carried to the production layout: a batch of
+    * NEW vectors is assigned to the EXISTING quantizer (in-row) and
+    * PQ-encoded against the EXISTING codebooks (in-row), then appended
+    * to the coded lists repartitioned by its centroids. Neither model
+    * is rebuilt and the standing index never re-scans — maintenance is
+    * O(|batch|) at any index size.
+    */
+  def ivfPqAppend(spark: SparkSession, dir: String,
+      newVecs: DataFrame): DataFrame = {
+    val prepped = newVecs
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .select("vec_id", "v")
+    val assigned = assignFor(spark, dir, DefaultM,
+        prepped.withColumn("nrm", VectorFns.norm(col("v"))), 1)
+      .select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
+    val codes = pqCodesOf(spark, dir, prepped)
+      .select(col("vec_id").as("c_id") +:
+        (0 until PqS).map(s => col(s"c$s")): _*)
+    ivfPqLists(spark, dir)
+      .unionByName(assigned.join(codes, "c_id").repartition(col("c_cid")))
+  }
+
+  /** Query path over an explicit coded-list layout (e.g. one widened
+    * by [[ivfPqAppend]]). `extraRerank` supplies (vec_id, embedding)
+    * float rows for appended ids so the exact re-rank stage can score
+    * them (the base corpus floats come from the standing table).
+    */
+  def ivfPqSearchOn(spark: SparkSession, dir: String, codedLists: DataFrame,
+      qVecs: DataFrame, nprobe: Int = IvfPqNprobe, r: Int = IvfPqR,
+      k: Int = 10, extraRerank: Option[DataFrame] = None): DataFrame = {
+    val probes = assignFor(spark, dir, DefaultM, qVecs, nprobe)
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"))
+      .join(pqDistTablesOf(spark, dir,
+        qVecs.select(col("vec_id"), col("v"))), "q_id")
+    val sims = codedLists.join(broadcast(probes),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+      .withColumn("adc", adcCol)
+    val shortlist = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").asc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    val emb = embDouble(spark, dir)
+    val qv = qVecs
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val base = emb
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cands = extraRerank.fold(base) { ex =>
+      base.unionByName(ex
+        .withColumn("cv", VectorFns.toDouble(col("embedding")))
+        .withColumn("cn", VectorFns.norm(col("cv")))
+        .select(col("vec_id").as("c_id"), col("cv"), col("cn")))
+    }
+    val exact = cands
+      .join(broadcast(shortlist), "c_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(exact, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
   }
 }

@@ -209,6 +209,29 @@ class DedupAnnSpec extends GraftSpec {
       clone.limit(0)).count() + 1)
   }
 
+  test("ivfpq append: new vectors are searchable in the composed index without a rebuild") {
+    import spark.implicits._
+    // clone corpus vector 0 under a fresh id: same quantizer cell,
+    // same PQ codes, so an ADC search FOR vector 0 must shortlist the
+    // clone and the exact re-rank must surface it at sim == 1.0
+    val clone = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val widened = AnnOps.ivfPqAppend(spark, Sf, clone)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFns.norm(col("v")))
+    val hits = AnnOps.ivfPqSearchOn(spark, Sf, widened, q,
+      extraRerank = Some(clone.select("vec_id", "embedding"))).collect()
+    val top = hits.minBy(_.getAs[Long]("rnk"))
+    assert(top.getAs[Long]("c_id") == 999999L, s"clone not found: ${hits.toSeq}")
+    assert(top.getAs[Double]("sim") > 0.999999)
+    // append, not rebuild: exactly one row wider than the base layout
+    assert(widened.count() ==
+      AnnOps.ivfPqAppend(spark, Sf, clone.limit(0)).count() + 1)
+  }
+
   test("capped ngram join: high cap reproduces D2 exactly, low cap is a subset") {
     val full = DedupOps.dedupNgramJaccard(spark, Sf).collect().map(_.toString)
     val high = DedupOps.dedupNgramJaccardCapped(spark, Sf, maxDf = 1000000)
