@@ -113,6 +113,8 @@ object SparkEntry {
       AnnOps.annPqRerank(s, d)),
     "ann_ivfpq"            -> ((s: SparkSession, d: String) =>
       AnnOps.annIvfPq(s, d)),
+    "ann_ivfpq_res"        -> ((s: SparkSession, d: String) =>
+      AnnOps.annIvfPqRes(s, d)),
     "doc_keywords"         -> ((s: SparkSession, d: String) =>
       TextOps.docKeywords(s, d)),
     "doc_search_bm25"      -> ((s: SparkSession, d: String) =>
@@ -316,13 +318,13 @@ object SparkEntry {
     * CTEs use the bare names (ann_recall); requires a CTE `e` with
     * (vec_id, v::DOUBLE[]) in scope.
     */
-  private def pqChainCtes(p: String): String =
-    s"""${p}sub AS (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS x
-      |  FROM e CROSS JOIN (SELECT unnest(range($PqS)) AS s) t),
+  private def pqChainCtes(p: String, src: String = "e"): String =
+    s"""${p}sub AS MATERIALIZED (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS x
+      |  FROM $src CROSS JOIN (SELECT unnest(range($PqS)) AS s) t),
       |${p}seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
       |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
       |  FROM ${p}sub WHERE vec_id IN
-      |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+      |    (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqK)),
       |${p}s0 AS (SELECT ${p}sub.vec_id, ${p}sub.s, ${p}sub.x, ${p}seed.k,
       |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
       |      + list_dot_product(cv, cv) AS d
@@ -336,12 +338,12 @@ object SparkEntry {
       |    CAST(SUM(CAST(xv * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
       |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS xv
       |  FROM ${p}cm GROUP BY 1, 2, 3),
-      |${p}ref AS (SELECT s, k, list(xv ORDER BY pos) AS cv FROM ${p}cx GROUP BY 1, 2),
+      |${p}ref AS MATERIALIZED (SELECT s, k, list(xv ORDER BY pos) AS cv FROM ${p}cx GROUP BY 1, 2),
       |${p}s1 AS (SELECT ${p}sub.vec_id, ${p}sub.s, ${p}ref.k,
       |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
       |      + list_dot_product(cv, cv) AS d
       |  FROM ${p}sub JOIN ${p}ref ON ${p}sub.s = ${p}ref.s),
-      |${p}a1 AS (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
+      |${p}a1 AS MATERIALIZED (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
       |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM ${p}s1)
       |  WHERE rn = 1)""".stripMargin
 
@@ -1791,6 +1793,89 @@ object SparkEntry {
         |irr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM iex)
         |SELECT q_id, c_id, sim, rnk FROM irr WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    // D33f: residual IVF-PQ — codes quantize v − cq(centroid) (the
+    // FAISS IVFPQ layout); centroids float-quantized (floor(c·2^24 +
+    // 0.5)/2^24) so residuals stay multiples of 2^-50 and the
+    // exact-integer Lloyd mean remains engine-replicable; per-probe
+    // query residuals, per-(q, list) ADC tables, shortlist, exact
+    // re-rank
+    "ann_ivfpq_res" -> {
+      val np = operators.AnnOps.IvfPqNprobe
+      val rr = operators.AnnOps.IvfPqR
+      val m = operators.AnnOps.DefaultM
+      val codeSel = (0 until PqS)
+        .map(i => s"MAX(CASE WHEN s = $i THEN k END) AS c$i").mkString(", ")
+      val adcJoins = (1 until PqS).map(i =>
+        s"  JOIN rqd q$i ON q$i.q_id = q0.q_id AND q$i.q_cid = a.cid " +
+        s"AND q$i.s = $i AND q$i.k = rcodes.c$i").mkString("\n")
+      val dsum = (0 until PqS).map(i => s"q$i.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        |  FROM en ORDER BY vec_id LIMIT $m),
+        |is0 AS (SELECT en.vec_id, en.v, s.cid,
+        |    list_dot_product(en.v, s.cv) / (en.nrm * s.cnrm) AS sim
+        |  FROM en, iseed s),
+        |ia1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM is0)
+        |  WHERE rn = 1),
+        |icm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+        |  FROM ia1),
+        |icx AS (SELECT cid, pos,
+        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+        |  FROM icm GROUP BY cid, pos),
+        |iref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM icx GROUP BY cid),
+        |iref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM iref),
+        |il0v AS (SELECT en.vec_id, en.v, r.cid,
+        |    list_dot_product(en.v, r.cv) / (en.nrm * r.cnrm) AS sim
+        |  FROM en, iref2 r),
+        |iassign AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM il0v)
+        |  WHERE rn = 1),
+        |iqprobes AS MATERIALIZED (SELECT vec_id AS q_id, cid AS q_cid, v
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM il0v WHERE vec_id % 50 = 0)
+        |  WHERE rn <= $np),
+        |cqv AS MATERIALIZED (SELECT cid, list_transform(cv,
+        |    x -> floor(x*16777216.0 + 0.5)/16777216.0) AS cq FROM iref),
+        |rsrc AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, len(a.v)+1),
+        |    i -> a.v[i] - cq[i]) AS v
+        |  FROM iassign a JOIN cqv USING (cid)),
+        |${pqChainCtes("r", "rsrc")},
+        |rcodes AS MATERIALIZED (SELECT vec_id AS c_id, $codeSel FROM ra1 GROUP BY vec_id),
+        |qres AS MATERIALIZED (SELECT q_id, q_cid, list_transform(range(1, len(v)+1),
+        |    i -> v[i] - cq[i]) AS rv
+        |  FROM iqprobes JOIN cqv ON cid = q_cid),
+        |rqd AS MATERIALIZED (SELECT q_id, q_cid, qs.s, rref.k,
+        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+        |      + list_dot_product(cv, cv) AS d
+        |  FROM (SELECT q_id, q_cid, s,
+        |      list_slice(rv, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS x
+        |    FROM qres CROSS JOIN (SELECT unnest(range($PqS)) AS s) t) qs
+        |  JOIN rref ON qs.s = rref.s),
+        |adcres AS MATERIALIZED (SELECT q0.q_id AS q_id, rcodes.c_id AS c_id,
+        |    $dsum AS adc
+        |  FROM rcodes
+        |  JOIN iassign a ON a.vec_id = rcodes.c_id
+        |  JOIN rqd q0 ON q0.q_cid = a.cid AND q0.s = 0 AND q0.k = rcodes.c0
+        |$adcJoins
+        |  WHERE q0.q_id <> rcodes.c_id),
+        |rshort AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS arnk
+        |  FROM adcres) WHERE arnk <= $rr),
+        |rex AS (SELECT s.q_id, s.c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |  FROM rshort s
+        |  JOIN en q ON q.vec_id = s.q_id
+        |  JOIN en c ON c.vec_id = s.c_id),
+        |rrr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM rex)
+        |SELECT q_id, c_id, sim, rnk FROM rrr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin
     },
 

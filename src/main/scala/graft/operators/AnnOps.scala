@@ -609,20 +609,27 @@ object AnnOps {
       val seed: Seq[(Int, Long, Seq[Double])] = for {
         s <- 0 until PqS; k <- 0 until PqK
       } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
-      val refined = pqAssign(pqSub(spark, dir), seed)
-        .select(col("s"), col("k"), posexplode(col("x")).as(Seq("pos", "xv")))
-        .groupBy("s", "k", "pos").agg(
-          (sum((col("xv") * lit(ScaleP2)).cast(DecimalType(38, 0)))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(ScaleP2))
-            .as("xv"))
-        .groupBy("s", "k").agg(
-          array_sort(collect_list(struct(col("pos"), col("xv")))).as("pv"))
-        .select(col("s"), col("k"), expr("transform(pv, p -> p.xv)").as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-        .toSeq
-      refined
+      pqRefine(pqSub(spark, dir), seed)
     }
+
+  /** One exact-integer Lloyd refinement round over any subvector
+    * frame + seed codebooks (shared by the raw-vector and residual
+    * model builds).
+    */
+  private def pqRefine(sub: DataFrame,
+      seed: Seq[(Int, Long, Seq[Double])]): Seq[(Int, Long, Seq[Double])] =
+    pqAssign(sub, seed)
+      .select(col("s"), col("k"), posexplode(col("x")).as(Seq("pos", "xv")))
+      .groupBy("s", "k", "pos").agg(
+        (sum((col("xv") * lit(ScaleP2)).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(ScaleP2))
+          .as("xv"))
+      .groupBy("s", "k").agg(
+        array_sort(collect_list(struct(col("pos"), col("xv")))).as("pv"))
+      .select(col("s"), col("k"), expr("transform(pv, p -> p.xv)").as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq
 
   /** Test hook: mean squared reconstruction error over the corpus with
     * either the seed or the refined codebook — Lloyd must not increase
@@ -807,6 +814,128 @@ object AnnOps {
       .select("q_id", "c_id")
     exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
   }
+
+  // ---------------------------------------------------------------
+  // D33f: RESIDUAL IVF-PQ — the actual production encoding: each
+  // vector's PQ codes quantize its residual against its list's
+  // centroid (what FAISS IVFPQ stores), so the codebooks spend their
+  // bits on within-cell variation instead of re-describing the cell.
+
+  /** Centroids float-quantized for residual arithmetic: cq =
+    * floor(c·2^24 + 0.5) / 2^24 per component (FAISS stores float32
+    * centroids; the explicit quantization is what keeps the
+    * exact-integer Lloyd contract alive — v is float-derived so
+    * v·2^50 ∈ ℤ, cq·2^50 = floor(...)·2^26 ∈ ℤ, hence every residual
+    * component is a multiple of 2^-50 and their DECIMAL(38,0) sums
+    * are exact and order-independent, replicable in any engine).
+    */
+  private val CentroidScale = 16777216d // 2^24
+
+  private def quantCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ivfCentroidsQ:$dir") {
+      val model = ivfModel(spark, dir, DefaultM)
+      val rows = (0 until model.m).map { i =>
+        (model.cids(i),
+          model.flat.slice(i * model.dim, (i + 1) * model.dim)
+            .map(x => math.floor(x * CentroidScale + 0.5) / CentroidScale)
+            .toSeq)
+      }
+      import spark.implicits._
+      rows.toDF("cid", "cq")
+    }
+
+  /** (vec_id, cid, v) with the residual r = v − cq(cid) appended. */
+  private def withResidual(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents), "cid")
+      .withColumn("r", zip_with(col("v"), col("cq"), (a, b) => a - b))
+
+  /** Residual-space codebooks: the pqModel build run over residual
+    * vectors (first-PqK seed by vec_id, one exact-integer Lloyd
+    * round) — memoized layout artifact.
+    */
+  private def pqModelRes(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    graft.Memo.value(spark, s"pqModelRes:$dir") {
+      val emb = embDouble(spark, dir)
+      val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+      val assigned = assignFor(spark, dir, DefaultM, emb, 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val res = withResidual(assigned, quantCentroids(spark, dir))
+        .select(col("vec_id"), col("r").as("v"))
+      val firstK = res.orderBy("vec_id").limit(PqK)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      val seed: Seq[(Int, Long, Seq[Double])] = for {
+        s <- 0 until PqS; k <- 0 until PqK
+      } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
+      pqRefine(pqSubOf(spark, dir, res), seed)
+    }
+
+  /** The coded lists with RESIDUAL codes: (c_cid, c_id, c0..c_{PqS-1}),
+    * repartitioned by list.
+    */
+  private def ivfPqResLists(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ivfPqResLists:$dir") {
+      val emb = embDouble(spark, dir)
+      val assigned = assignFor(spark, dir, DefaultM, emb, 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val res = withResidual(assigned, quantCentroids(spark, dir))
+      val a = pqAssign(pqSubOf(spark, dir,
+        res.select(col("vec_id"), col("r").as("v"))), pqModelRes(spark, dir))
+      val aggs = (0 until PqS).map(s =>
+        max(when(col("s") === s, col("k"))).as(s"c$s"))
+      val codes = a.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      res.select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
+        .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .repartition(col("c_cid"))
+    }
+
+  /** D33f: ann_ivfpq_res — residual IVF-PQ search: probes carry a
+    * PER-LIST query residual (rq = q − cq(list)), so each probe row
+    * builds its own ADC distance tables against the residual
+    * codebooks; candidates in the probed list are scored by PqS code
+    * lookups, shortlisted, and exactly re-ranked. Same scale shape as
+    * [[annIvfPq]] (stage-1 scans 8 B codes, corpus never shuffles);
+    * the residual encoding buys ADC fidelity — the spec measures its
+    * shortlist recall against the plain-code variant.
+    */
+  def annIvfPqRes(spark: SparkSession, dir: String, nprobe: Int = IvfPqNprobe,
+      r: Int = IvfPqR, k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+    val model = pqModelRes(spark, dir)
+    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
+    }
+    val q0 = assignFor(spark, dir, DefaultM,
+        emb.filter(col("vec_id") % 50 === 0), nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"), col("v"))
+    val qres = withResidual(q0, quantCentroids(spark, dir))
+      .select(col("q_id"), col("cid").as("q_cid"), col("r"))
+    val qd = (0 until PqS).foldLeft(qres) { (df, s) =>
+      val sub = slice(col("r"), lit(s * subDim + 1), lit(subDim))
+      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
+        struct(c.getField("k").as("k"),
+          (VectorFns.dot(sub, sub)
+            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
+            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+    }.drop("r")
+    val sims = ivfPqResLists(spark, dir).join(broadcast(qd),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+      .withColumn("adc", adcCol)
+    val shortlist = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").asc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
+  }
+
+  /** Spec hook: the raw ADC shortlist (pre-rerank) of the residual
+    * and plain ivfpq paths, for recall comparison.
+    */
+  private[graft] def ivfPqAdcShortlist(spark: SparkSession, dir: String,
+      residual: Boolean, r: Int): DataFrame =
+    if (residual) {
+      val df = annIvfPqRes(spark, dir, r = r, k = r)
+      df.select("q_id", "c_id")
+    } else annIvfPq(spark, dir, r = r, k = r).select("q_id", "c_id")
 
   /** D33e: incremental maintenance of the COMPOSED index — the
     * [[ivfAppend]] story carried to the production layout: a batch of

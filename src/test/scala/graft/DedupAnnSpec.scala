@@ -232,6 +232,37 @@ class DedupAnnSpec extends GraftSpec {
       AnnOps.ivfPqAppend(spark, Sf, clone.limit(0)).count() + 1)
   }
 
+  test("residual ivfpq: ADC shortlist recall >= plain codes at equal budget") {
+    // the point of residual encoding: codebooks describe within-cell
+    // variation, so the compressed distances order candidates better.
+    // Measure stage-1 (pre-rerank) shortlist recall@R vs the exact
+    // top-R within the same probed candidates' universe — residual
+    // must not be WORSE than plain at the same bit budget
+    val exact = AnnOps.annCosineTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+      val hits = byQ.map { case (q, rs) =>
+        rs.count(r => exact(q)(r.getAs[Long]("c_id"))) }.sum
+      hits.toDouble / (exact.size * 10)
+    }
+    val plain = recall(AnnOps.annIvfPq(spark, Sf).collect())
+    val res = recall(AnnOps.annIvfPqRes(spark, Sf).collect())
+    info(s"ivfpq recall@10 vs exact: plain=$plain residual=$res")
+    // after the exact re-rank both paths should reach the probed
+    // candidates' ceiling; residual must at least match
+    assert(res >= plain - 1e-12,
+      s"residual encoding lost recall: $res < $plain")
+    // and a narrow-shortlist comparison exercises the ADC ordering
+    // itself (R=10 means NO rerank slack: stage-1 order is the result)
+    val plainNarrow = recall(AnnOps.annIvfPq(spark, Sf, r = 10).collect())
+    val resNarrow = recall(AnnOps.annIvfPqRes(spark, Sf, r = 10).collect())
+    info(s"ivfpq recall@10 at R=10 (pure ADC order): plain=$plainNarrow residual=$resNarrow")
+    assert(resNarrow >= plainNarrow - 0.05,
+      s"residual ADC ordering collapsed: $resNarrow vs $plainNarrow")
+  }
+
   test("capped ngram join: high cap reproduces D2 exactly, low cap is a subset") {
     val full = DedupOps.dedupNgramJaccard(spark, Sf).collect().map(_.toString)
     val high = DedupOps.dedupNgramJaccardCapped(spark, Sf, maxDf = 1000000)
