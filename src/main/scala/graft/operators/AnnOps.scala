@@ -37,6 +37,7 @@ object AnnOps {
     embDouble(spark, dir).write.format("noop").mode("overwrite").save()
     ivfLists(spark, dir, DefaultM).write.format("noop").mode("overwrite").save()
     pqCodesCore(spark, dir).write.format("noop").mode("overwrite").save()
+    ivfPqResLists(spark, dir).write.format("noop").mode("overwrite").save()
   }
 
   /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
