@@ -961,6 +961,24 @@ object AnnOps {
       .unionByName(assigned.join(codes, "c_id").repartition(col("c_cid")))
   }
 
+  /** The composed-index search for an ARBITRARY (vec_id, embedding)
+    * query frame against the STANDING coded lists — the serving API
+    * the streaming face ([[graft.streaming.StreamOps.annSearchStream]])
+    * calls per micro-batch. Zero corpus work per call: the lists are
+    * the session layout, the quantizer/codebooks ride as
+    * literals/broadcasts, only the query frame computes.
+    */
+  def ivfPqSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int = IvfPqNprobe, r: Int = IvfPqR, k: Int = 10): DataFrame = {
+    val prepped = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select("vec_id", "v", "nrm")
+    // candidates are always standing-list members, so the base corpus
+    // floats cover the whole re-rank pool
+    ivfPqSearchOn(spark, dir, ivfPqLists(spark, dir), prepped, nprobe, r, k)
+  }
+
   /** Query path over an explicit coded-list layout (e.g. one widened
     * by [[ivfPqAppend]]). `extraRerank` supplies (vec_id, embedding)
     * float rows for appended ids so the exact re-rank stage can score

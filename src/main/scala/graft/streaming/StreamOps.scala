@@ -386,6 +386,29 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("doc_id", "reason")
   }
 
+  /** E20: online vector search — the SERVING face of the composed
+    * ANN index: each micro-batch of arriving query vectors probes the
+    * standing coded lists through the same
+    * [[graft.operators.AnnOps.ivfPqSearch]] path the batch API uses
+    * (foreachBatch, because the bounded-heap TopK exec is a batch
+    * physical operator), so stream results are batch-identical by
+    * construction (parity-tested). Per-batch cost is O(|batch| ·
+    * nprobe · list) — the corpus layout is session-resident and never
+    * re-scanned or shuffled; this is the ivfpq twin of
+    * [[nearDupStreamFor]]'s standing-index probe shape.
+    */
+  def annSearchStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, sink: (DataFrame, Long) => Unit,
+      nprobe: Int = graft.operators.AnnOps.IvfPqNprobe,
+      r: Int = graft.operators.AnnOps.IvfPqR, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.AnnOps.ivfPqSearch(spark, dir, batch,
+          nprobe, r, k), batchId)
+      }
+      .start()
+
   /** The reference's Kafka record schema (handler/kafka.go:40-105),
     * verbatim field list.
     */

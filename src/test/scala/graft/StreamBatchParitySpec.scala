@@ -175,6 +175,36 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("annSearchStream == batch ivfPqSearch per micro-batch of query vectors") {
+    // serving parity: the same query vectors through the stream must
+    // produce exactly the batch API's rows, regardless of micro-batch
+    // boundaries (two batches here)
+    val qIds = Seq(0L, 100L, 250L)
+    val qVecs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(qIds: _*))
+      .select("vec_id", "embedding")
+    val expected = operators.AnnOps.ivfPqSearch(spark, Sf, qVecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    val d = Files.createTempDirectory("ann_par").toFile.getAbsolutePath
+    qVecs.filter(col("vec_id") < 200).write.mode("overwrite").parquet(d)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long)]
+    val q = StreamOps.annSearchStream(spark, Sf,
+      spark.readStream.schema(qVecs.schema).parquet(d),
+      (res, _) => got.synchronized {
+        got ++= res.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      })
+    try {
+      q.processAllAvailable()
+      qVecs.filter(col("vec_id") >= 200).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      assert(got.toSeq.sorted == expected,
+        s"stream ${got.length} rows vs batch ${expected.length}")
+    } finally q.stop()
+  }
+
   test("debounceStream == batch debounce (30m gap) on real events") {
     val expected = operators.EventOps.debounce(spark, Sf)
       .filter(col("user_id") <= 3)
