@@ -5,6 +5,13 @@ import java.util.function.{Function => JFunction}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A memoized pinned frame (re-rooted on a persisted RDD) together
+  * with the persisted handle backing it, so [[Memo]] eviction can
+  * release the storage — `df.unpersist` would not reach an RDD that
+  * was persisted directly.
+  */
+final case class PinnedDf(df: DataFrame, handle: org.apache.spark.rdd.RDD[_])
+
 /** Session-scoped memoization for shared derived tables (shingle
   * explosions, embedding norms, IVF index artifacts).
   *
@@ -99,6 +106,8 @@ object Memo {
   private def dropValue(v: AnyRef): Unit = v match {
     case b: org.apache.spark.broadcast.Broadcast[_] =>
       try b.destroy() catch { case _: Throwable => () }
+    case PinnedDf(_, handle) =>
+      try handle.unpersist(false) catch { case _: Throwable => () }
     case _ => ()
   }
 

@@ -1955,7 +1955,8 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY 1),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
         |s AS (SELECT doc_id, tok, tf, df,
-        |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |    CAST(CAST(tf AS HUGEINT) * n_docs AS DOUBLE)
+        |      / CAST(df AS DOUBLE) AS score
         |  FROM tf JOIN dfv USING (tok) CROSS JOIN n),
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, tok) AS BIGINT) AS rnk FROM s)
@@ -1978,7 +1979,8 @@ object SparkEntry {
         |    CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2, 3
         |  HAVING COUNT(*) >= 3),
         |s AS (SELECT cab.lang AS lang, tok1, tok2, c_ab, a.c AS c_a, b.c AS c_b,
-        |    CAST(c_ab * n_tokens AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS assoc
+        |    CAST(CAST(c_ab AS HUGEINT) * n_tokens AS DOUBLE)
+        |      / CAST(CAST(a.c AS HUGEINT) * b.c AS DOUBLE) AS assoc
         |  FROM cab
         |  JOIN ca a ON cab.lang = a.lang AND cab.tok1 = a.tok
         |  JOIN ca b ON cab.lang = b.lang AND cab.tok2 = b.tok

@@ -30,16 +30,47 @@ object ScoreFns {
     columnOf(Bm25Idf(expressionOf(nDocs), expressionOf(df)))
 }
 
+/** Overflow-safe integer kernels backing the score expressions (and
+  * their codegen — called through the static forwarders like the other
+  * graft kernels). The cross products are mathematically 128-bit:
+  * PMI's ca·cb reaches ~10²⁴ at the 100 TB design point (~2×10¹³
+  * tokens, common-token counts ~10¹²), past Long's 9.2×10¹⁸, and a
+  * silent wrap would produce garbage scores with no error. The Long
+  * fast path covers every product that fits (detected with
+  * Math.multiplyHigh — one extra multiply, branch-predictable); the
+  * BigInteger fallback is correctly rounded to double, which is
+  * exactly what an external engine's HUGEINT→DOUBLE cast computes, so
+  * the oracle contract survives the widening. TfIdf's tf·nDocs is
+  * bounded ≈ 10¹⁶ at the same design point (a doc's term frequency
+  * ≤ ~10⁵ · nDocs ≤ ~10¹¹ would overflow too on adversarial inputs),
+  * so it routes through the same guard.
+  */
+object ScoreMath {
+  /** (a·b) as the correctly-rounded double of the EXACT 128-bit
+    * product — Long fast path when it fits.
+    */
+  def prodToDouble(a: Long, b: Long): Double = {
+    val lo = a * b
+    if (Math.multiplyHigh(a, b) == (lo >> 63)) lo.toDouble
+    else java.math.BigInteger.valueOf(a)
+      .multiply(java.math.BigInteger.valueOf(b)).doubleValue()
+  }
+  def tfidf(tf: Long, df: Long, n: Long): Double =
+    prodToDouble(tf, n) / df.toDouble
+  def pmi(cab: Long, ca: Long, cb: Long, n: Long): Double =
+    prodToDouble(cab, n) / prodToDouble(ca, cb)
+}
+
 case class TfIdfScore(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDT] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(tf: Any, df: Any, n: Any): Any =
-    (tf.asInstanceOf[Long] * n.asInstanceOf[Long]).toDouble /
-      df.asInstanceOf[Long].toDouble
+    ScoreMath.tfidf(tf.asInstanceOf[Long], df.asInstanceOf[Long],
+      n.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (tf, df, n) =>
-      s"((double)($tf * $n)) / ((double)$df)")
+      s"graft.functions.ScoreMath.tfidf($tf, $df, $n)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): TfIdfScore = copy(first = a, second = b, third = c)
 }
@@ -50,11 +81,11 @@ case class PmiScore(first: Expression, second: Expression, third: Expression,
     Seq(LongType, LongType, LongType, LongType)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(cab: Any, ca: Any, cb: Any, n: Any): Any =
-    (cab.asInstanceOf[Long] * n.asInstanceOf[Long]).toDouble /
-      (ca.asInstanceOf[Long] * cb.asInstanceOf[Long]).toDouble
+    ScoreMath.pmi(cab.asInstanceOf[Long], ca.asInstanceOf[Long],
+      cb.asInstanceOf[Long], n.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (cab, ca, cb, n) =>
-      s"((double)($cab * $n)) / ((double)($ca * $cb))")
+      s"graft.functions.ScoreMath.pmi($cab, $ca, $cb, $n)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): PmiScore =
     copy(first = a, second = b, third = c, fourth = d)

@@ -189,10 +189,12 @@ object MultimodalOps {
 
   /** REAL decode: parse the payload with the JDK's ImageIO readers and
     * fold the pixel grid into exact channel sums. Returns None when no
-    * installed reader recognises the bytes (the caller falls back to
-    * [[fakeDecode]]).
+    * installed reader recognises the bytes OR a reader recognises the
+    * format but the payload is corrupt (ImageIO.read THROWS IOException
+    * for a recognised-but-truncated body rather than returning null) —
+    * either way the caller falls back to [[fakeDecode]].
     */
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
     else {
@@ -210,6 +212,8 @@ object MultimodalOps {
       }
       Some((w, h, sr, sg, sb))
     }
+  } catch {
+    case _: java.io.IOException => None
   }
 
   // ---------------------------------------------------------------
@@ -248,7 +252,9 @@ object MultimodalOps {
 
   /** REAL decode: parse the container with the JDK's AudioSystem and
     * fold the PCM frames into exact amplitude stats. Returns None for
-    * bytes no installed reader recognises (fakeDecode fallback).
+    * bytes no installed reader recognises AND for a recognised-but-
+    * malformed RIFF body (AudioSystem throws IOException there, not
+    * UnsupportedAudioFileException) — both fall back to fakeDecode.
     */
   def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
     try {
@@ -269,6 +275,7 @@ object MultimodalOps {
       Some((n.toLong, sum, mn, mx))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
     }
 
   /** F7: real decoded amplitude statistics — the audio twin of

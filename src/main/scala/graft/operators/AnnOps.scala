@@ -276,12 +276,15 @@ object AnnOps {
     * shuffle per query.
     */
   private def searchIvf(spark: SparkSession, dir: String, m: Int,
-      lists: DataFrame, qVecs: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      lists: DataFrame, qVecs: DataFrame, nprobe: Int, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val probes = assignFor(spark, dir, m, qVecs, nprobe)
       .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val sims = lists.join(broadcast(probes),
-        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+    val joinCond =
+      if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
+      else col("q_cid") === col("c_cid")
+    val sims = lists.join(broadcast(probes), joinCond)
       .withColumn("sim",
         VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
     TopK.perKey(sims, Seq(col("q_id")),
@@ -305,7 +308,8 @@ object AnnOps {
   def annIvfM(spark: SparkSession, dir: String, m: Int,
       nprobe: Int, k: Int = 10): DataFrame =
     searchIvf(spark, dir, m, ivfLists(spark, dir, m),
-        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k)
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k,
+        excludeSelf = true)
       .orderBy("q_id", "rnk")
 
   /** Incremental index maintenance: assign a batch of NEW vectors to
@@ -331,12 +335,16 @@ object AnnOps {
   }
 
   /** Test/maintenance hook: run the IVF query path over an explicit
-    * lists layout (e.g. one produced by [[ivfAppend]]).
+    * lists layout (e.g. one produced by [[ivfAppend]]). Serving
+    * semantics by default: no id-equality self-exclusion (see
+    * [[ivfPqSearchOn]] — external query ids may collide with corpus
+    * ids); pass `excludeSelf = true` only when queries are corpus
+    * members.
     */
   def ivfSearchOn(spark: SparkSession, dir: String, lists: DataFrame,
       qVecs: DataFrame, nprobe: Int = 4, k: Int = 10,
-      m: Int = DefaultM): DataFrame =
-    searchIvf(spark, dir, m, lists, qVecs, nprobe, k)
+      m: Int = DefaultM, excludeSelf: Boolean = false): DataFrame =
+    searchIvf(spark, dir, m, lists, qVecs, nprobe, k, excludeSelf)
 
   /** D25: k-means cluster labels for every embedding — the default
     * quantizer's nprobe=1 assignment exposed as a query: the layout
@@ -605,10 +613,13 @@ object AnnOps {
     graft.Memo.value(spark, s"pqModel:$dir") {
       val emb = embDouble(spark, dir)
       val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
+      // clamp to the corpus size: a corpus with fewer than PqK vectors
+      // degrades to fewer codewords (matching the oracle's ROW_NUMBER
+      // seeding) instead of crashing on firstK(k)
       val firstK = emb.orderBy("vec_id").limit(PqK)
         .select(col("v")).collect().map(_.getSeq[Double](0))
       val seed: Seq[(Int, Long, Seq[Double])] = for {
-        s <- 0 until PqS; k <- 0 until PqK
+        s <- 0 until PqS; k <- 0 until math.min(PqK, firstK.length)
       } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
       pqRefine(pqSub(spark, dir), seed)
     }
@@ -643,7 +654,7 @@ object AnnOps {
     val firstK = emb.orderBy("vec_id").limit(PqK)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     val seed: Seq[(Int, Long, Seq[Double])] = for {
-      s <- 0 until PqS; k <- 0 until PqK
+      s <- 0 until PqS; k <- 0 until math.min(PqK, firstK.length)
     } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
     val model = if (refined) pqModel(spark, dir) else seed
     pqAssign(pqSub(spark, dir), model)
@@ -862,10 +873,11 @@ object AnnOps {
         .select(col("vec_id"), col("cid"), col("v"))
       val res = withResidual(assigned, quantCentroids(spark, dir))
         .select(col("vec_id"), col("r").as("v"))
+      // same small-corpus clamp as [[pqModel]]
       val firstK = res.orderBy("vec_id").limit(PqK)
         .select(col("v")).collect().map(_.getSeq[Double](0))
       val seed: Seq[(Int, Long, Seq[Double])] = for {
-        s <- 0 until PqS; k <- 0 until PqK
+        s <- 0 until PqS; k <- 0 until math.min(PqK, firstK.length)
       } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
       pqRefine(pqSubOf(spark, dir, res), seed)
     }
@@ -983,16 +995,26 @@ object AnnOps {
     * by [[ivfPqAppend]]). `extraRerank` supplies (vec_id, embedding)
     * float rows for appended ids so the exact re-rank stage can score
     * them (the base corpus floats come from the standing table).
+    *
+    * `excludeSelf` drops candidates whose id equals the query's id —
+    * ONLY correct when the queries ARE corpus members (the recall
+    * harness asking "my neighbors other than me"). The serving default
+    * is false: an external query's id space (0, 1, 2, …) may collide
+    * with corpus vec_ids, and excluding on id equality would silently
+    * drop a legitimate (possibly top-1) corpus neighbor.
     */
   def ivfPqSearchOn(spark: SparkSession, dir: String, codedLists: DataFrame,
       qVecs: DataFrame, nprobe: Int = IvfPqNprobe, r: Int = IvfPqR,
-      k: Int = 10, extraRerank: Option[DataFrame] = None): DataFrame = {
+      k: Int = 10, extraRerank: Option[DataFrame] = None,
+      excludeSelf: Boolean = false): DataFrame = {
     val probes = assignFor(spark, dir, DefaultM, qVecs, nprobe)
       .select(col("cid").as("q_cid"), col("vec_id").as("q_id"))
       .join(pqDistTablesOf(spark, dir,
         qVecs.select(col("vec_id"), col("v"))), "q_id")
-    val sims = codedLists.join(broadcast(probes),
-        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+    val joinCond =
+      if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
+      else col("q_cid") === col("c_cid")
+    val sims = codedLists.join(broadcast(probes), joinCond)
       .withColumn("adc", adcCol)
     val shortlist = TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), r)

@@ -484,18 +484,27 @@ object CurationOps {
     * localCheckpoint rationale as the funnel stages: recomputable
     * from lineage on executor loss.
     */
-  private def pin(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    p.count()
-    // re-root on the materialized RDD: the delta chains compose ~10
-    // deep, and leaving each pinned frame's full logical tree in
-    // every downstream plan made CATALYST the bottleneck (measured at
-    // sf0.1: ~60 s of driver analysis/optimization against 17 s of
-    // stage work). A LogicalRDD leaf keeps downstream trees shallow;
-    // the RDD itself still carries recompute lineage, so executor
-    // loss degrades to recomputation, not failure.
-    p.sparkSession.createDataFrame(p.rdd, p.schema)
-  }
+  private def pin(spark: SparkSession, dir: String, tag: String)(
+      df: => DataFrame): DataFrame =
+    // memoized per (session, dir, tag) — like the standing artifacts —
+    // so repeated invocations (the bench runs this query 10+ times, a
+    // long-lived session runs daily deltas) REUSE the pinned frames
+    // instead of accumulating a new persisted RDD per call; Memo's
+    // invalidate/clear hooks release the storage (PinnedDf carries the
+    // persisted handle for exactly that)
+    graft.Memo.value(spark, s"incPin:$dir:$tag") {
+      val d = df
+      // re-root on the materialized RDD: the delta chains compose ~10
+      // deep, and leaving each pinned frame's full logical tree in
+      // every downstream plan made CATALYST the bottleneck (measured at
+      // sf0.1: ~60 s of driver analysis/optimization against 17 s of
+      // stage work). A LogicalRDD leaf keeps downstream trees shallow;
+      // the RDD itself still carries recompute lineage, so executor
+      // loss degrades to recomputation, not failure.
+      val rdd = d.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      graft.PinnedDf(d.sparkSession.createDataFrame(rdd, d.schema), rdd)
+    }.df
 
   /** Stages A–C of [[corpusBuildIncremental]]: the union survivor set
     * plus the touched-component label/size remaps (exposed for the
@@ -558,16 +567,16 @@ object CurationOps {
       .distinct()
     val mini = DedupOps.connectedComponents(spark, miniEdges, miniVerts,
       "doc_id").select(col("doc_id").as("node"), col("component").as("fin"))
-    val deltaLab = pin(delta.select(col("doc_id"))
+    val deltaLab = pin(spark, dir, "deltaLab")(delta.select(col("doc_id"))
       .join(mini, col("doc_id") === col("node")).select("doc_id", "fin"))
     // touched standing components → their merged (final) label
-    val compMap = pin(stdLab.select(col("component")).distinct()
+    val compMap = pin(spark, dir, "compMap")(stdLab.select(col("component")).distinct()
       .join(mini, col("component") === col("node"))
       .select(col("component").as("old_comp"), col("fin")))
     // union sizes for every touched final component: standing members
     // of merged comps + delta members
     val stdCompSizes = stdLab.select("component", "cluster_size").distinct()
-    val touchedSizes = pin(compMap
+    val touchedSizes = pin(spark, dir, "touchedSizes")(compMap
       .join(stdCompSizes, col("old_comp") === col("component"))
       .groupBy("fin").agg(sum(col("cluster_size")).as("std_n"))
       .join(deltaLab.groupBy("fin").agg(lcount.as("dlt_n")), Seq("fin"), "full")
@@ -618,7 +627,7 @@ object CurationOps {
     // lazy persist: stages D/E read the survivor union three times
     // (diff, recompute, assembly) — cache substitution dedupes the
     // whole delta chain within one action
-    val survivorsUnion = pin(stdSurv
+    val survivorsUnion = pin(spark, dir, "survivorsUnion")(stdSurv
       .join(touchedDocIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_tokens",
         "component", "cluster_size", "score")
@@ -637,10 +646,11 @@ object CurationOps {
     val survDiff = stdSurv.select("doc_id", "source")
       .unionByName(survivorsUnion.select("doc_id", "source"))
       .groupBy("doc_id", "source").agg(lcount.as("n")).filter(col("n") === 1)
-    val touchedSources = pin(survDiff.select("source").distinct())
+    val touchedSources = pin(spark, dir, "touchedSources")(
+      survDiff.select("source").distinct())
     val selRecomputed = mixtureStage(
       survivorsUnion.join(touchedSources, Seq("source")))
-    val selectedUnion = pin(stdSel
+    val selectedUnion = pin(spark, dir, "selectedUnion")(stdSel
       .join(touchedSources, Seq("source"), "left_anti")
       .select("doc_id", "lang", "source", "n_tokens",
         "component", "cluster_size", "score", "h", "quota", "rnk")
@@ -664,7 +674,7 @@ object CurationOps {
     val selDiff = stdSel.select("doc_id", "lang")
       .unionByName(selectedUnion.select("doc_id", "lang"))
       .groupBy("doc_id", "lang").agg(lcount.as("n")).filter(col("n") === 1)
-    val touchedGroups = pin(selDiff
+    val touchedGroups = pin(spark, dir, "touchedGroups")(selDiff
       .select(col("lang"), (col("doc_id") % 8).cast(LongType).as("bucket"))
       .distinct())
     val stdPk = standingPacked(spark, dir)

@@ -350,18 +350,38 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("value")))
 
   /** Core of B15 over any (user_id, event_id, ts, value) feed.
-    * `maxSpanDays` caps the grid per user to the trailing span — the
-    * open-ended-data guard: a key spanning years would otherwise
-    * explode ~35k grid rows/year. Events older than the cap still
-    * participate in the forward fill (resample the recent window,
-    * fill from full history); the default never fires on the bounded
-    * events table, so the oracle semantics are unchanged there.
+    * `maxSpanDays` caps the grid per user — the open-ended-data
+    * guard: a key spanning years would otherwise explode ~35k grid
+    * rows/year (a decade-span key ≈ 350k rows/user). The CONTRACT is
+    * loud: a key whose span exceeds the cap FAILS the job (executor-
+    * side assert naming the limit), because silently resampling only
+    * the trailing window would hand the caller a truncated series
+    * indistinguishable from a complete one. Callers that want the
+    * trailing-window semantics opt in with `truncateBeyondCap = true`,
+    * where events older than the cap still participate in the forward
+    * fill (resample the recent window, fill from full history). The
+    * default never fires on the bounded events table, so the oracle
+    * semantics are unchanged there.
     */
-  def resampleGrid(ev: DataFrame, maxSpanDays: Int = 400): DataFrame = {
+  def resampleGrid(ev: DataFrame, maxSpanDays: Int = 400,
+      truncateBeyondCap: Boolean = false): DataFrame = {
     val bounds = ev.groupBy("user_id")
       .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-    val gridStart = greatest(date_trunc("hour", col("t0")),
+    val cappedStart = greatest(date_trunc("hour", col("t0")),
       date_trunc("hour", col("t1") - expr(s"interval $maxSpanDays days")))
+    // assert_true is wired INTO the gridStart expression (not a
+    // droppable side column), so pruning cannot optimize the check
+    // away: when the span exceeds the cap the job fails with the
+    // contract message instead of silently shrinking the grid
+    val spanOk = assert_true(
+      col("t1").cast(LongType) - col("t0").cast(LongType)
+        <= lit(maxSpanDays.toLong * 86400L),
+      lit(s"resampleGrid: a key's time span exceeds maxSpanDays=" +
+        s"$maxSpanDays; raise the cap or pass truncateBeyondCap=true " +
+        "for trailing-window semantics"))
+    val gridStart =
+      if (truncateBeyondCap) cappedStart
+      else when(spanOk.isNull, date_trunc("hour", col("t0")))
     val grid = bounds.select(col("user_id"),
         explode(sequence(gridStart, col("t1"),
           expr("interval 15 minutes"))).as("ts"))

@@ -200,7 +200,9 @@ class DedupAnnSpec extends GraftSpec {
       .select(col("vec_id"),
         graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", graft.functions.VectorFns.norm(col("v")))
-    val hits = AnnOps.ivfSearchOn(spark, Sf, widened, q).collect()
+    // q IS corpus vector 0, so exclude its own row (harness semantics)
+    val hits = AnnOps.ivfSearchOn(spark, Sf, widened, q,
+      excludeSelf = true).collect()
     val top = hits.minBy(_.getAs[Long]("rnk"))
     assert(top.getAs[Long]("c_id") == 999999L, s"clone not found: ${hits.toSeq}")
     assert(top.getAs[Double]("sim") > 0.999999)
@@ -223,13 +225,36 @@ class DedupAnnSpec extends GraftSpec {
         graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", graft.functions.VectorFns.norm(col("v")))
     val hits = AnnOps.ivfPqSearchOn(spark, Sf, widened, q,
-      extraRerank = Some(clone.select("vec_id", "embedding"))).collect()
+      extraRerank = Some(clone.select("vec_id", "embedding")),
+      excludeSelf = true).collect()
     val top = hits.minBy(_.getAs[Long]("rnk"))
     assert(top.getAs[Long]("c_id") == 999999L, s"clone not found: ${hits.toSeq}")
     assert(top.getAs[Double]("sim") > 0.999999)
     // append, not rebuild: exactly one row wider than the base layout
     assert(widened.count() ==
       AnnOps.ivfPqAppend(spark, Sf, clone.limit(0)).count() + 1)
+  }
+
+  test("serving search: an external query id colliding with a corpus id drops nothing") {
+    // external query reuses corpus vector 3's embedding under the
+    // EXTERNAL id 3 — the serving path must still return corpus vector
+    // 3 itself (sim == 1) as the top hit, not silently exclude it on
+    // id equality (queries are not corpus members in serving)
+    val q = graft.Tables.embeddings(spark, Sf).filter(col("vec_id") === 3)
+      .select(lit(3L).as("vec_id"), col("embedding"))
+    val hits = AnnOps.ivfPqSearch(spark, Sf, q).collect()
+    val top = hits.minBy(_.getAs[Long]("rnk"))
+    assert(top.getAs[Long]("c_id") == 3L,
+      s"corpus vector with colliding id was dropped: ${hits.toSeq}")
+    assert(top.getAs[Double]("sim") > 0.999999)
+    // same contract on the IVF-Flat serving hook
+    val qf = q.select(col("vec_id"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFns.norm(col("v")))
+    val fhits = AnnOps.ivfSearchOn(spark, Sf,
+      AnnOps.ivfAppend(spark, Sf, q.limit(0)), qf).collect()
+    val ftop = fhits.minBy(_.getAs[Long]("rnk"))
+    assert(ftop.getAs[Long]("c_id") == 3L, s"ivf-flat dropped it: ${fhits.toSeq}")
   }
 
   test("residual ivfpq: ADC shortlist recall >= plain codes at equal budget") {
@@ -304,14 +329,24 @@ class DedupAnnSpec extends GraftSpec {
       assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_exact"))
     }
     // more probes (or a deeper shortlist) strictly widens the
-    // candidate set, so recall cannot drop along any curve
-    for (m <- Seq("lsh", "ivf", "pq", "ivfpq")) {
+    // candidate set, so recall cannot drop along those curves; ivfpq
+    // is NOT mathematically monotone in nprobe (its ADC shortlist is
+    // FIXED at R, so widening probes can push a true neighbor out of
+    // the top-R shortlist) — assert a tolerance bound there instead
+    for (m <- Seq("lsh", "ivf", "pq")) {
       val curve = rows.filter(_.getAs[String]("method") == m)
         .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
       assert(curve.nonEmpty, s"$m curve missing")
       assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
         s"$m recall curve not monotone: ${curve.toSeq}")
     }
+    val ivfpqCurve = rows.filter(_.getAs[String]("method") == "ivfpq")
+      .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
+    assert(ivfpqCurve.nonEmpty, "ivfpq curve missing")
+    assert(ivfpqCurve.zip(ivfpqCurve.tail).forall { case (a, b) => b >= a - 0.02 },
+      s"ivfpq recall dropped by more than shortlist noise: ${ivfpqCurve.toSeq}")
+    assert(ivfpqCurve.last >= ivfpqCurve.head,
+      s"ivfpq curve ends below its start: ${ivfpqCurve.toSeq}")
     def at(m: String, p: Long): Double =
       rows.find(r => r.getAs[String]("method") == m &&
         r.getAs[Long]("param") == p).get.getAs[Double]("recall")

@@ -92,7 +92,19 @@ class QueriesSpec extends GraftSpec {
       (2L, 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
       (2L, 21L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 6.0))
       .toDF("user_id", "event_id", "ts", "value")
-    val out = graft.operators.EventOps.resampleGrid(ev, maxSpanDays = 10)
+    // the loud contract: a span past the cap FAILS by default — a
+    // silently truncated series is indistinguishable from a complete
+    // one, so the caller must opt into trailing-window semantics
+    val ex = intercept[Exception] {
+      graft.operators.EventOps.resampleGrid(ev, maxSpanDays = 10).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("maxSpanDays"),
+      s"expected the contract message, got: $msgs")
+    val out = graft.operators.EventOps.resampleGrid(ev, maxSpanDays = 10,
+      truncateBeyondCap = true)
     val u1 = out.filter(col("user_id") === 1).collect()
     // 10 days × 96 grid points/day + the final partial day
     assert(u1.length <= 10 * 96 + 1, s"grid not capped: ${u1.length} rows")

@@ -126,6 +126,37 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(ex2.getMessage.toLowerCase.contains("type"))
   }
 
+  test("score kernels survive 128-bit cross products (counts near 2^63)") {
+    assert(sparkReady)
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    import java.math.BigInteger
+    def big(a: Long, b: Long): Double =
+      BigInteger.valueOf(a).multiply(BigInteger.valueOf(b)).doubleValue()
+    // the 100 TB envelope: common-token counts ~1e12 make ca*cb ~1e24,
+    // far past Long — the kernel must fall back to the exact 128-bit
+    // product, correctly rounded (== an external engine's
+    // HUGEINT -> DOUBLE cast), not wrap silently
+    val ca = 1000000000000L; val cb = 900000000000L
+    val cab = 5000000000L; val n = 20000000000000L
+    assert(graft.functions.ScoreMath.pmi(cab, ca, cb, n) ==
+      big(cab, n) / big(ca, cb))
+    // boundary: operands near 2^63 (worst case for the wrap)
+    val huge = Long.MaxValue - 1
+    assert(graft.functions.ScoreMath.pmi(huge, huge, huge, huge) ==
+      big(huge, huge) / big(huge, huge))
+    assert(graft.functions.ScoreMath.tfidf(huge, 3L, huge) ==
+      big(huge, huge) / 3.0)
+    // fast path unchanged: in-range products bit-match plain Long math
+    assert(graft.functions.ScoreMath.pmi(4L, 10L, 20L, 60000L) ==
+      (4L * 60000L).toDouble / (10L * 20L).toDouble)
+    // and the SQL surface (codegen path) agrees with the kernel
+    val r = spark.sql(
+      s"SELECT graft_pmi(${cab}L, ${ca}L, ${cb}L, ${n}L), " +
+      s"graft_tfidf(${huge}L, 3L, ${huge}L)").head()
+    assert(r.getDouble(0) == big(cab, n) / big(ca, cb))
+    assert(r.getDouble(1) == big(huge, huge) / 3.0)
+  }
+
   test("graft_vec_dot / graft_hyperplane_bucket from SQL match the kernels") {
     assert(sparkReady)
     import spark.implicits._
