@@ -311,16 +311,18 @@ object SparkEntry {
   private val PqSubDim = 64 / PqS // embeddings are 64-dim (TESTDATA.md)
 
   /** CTE chain for the PQ codebook build + final per-(vec, subspace)
-    * assignment, replicating AnnOps.pqModel/pqAssign: PqS subspace
+    * assignment, replicating AnnOps.pqModel/pqAssign: `nSub` subspace
     * slices, first-PqK seed (k = rank by vec_id), exact-integer Lloyd
     * mean, L2 via the dot identity, argmin ties → k asc. `p` prefixes
     * every CTE name so the chain can be embedded in queries whose own
     * CTEs use the bare names (ann_recall); requires a CTE `e` with
     * (vec_id, v::DOUBLE[]) in scope.
     */
-  private def pqChainCtes(p: String, src: String = "e"): String =
-    s"""${p}sub AS MATERIALIZED (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS x
-      |  FROM $src CROSS JOIN (SELECT unnest(range($PqS)) AS s) t),
+  private def pqChainCtes(p: String, src: String = "e",
+      nSub: Int = PqS): String = {
+    val sd = 64 / nSub // embeddings are 64-dim (TESTDATA.md)
+    s"""${p}sub AS MATERIALIZED (SELECT vec_id, s, list_slice(v, s*$sd+1, s*$sd+$sd) AS x
+      |  FROM $src CROSS JOIN (SELECT unnest(range($nSub)) AS s) t),
       |${p}seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
       |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
       |  FROM ${p}sub WHERE vec_id IN
@@ -346,6 +348,7 @@ object SparkEntry {
       |${p}a1 AS MATERIALIZED (SELECT vec_id, s, k, d FROM (SELECT *, ROW_NUMBER() OVER
       |    (PARTITION BY vec_id, s ORDER BY d, k) AS rn FROM ${p}s1)
       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** The ADC stage on top of [[pqChainCtes]]: per-query distance
     * tables `qd`, the code words `codes`, and every (query, candidate)
@@ -372,6 +375,79 @@ object SparkEntry {
       |  JOIN ${p}qd q0 ON q0.s = 0 AND q0.k = ${p}codes.c0
       |$joins
       |  WHERE q0.q_id <> ${p}codes.c_id)""".stripMargin
+  }
+
+  /** The full residual IVF-PQ chain (the FAISS layout D33f replicates)
+    * up to the per-(query, candidate) ADC distances `${p}adcres`
+    * (q_id, c_id, adc): the ann_ivf quantizer build (first-DefaultM
+    * seed, exact-integer Lloyd, nprobe probe assignment), float-
+    * quantized centroids, residual source vectors, the [[pqChainCtes]]
+    * book at `nSub` subspaces over residuals, per-probe query
+    * residual distance tables, and the probed-list ADC sums. `p`
+    * prefixes every CTE; requires `e` (vec_id, v::DOUBLE[]) in scope.
+    */
+  private def resChainCtes(p: String, nSub: Int): String = {
+    val np = operators.AnnOps.IvfPqNprobe
+    val m = operators.AnnOps.DefaultM
+    val sd = 64 / nSub
+    val codeSel = (0 until nSub)
+      .map(i => s"MAX(CASE WHEN s = $i THEN k END) AS c$i").mkString(", ")
+    val adcJoins = (1 until nSub).map(i =>
+      s"  JOIN ${p}rqd q$i ON q$i.q_id = q0.q_id AND q$i.q_cid = a.cid " +
+      s"AND q$i.s = $i AND q$i.k = ${p}rcodes.c$i").mkString("\n")
+    val dsum = (0 until nSub).map(i => s"q$i.d").mkString(" + ")
+    s"""${p}ren AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |${p}iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+      |  FROM ${p}ren ORDER BY vec_id LIMIT $m),
+      |${p}is0 AS (SELECT ${p}ren.vec_id, ${p}ren.v, s.cid,
+      |    list_dot_product(${p}ren.v, s.cv) / (${p}ren.nrm * s.cnrm) AS sim
+      |  FROM ${p}ren, ${p}iseed s),
+      |${p}ia1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ${p}is0)
+      |  WHERE rn = 1),
+      |${p}icm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM ${p}ia1),
+      |${p}icx AS (SELECT cid, pos,
+      |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+      |  FROM ${p}icm GROUP BY cid, pos),
+      |${p}iref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM ${p}icx GROUP BY cid),
+      |${p}iref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+      |  FROM ${p}iref),
+      |${p}il0v AS (SELECT ${p}ren.vec_id, ${p}ren.v, r.cid,
+      |    list_dot_product(${p}ren.v, r.cv) / (${p}ren.nrm * r.cnrm) AS sim
+      |  FROM ${p}ren, ${p}iref2 r),
+      |${p}iassign AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ${p}il0v)
+      |  WHERE rn = 1),
+      |${p}iqprobes AS MATERIALIZED (SELECT vec_id AS q_id, cid AS q_cid, v
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY sim DESC, cid) AS rn FROM ${p}il0v WHERE vec_id % 50 = 0)
+      |  WHERE rn <= $np),
+      |${p}cqv AS MATERIALIZED (SELECT cid, list_transform(cv,
+      |    x -> floor(x*16777216.0 + 0.5)/16777216.0) AS cq FROM ${p}iref),
+      |${p}rsrc AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, len(a.v)+1),
+      |    i -> a.v[i] - cq[i]) AS v
+      |  FROM ${p}iassign a JOIN ${p}cqv USING (cid)),
+      |${pqChainCtes(s"${p}r", s"${p}rsrc", nSub)},
+      |${p}rcodes AS MATERIALIZED (SELECT vec_id AS c_id, $codeSel FROM ${p}ra1 GROUP BY vec_id),
+      |${p}qres AS MATERIALIZED (SELECT q_id, q_cid, list_transform(range(1, len(v)+1),
+      |    i -> v[i] - cq[i]) AS rv
+      |  FROM ${p}iqprobes JOIN ${p}cqv ON cid = q_cid),
+      |${p}rqd AS MATERIALIZED (SELECT q_id, q_cid, qs.s, ${p}rref.k,
+      |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
+      |      + list_dot_product(cv, cv) AS d
+      |  FROM (SELECT q_id, q_cid, s,
+      |      list_slice(rv, s*$sd+1, s*$sd+$sd) AS x
+      |    FROM ${p}qres CROSS JOIN (SELECT unnest(range($nSub)) AS s) t) qs
+      |  JOIN ${p}rref ON qs.s = ${p}rref.s),
+      |${p}adcres AS MATERIALIZED (SELECT q0.q_id AS q_id, ${p}rcodes.c_id AS c_id,
+      |    $dsum AS adc
+      |  FROM ${p}rcodes
+      |  JOIN ${p}iassign a ON a.vec_id = ${p}rcodes.c_id
+      |  JOIN ${p}rqd q0 ON q0.q_cid = a.cid AND q0.s = 0 AND q0.k = ${p}rcodes.c0
+      |$adcJoins
+      |  WHERE q0.q_id <> ${p}rcodes.c_id)""".stripMargin
   }
 
   private val PqCtes =
@@ -1544,6 +1620,15 @@ object SparkEntry {
            |  JOIN exs x ON x.q_id = c.q_id AND x.c_id = c.c_id)
            |  WHERE rnk <= 10)""".stripMargin
       }.mkString(",\n")
+      // residual ADC-order points: the ${p}adcres distances of the
+      // full residual chain (8- and 16-subspace books), top-10 by pure
+      // ADC order — no re-rank slack, code fidelity only
+      val resCtes = AnnOps.RecallResAdcSubs.map { ns =>
+        s"""${resChainCtes(s"v$ns", ns)},
+           |vt$ns AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+           |      AS arnk FROM v${ns}adcres) WHERE arnk <= 10)""".stripMargin
+      }.mkString(",\n")
       val unions = (AnnOps.RecallLshProbes.map(p =>
         s"SELECT 'lsh' AS method, CAST($p AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM lt$p JOIN ex ON lt$p.q_id = ex.q_id " +
@@ -1559,7 +1644,11 @@ object SparkEntry {
        AnnOps.RecallIvfPqNprobes.map(np =>
         s"SELECT 'ivfpq' AS method, CAST($np AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM ipq$np JOIN ex ON ipq$np.q_id = ex.q_id " +
-        s"AND ipq$np.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+        s"AND ipq$np.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallResAdcSubs.map(ns =>
+        s"SELECT 'res_adc' AS method, CAST($ns AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM vt$ns JOIN ex ON vt$ns.q_id = ex.q_id " +
+        s"AND vt$ns.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
@@ -1602,6 +1691,7 @@ object SparkEntry {
          |${pqAdcChainCtes("p")},
          |$pqCtes,
          |$ivfpqCtes,
+         |$resCtes,
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
@@ -1803,76 +1893,17 @@ object SparkEntry {
     // query residuals, per-(q, list) ADC tables, shortlist, exact
     // re-rank
     "ann_ivfpq_res" -> {
-      val np = operators.AnnOps.IvfPqNprobe
       val rr = operators.AnnOps.IvfPqR
-      val m = operators.AnnOps.DefaultM
-      val codeSel = (0 until PqS)
-        .map(i => s"MAX(CASE WHEN s = $i THEN k END) AS c$i").mkString(", ")
-      val adcJoins = (1 until PqS).map(i =>
-        s"  JOIN rqd q$i ON q$i.q_id = q0.q_id AND q$i.q_cid = a.cid " +
-        s"AND q$i.s = $i AND q$i.k = rcodes.c$i").mkString("\n")
-      val dsum = (0 until PqS).map(i => s"q$i.d").mkString(" + ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM en ORDER BY vec_id LIMIT $m),
-        |is0 AS (SELECT en.vec_id, en.v, s.cid,
-        |    list_dot_product(en.v, s.cv) / (en.nrm * s.cnrm) AS sim
-        |  FROM en, iseed s),
-        |ia1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM is0)
-        |  WHERE rn = 1),
-        |icm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
-        |  FROM ia1),
-        |icx AS (SELECT cid, pos,
-        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
-        |  FROM icm GROUP BY cid, pos),
-        |iref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM icx GROUP BY cid),
-        |iref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
-        |  FROM iref),
-        |il0v AS (SELECT en.vec_id, en.v, r.cid,
-        |    list_dot_product(en.v, r.cv) / (en.nrm * r.cnrm) AS sim
-        |  FROM en, iref2 r),
-        |iassign AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM il0v)
-        |  WHERE rn = 1),
-        |iqprobes AS MATERIALIZED (SELECT vec_id AS q_id, cid AS q_cid, v
-        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY sim DESC, cid) AS rn FROM il0v WHERE vec_id % 50 = 0)
-        |  WHERE rn <= $np),
-        |cqv AS MATERIALIZED (SELECT cid, list_transform(cv,
-        |    x -> floor(x*16777216.0 + 0.5)/16777216.0) AS cq FROM iref),
-        |rsrc AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, len(a.v)+1),
-        |    i -> a.v[i] - cq[i]) AS v
-        |  FROM iassign a JOIN cqv USING (cid)),
-        |${pqChainCtes("r", "rsrc")},
-        |rcodes AS MATERIALIZED (SELECT vec_id AS c_id, $codeSel FROM ra1 GROUP BY vec_id),
-        |qres AS MATERIALIZED (SELECT q_id, q_cid, list_transform(range(1, len(v)+1),
-        |    i -> v[i] - cq[i]) AS rv
-        |  FROM iqprobes JOIN cqv ON cid = q_cid),
-        |rqd AS MATERIALIZED (SELECT q_id, q_cid, qs.s, rref.k,
-        |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
-        |      + list_dot_product(cv, cv) AS d
-        |  FROM (SELECT q_id, q_cid, s,
-        |      list_slice(rv, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS x
-        |    FROM qres CROSS JOIN (SELECT unnest(range($PqS)) AS s) t) qs
-        |  JOIN rref ON qs.s = rref.s),
-        |adcres AS MATERIALIZED (SELECT q0.q_id AS q_id, rcodes.c_id AS c_id,
-        |    $dsum AS adc
-        |  FROM rcodes
-        |  JOIN iassign a ON a.vec_id = rcodes.c_id
-        |  JOIN rqd q0 ON q0.q_cid = a.cid AND q0.s = 0 AND q0.k = rcodes.c0
-        |$adcJoins
-        |  WHERE q0.q_id <> rcodes.c_id),
+        |${resChainCtes("", PqS)},
         |rshort AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS arnk
         |  FROM adcres) WHERE arnk <= $rr),
         |rex AS (SELECT s.q_id, s.c_id,
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
         |  FROM rshort s
-        |  JOIN en q ON q.vec_id = s.q_id
-        |  JOIN en c ON c.vec_id = s.c_id),
+        |  JOIN ren q ON q.vec_id = s.q_id
+        |  JOIN ren c ON c.vec_id = s.c_id),
         |rrr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM rex)
         |SELECT q_id, c_id, sim, rnk FROM rrr WHERE rnk <= 10

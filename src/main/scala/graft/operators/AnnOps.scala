@@ -99,6 +99,19 @@ object AnnOps {
   /** Default centroid count (the oracle-pinned configuration). */
   val DefaultM = 16
 
+  /** Lloyd refinement rounds for the coarse quantizer (oracle-pinned:
+    * the DuckDB chains unroll exactly this many assign→exact-mean
+    * rounds, so a change here moves engine and oracle together). The
+    * value is the measured knee of the recall-vs-rounds curve — see
+    * [[graft.LloydSweep]] and PLANS_r8.md.
+    */
+  val LloydRounds = 1
+
+  /** Lloyd rounds for the PQ codebooks (raw and residual) — same
+    * oracle-pinned contract as [[LloydRounds]].
+    */
+  val PqLloydRounds = 1
+
   /** Past this m, probe assignment switches from a plan-literal
     * quantizer to a broadcast consumed by the [[IvfAssignExpr]] kernel:
     * a typedLit of thousands of struct rows (each a dim-length array)
@@ -211,32 +224,42 @@ object AnnOps {
     * FP-order-dependent avg), which is what makes ann_ivf fully
     * oracle-checkable.
     */
-  private def ivfModel(spark: SparkSession, dir: String, m: Int): IvfModel =
-    graft.Memo.value(spark, s"ivfModel:$dir:$m") {
+  private def ivfModel(spark: SparkSession, dir: String, m: Int,
+      rounds: Int = LloydRounds): IvfModel =
+    graft.Memo.value(spark, s"ivfModel:$dir:$m:$rounds") {
       val emb = embDouble(spark, dir)
       val seedRows = emb.orderBy("vec_id").limit(m)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
         .collect()
-      val seed = toModel(seedRows)
-      // Lloyd refinement: assign → element-wise exact mean per centroid.
-      // The seed broadcast (kernel path only) lives for this one build
-      // and is destroyed after the collect below.
-      var seedBc: Broadcast[IvfModel] = null
-      val refined = assignWith(emb, seed, 1, {
-          seedBc = spark.sparkContext.broadcast(seed); seedBc
-        })
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(
-          (sum((col("x") * lit(ScaleP2)).cast(DecimalType(38, 0)))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(ScaleP2))
-            .as("x"))
-        .groupBy("cid").agg(
-          array_sort(collect_list(struct(col("pos"), col("x")))).as("pv"))
-        .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
-        .withColumn("cnrm", VectorFns.norm(col("cv")))
-        .collect()
-      if (seedBc != null) { try seedBc.destroy() catch { case _: Throwable => () } }
-      toModel(refined)
+      // Lloyd refinement, `rounds` times: assign → element-wise exact
+      // mean per centroid. Each round's input broadcast (kernel path
+      // only) lives for that one build and is destroyed after its
+      // collect; a centroid that loses every member drops out of the
+      // refined model (GROUP BY emits no row — same on the oracle
+      // side, so the chains stay hash-parallel at any round count).
+      var model = toModel(seedRows)
+      for (_ <- 0 until rounds) {
+        var roundBc: Broadcast[IvfModel] = null
+        val cur = model
+        val refined = assignWith(emb, cur, 1, {
+            roundBc = spark.sparkContext.broadcast(cur); roundBc
+          })
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(
+            (sum((col("x") * lit(ScaleP2)).cast(DecimalType(38, 0)))
+              .cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(ScaleP2))
+              .as("x"))
+          .groupBy("cid").agg(
+            array_sort(collect_list(struct(col("pos"), col("x")))).as("pv"))
+          .select(col("cid"), expr("transform(pv, p -> p.x)").as("cv"))
+          .withColumn("cnrm", VectorFns.norm(col("cv")))
+          .collect()
+        if (roundBc != null) {
+          try roundBc.destroy() catch { case _: Throwable => () }
+        }
+        model = toModel(refined)
+      }
+      model
     }
 
   /** The quantizer as a session-memoized broadcast (kernel-path
@@ -244,26 +267,28 @@ object AnnOps {
     * the session.
     */
   private def ivfModelBc(spark: SparkSession, dir: String,
-      m: Int): Broadcast[IvfModel] =
-    graft.Memo.value(spark, s"ivfModelBc:$dir:$m") {
-      spark.sparkContext.broadcast(ivfModel(spark, dir, m))
+      m: Int, rounds: Int = LloydRounds): Broadcast[IvfModel] =
+    graft.Memo.value(spark, s"ivfModelBc:$dir:$m:$rounds") {
+      spark.sparkContext.broadcast(ivfModel(spark, dir, m, rounds))
     }
 
   /** Probe assignment picking the physical path by m (literal
     * quantizer ≤ [[LiteralMaxM]], broadcast kernel above).
     */
   private def assignFor(spark: SparkSession, dir: String, m: Int,
-      vecs: DataFrame, nprobe: Int): DataFrame =
-    assignWith(vecs, ivfModel(spark, dir, m), nprobe, ivfModelBc(spark, dir, m))
+      vecs: DataFrame, nprobe: Int, rounds: Int = LloydRounds): DataFrame =
+    assignWith(vecs, ivfModel(spark, dir, m, rounds), nprobe,
+      ivfModelBc(spark, dir, m, rounds))
 
   /** IVF inverted lists: every corpus vector assigned to its nearest
     * centroid, REPARTITIONED BY cid and persisted — the cluster layout
     * where each list is co-located, so a query-time probe is a local
     * scan of its lists and the corpus never shuffles per query.
     */
-  private def ivfLists(spark: SparkSession, dir: String, m: Int): DataFrame =
-    graft.Memo.df(spark, s"ivfLists:$dir:$m") {
-      assignFor(spark, dir, m, embDouble(spark, dir), 1)
+  private def ivfLists(spark: SparkSession, dir: String, m: Int,
+      rounds: Int = LloydRounds): DataFrame =
+    graft.Memo.df(spark, s"ivfLists:$dir:$m:$rounds") {
+      assignFor(spark, dir, m, embDouble(spark, dir), 1, rounds)
         .select(col("cid").as("c_cid"), col("vec_id").as("c_id"),
           col("v").as("cv2"), col("nrm").as("cn"))
         .repartition(col("c_cid"))
@@ -277,8 +302,8 @@ object AnnOps {
     */
   private def searchIvf(spark: SparkSession, dir: String, m: Int,
       lists: DataFrame, qVecs: DataFrame, nprobe: Int, k: Int,
-      excludeSelf: Boolean): DataFrame = {
-    val probes = assignFor(spark, dir, m, qVecs, nprobe)
+      excludeSelf: Boolean, rounds: Int = LloydRounds): DataFrame = {
+    val probes = assignFor(spark, dir, m, qVecs, nprobe, rounds)
       .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
     val joinCond =
@@ -306,10 +331,10 @@ object AnnOps {
     * recall).
     */
   def annIvfM(spark: SparkSession, dir: String, m: Int,
-      nprobe: Int, k: Int = 10): DataFrame =
-    searchIvf(spark, dir, m, ivfLists(spark, dir, m),
+      nprobe: Int, k: Int = 10, rounds: Int = LloydRounds): DataFrame =
+    searchIvf(spark, dir, m, ivfLists(spark, dir, m, rounds),
         embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k,
-        excludeSelf = true)
+        excludeSelf = true, rounds)
       .orderBy("q_id", "rnk")
 
   /** Incremental index maintenance: assign a batch of NEW vectors to
@@ -365,6 +390,15 @@ object AnnOps {
   val RecallIvfNprobes: Seq[Int] = Seq(1, 2, 4, 8)
   val RecallPqR: Seq[Int] = Seq(10, 50, 100)
   val RecallIvfPqNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Residual ADC-ORDER recall points (method `res_adc`, param =
+    * subspace count): shortlist R = 10 with k = 10 leaves NO re-rank
+    * slack, so these rows pin the fidelity of the residual CODE
+    * itself. The 16-subspace book (16 B/vector, 16× compression) is
+    * the measured answer to the 8-subspace ADC gap: 0.67 vs 0.50 at
+    * sf0.01 (LloydSweep) — the spec floors it at 0.65.
+    */
+  val RecallResAdcSubs: Seq[Int] = Seq(8, 16)
 
   /** D10e: the ANN recall contract, MEASURED as a query — recall@10 of
     * the approximate indexes against the exact baseline (D9), per
@@ -431,7 +465,7 @@ object AnnOps {
         .select(col("vec_id").as("c_id") +: (0 until PqS).map(s => col(s"c$s")): _*)
       val adc = cand.join(broadcast(pqQueryTables(spark, dir)),
           col("q_id") =!= col("c_id"))
-        .withColumn("adc", adcCol)
+        .withColumn("adc", adcCol())
       val ranked = TopK.perKey(adc, Seq(col("q_id")),
           Seq(col("adc").asc, col("c_id").asc), RecallPqR.max)
         .select(col("q_id"), col("c_id"), col("rnk").as("a_rnk"))
@@ -453,7 +487,7 @@ object AnnOps {
             (0 until PqS).map(s => col(s"c$s")): _*), "c_id")
         .join(broadcast(pqQueryTables(spark, dir)), "q_id")
         .select(col("q_id"), col("c_id"), col("p_rnk"), col("sim"),
-          adcCol.as("adc"))
+          adcCol().as("adc"))
     }
     def hitsOf(method: String, param: Int, sims: DataFrame): DataFrame =
       TopK.perKey(sims.filter(col("p_rnk") < param), Seq(col("q_id")),
@@ -479,11 +513,18 @@ object AnnOps {
         TopK.perKey(short, Seq(col("q_id")),
           Seq(col("sim").desc, col("c_id").asc), 10))
     }
+    // residual ADC-order points: the r = k = 10 search's result SET is
+    // exactly the ADC top-10 (re-ranking 10 candidates for top-10
+    // permutes, never drops), so recall measures pure code fidelity
+    def resAdcHitsOf(ns: Int): DataFrame =
+      countHits("res_adc", ns,
+        annIvfPqRes(spark, dir, r = 10, k = 10, nSub = ns))
     val hits =
       (RecallLshProbes.map(p => hitsOf("lsh", p, lshSims)) ++
        RecallIvfNprobes.map(np => hitsOf("ivf", np, ivfSims)) ++
        RecallPqR.map(rr => pqHitsOf(rr)) ++
-       RecallIvfPqNprobes.map(np => ivfpqHitsOf(np)))
+       RecallIvfPqNprobes.map(np => ivfpqHitsOf(np)) ++
+       RecallResAdcSubs.map(ns => resAdcHitsOf(ns)))
         .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
       .withColumn("recall",
@@ -559,7 +600,10 @@ object AnnOps {
     * Zero shuffle: the codebook rides the plan as a literal.
     */
   private def pqAssign(sub: DataFrame, model: Seq[(Int, Long, Seq[Double])]): DataFrame = {
-    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+    // subspace count comes from the model itself, so the 8- and
+    // 16-subspace books share every downstream helper
+    val nSub = model.iterator.map(_._1).max + 1
+    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
       model.filter(_._1 == s).sortBy(_._2).map { case (_, k, cv) => PqC(k, cv) }
     }
     val centsL = typedLit(bys)
@@ -581,11 +625,11 @@ object AnnOps {
     * (subspace geometry comes from the corpus dimensionality).
     */
   private def pqSubOf(spark: SparkSession, dir: String,
-      vecs: DataFrame): DataFrame = {
+      vecs: DataFrame, nSub: Int = PqS): DataFrame = {
     val subDim = embDouble(spark, dir)
-      .select(size(col("v"))).head.getInt(0) / PqS
+      .select(size(col("v"))).head.getInt(0) / nSub
     vecs.select(col("vec_id"), col("v"),
-        explode(sequence(lit(0), lit(PqS - 1))).as("s"))
+        explode(sequence(lit(0), lit(nSub - 1))).as("s"))
       .select(col("vec_id"), col("s"),
         slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("x"))
   }
@@ -609,8 +653,9 @@ object AnnOps {
     * bit-replicable by a plain GROUP BY in an external engine).
     * Empty codes drop out of the refined book on both sides alike.
     */
-  private def pqModel(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
-    graft.Memo.value(spark, s"pqModel:$dir") {
+  private def pqModel(spark: SparkSession, dir: String,
+      rounds: Int = PqLloydRounds): Seq[(Int, Long, Seq[Double])] =
+    graft.Memo.value(spark, s"pqModel:$dir:$rounds") {
       val emb = embDouble(spark, dir)
       val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
       // clamp to the corpus size: a corpus with fewer than PqK vectors
@@ -621,8 +666,18 @@ object AnnOps {
       val seed: Seq[(Int, Long, Seq[Double])] = for {
         s <- 0 until PqS; k <- 0 until math.min(PqK, firstK.length)
       } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
-      pqRefine(pqSub(spark, dir), seed)
+      pqRefineRounds(pqSub(spark, dir), seed, rounds)
     }
+
+  /** `rounds` exact-integer Lloyd refinement rounds (each re-assigns
+    * the fixed subvector frame to the current book and recomputes the
+    * exact means; a code word that loses every member drops out, both
+    * here and in the oracle's GROUP BY).
+    */
+  private def pqRefineRounds(sub: DataFrame,
+      seed: Seq[(Int, Long, Seq[Double])],
+      rounds: Int): Seq[(Int, Long, Seq[Double])] =
+    (0 until rounds).foldLeft(seed)((book, _) => pqRefine(sub, book))
 
   /** One exact-integer Lloyd refinement round over any subvector
     * frame + seed codebooks (shared by the raw-vector and residual
@@ -730,15 +785,15 @@ object AnnOps {
   /** ADC distance column: PqS map lookups summed in fixed s order (so
     * the double is bit-stable).
     */
-  private def adcCol: Column =
-    (0 until PqS).map(s => element_at(col(s"dt$s"), col(s"c$s"))).reduce(_ + _)
+  private def adcCol(nSub: Int = PqS): Column =
+    (0 until nSub).map(s => element_at(col(s"dt$s"), col(s"c$s"))).reduce(_ + _)
 
   def annPqAdc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val qd = pqQueryTables(spark, dir)
     val cand = pqCodesCore(spark, dir)
       .select(col("vec_id").as("c_id") +: (0 until PqS).map(s => col(s"c$s")): _*)
     val sims = cand.join(broadcast(qd), col("q_id") =!= col("c_id"))
-      .withColumn("adc", adcCol)
+      .withColumn("adc", adcCol())
     TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), k)
       .select("q_id", "c_id", "adc", "rnk")
@@ -820,7 +875,7 @@ object AnnOps {
       .join(pqQueryTables(spark, dir), "q_id")
     val sims = ivfPqLists(spark, dir).join(broadcast(probes),
         col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
-      .withColumn("adc", adcCol)
+      .withColumn("adc", adcCol())
     val shortlist = TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), r)
       .select("q_id", "c_id")
@@ -843,9 +898,10 @@ object AnnOps {
     */
   private val CentroidScale = 16777216d // 2^24
 
-  private def quantCentroids(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.df(spark, s"ivfCentroidsQ:$dir") {
-      val model = ivfModel(spark, dir, DefaultM)
+  private def quantCentroids(spark: SparkSession, dir: String,
+      rounds: Int = LloydRounds): DataFrame =
+    graft.Memo.df(spark, s"ivfCentroidsQ:$dir:$rounds") {
+      val model = ivfModel(spark, dir, DefaultM, rounds)
       val rows = (0 until model.m).map { i =>
         (model.cids(i),
           model.flat.slice(i * model.dim, (i + 1) * model.dim)
@@ -862,38 +918,43 @@ object AnnOps {
       .withColumn("r", zip_with(col("v"), col("cq"), (a, b) => a - b))
 
   /** Residual-space codebooks: the pqModel build run over residual
-    * vectors (first-PqK seed by vec_id, one exact-integer Lloyd
-    * round) — memoized layout artifact.
+    * vectors (first-PqK seed by vec_id, exact-integer Lloyd rounds) —
+    * memoized layout artifact.
     */
-  private def pqModelRes(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
-    graft.Memo.value(spark, s"pqModelRes:$dir") {
+  private def pqModelRes(spark: SparkSession, dir: String,
+      ivfRounds: Int = LloydRounds, pqRounds: Int = PqLloydRounds,
+      nSub: Int = PqS): Seq[(Int, Long, Seq[Double])] =
+    graft.Memo.value(spark, s"pqModelRes:$dir:$ivfRounds:$pqRounds:$nSub") {
       val emb = embDouble(spark, dir)
-      val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
-      val assigned = assignFor(spark, dir, DefaultM, emb, 1)
+      val subDim = emb.select(size(col("v"))).head.getInt(0) / nSub
+      val assigned = assignFor(spark, dir, DefaultM, emb, 1, ivfRounds)
         .select(col("vec_id"), col("cid"), col("v"))
-      val res = withResidual(assigned, quantCentroids(spark, dir))
+      val res = withResidual(assigned, quantCentroids(spark, dir, ivfRounds))
         .select(col("vec_id"), col("r").as("v"))
       // same small-corpus clamp as [[pqModel]]
       val firstK = res.orderBy("vec_id").limit(PqK)
         .select(col("v")).collect().map(_.getSeq[Double](0))
       val seed: Seq[(Int, Long, Seq[Double])] = for {
-        s <- 0 until PqS; k <- 0 until math.min(PqK, firstK.length)
+        s <- 0 until nSub; k <- 0 until math.min(PqK, firstK.length)
       } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
-      pqRefine(pqSubOf(spark, dir, res), seed)
+      pqRefineRounds(pqSubOf(spark, dir, res, nSub), seed, pqRounds)
     }
 
   /** The coded lists with RESIDUAL codes: (c_cid, c_id, c0..c_{PqS-1}),
     * repartitioned by list.
     */
-  private def ivfPqResLists(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.df(spark, s"ivfPqResLists:$dir") {
+  private def ivfPqResLists(spark: SparkSession, dir: String,
+      ivfRounds: Int = LloydRounds, pqRounds: Int = PqLloydRounds,
+      nSub: Int = PqS): DataFrame =
+    graft.Memo.df(spark, s"ivfPqResLists:$dir:$ivfRounds:$pqRounds:$nSub") {
       val emb = embDouble(spark, dir)
-      val assigned = assignFor(spark, dir, DefaultM, emb, 1)
+      val assigned = assignFor(spark, dir, DefaultM, emb, 1, ivfRounds)
         .select(col("vec_id"), col("cid"), col("v"))
-      val res = withResidual(assigned, quantCentroids(spark, dir))
+      val res = withResidual(assigned, quantCentroids(spark, dir, ivfRounds))
       val a = pqAssign(pqSubOf(spark, dir,
-        res.select(col("vec_id"), col("r").as("v"))), pqModelRes(spark, dir))
-      val aggs = (0 until PqS).map(s =>
+        res.select(col("vec_id"), col("r").as("v")), nSub),
+        pqModelRes(spark, dir, ivfRounds, pqRounds, nSub))
+      val aggs = (0 until nSub).map(s =>
         max(when(col("s") === s, col("k"))).as(s"c$s"))
       val codes = a.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       res.select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
@@ -911,19 +972,20 @@ object AnnOps {
     * shortlist recall against the plain-code variant.
     */
   def annIvfPqRes(spark: SparkSession, dir: String, nprobe: Int = IvfPqNprobe,
-      r: Int = IvfPqR, k: Int = 10): DataFrame = {
+      r: Int = IvfPqR, k: Int = 10, ivfRounds: Int = LloydRounds,
+      pqRounds: Int = PqLloydRounds, nSub: Int = PqS): DataFrame = {
     val emb = embDouble(spark, dir)
-    val subDim = emb.select(size(col("v"))).head.getInt(0) / PqS
-    val model = pqModelRes(spark, dir)
-    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+    val subDim = emb.select(size(col("v"))).head.getInt(0) / nSub
+    val model = pqModelRes(spark, dir, ivfRounds, pqRounds, nSub)
+    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
       model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
     }
     val q0 = assignFor(spark, dir, DefaultM,
-        emb.filter(col("vec_id") % 50 === 0), nprobe)
+        emb.filter(col("vec_id") % 50 === 0), nprobe, ivfRounds)
       .select(col("vec_id").as("q_id"), col("cid"), col("v"))
-    val qres = withResidual(q0, quantCentroids(spark, dir))
+    val qres = withResidual(q0, quantCentroids(spark, dir, ivfRounds))
       .select(col("q_id"), col("cid").as("q_cid"), col("r"))
-    val qd = (0 until PqS).foldLeft(qres) { (df, s) =>
+    val qd = (0 until nSub).foldLeft(qres) { (df, s) =>
       val sub = slice(col("r"), lit(s * subDim + 1), lit(subDim))
       df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
         struct(c.getField("k").as("k"),
@@ -931,9 +993,10 @@ object AnnOps {
             - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
             + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
     }.drop("r")
-    val sims = ivfPqResLists(spark, dir).join(broadcast(qd),
+    val sims = ivfPqResLists(spark, dir, ivfRounds, pqRounds, nSub)
+      .join(broadcast(qd),
         col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
-      .withColumn("adc", adcCol)
+      .withColumn("adc", adcCol(nSub))
     val shortlist = TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), r)
       .select("q_id", "c_id")
@@ -1015,7 +1078,7 @@ object AnnOps {
       if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
       else col("q_cid") === col("c_cid")
     val sims = codedLists.join(broadcast(probes), joinCond)
-      .withColumn("adc", adcCol)
+      .withColumn("adc", adcCol())
     val shortlist = TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), r)
       .select("q_id", "c_id")

@@ -322,7 +322,8 @@ class DedupAnnSpec extends GraftSpec {
     val rows = AnnOps.annRecall(spark, Sf).collect()
     assert(rows.length ==
       AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size +
-      AnnOps.RecallPqR.size + AnnOps.RecallIvfPqNprobes.size)
+      AnnOps.RecallPqR.size + AnnOps.RecallIvfPqNprobes.size +
+      AnnOps.RecallResAdcSubs.size)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0)
@@ -358,6 +359,49 @@ class DedupAnnSpec extends GraftSpec {
       s"pq rerank recall ${at("pq", AnnOps.RecallPqR.max)} below 0.85")
     assert(at("ivfpq", 8) >= at("ivf", 8) - 0.02,
       s"ivfpq@8 ${at("ivfpq", 8)} behind ivf@8 ${at("ivf", 8)}")
+    // residual ADC-order floors (R=10, no re-rank slack): the
+    // 16-subspace book must clear 0.65 — the round-8 code-fidelity
+    // demand — and more bits must not order candidates worse
+    assert(at("res_adc", 16) >= 0.65,
+      s"16-subspace residual ADC-order recall ${at("res_adc", 16)} below 0.65")
+    assert(at("res_adc", 16) >= at("res_adc", 8),
+      s"res_adc@16 ${at("res_adc", 16)} behind res_adc@8 ${at("res_adc", 8)}")
+  }
+
+  test("lloyd rounds: the pinned defaults sit at the measured knee") {
+    val exact = AnnOps.annCosineTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val hits = rows.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+        rs.count(r => exact(q)(r.getAs[Long]("c_id"))) }.sum
+      hits.toDouble / (exact.size * 10)
+    }
+    val more = AnnOps.LloydRounds + 2
+    // The knee claim that pins LloydRounds = 1: extra refinement
+    // rounds move recall only WITHIN NOISE, in a data-dependent
+    // direction (measured: np8 0.81→0.79 at sf0.01, res16 ADC
+    // 0.67→0.62 at sf0.01 but 0.68→0.72 at sf0.001, np4 +0.02 at
+    // sf0.01 / −0.06 at sf0.001) — so the cheapest setting is
+    // correct. The band is a tripwire: a future geometry/data change
+    // under which rounds reliably buy > the band must fail here and
+    // force a re-measure (LloydSweep), not a silent assumption.
+    val band = 0.08
+    val np8Def = recall(AnnOps.annIvfM(spark, Sf, AnnOps.DefaultM, 8).collect())
+    val np8More = recall(
+      AnnOps.annIvfM(spark, Sf, AnnOps.DefaultM, 8, rounds = more).collect())
+    assert(math.abs(np8More - np8Def) <= band,
+      s"Lloyd rounds now move np8 recall beyond noise ($np8Def -> $np8More): " +
+      "re-measure the knee (runMain graft.LloydSweep) and re-pin LloydRounds")
+    // residual 16-subspace ADC order: same tripwire
+    val resDef = recall(
+      AnnOps.annIvfPqRes(spark, Sf, r = 10, k = 10, nSub = 16).collect())
+    val resMore = recall(AnnOps.annIvfPqRes(spark, Sf, r = 10, k = 10,
+      nSub = 16, ivfRounds = more, pqRounds = AnnOps.PqLloydRounds + 2)
+      .collect())
+    assert(math.abs(resMore - resDef) <= band,
+      s"Lloyd rounds now move res16 ADC recall beyond noise " +
+      s"($resDef -> $resMore): re-measure the knee and re-pin the defaults")
   }
 
   test("embedding near-dup cosines are symmetric-bounded") {
