@@ -762,17 +762,18 @@ object AnnOps {
         .filter(col("vec_id") % 50 === 0))
     }
 
-  /** ADC distance tables for an arbitrary (vec_id, v) query frame. */
-  private def pqDistTablesOf(spark: SparkSession, dir: String,
-      vecs: DataFrame): DataFrame = {
-    val subDim = embDouble(spark, dir)
-      .select(size(col("v"))).head.getInt(0) / PqS
-    val model = pqModel(spark, dir)
-    val bys: Seq[Seq[PqC]] = (0 until PqS).map { s =>
+  /** ADC distance tables for an arbitrary (vec_id, v) query frame
+    * against an EXPLICIT codebook (the session-memoized path and the
+    * persisted-layout path share this).
+    */
+  private def distTablesFor(model: Seq[(Int, Long, Seq[Double])],
+      subDim: Int, vecs: DataFrame): DataFrame = {
+    val nSub = model.iterator.map(_._1).max + 1
+    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
       model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
     }
     val q0 = vecs.select(col("vec_id").as("q_id"), col("v"))
-    (0 until PqS).foldLeft(q0) { (df, s) =>
+    (0 until nSub).foldLeft(q0) { (df, s) =>
       val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
       df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
         struct(c.getField("k").as("k"),
@@ -780,6 +781,14 @@ object AnnOps {
             - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
             + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
     }.drop("v")
+  }
+
+  /** ADC distance tables for an arbitrary (vec_id, v) query frame. */
+  private def pqDistTablesOf(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val subDim = embDouble(spark, dir)
+      .select(size(col("v"))).head.getInt(0) / PqS
+    distTablesFor(pqModel(spark, dir), subDim, vecs)
   }
 
   /** ADC distance column: PqS map lookups summed in fixed s order (so
@@ -1102,5 +1111,83 @@ object AnnOps {
         Seq(col("sim").desc, col("c_id").asc), k)
       .select("q_id", "c_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted-layout faces (r8): the session-memoized artifacts as
+  // writable/reloadable frames, plus a serving path that needs ONLY
+  // the persisted tables (no Memo state) — what a restarted session
+  // runs. See graft.operators.LayoutOps for the storage wiring.
+
+  /** The coded-lists layout as a frame (write side of the persisted
+    * ANN index).
+    */
+  private[graft] def ivfPqListsFrame(spark: SparkSession, dir: String): DataFrame =
+    ivfPqLists(spark, dir)
+
+  /** The coarse quantizer as a (cid, cv, cnrm) frame — tiny (m rows),
+    * the model artifact a restart reloads instead of re-running Lloyd.
+    */
+  private[graft] def quantizerFrame(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfModel(spark, dir, DefaultM)
+    import spark.implicits._
+    (0 until model.m).map(i => (model.cids(i),
+        model.flat.slice(i * model.dim, (i + 1) * model.dim).toSeq,
+        model.norms(i)))
+      .toDF("cid", "cv", "cnrm")
+  }
+
+  /** The PQ codebooks as an (s, k, cv) frame — nSub·PqK rows. */
+  private[graft] def pqBookFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqModel(spark, dir).toDF("s", "k", "cv")
+  }
+
+  /** IVF-PQ search served ENTIRELY from persisted layout tables: the
+    * quantizer and codebooks are collected from their (tiny) tables,
+    * probe cids are resolved driver-side and pushed as an IN filter —
+    * the scan reads ONLY the probed buckets (bucket pruning; at 100 TB
+    * a query touches nprobe/m of the index files) — then the usual
+    * ADC → shortlist → exact re-rank. The base corpus parquet is read
+    * for the re-rank floats (source data, not a derived layout);
+    * nothing session-memoized is touched, so a FRESH session serves at
+    * full fidelity with zero rebuild.
+    */
+  def ivfPqSearchFromTables(spark: SparkSession, dir: String,
+      cents: DataFrame, book: DataFrame, lists: DataFrame,
+      nprobe: Int = IvfPqNprobe, r: Int = IvfPqR, k: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    val model = toModel(cents.select("cid", "cv", "cnrm").collect())
+    val bookSeq: Seq[(Int, Long, Seq[Double])] = book
+      .select("s", "k", "cv").collect()
+      .map(row => (row.getInt(0), row.getLong(1), row.getSeq[Double](2)))
+      .toSeq
+    val emb = embDouble(spark, dir)
+    val qVecs = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "v", "nrm")
+    val subDim = model.dim / (bookSeq.iterator.map(_._1).max + 1)
+    var bc: Broadcast[IvfModel] = null
+    val assigned = assignWith(qVecs, model, nprobe, {
+      bc = spark.sparkContext.broadcast(model); bc
+    })
+    val probes = assigned
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"))
+      .join(distTablesFor(bookSeq, subDim,
+        qVecs.select(col("vec_id"), col("v"))), "q_id")
+    // driver-side probe resolution (|q|·nprobe rows, bounded): the
+    // literal IN list is what lets the bucketed table scan prune to
+    // the probed lists' buckets
+    val probedCids = assigned.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val joinCond =
+      if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
+      else col("q_cid") === col("c_cid")
+    val sims = lists.filter(col("c_cid").isin(probedCids: _*))
+      .join(broadcast(probes), joinCond)
+      .withColumn("adc", adcCol())
+    val shortlist = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").asc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
   }
 }

@@ -386,7 +386,7 @@ object CurationOps {
     * built once per session — the standing layout artifact a daily
     * delta probes, exactly like ivfLists for ANN.
     */
-  private def standingLabels(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def standingLabels(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"ccLabelsStanding:$dir") {
       val ex = DedupOps.shingleExploded(spark, dir)
         .filter(col("doc_id") % 10 =!= 7)
@@ -406,7 +406,7 @@ object CurationOps {
     }
 
   /** Standing manifest artifacts, memoized per session. */
-  private def standingCkMin(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def standingCkMin(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"stdCkMin:$dir") {
       Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
         .groupBy(md5(col("text")).as("ck"))

@@ -157,8 +157,14 @@ object DedupOps {
     * signature fraction. At 100 TB this replaces D2's quadratic-ish
     * verify: candidate volume is bounded by bucket co-occupancy.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashBandSigs(spark, dir)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(minhashBandSigs(spark, dir))
+
+  /** D3's band-bucket pair query over ANY signature frame — the
+    * session-memoized table and the persisted layout (LayoutOps)
+    * serve through the same code.
+    */
+  private[graft] def minhashLshFrom(sigs: DataFrame): DataFrame = {
     val a = sigs.select(col("lang").as("l_a"), col("band_id").as("bi_a"),
       col("band_hash").as("bh_a"), col("doc_id").as("a_id"), col("sig").as("sig_a"))
     val b = sigs.select(col("lang").as("l_b"), col("band_id").as("bi_b"),

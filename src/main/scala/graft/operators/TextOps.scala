@@ -207,22 +207,34 @@ object TextOps {
     * string form here keeps the layout oracle-checkable). Demo output
     * capped to the top-k terms by df via the global bounded heap.
     */
-  def invertedPostings(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+  def invertedPostings(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    postingsTopK(postingsFrame(spark, dir), k)
+
+  /** The FULL postings layout (every term) — the write side of the
+    * persisted index (LayoutOps); [[invertedPostings]] is its demo
+    * top-k face.
+    */
+  private[graft] def postingsFrame(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val tf = t.groupBy("doc_id", "tok").agg(graft.functions.Exact.lcount.as("tf"))
-    val inv = tf.groupBy("tok").agg(
+    tf.groupBy("tok").agg(
       graft.functions.Exact.lcount.as("df"),
       sum(col("tf")).cast(LongType).as("total_tf"),
       array_join(transform(
         sort_array(collect_list(struct(col("doc_id"), col("tf")))),
         p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), " ")
         .as("postings"))
+  }
+
+  /** The D35 output shape over any postings frame (session-built or
+    * reloaded from the persisted table).
+    */
+  private[graft] def postingsTopK(inv: DataFrame, k: Int = 100): DataFrame =
     graft.plans.TopK.perKey(inv, Seq(lit(1)),
         Seq(col("df").desc, col("tok").asc), k)
       .select(col("tok"), col("df"), col("total_tf"), col("postings"), col("rnk"))
       .orderBy("rnk")
-  }
 
   /** D34's demo query terms (common corpus tokens). */
   val Bm25Terms: Seq[String] = Seq("scan", "window", "merge")
