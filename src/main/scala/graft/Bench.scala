@@ -37,6 +37,11 @@ object Bench {
       // WITHOUT these so the oracle gate checks the vanilla operators;
       // rewrite/vanilla equivalence is covered by TopKRewriteSpec)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // serving-session shape (see GraftSession): layout probes keep
+      // their bucketed scans (pruning), layout self-joins may reuse
+      // subset-key co-partitioning
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,6 +61,24 @@ object Bench {
     // broken out as warmup_sec.
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // D36 cold-vs-reload pair: build + write every layout family from
+    // scratch (the once-per-deployment job — FIRST, so the figure
+    // includes the underlying derivations, not memo hits), then
+    // simulate the restart (catalog death, files survive) and time the
+    // re-register path. The layout_* serial latencies below then
+    // measure pure table-served probes.
+    val (layoutCold, layoutReload) =
+      if (!selected.exists(_._1.startsWith("layout_"))) (None, None)
+      else {
+        operators.LayoutOps.purgeAll(spark, sfDir)
+        val b0 = System.nanoTime()
+        operators.LayoutOps.ensureAll(spark, sfDir)
+        val cold = (System.nanoTime() - b0) / 1e9
+        operators.LayoutOps.dropCatalogEntries(spark, sfDir)
+        val r0 = System.nanoTime()
+        operators.LayoutOps.ensureAll(spark, sfDir)
+        (Some(cold), Some((System.nanoTime() - r0) / 1e9))
+      }
     if (selected.exists(t => t._1.startsWith("dedup") || t._1.startsWith("doc_")))
       operators.DedupOps.warmShared(spark, sfDir)
     if (selected.exists(t => t._1.startsWith("ann") || t._1.startsWith("emb")))
@@ -137,7 +160,12 @@ object Bench {
       .mkString(""","slowest_adjudicated":{""", ",", "}")
     val contField = contended.sorted.map("\"" + _ + "\"")
       .mkString(""","contention_flagged":[""", ",", "]")
-    val json = s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField$adjField$contField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}"""
+    val layoutField = (layoutCold, layoutReload) match {
+      case (Some(c), Some(r)) =>
+        s""","layout_cold_build_sec":$c,"layout_reload_sec":$r"""
+      case _ => ""
+    }
+    val json = s"""{"metric":"total","value":$serialWall,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$concField$failedField$adjField$contField$layoutField,"sf":"$sfDir","serial_queries":true,"concurrency_streams":${if (conc <= 1) 1 else conc}}"""
     // The artifact must survive log-tail truncation (BENCH_r04/r05 both
     // lost the leading fields to tail capture): write the whole line to
     // a file FIRST, then print it. SPARK_GRAFT_BENCH_OUT overrides the

@@ -17,6 +17,11 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // serving-session shape (see GraftSession): keep bucketed scans
+      // bucketed so layout probes show their pruning, and let
+      // subset-key co-partitioning elide layout self-join shuffles
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     plans.TopK.ensureRegistered(spark)
@@ -58,6 +63,42 @@ object ExplainAudit {
       // every parquet scan should prune columns (never SELECT *)
       if ("ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined) {
         println(s"!! AUDIT $name: suspiciously wide scan"); bad += 1
+      }
+      // D36 persisted-layout serving: must actually read the bucketed
+      // layout tables (no silent fallback to re-derivation)...
+      if (name.startsWith("layout_") && !plan.contains("graft_layout_v")) {
+        println(s"!! AUDIT $name: does not scan a persisted layout table")
+        bad += 1
+      }
+      // ...with bucket pruning live on the literal-key probes (the
+      // IVF-PQ probed-lists IN filter; the postings term lookup, which
+      // must also prune to FEWER buckets than the table has)...
+      if (name == "layout_ann_ivfpq" || name == "layout_postings_probe") {
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        sel.findFirstMatchIn(plan) match {
+          case None =>
+            println(s"!! AUDIT $name: no bucket pruning on the layout scan")
+            bad += 1
+          case Some(m) if name == "layout_postings_probe" &&
+              m.group(1).toInt >= m.group(2).toInt =>
+            println(s"!! AUDIT $name: probe reads every bucket (${m.matched})")
+            bad += 1
+          case _ => ()
+        }
+      }
+      // ...and the LSH self-join never repartitioning its inputs: at
+      // toy SF the planner may broadcast one side (fine — still no
+      // input shuffle; LayoutSpec pins the SMJ-elision shape with
+      // broadcast off), so only the pair aggregation and the output
+      // sort may hash/range-repartition — 2 repartitions total
+      if (name == "layout_dedup_minhash_lsh") {
+        val simple = df.queryExecution.executedPlan.toString
+        val ex = "Exchange (hashpartitioning|rangepartitioning)".r
+          .findAllIn(simple).size
+        if (ex > 2) {
+          println(s"!! AUDIT $name: $ex repartitions — the bucketed " +
+            "self-join should not reshuffle its inputs"); bad += 1
+        }
       }
     }
     println(s"\nAUDIT ${if (bad == 0) "CLEAN" else s"$bad findings"}")

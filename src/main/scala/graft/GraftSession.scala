@@ -22,6 +22,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Persisted-layout joins (LayoutOps): a table bucketed on ONE
+      // key (e.g. band_hash) already co-locates rows for any join
+      // whose keys INCLUDE that column; allowing subset-key
+      // co-partitioning lets those joins reuse the persisted
+      // clustering instead of re-shuffling both sides on the full
+      // key tuple.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // Keep bucketed scans bucketed: the auto-disable rule only
+      // credits joins/aggregations ("interesting partitioning"), not
+      // bucket PRUNING, so it would silently turn a literal-key probe
+      // of a layout table (IVF-PQ probed lists, postings term lookup)
+      // back into a full-file scan.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

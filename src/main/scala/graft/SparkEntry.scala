@@ -128,7 +128,19 @@ object SparkEntry {
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
     "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _),
     "media_image_stats"    -> (multimodal.MultimodalOps.imagePixelStats _),
-    "media_audio_stats"    -> (multimodal.MultimodalOps.audioSampleStats _)
+    "media_audio_stats"    -> (multimodal.MultimodalOps.audioSampleStats _),
+    // D36: persisted-layout serving — each query ensures its family's
+    // bucketed table exists (build+write exactly once per (dir,
+    // geometry)) and then serves FROM THE TABLE through the same
+    // operator code as its session twin; oracles are shared with the
+    // twins, so layout and session paths are pinned to each other.
+    "layout_ann_ivfpq"     -> (LayoutOps.annIvfPqServed _),
+    "layout_text_postings" -> (LayoutOps.postingsServed _),
+    "layout_postings_probe" -> ((s: SparkSession, d: String) =>
+      LayoutOps.postingsProbeServed(s, d)),
+    "layout_dedup_minhash_lsh" -> (LayoutOps.minhashLshServed _),
+    "layout_manifest_probe" -> (LayoutOps.manifestProbeServed _),
+    "layout_cc_labels"     -> (LayoutOps.ccLabelsServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -505,8 +517,80 @@ object SparkEntry {
   private def drev =
     s"CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)) AS DOUBLE)"
 
-  /** DuckDB-equivalent SQL per query (same column names, same order). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-equivalent SQL per query (same column names, same order).
+    * The D36 layout-serving queries are appended after the base map so
+    * they can SHARE their session twins' SQL — one oracle pinning both
+    * the session-built and the persisted-layout path.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ Map(
+      "layout_ann_ivfpq"         -> base("ann_ivfpq"),
+      "layout_text_postings"     -> base("text_inverted_postings"),
+      "layout_dedup_minhash_lsh" -> base("dedup_minhash_lsh"),
+
+      // D36c: term probe against the persisted postings (bucket-pruned
+      // scan on the Spark side; the oracle just filters the postings
+      // definition to the same literal terms)
+      "layout_postings_probe" -> {
+        val terms = operators.TextOps.Bm25Terms
+          .map(t => s"'$t'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |    FROM documents),
+          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM t GROUP BY 1, 2)
+          |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+          |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+          |  array_to_string(list(CAST(doc_id AS VARCHAR) || ':'
+          |    || CAST(tf AS VARCHAR) ORDER BY doc_id), ' ') AS postings
+          |FROM tf WHERE tok IN ($terms) GROUP BY tok ORDER BY tok""".stripMargin
+      },
+
+      // D36e: delta exact-dup resolution against the persisted
+      // checksum keeper map
+      "layout_manifest_probe" ->
+        """WITH m AS (SELECT md5(text) AS ck, MIN(doc_id) AS keeper
+          |    FROM documents WHERE doc_id % 10 <> 7 GROUP BY 1),
+          |i AS (SELECT doc_id, md5(text) AS ck FROM documents
+          |  WHERE doc_id % 10 = 7)
+          |SELECT i.doc_id, (m.keeper IS NOT NULL) AS is_exact_dup, m.keeper
+          |FROM i LEFT JOIN m USING (ck) ORDER BY doc_id""".stripMargin,
+
+      // D36f: the standing-corpus (doc_id % 10 <> 7) CC labels —
+      // dedup_clusters' recursive-CTE oracle restricted to the corpus
+      // split on BOTH the edge ends and the vertex seed
+      "layout_cc_labels" ->
+        """WITH RECURSIVE
+          |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+          |    FROM documents WHERE doc_id % 10 <> 7
+          |      AND len(string_split(text, ' ')) >= 3),
+          |s AS (SELECT doc_id, lang,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM d),
+          |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+          |    unnest(shingles) AS shingle FROM s),
+          |pairs AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+          |    AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id
+          |  HAVING COUNT(*) >= 2),
+          |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION ALL SELECT b_id, a_id FROM pairs),
+          |reach(u, r) AS (
+          |  SELECT doc_id AS u, doc_id AS r FROM documents
+          |    WHERE doc_id % 10 <> 7
+          |  UNION
+          |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
+          |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u)
+          |SELECT comp.doc_id, comp.component, sz.cluster_size
+          |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
+          |  FROM comp GROUP BY component) sz USING (component)
+          |ORDER BY doc_id""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${dsum("l_quantity")} AS sum_qty,

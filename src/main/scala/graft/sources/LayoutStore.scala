@@ -95,6 +95,25 @@ object LayoutStore {
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(table)
 
+  /** Drop ONLY the catalog entry (external table ⇒ files survive) —
+    * exactly what a JVM exit does to the in-memory catalog. Specs use
+    * this to exercise the restart path without forking a JVM.
+    */
+  def dropCatalogEntry(spark: SparkSession, table: String): Unit =
+    synchronized { spark.sql(s"DROP TABLE IF EXISTS $table") }
+
+  /** Remove a layout completely: catalog entry AND files (test
+    * hygiene; production would only ever do this to reclaim a
+    * superseded geometry's tables).
+    */
+  def purge(spark: SparkSession, table: String): Unit = synchronized {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def rec(p: java.io.File): Unit = {
+      val cs = p.listFiles(); if (cs != null) cs.foreach(rec); p.delete(); ()
+    }
+    rec(new java.io.File(location(spark, table)))
+  }
+
   /** Re-attach a catalog entry to surviving layout files: CREATE
     * TABLE over the location with the original bucket spec. The
     * schema is recovered from the parquet footers; bucket ids are

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{AnnOps, DedupOps, LayoutOps, TextOps}
+import graft.sources.LayoutStore
+import org.apache.spark.sql.DataFrame
+
+/** D36 persisted layouts: the write → catalog-death → re-register →
+  * serve lifecycle, with parity against the session-built operators
+  * and the physical-plan properties the bucketing exists for (bucket
+  * pruning on probes, exchange elision on co-keyed joins).
+  */
+class LayoutSpec extends GraftSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  /** Run `body` with every layout family freshly purged, simulating a
+    * first-ever deployment build; purge again after so repeated sbt
+    * test runs never serve a stale layout from spark-warehouse.
+    */
+  private def withCleanLayouts[T](body: => T): T =
+    try { LayoutOps.purgeAll(spark, Sf); body }
+    finally LayoutOps.purgeAll(spark, Sf)
+
+  test("layout lifecycle: written once, catalog-served, re-registered over surviving files after catalog death") {
+    withCleanLayouts {
+      assert(LayoutOps.ensure(spark, Sf, "postings") == "written")
+      assert(LayoutOps.ensure(spark, Sf, "postings") == "catalog")
+
+      val sessionBuilt = rows(TextOps.invertedPostings(spark, Sf))
+
+      // simulate the JVM restart: catalog entries die, files survive,
+      // and the session memo (every derived frame) is gone
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "postings") == "reregistered")
+
+      val served = rows(LayoutOps.postingsServed(spark, Sf))
+      assert(served == sessionBuilt)
+    }
+  }
+
+  test("ivfpq serving from reloaded tables matches session ann_ivfpq bit-for-bit") {
+    withCleanLayouts {
+      val sessionBuilt = rows(AnnOps.annIvfPq(spark, Sf))
+      Seq("ivf_quantizer", "pq_book", "ivfpq_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      // restart: catalog death + memo wipe, then re-register and serve
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("ivf_quantizer", "pq_book", "ivfpq_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      assert(rows(LayoutOps.annIvfPqServed(spark, Sf)) == sessionBuilt)
+    }
+  }
+
+  test("postings probe prunes to the probed terms' buckets") {
+    withCleanLayouts {
+      LayoutOps.ensure(spark, Sf, "postings")
+      // pruning is only visible on a bucketed scan; the auto-disable
+      // rule doesn't credit pruning (GraftSession turns it off for
+      // serving sessions — mirror that here)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probe = LayoutOps.postingsProbeServed(spark, Sf)
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan).getOrElse(
+        fail(s"no bucket pruning in probe plan:\n$plan"))
+      assert(m.group(1).toInt <= TextOps.Bm25Terms.size &&
+        m.group(2).toInt == 16,
+        s"expected ≤${TextOps.Bm25Terms.size} of 16 buckets, got ${m.matched}")
+      // and it still answers correctly
+      assert(probe.count() == TextOps.Bm25Terms.size)
+    }
+  }
+
+  test("lsh self-join over the bucketed signature table elides both exchanges") {
+    withCleanLayouts {
+      LayoutOps.ensure(spark, Sf, "minhash_sigs")
+      val prev = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val served = LayoutOps.minhashLshServed(spark, Sf)
+        val plan = served.queryExecution.executedPlan.toString
+        // the self-join must reuse the persisted clustering: below the
+        // join node (its children are everything printed after it)
+        // there may be Sorts but NO Exchange; the pair-aggregation and
+        // global orderBy above it legitimately shuffle
+        val joinAt = plan.indexOf("SortMergeJoin")
+        assert(joinAt >= 0, s"expected a sort-merge self-join:\n$plan")
+        val subtree = plan.substring(joinAt)
+        assert(!subtree.contains("Exchange"),
+          s"bucketed LSH self-join still shuffles its inputs:\n$plan")
+        // parity with the session-built operator
+        Memo.clear(spark)
+        assert(rows(served) == rows(DedupOps.dedupMinhashLsh(spark, Sf)))
+      } finally {
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+  }
+
+  test("manifest probe resolves delta verdicts from the persisted keeper map alone") {
+    withCleanLayouts {
+      LayoutOps.ensure(spark, Sf, "corpus_ck")
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "reregistered")
+      val probe = LayoutOps.manifestProbeServed(spark, Sf)
+      val got = probe.collect()
+      assert(got.nonEmpty)
+      // every incoming doc gets a verdict; keeper present iff dup
+      assert(got.forall(r => r.getBoolean(1) == !r.isNullAt(2)))
+      // spot-check against first principles: a doc is an exact dup iff
+      // its md5 exists in the corpus split
+      val docs = Tables.documents(spark, Sf)
+      import org.apache.spark.sql.functions._
+      val corpusCks = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), md5(col("text"))).collect()
+        .map(r => r.getLong(0) -> corpusCks(r.getString(1))).toMap
+      assert(got.forall(r => incoming(r.getLong(0)) == r.getBoolean(1)))
+    }
+  }
+
+  test("geometry tag is part of the table name: a changed geometry can never serve a stale layout") {
+    val fam = LayoutOps.families.find(_.name == "ivfpq_lists").get
+    val name = LayoutOps.tableName(fam, Sf)
+    assert(name.contains(s"m${AnnOps.DefaultM}") &&
+      name.contains(s"s${AnnOps.PqS}k${AnnOps.PqK}"))
+  }
+}
