@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-exponent measurement (r9): amplify the test corpus 10×/30×
+  * deterministically and measure how the scale-critical paths grow,
+  * so the 100 TB design claims carry fitted exponents instead of
+  * assertions. Run: sbt "runMain graft.ScaleBench [factors]"
+  * (default 1,10,30; SPARK_GRAFT_SF_DIR picks the base, default
+  * sf0.1; writes SCALE_r9.json).
+  *
+  * Amplifier design:
+  *  - documents: each doc gets F salted copies. New ids keep the last
+  *    decimal digit as the corpus/delta discriminator the D15/D28b
+  *    operators key on (`doc_id % 10`): copy 0 keeps its digit, extra
+  *    copies keep theirs EXCEPT delta docs (digit 7 → 3), so the
+  *    DELTA STAYS FIXED while the standing corpus grows F× — exactly
+  *    the daily-crawl shape whose crossover corpus_build_incremental
+  *    exists for. Copy texts get a per-copy salt token appended:
+  *    exact-distinct (checksum dedup stays non-trivial) but
+  *    near-duplicates of each other (shingle/minhash/winnow verdict
+  *    structure GROWS with F — copy groups become real clusters).
+  *  - events: per-copy user remap (user_id·F+k) — user count scales,
+  *    per-user history stays constant (the production shape for
+  *    sessionization/funnel state).
+  *  - embeddings: per-copy deterministic perturbation (+k·1e-5 per
+  *    component) — corpus F×, copies are near-neighbors, so ANN list
+  *    sizes scale while geometry stays non-degenerate.
+  */
+object ScaleBench {
+
+  private def amplify(spark: SparkSession, base: String, f: Int,
+      out: String): Unit = {
+    val fs = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(fs.resolve("_done"))) return
+    java.nio.file.Files.createDirectories(fs)
+    val copies = explode(sequence(lit(0), lit(f - 1))).as("k")
+
+    val docs = Tables.documents(spark, base)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), copies)
+      .withColumn("digit",
+        when(col("k") === 0, col("doc_id") % 10)
+          .otherwise(when(col("doc_id") % 10 === 7, lit(3))
+            .otherwise(col("doc_id") % 10)))
+      .withColumn("new_id",
+        ((col("doc_id") * f + col("k")) * 10 + col("digit")).cast("long"))
+      .withColumn("new_text",
+        when(col("k") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("k"),
+            lit("q"), col("doc_id") % 97)))
+      .select(col("new_id").as("doc_id"), col("new_text").as("text"),
+        col("lang"), col("source"),
+        length(col("new_text")).cast("long").as("n_chars"))
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val ev = Tables.events(spark, base)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"), copies)
+      .select((col("event_id") * f + col("k")).cast("long").as("event_id"),
+        col("ts"), (col("user_id") * f + col("k")).cast("long").as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val emb = Tables.embeddings(spark, base)
+      .select(col("vec_id"), col("embedding"), col("label"), copies)
+      .select((col("vec_id") * f + col("k")).cast("long").as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("k").cast("float") * lit(1e-5f)).as("embedding"),
+        col("label"))
+    emb.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // small relational tables ride along untouched so any query that
+    // touches them still resolves
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      Tables.t(spark, base, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+    java.nio.file.Files.createFile(fs.resolve("_done"))
+    ()
+  }
+
+  /** The scale-critical paths from the r7 verdict, in an order that
+    * makes each figure mean one thing (shared shingle table warmed
+    * untimed; dedup_clusters carries the CC loop; corpus_build then
+    * measures manifest assembly over the memoized labels — the same
+    * split at every factor, so exponents compare like with like).
+    */
+  private val Paths: Seq[String] = Seq(
+    "dedup_winnow", "dedup_substring", "dedup_clusters", "corpus_build",
+    "corpus_build_incremental", "ann_ivfpq", "evt_funnel")
+
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 30))
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r9.json")
+    val spark = GraftSession.local(cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val sfName = base.replaceAll(".*/", "")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String, dir: String): Double =
+      time(SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+
+    val times = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Int, Double]]()
+    val warms = scala.collection.mutable.Map[Int, Double]()
+    val rowCounts = scala.collection.mutable.Map[Int, Long]()
+
+    factors.sorted.foreach { f =>
+      val dir = s"/tmp/graft_scale/${sfName}_x$f"
+      val ampSec = time(amplify(spark, base, f, dir))
+      rowCounts(f) = Tables.documents(spark, dir).count()
+      // untimed: the session-shared bases every factor warms alike —
+      // shingle table (most dedup paths), embeddings+ANN layouts
+      // (search measures SEARCH), standing manifest artifacts (the
+      // incremental query measures the DELTA fold, its steady state)
+      val warmSec = time {
+        operators.DedupOps.withShingles(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        operators.AnnOps.warmShared(spark, dir)
+        operators.CurationOps.warmStanding(spark, dir)
+      }
+      warms(f) = warmSec
+      println(s"[scale] x$f: amplify ${ampSec}s, warm ${warmSec}s, " +
+        s"docs ${rowCounts(f)}")
+      Paths.foreach { q =>
+        val s = run(q, dir)
+        times.getOrElseUpdate(q, scala.collection.mutable.Map())(f) = s
+        println(s"[scale] x$f $q: ${s}s")
+      }
+    }
+
+    def exp(q: String, f1: Int, f2: Int): Option[Double] =
+      for {
+        t1 <- times(q).get(f1); t2 <- times(q).get(f2)
+        if t1 > 0 && t2 > 0
+      } yield math.log(t2 / t1) / math.log(f2.toDouble / f1)
+
+    val fs = factors.sorted
+    val pairs = fs.zip(fs.tail)
+    val qJson = Paths.map { q =>
+      val ts = fs.map(f => s""""x$f":${times(q)(f)}""").mkString(",")
+      val es = pairs.map { case (a, b) =>
+        exp(q, a, b).map(e => s""""exp_${a}_$b":${math.rint(e * 100) / 100}""")
+          .getOrElse("")
+      }.filter(_.nonEmpty).mkString(",")
+      s""""$q":{$ts${if (es.nonEmpty) "," + es else ""}}"""
+    }.mkString(",")
+    val wJson = fs.map(f => s""""x$f":${warms(f)}""").mkString(",")
+    val rJson = fs.map(f => s""""x$f":${rowCounts(f)}""").mkString(",")
+    val json =
+      s"""{"base":"$base","factors":[${fs.mkString(",")}],
+         |"docs":{$rJson},"warm_sec":{$wJson},
+         |"queries":{$qJson},
+         |"notes":["delta (doc_id%10=7) is FIXED at the base corpus delta while the standing corpus grows Fx - the corpus_build_incremental figure is the marginal daily-delta cost",
+         |"ann_ivfpq scales BOTH queries (vec_id%50=0) and corpus Fx at fixed m=${operators.AnnOps.DefaultM}; production scales m with N to hold probed bytes/query flat",
+         |"copy groups are exact-distinct near-duplicates, so dedup verdict structure grows with F (clusters of size >=F)",
+         |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear"]}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -123,12 +123,14 @@ object SparkEntry {
       TextOps.invertedPostings(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
       TextOps.collocations(s, d)),
-    // F. multimodal plumbing (image decode REAL via JDK ImageIO;
-    // audio/video kernel stubbed — see MultimodalOps)
+    // F. multimodal plumbing — image/audio/video decode all REAL via
+    // the JDK's own codecs (ImageIO PNG + animated GIF, javax.sound
+    // WAV); fakeDecode survives only as the no-codec fallback
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
     "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _),
     "media_image_stats"    -> (multimodal.MultimodalOps.imagePixelStats _),
     "media_audio_stats"    -> (multimodal.MultimodalOps.audioSampleStats _),
+    "media_video_stats"    -> (multimodal.MultimodalOps.videoFrameStats _),
     // D36: persisted-layout serving — each query ensures its family's
     // bucketed table exists (build+write exactly once per (dir,
     // geometry)) and then serves FROM THE TABLE through the same
@@ -2175,6 +2177,31 @@ object SparkEntry {
         |  FROM sm GROUP BY 1, 2)
         |SELECT media_id, n_samples, sum_amp, min_amp, max_amp,
         |  CAST(sum_amp AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean_amp
-        |FROM g ORDER BY media_id""".stripMargin
+        |FROM g ORDER BY media_id""".stripMargin,
+
+    // F8: the video twin — the Spark side REALLY encodes + decodes
+    // multi-frame animated GIFs (JDK ImageIO, indexed palette so the
+    // roundtrip is lossless); the oracle computes frame-count ×
+    // channel sums analytically from the index function + palette
+    "media_video_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        |    CAST(8 + doc_id % 3 AS BIGINT) AS height,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT media_id, n_frames, width, height,
+        |    (media_id*7 + f*37 + x*3 + y*5) % 256 AS v
+        |  FROM ids, range(0, 7) t(f), range(0, 13) r1(x), range(0, 11) r2(y)
+        |  WHERE f < n_frames AND x < width AND y < height),
+        |s AS (SELECT media_id, n_frames, width, height,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM(v) AS BIGINT) AS sum_r,
+        |    CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+        |    CAST(SUM((v*7 + 13) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT media_id, n_frames, width, height, n_pixels,
+        |  sum_r, sum_g, sum_b,
+        |  CAST(sum_r AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_r
+        |FROM s ORDER BY media_id""".stripMargin
   )
 }

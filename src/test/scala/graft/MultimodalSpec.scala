@@ -83,6 +83,52 @@ class MultimodalSpec extends GraftSpec {
     assert(MultimodalOps.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real animated-GIF roundtrip: every frame of every id survives the codec") {
+    for (id <- Seq(2L, 5L, 11L)) {
+      val frames = MultimodalOps.decodeGifFrames(MultimodalOps.synthGif(id))
+        .getOrElse(fail(s"JDK GIF reader did not parse synthGif($id)"))
+      assert(frames.length == MultimodalOps.nFrames(id))
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == MultimodalOps.imgW(id) &&
+          img.getHeight == MultimodalOps.imgH(id))
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val v = MultimodalOps.vidIdx(id, f, x, y)
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xFF) == MultimodalOps.palR(v) &&
+            ((rgb >> 8) & 0xFF) == MultimodalOps.palG(v) &&
+            (rgb & 0xFF) == MultimodalOps.palB(v),
+            s"pixel ($x,$y) frame $f id $id drifted through the codec")
+        }
+      }
+    }
+    // unrecognised and recognised-but-truncated payloads both take the
+    // documented None fallback (no throw)
+    assert(MultimodalOps.decodeGifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(MultimodalOps.decodeGifFrames(
+      MultimodalOps.synthGif(2L).take(20)).forall(_.isEmpty))
+  }
+
+  test("sampleFrames decodes REAL frames from video payloads, strided") {
+    val frames = MultimodalOps
+      .sampleFrames(MultimodalOps.videoTable(spark, Sf), 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fr =>
+      val id = fr.media_id
+      assert(id % 3 == 2 && fr.frame_idx % 2 == 0)
+      val w = MultimodalOps.imgW(id); val h = MultimodalOps.imgH(id)
+      assert(fr.frame_bytes.length == w * h * 3,
+        s"frame_bytes is not a packed RGB raster for id=$id")
+      val v = MultimodalOps.vidIdx(id, fr.frame_idx, 0, 0)
+      assert((fr.frame_bytes(0) & 0xFF) == MultimodalOps.palR(v) &&
+        (fr.frame_bytes(1) & 0xFF) == MultimodalOps.palG(v) &&
+        (fr.frame_bytes(2) & 0xFF) == MultimodalOps.palB(v))
+    }
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      assert(fs.length == (MultimodalOps.nFrames(id) + 1) / 2,
+        s"stride-2 sample count wrong for id=$id")
+    }
+  }
+
   test("media_image_stats: distributed decode matches per-image analytic sums") {
     val rows = MultimodalOps.imagePixelStats(spark, Sf).collect()
     assert(rows.nonEmpty)
