@@ -73,7 +73,8 @@ object ExplainAudit {
       // ...with bucket pruning live on the literal-key probes (the
       // IVF-PQ probed-lists IN filter; the postings term lookup, which
       // must also prune to FEWER buckets than the table has)...
-      if (name == "layout_ann_ivfpq" || name == "layout_postings_probe") {
+      if (name == "layout_ann_ivfpq" || name == "layout_ann_ivfpq_res" ||
+          name == "layout_postings_probe") {
         val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
         sel.findFirstMatchIn(plan) match {
           case None =>

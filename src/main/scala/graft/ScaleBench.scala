@@ -175,6 +175,7 @@ object ScaleBench {
          |"notes":["self-similar amplifier: copy shard k tags every token with ~k, so the corpus is F disjoint isomorphic images of the base - duplicate DENSITY constant while volume grows Fx (the regime a real corpus scales in)",
          |"delta (doc_id%10=7) is LITERALLY the base delta (copies remap 7->3) while the standing corpus grows Fx - corpus_build_incremental measures the marginal fixed-size daily-delta cost",
          |"a density-inflating draft amplifier (each copy a near-dup of its original) measured winnow at exponent 2.1 (2.4s -> 282s at x10): time tracks the TRUE pair count, which that amplifier grows quadratically - evidence the cost is output-bound, not engine overhead",
+         |"winnow's ubiquity cap gained an ABSOLUTE leg (df <= min(nDocs/20, ${operators.DedupOps.WinnowDfCap})) after the x30 run showed the relative leg admitting boilerplate fps a smaller corpus rejected (pair spill filled the disk) - per-fp pair cost is now bounded by C(cap,2) at any corpus size",
          |"ann_ivfpq scales BOTH queries (vec_id%50=0) and corpus Fx at fixed m=${operators.AnnOps.DefaultM}; production scales m with N to hold probed bytes/query flat",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear"]}"""
         .stripMargin.replace("\n", "")

@@ -137,6 +137,7 @@ object SparkEntry {
     // operator code as its session twin; oracles are shared with the
     // twins, so layout and session paths are pinned to each other.
     "layout_ann_ivfpq"     -> (LayoutOps.annIvfPqServed _),
+    "layout_ann_ivfpq_res" -> (LayoutOps.annIvfPqResServed _),
     "layout_text_postings" -> (LayoutOps.postingsServed _),
     "layout_postings_probe" -> ((s: SparkSession, d: String) =>
       LayoutOps.postingsProbeServed(s, d)),
@@ -528,6 +529,7 @@ object SparkEntry {
     val base = oracleSqlBase
     base ++ Map(
       "layout_ann_ivfpq"         -> base("ann_ivfpq"),
+      "layout_ann_ivfpq_res"     -> base("ann_ivfpq_res"),
       "layout_text_postings"     -> base("text_inverted_postings"),
       "layout_dedup_minhash_lsh" -> base("dedup_minhash_lsh"),
 
@@ -1565,7 +1567,8 @@ object SparkEntry {
       (WinnowFpCtes + ", " +
        "e0 AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w), " +
        "rare AS (SELECT fp FROM e0 GROUP BY fp " +
-       "HAVING COUNT(*) <= (SELECT greatest(1, COUNT(*) // 20) FROM documents)), " +
+       "HAVING COUNT(*) <= (SELECT greatest(1, least(COUNT(*) // 20, " +
+       s"${operators.DedupOps.WinnowDfCap})) FROM documents)), " +
        "ef AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare ON e0.fp = rare.fp), " +
        "nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp " +
        "FROM ef GROUP BY doc_id), " +

@@ -913,13 +913,14 @@ object AnnOps {
       val model = ivfModel(spark, dir, DefaultM, rounds)
       val rows = (0 until model.m).map { i =>
         (model.cids(i),
-          model.flat.slice(i * model.dim, (i + 1) * model.dim)
-            .map(x => math.floor(x * CentroidScale + 0.5) / CentroidScale)
-            .toSeq)
+          quantizeCent(model.flat.slice(i * model.dim, (i + 1) * model.dim)))
       }
       import spark.implicits._
       rows.toDF("cid", "cq")
     }
+
+  private def quantizeCent(c: Array[Double]): Seq[Double] =
+    c.map(x => math.floor(x * CentroidScale + 0.5) / CentroidScale).toSeq
 
   /** (vec_id, cid, v) with the residual r = v − cq(cid) appended. */
   private def withResidual(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -986,22 +987,12 @@ object AnnOps {
     val emb = embDouble(spark, dir)
     val subDim = emb.select(size(col("v"))).head.getInt(0) / nSub
     val model = pqModelRes(spark, dir, ivfRounds, pqRounds, nSub)
-    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
-      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
-    }
     val q0 = assignFor(spark, dir, DefaultM,
         emb.filter(col("vec_id") % 50 === 0), nprobe, ivfRounds)
       .select(col("vec_id").as("q_id"), col("cid"), col("v"))
     val qres = withResidual(q0, quantCentroids(spark, dir, ivfRounds))
       .select(col("q_id"), col("cid").as("q_cid"), col("r"))
-    val qd = (0 until nSub).foldLeft(qres) { (df, s) =>
-      val sub = slice(col("r"), lit(s * subDim + 1), lit(subDim))
-      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
-        struct(c.getField("k").as("k"),
-          (VectorFns.dot(sub, sub)
-            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
-            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
-    }.drop("r")
+    val qd = resDistTables(qres, model, subDim, nSub)
     val sims = ivfPqResLists(spark, dir, ivfRounds, pqRounds, nSub)
       .join(broadcast(qd),
         col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
@@ -1010,6 +1001,29 @@ object AnnOps {
         Seq(col("adc").asc, col("c_id").asc), r)
       .select("q_id", "c_id")
     exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
+  }
+
+  /** Per-probe residual ADC distance tables: each (q_id, q_cid, r)
+    * probe row gets its own dt0..dt{nSub−1} maps against the residual
+    * codebooks — the residual varies with the probed list, so tables
+    * are per PROBE ROW, not per query (the structural difference from
+    * [[distTablesFor]]). Shared by the session path and the
+    * persisted-layout serving path so the two cannot drift.
+    */
+  private def resDistTables(qres: DataFrame,
+      model: Seq[(Int, Long, Seq[Double])], subDim: Int,
+      nSub: Int): DataFrame = {
+    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
+      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
+    }
+    (0 until nSub).foldLeft(qres) { (df, s) =>
+      val sub = slice(col("r"), lit(s * subDim + 1), lit(subDim))
+      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
+        struct(c.getField("k").as("k"),
+          (VectorFns.dot(sub, sub)
+            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
+            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+    }.drop("r")
   }
 
   /** Spec hook: the raw ADC shortlist (pre-rerank) of the residual
@@ -1143,6 +1157,21 @@ object AnnOps {
     pqModel(spark, dir).toDF("s", "k", "cv")
   }
 
+  /** The residual-coded lists layout as a frame (write side of the
+    * persisted residual ANN index — the FAISS-layout twin of
+    * [[ivfPqListsFrame]]).
+    */
+  private[graft] def ivfPqResListsFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfPqResLists(spark, dir)
+
+  /** The residual-space PQ codebooks as an (s, k, cv) frame. */
+  private[graft] def pqBookResFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    pqModelRes(spark, dir).toDF("s", "k", "cv")
+  }
+
   /** IVF-PQ search served ENTIRELY from persisted layout tables: the
     * quantizer and codebooks are collected from their (tiny) tables,
     * probe cids are resolved driver-side and pushed as an IN filter —
@@ -1153,27 +1182,72 @@ object AnnOps {
     * nothing session-memoized is touched, so a FRESH session serves at
     * full fidelity with zero rebuild.
     */
-  def ivfPqSearchFromTables(spark: SparkSession, dir: String,
-      cents: DataFrame, book: DataFrame, lists: DataFrame,
-      nprobe: Int = IvfPqNprobe, r: Int = IvfPqR, k: Int = 10,
-      excludeSelf: Boolean = true): DataFrame = {
-    val model = toModel(cents.select("cid", "cv", "cnrm").collect())
-    val bookSeq: Seq[(Int, Long, Seq[Double])] = book
-      .select("s", "k", "cv").collect()
-      .map(row => (row.getInt(0), row.getLong(1), row.getSeq[Double](2)))
-      .toSeq
-    val emb = embDouble(spark, dir)
-    val qVecs = emb.filter(col("vec_id") % 50 === 0)
+  /** Driver-resident serving handle over the PERSISTED index tables:
+    * the two tiny model artifacts collected once (quantizer m rows,
+    * codebooks nSub·PqK rows — the same O(1) objects every node holds
+    * in any production ANN deployment), the coded lists kept as the
+    * bucketed table frame. Collected ONCE so the streaming face pays
+    * the model reads at stream start, not per micro-batch.
+    */
+  final case class IvfPqServing(model: IvfModel,
+      book: Seq[(Int, Long, Seq[Double])], lists: DataFrame,
+      residual: Boolean) {
+    def nSub: Int = book.iterator.map(_._1).max + 1
+    def subDim: Int = model.dim / nSub
+  }
+
+  /** Build a serving handle from the persisted layout tables (plain or
+    * residual encoding — the lists/book must match).
+    */
+  def servingFromTables(cents: DataFrame, book: DataFrame,
+      lists: DataFrame, residual: Boolean = false): IvfPqServing =
+    IvfPqServing(
+      toModel(cents.select("cid", "cv", "cnrm").collect()),
+      book.select("s", "k", "cv").collect()
+        .map(row => (row.getInt(0), row.getLong(1), row.getSeq[Double](2)))
+        .toSeq,
+      lists, residual)
+
+  /** Composed-index search for an ARBITRARY (vec_id, embedding) query
+    * frame against the PERSISTED tables alone — what a restarted
+    * session serves with (batch or per micro-batch via
+    * [[graft.streaming.StreamOps.annSearchStreamFromLayout]]). No
+    * session memo is touched for the index: quantizer/codebooks ride
+    * from the handle, probe cids resolve driver-side into a literal IN
+    * filter so the bucketed lists scan prunes to the probed buckets
+    * (nprobe/m of the index files at any corpus size); the base corpus
+    * parquet supplies only the exact-re-rank floats (source data, not
+    * a derived layout). Residual handles score per-probe-row residual
+    * distance tables ([[resDistTables]]); plain handles per-query
+    * tables ([[distTablesFor]]).
+    */
+  def ivfPqSearchTables(spark: SparkSession, dir: String,
+      sv: IvfPqServing, queries: DataFrame, nprobe: Int = IvfPqNprobe,
+      r: Int = IvfPqR, k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame = {
+    val prepped = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
       .select("vec_id", "v", "nrm")
-    val subDim = model.dim / (bookSeq.iterator.map(_._1).max + 1)
     var bc: Broadcast[IvfModel] = null
-    val assigned = assignWith(qVecs, model, nprobe, {
-      bc = spark.sparkContext.broadcast(model); bc
+    val assigned = assignWith(prepped, sv.model, nprobe, {
+      bc = spark.sparkContext.broadcast(sv.model); bc
     })
-    val probes = assigned
-      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"))
-      .join(distTablesFor(bookSeq, subDim,
-        qVecs.select(col("vec_id"), col("v"))), "q_id")
+    val probes =
+      if (sv.residual) {
+        import spark.implicits._
+        val cq = (0 until sv.model.m).map(i => (sv.model.cids(i),
+            quantizeCent(sv.model.flat.slice(i * sv.model.dim,
+              (i + 1) * sv.model.dim))))
+          .toDF("cid", "cq")
+        val qres = assigned.join(broadcast(cq), "cid")
+          .withColumn("r", zip_with(col("v"), col("cq"), (a, b) => a - b))
+          .select(col("vec_id").as("q_id"), col("cid").as("q_cid"), col("r"))
+        resDistTables(qres, sv.book, sv.subDim, sv.nSub)
+      } else assigned
+        .select(col("cid").as("q_cid"), col("vec_id").as("q_id"))
+        .join(distTablesFor(sv.book, sv.subDim,
+          prepped.select(col("vec_id"), col("v"))), "q_id")
     // driver-side probe resolution (|q|·nprobe rows, bounded): the
     // literal IN list is what lets the bucketed table scan prune to
     // the probed lists' buckets
@@ -1182,12 +1256,41 @@ object AnnOps {
     val joinCond =
       if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
       else col("q_cid") === col("c_cid")
-    val sims = lists.filter(col("c_cid").isin(probedCids: _*))
+    val sims = sv.lists.filter(col("c_cid").isin(probedCids: _*))
       .join(broadcast(probes), joinCond)
-      .withColumn("adc", adcCol())
+      .withColumn("adc", adcCol(sv.nSub))
     val shortlist = TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), r)
       .select("q_id", "c_id")
-    exactRerank(spark, dir, shortlist, k).orderBy("q_id", "rnk")
+    // exact re-rank: shortlist broadcast into one corpus scan for the
+    // candidate floats; query floats come from the batch itself (the
+    // serving queries need not be corpus members)
+    val emb = embDouble(spark, dir)
+    val qv = prepped
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = emb
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(shortlist), "c_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(exact, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
   }
+
+  /** The D36 harness face: table-served search with the CORPUS query
+    * split (vec_id % 50 = 0, self excluded) so the result shares
+    * ann_ivfpq's / ann_ivfpq_res's DuckDB oracle row-for-row.
+    */
+  def ivfPqSearchFromTables(spark: SparkSession, dir: String,
+      cents: DataFrame, book: DataFrame, lists: DataFrame,
+      nprobe: Int = IvfPqNprobe, r: Int = IvfPqR, k: Int = 10,
+      residual: Boolean = false): DataFrame =
+    ivfPqSearchTables(spark, dir,
+      servingFromTables(cents, book, lists, residual),
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding"),
+      nprobe, r, k, excludeSelf = true)
 }

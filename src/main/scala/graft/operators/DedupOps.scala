@@ -575,6 +575,16 @@ object DedupOps {
     * semantics; the oracle applies the same cap.
     * max(1, ...): integer division would make the cap 0 for corpora
     * under 20 docs and silently filter EVERY fingerprint.
+    *
+    * The relative leg alone is NOT a pair-cost bound: it GROWS with
+    * the corpus, so scaling up ADMITS boilerplate fingerprints a
+    * smaller corpus rejected, and Σ C(df,2) pair generation turns
+    * superlinear even at constant duplicate density — measured by the
+    * r9 ScaleBench amplifier (the ×30 corpus lifted the cap 250 →
+    * 7500 and pair spill filled the disk). [[WinnowDfCap]] closes it:
+    * df ≤ min(nDocs/20, cap) bounds per-fingerprint cost at
+    * C(cap, 2) at ANY corpus size, making total pair cost linear in
+    * the number of distinct fingerprints.
     */
   private def winnowInv(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"winnowInv:$dir") {
@@ -585,8 +595,17 @@ object DedupOps {
         .groupBy("fp")
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
           lcount.as("df"))
-        .filter(col("df") <= math.max(1L, nDocs / 20))
+        .filter(col("df") <= math.max(1L, math.min(nDocs / 20, WinnowDfCap)))
     }
+
+  /** Absolute ceiling on a winnow fingerprint's document frequency —
+    * the ABSOLUTE leg of [[winnowInv]]'s ubiquity cap (the relative
+    * leg, nDocs/20, governs below 20·cap docs; this governs above).
+    * A fingerprint shared by >250 documents is boilerplate at any
+    * corpus size; 250 = the relative cap's value at the largest test
+    * SF, so every oracle-checked result is unchanged by the bound.
+    */
+  val WinnowDfCap = 250L
 
   /** Per-doc rare-fingerprint counts (the containment denominators),
     * rolled up from the inverted lists — no second kernel pass.
@@ -609,7 +628,8 @@ object DedupOps {
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .persist()
     val rare = ex.groupBy("fp").agg(lcount.as("df"))
-      .filter(col("df") <= math.max(1L, nDocs / 20)).select("fp")
+      .filter(col("df") <= math.max(1L, math.min(nDocs / 20, WinnowDfCap)))
+      .select("fp")
     val filtered = ex.join(rare, "fp").select("doc_id", "fp")
     val nf = filtered.groupBy("doc_id").agg(lcount.as("n_fp"))
     val fps = filtered.join(nf, "doc_id")

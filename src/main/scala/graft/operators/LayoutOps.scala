@@ -46,6 +46,11 @@ object LayoutOps {
   private def annTag =
     s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}s${AnnOps.PqS}k${AnnOps.PqK}"
 
+  /** Residual families additionally depend on the PQ Lloyd rounds (the
+    * residual codebooks are refined in residual space).
+    */
+  private def annTagRes = s"${annTag}p${AnnOps.PqLloydRounds}"
+
   /** The layout families. Bucket counts are sized for the test SFs;
     * at 100 TB each family would scale its count with data volume
     * (buckets ≈ total-bytes / target-file-size) — the CODE path is
@@ -58,6 +63,10 @@ object LayoutOps {
       (s, d) => AnnOps.quantizerFrame(s, d)),
     Family("pq_book", annTag, "s", 4,
       (s, d) => AnnOps.pqBookFrame(s, d)),
+    Family("ivfpq_res_lists", annTagRes, "c_cid", 16,
+      (s, d) => AnnOps.ivfPqResListsFrame(s, d)),
+    Family("pq_book_res", annTagRes, "s", 4,
+      (s, d) => AnnOps.pqBookResFrame(s, d)),
     Family("postings", "tok1", "tok", 16,
       (s, d) => TextOps.postingsFrame(s, d)),
     Family("minhash_sigs", "k64b8", "band_hash", 16,
@@ -121,6 +130,31 @@ object LayoutOps {
     */
   def annIvfPqServed(spark: SparkSession, dir: String): DataFrame =
     AnnOps.ivfPqSearchFromTables(spark, dir,
+      table(spark, dir, "ivf_quantizer"),
+      table(spark, dir, "pq_book"),
+      table(spark, dir, "ivfpq_lists"))
+
+  /** D36g: the RESIDUAL composed index served from its persisted
+    * layout (quantizer + residual codebooks collected from their tiny
+    * tables, residual-coded lists read bucket-pruned; the per-list
+    * query residual is derived driver-side from the same persisted
+    * centroids). Result ≡ ann_ivfpq_res — serving-path parity for the
+    * FAISS-layout encoding, closing the 8th layout family.
+    */
+  def annIvfPqResServed(spark: SparkSession, dir: String): DataFrame =
+    AnnOps.ivfPqSearchFromTables(spark, dir,
+      table(spark, dir, "ivf_quantizer"),
+      table(spark, dir, "pq_book_res"),
+      table(spark, dir, "ivfpq_res_lists"),
+      residual = true)
+
+  /** The serving handle a restarted session's streaming face builds
+    * ONCE at stream start: model artifacts collected from the
+    * persisted tables, coded lists kept as the bucketed table frame
+    * (each micro-batch probes it bucket-pruned).
+    */
+  def ivfPqServing(spark: SparkSession, dir: String): AnnOps.IvfPqServing =
+    AnnOps.servingFromTables(
       table(spark, dir, "ivf_quantizer"),
       table(spark, dir, "pq_book"),
       table(spark, dir, "ivfpq_lists"))

@@ -409,6 +409,29 @@ object StreamOps {
       }
       .start()
 
+  /** E20b: [[annSearchStream]] served from the PERSISTED layout — the
+    * restart story for online vector search: a fresh session makes the
+    * index tables servable (catalog hit / re-register over surviving
+    * files — [[graft.sources.LayoutStore.ensure]]), collects the two
+    * tiny model artifacts ONCE at stream start, and then every
+    * micro-batch of query vectors probes the bucketed coded-lists
+    * table. No session memo, no rebuild, no corpus work per batch —
+    * exactly what an ANN serving tier does after a deploy or failover.
+    */
+  def annSearchStreamFromLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, sink: (DataFrame, Long) => Unit,
+      nprobe: Int = graft.operators.AnnOps.IvfPqNprobe,
+      r: Int = graft.operators.AnnOps.IvfPqR, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sv = graft.operators.LayoutOps.ivfPqServing(spark, dir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.AnnOps.ivfPqSearchTables(spark, dir, sv,
+          batch, nprobe, r, k), batchId)
+      }
+      .start()
+  }
+
   /** The reference's Kafka record schema (handler/kafka.go:40-105),
     * verbatim field list.
     */

@@ -55,6 +55,60 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("residual ivfpq serving from reloaded tables matches session ann_ivfpq_res bit-for-bit") {
+    withCleanLayouts {
+      val sessionBuilt = rows(AnnOps.annIvfPqRes(spark, Sf))
+      Seq("ivf_quantizer", "pq_book_res", "ivfpq_res_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("ivf_quantizer", "pq_book_res", "ivfpq_res_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      assert(rows(LayoutOps.annIvfPqResServed(spark, Sf)) == sessionBuilt)
+    }
+  }
+
+  test("streaming ANN serving from the persisted layout == session batch search, across a restart") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.col
+      val qIds = Seq(0L, 100L, 250L)
+      val qVecs = Tables.embeddings(spark, Sf)
+        .filter(col("vec_id").isin(qIds: _*))
+        .select("vec_id", "embedding")
+      // the session-memoized batch serving path is the parity target
+      val expected = AnnOps.ivfPqSearch(spark, Sf, qVecs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq.sorted
+
+      Seq("ivf_quantizer", "pq_book", "ivfpq_lists")
+        .foreach(f => LayoutOps.ensure(spark, Sf, f))
+      // the restart: catalog death + memo wipe — the stream must serve
+      // from re-registered tables with no session state at all
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+
+      val d = java.nio.file.Files.createTempDirectory("ann_layout_stream")
+        .toFile.getAbsolutePath
+      qVecs.filter(col("vec_id") < 200).write.mode("overwrite").parquet(d)
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Long)]
+      val q = graft.streaming.StreamOps.annSearchStreamFromLayout(spark, Sf,
+        spark.readStream.schema(qVecs.schema).parquet(d),
+        (res, _) => got.synchronized {
+          got ++= res.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        })
+      try {
+        q.processAllAvailable()
+        qVecs.filter(col("vec_id") >= 200).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(got.toSeq.sorted == expected,
+          s"layout-served stream ${got.length} rows vs batch ${expected.length}")
+      } finally q.stop()
+    }
+  }
+
   test("postings probe prunes to the probed terms' buckets") {
     withCleanLayouts {
       LayoutOps.ensure(spark, Sf, "postings")

@@ -21,8 +21,9 @@ class ScaleSpec extends GraftSpec {
     // token-level, cap-free operator: the ~k tag renames every token,
     // so shard k's shingle relations are EXACTLY the base corpus's.
     // (Winnow is deliberately not the subject here: its 8-CHAR windows
-    // see the tag bytes, and its ubiquity cap is corpus-size-RELATIVE
-    // (df ≤ nDocs/20), so a sharded corpus legitimately keeps more
+    // see the tag bytes, and its ubiquity cap's RELATIVE leg
+    // (df ≤ min(nDocs/20, WinnowDfCap)) grows with the corpus below
+    // 20·cap docs, so a sharded corpus legitimately keeps more
     // fingerprints than its shards would alone — an operator-semantics
     // effect the SCALE_r9 notes call out, not an amplifier defect.)
     val base = DedupOps.dedupNgramJaccard(spark, Sf).collect()
