@@ -138,6 +138,7 @@ object SparkEntry {
     // twins, so layout and session paths are pinned to each other.
     "layout_ann_ivfpq"     -> (LayoutOps.annIvfPqServed _),
     "layout_ann_ivfpq_res" -> (LayoutOps.annIvfPqResServed _),
+    "layout_ann_ivfpq_appended" -> (LayoutOps.annIvfPqAppendedServed _),
     "layout_text_postings" -> (LayoutOps.postingsServed _),
     "layout_postings_probe" -> ((s: SparkSession, d: String) =>
       LayoutOps.postingsProbeServed(s, d)),
@@ -530,6 +531,10 @@ object SparkEntry {
     base ++ Map(
       "layout_ann_ivfpq"         -> base("ann_ivfpq"),
       "layout_ann_ivfpq_res"     -> base("ann_ivfpq_res"),
+      // D36h: the delta is encoded with the same frozen models, so the
+      // grown table equals the full-corpus index — same oracle; hash
+      // parity proves the append path loses nothing
+      "layout_ann_ivfpq_appended" -> base("ann_ivfpq"),
       "layout_text_postings"     -> base("text_inverted_postings"),
       "layout_dedup_minhash_lsh" -> base("dedup_minhash_lsh"),
 

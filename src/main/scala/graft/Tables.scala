@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables under an sf dir.
   * Reads are plain parquet scans so Catalyst pushes filters/pruning
@@ -19,16 +19,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    * default; read nanos as long and floor-divide to micros — the same
-    * truncation DuckDB applies when narrowing ns → its µs timestamps.
+  /** events.parquet's ts physical type varies by generator version:
+    * TIMESTAMP(NANOS) (Spark rejects by default; read nanos as long
+    * and floor-divide to micros — the same truncation DuckDB applies
+    * when narrowing ns → its µs timestamps) or TIMESTAMP_NTZ (cast to
+    * TIMESTAMP; the session time zone is pinned UTC, so the instant —
+    * and every unix_micros/window computation on it — is unchanged,
+    * matching DuckDB's naive reading of the same values).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** documents/embeddings arrive as a single small parquet file
     * locally (1 scan partition), but feed per-row-heavy operators

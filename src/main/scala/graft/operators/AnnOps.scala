@@ -1139,6 +1139,26 @@ object AnnOps {
   private[graft] def ivfPqListsFrame(spark: SparkSession, dir: String): DataFrame =
     ivfPqLists(spark, dir)
 
+  /** The coded-lists layout at an EXPLICIT quantizer size — the
+    * ScaleBench production-regime build (m scales with the corpus so
+    * per-list bytes, and hence probed bytes per query, stay constant).
+    * PQ codes are m-independent; only the list assignment re-derives.
+    */
+  private[graft] def ivfPqListsFrameM(spark: SparkSession, dir: String,
+      m: Int): DataFrame =
+    ivfLists(spark, dir, m).select("c_cid", "c_id")
+      .join(pqCodesCore(spark, dir)
+        .select(col("vec_id").as("c_id") +:
+          (0 until PqS).map(s => col(s"c$s")): _*), "c_id")
+
+  /** Serving handle at an explicit quantizer size over an explicit
+    * lists frame (ScaleBench production regime).
+    */
+  private[graft] def servingForScale(spark: SparkSession, dir: String,
+      m: Int, lists: DataFrame): IvfPqServing =
+    IvfPqServing(ivfModel(spark, dir, m), pqModel(spark, dir), lists,
+      residual = false)
+
   /** The coarse quantizer as a (cid, cv, cnrm) frame — tiny (m rows),
     * the model artifact a restart reloads instead of re-running Lloyd.
     */
@@ -1278,6 +1298,39 @@ object AnnOps {
         Seq(col("sim").desc, col("c_id").asc), k)
       .select("q_id", "c_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
+  }
+
+  /** Delta rows for the PERSISTED coded-lists layout (D36h): a batch
+    * of new (vec_id, embedding) vectors assigned to the handle's
+    * quantizer (in-row, nprobe = 1) and PQ-encoded against the
+    * handle's codebooks (in-row argmin) — no session memo, no corpus
+    * read, O(|batch|) work at any index size. Output schema matches
+    * the coded-lists table (c_id, c_cid, c0..c{nSub−1}), so the rows
+    * append as new bucketed files: [[ivfPqAppend]] carried to the
+    * persisted layout — what a restarted session's daily index
+    * maintenance runs.
+    */
+  def codedRowsFor(spark: SparkSession, sv: IvfPqServing,
+      newVecs: DataFrame): DataFrame = {
+    val prepped = newVecs
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select("vec_id", "v", "nrm")
+    var bc: Broadcast[IvfModel] = null
+    val assigned = assignWith(prepped, sv.model, 1, {
+        bc = spark.sparkContext.broadcast(sv.model); bc
+      })
+      .select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
+    val sub = prepped.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(sv.nSub - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("v"), col("s") * sv.subDim + 1, lit(sv.subDim)).as("x"))
+    val aggs = (0 until sv.nSub).map(s =>
+      max(when(col("s") === s, col("k"))).as(s"c$s"))
+    val codes = pqAssign(sub, sv.book).groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("vec_id", "c_id")
+    codes.join(assigned, "c_id")
   }
 
   /** The D36 harness face: table-served search with the CORPUS query

@@ -43,6 +43,8 @@ object LayoutOps {
   final case class Family(name: String, tag: String, bucketKey: String,
       buckets: Int, build: (SparkSession, String) => DataFrame)
 
+  val GrowFamily = "ivfpq_lists_grow"
+
   private def annTag =
     s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}s${AnnOps.PqS}k${AnnOps.PqK}"
 
@@ -74,7 +76,14 @@ object LayoutOps {
     Family("corpus_ck", "md5", "ck", 16,
       (s, d) => CurationOps.standingCkMin(s, d)),
     Family("cc_labels", "sh3", "doc_id", 16,
-      (s, d) => CurationOps.standingLabels(s, d)))
+      (s, d) => CurationOps.standingLabels(s, d)),
+    // D36h: the GROWING coded-lists table — the persisted ANN index as
+    // a MAINTAINED artifact. Built from the standing-corpus split
+    // (vec_id % 10 != 7, the crawl convention shared with D15/D28b);
+    // appendDelta folds the delta split in by encoding it in-row
+    // against the persisted models and appending new bucketed files.
+    Family(GrowFamily, annTag, "c_cid", 16,
+      (s, d) => AnnOps.ivfPqListsFrame(s, d).filter(col("c_id") % 10 =!= 7)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -207,4 +216,64 @@ object LayoutOps {
     */
   def ccLabelsServed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "cc_labels").orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // D36h/D36i: the persisted index as a MAINTAINED artifact — delta
+  // append and compaction, the two jobs a standing 100 TB index runs
+  // between full rebuilds.
+
+  private val DeltaMarker = "delta_vec7"
+
+  /** Fold the delta split (vec_id % 10 = 7, the crawl convention) into
+    * the persisted coded-lists table: encode the delta IN-ROW against
+    * the persisted quantizer + codebooks ([[AnnOps.codedRowsFor]] — no
+    * session memo, no corpus read, O(|delta|)) and append it as new
+    * bucketed files. Exactly-once per table generation: the append is
+    * marker-gated under the store lock, so re-invocation (bench
+    * streams, Verify re-runs) serves the already-grown table instead
+    * of double-appending. Returns true iff this call performed the
+    * append.
+    */
+  def appendDelta(spark: SparkSession, dir: String): Boolean = {
+    val fam = familyOf(GrowFamily)
+    val t = tableName(fam, dir)
+    ensure(spark, dir, GrowFamily)
+    LayoutStore.appendOnce(spark, t, DeltaMarker, Seq(fam.bucketKey),
+      fam.buckets) {
+      val sv = AnnOps.servingFromTables(
+        table(spark, dir, "ivf_quantizer"),
+        table(spark, dir, "pq_book"),
+        LayoutStore.read(spark, t))
+      AnnOps.codedRowsFor(spark, sv,
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 7)
+          .select("vec_id", "embedding"))
+    }
+  }
+
+  /** D36h query: IVF-PQ search over the GROWN table — base split built
+    * once, delta folded in by [[appendDelta]]. The delta is encoded
+    * with the same frozen models the session index used, so the grown
+    * table's content equals the full-corpus coded lists and the search
+    * shares ann_ivfpq's DuckDB oracle row-for-row — hash parity proves
+    * the append path loses nothing.
+    */
+  def annIvfPqAppendedServed(spark: SparkSession, dir: String): DataFrame = {
+    appendDelta(spark, dir)
+    AnnOps.ivfPqSearchFromTables(spark, dir,
+      table(spark, dir, "ivf_quantizer"),
+      table(spark, dir, "pq_book"),
+      LayoutStore.read(spark, tableName(familyOf(GrowFamily), dir)))
+  }
+
+  /** D36i: compact a family's table back to one file per non-empty
+    * bucket (appends accumulate a file per batch; probes pay per-file
+    * open costs). Rows, search results and bucket pruning are
+    * unchanged — spec-pinned.
+    */
+  def compactFamily(spark: SparkSession, dir: String,
+      familyName: String): Unit = {
+    val fam = familyOf(familyName)
+    LayoutStore.compact(spark, tableName(fam, dir), Seq(fam.bucketKey),
+      fam.buckets)
+  }
 }

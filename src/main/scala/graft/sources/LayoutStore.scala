@@ -95,6 +95,100 @@ object LayoutStore {
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(table)
 
+  /** Append rows to an EXISTING layout table as additional bucketed
+    * files — the maintenance write a daily delta runs. Bucket ids
+    * ride in the bucketed file names, so reads, co-keyed joins and
+    * bucket pruning treat appended files exactly like the originals;
+    * the write validates the bucket spec against the catalog entry,
+    * so mismatched geometry fails loudly instead of corrupting the
+    * layout. Columns are matched by NAME (saveAsTable append
+    * semantics), so callers need not replicate the table's column
+    * order. Appended files accumulate per batch — [[compact]] folds
+    * them back to one file per bucket.
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      bucketKeys: Seq[String], buckets: Int): Unit = synchronized {
+    df.write.mode("append")
+      .format("parquet")
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Append exactly once per (table, marker): if the marker file is
+    * already present in the table location the append is skipped
+    * (returns false). The check-append-mark sequence holds the store
+    * lock, so concurrent callers (e.g. bench streams running the same
+    * query) cannot double-append. The marker is an underscore file, so
+    * parquet readers and schema inference ignore it, and it survives
+    * catalog death alongside the data files.
+    */
+  def appendOnce(spark: SparkSession, table: String, marker: String,
+      bucketKeys: Seq[String], buckets: Int)(df: => DataFrame): Boolean =
+    synchronized {
+      val m = Paths.get(location(spark, table), s"_marker_$marker")
+      if (Files.exists(m)) false
+      else {
+        append(spark, table, df, bucketKeys, buckets)
+        Files.createFile(m)
+        true
+      }
+    }
+
+  def markerExists(spark: SparkSession, table: String,
+      marker: String): Boolean =
+    Files.exists(Paths.get(location(spark, table), s"_marker_$marker"))
+
+  /** Compact an appended layout table back to ONE file per non-empty
+    * bucket: pre-partition by the bucketing hash into exactly
+    * `buckets` partitions (repartition(n, key) and bucketBy(n, key)
+    * share Spark's Murmur3-pmod hash, so each write task holds exactly
+    * one bucket's rows), rewrite bucketed+sorted to a fresh location,
+    * then swap directories and re-register the catalog entry. Marker
+    * files carry over, so append-once history survives compaction.
+    * This is the maintenance job that keeps per-probe file counts
+    * bounded no matter how many deltas have been appended.
+    */
+  def compact(spark: SparkSession, table: String, bucketKeys: Seq[String],
+      buckets: Int): Unit = synchronized {
+    val loc = location(spark, table)
+    val tmpTable = table + "_compact"
+    val tmpLoc = loc + "_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    deleteRec(new java.io.File(tmpLoc))
+    // read the FILES, not the catalog table: the table's bucket
+    // metadata makes the planner treat the repartition as redundant
+    // (HashPartitioning(key, n) already "provided") and elide it —
+    // then decline the bucketed scan anyway, leaving arbitrary
+    // file-coalesced partitions and a file per (task, bucket). The
+    // plain-parquet read carries no partitioning claim, so the
+    // repartition survives and each write task holds exactly one
+    // bucket.
+    spark.read.parquet(loc)
+      .repartition(buckets, bucketKeys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").format("parquet")
+      .option("path", tmpLoc)
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // swap: markers ride over from the old directory, then the old
+    // files are gone and the compacted directory serves under the
+    // original location + a fresh catalog entry
+    val oldDir = new java.io.File(loc)
+    oldDir.listFiles().filter(_.getName.startsWith("_marker_")).foreach { f =>
+      Files.copy(f.toPath, Paths.get(tmpLoc, f.getName))
+    }
+    deleteRec(oldDir)
+    Files.move(Paths.get(tmpLoc), Paths.get(loc))
+    register(spark, table, loc, bucketKeys, buckets)
+  }
+
+  private def deleteRec(p: java.io.File): Unit = {
+    val cs = p.listFiles(); if (cs != null) cs.foreach(deleteRec); p.delete(); ()
+  }
+
   /** Drop ONLY the catalog entry (external table ⇒ files survive) —
     * exactly what a JVM exit does to the in-memory catalog. Specs use
     * this to exercise the restart path without forking a JVM.

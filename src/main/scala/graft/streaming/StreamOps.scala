@@ -432,6 +432,47 @@ object StreamOps {
       .start()
   }
 
+  /** E21: streaming maintenance of the PERSISTED manifest — each
+    * micro-batch of crawled documents folds its NEW checksums into the
+    * persisted keeper map (the corpus_ck layout table D36e probes):
+    * batch → (ck, min doc_id), anti-join against the standing table,
+    * bucketed append of only the genuinely-new rows. Replayed batches
+    * (at-least-once re-delivery after a restart) re-resolve to zero
+    * new rows, so the table converges exactly-once per checksum; and
+    * because the table is an external layout, catalog death loses
+    * nothing — a restarted stream re-registers over the surviving
+    * files and keeps appending. At 100 TB this is the manifest's
+    * steady state: the daily crawl shuffles only ITSELF (batch-sized
+    * groupBy + anti-join against a bucketed table), the corpus is
+    * never read.
+    */
+  def manifestUpkeepStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.LayoutOps
+    import graft.sources.LayoutStore
+    val fam = LayoutOps.families.find(_.name == "corpus_ck").get
+    val t = LayoutOps.tableName(fam, dir)
+    LayoutOps.ensure(spark, dir, "corpus_ck")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = batch
+          .groupBy(md5(col("text")).as("ck"))
+          .agg(min(col("doc_id")).as("m_std"))
+        // materialize the fresh rows BEFORE the append starts so the
+        // anti-join's table scan cannot race the table write
+        val fresh = incoming
+          .join(LayoutStore.read(spark, t), Seq("ck"), "left_anti")
+          .persist()
+        try {
+          if (fresh.count() > 0)
+            LayoutStore.append(spark, t, fresh, Seq(fam.bucketKey),
+              fam.buckets)
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+  }
+
   /** The reference's Kafka record schema (handler/kafka.go:40-105),
     * verbatim field list.
     */

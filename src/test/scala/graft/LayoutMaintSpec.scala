@@ -1,0 +1,178 @@
+package graft
+
+import graft.operators.{AnnOps, LayoutOps}
+import graft.sources.LayoutStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** D36h/D36i: the persisted index as a MAINTAINED artifact — delta
+  * append into the bucketed coded-lists table (encoded in-row against
+  * the persisted models, exactly-once, restart-safe) and compaction
+  * (appended files folded back to one per bucket with nothing else
+  * changing).
+  */
+class LayoutMaintSpec extends GraftSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  private def withCleanLayouts[T](body: => T): T =
+    try { LayoutOps.purgeAll(spark, Sf); body }
+    finally LayoutOps.purgeAll(spark, Sf)
+
+  private def growTable: String =
+    LayoutOps.tableName(
+      LayoutOps.families.find(_.name == LayoutOps.GrowFamily).get, Sf)
+
+  private def dataFiles: Seq[java.io.File] = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .replaceFirst("^file:", "")
+    new java.io.File(s"$warehouse/graft_layouts/$growTable")
+      .listFiles().toSeq
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  test("delta append: base table misses the delta, the grown table serves the full index bit-for-bit, append is exactly-once") {
+    withCleanLayouts {
+      // the parity target BEFORE any layout exists: the session index
+      val expected = rows(AnnOps.annIvfPq(spark, Sf))
+
+      assert(LayoutOps.ensure(spark, Sf, LayoutOps.GrowFamily) == "written")
+      val base = LayoutStore.read(spark, growTable)
+      assert(base.filter(col("c_id") % 10 === 7).count() == 0,
+        "base table must hold only the standing-corpus split")
+      val baseCount = base.count()
+
+      assert(LayoutOps.appendDelta(spark, Sf), "first append must run")
+      val grown = LayoutStore.read(spark, growTable)
+      val deltaCount = grown.filter(col("c_id") % 10 === 7).count()
+      assert(deltaCount > 0, "delta rows must be present after append")
+
+      // the appended rows carry the SAME codes the session index built
+      // for those ids (frozen models ⇒ identical encoding), so search
+      // over the grown table equals the session search bit-for-bit
+      assert(rows(LayoutOps.annIvfPqAppendedServed(spark, Sf)) == expected)
+
+      // exactly-once: a second call must not double-append
+      assert(!LayoutOps.appendDelta(spark, Sf), "second append must skip")
+      assert(LayoutStore.read(spark, growTable).count() ==
+        baseCount + deltaCount)
+    }
+  }
+
+  test("restart after append: catalog death + memo wipe, the re-registered grown table still serves the full index") {
+    withCleanLayouts {
+      val expected = rows(AnnOps.annIvfPq(spark, Sf))
+      LayoutOps.annIvfPqAppendedServed(spark, Sf).collect()
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, LayoutOps.GrowFamily)
+        == "reregistered")
+      // the marker survives with the files: no re-append happens, and
+      // serving reads the grown table as-is
+      assert(!LayoutOps.appendDelta(spark, Sf))
+      assert(rows(LayoutOps.annIvfPqAppendedServed(spark, Sf)) == expected)
+    }
+  }
+
+  test("compaction: appended files fold to one per non-empty bucket; rows, search results and bucket pruning unchanged") {
+    withCleanLayouts {
+      LayoutOps.annIvfPqAppendedServed(spark, Sf).collect()
+      val before = rows(LayoutStore.read(spark, growTable).orderBy("c_id"))
+      val searchBefore = rows(LayoutOps.annIvfPqAppendedServed(spark, Sf))
+      val filesBefore = dataFiles.size
+      val buckets =
+        LayoutOps.families.find(_.name == LayoutOps.GrowFamily).get.buckets
+      // base write (one file per task per bucket) + append batch:
+      // strictly more files than buckets proves compaction has work
+      assert(filesBefore > buckets,
+        s"expected > $buckets files before compaction, got $filesBefore")
+
+      LayoutOps.compactFamily(spark, Sf, LayoutOps.GrowFamily)
+
+      val filesAfter = dataFiles.size
+      assert(filesAfter <= buckets,
+        s"expected ≤ $buckets files after compaction, got $filesAfter")
+      assert(rows(LayoutStore.read(spark, growTable).orderBy("c_id"))
+        == before, "compaction must not change table content")
+      assert(rows(LayoutOps.annIvfPqAppendedServed(spark, Sf))
+        == searchBefore, "compaction must not change search results")
+      // the marker carried over: append stays exactly-once
+      assert(!LayoutOps.appendDelta(spark, Sf))
+
+      // bucket pruning still fires on the compacted table (the probe
+      // path filters on literal c_cid values)
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val probe = LayoutStore.read(spark, growTable)
+          .filter(col("c_cid").isin(0L, 1L))
+        val plan = probe.queryExecution.executedPlan.toString
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        val m = sel.findFirstMatchIn(plan).getOrElse(
+          fail(s"no bucket pruning on compacted table:\n$plan"))
+        assert(m.group(1).toInt <= 2 && m.group(2).toInt == buckets,
+          s"expected ≤2 of $buckets buckets, got ${m.matched}")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+  }
+
+  test("E21 streaming manifest upkeep: new checksums append exactly-once, replay adds nothing, restart serves from files") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.{col, count, md5}
+      val fam = LayoutOps.families.find(_.name == "corpus_ck").get
+      val ckTable = LayoutOps.tableName(fam, Sf)
+      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "written")
+      val baseCount = LayoutStore.read(spark, ckTable).count()
+
+      val delta = Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 10 === 7)
+        .select("doc_id", "text")
+      val chunk1 = delta.filter(col("doc_id") % 20 === 7)
+      val chunk2 = delta.filter(col("doc_id") % 20 =!= 7)
+
+      val d = java.nio.file.Files.createTempDirectory("manifest_upkeep")
+        .toFile.getAbsolutePath
+      chunk1.write.mode("overwrite").parquet(d)
+      val q = graft.streaming.StreamOps.manifestUpkeepStream(spark, Sf,
+        spark.readStream.schema(delta.schema).parquet(d))
+      try {
+        q.processAllAvailable()
+        val afterC1 = LayoutStore.read(spark, ckTable).count()
+        assert(afterC1 >= baseCount)
+
+        // re-delivery of chunk1 (same rows as fresh files) must
+        // resolve to zero new checksums
+        chunk1.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(LayoutStore.read(spark, ckTable).count() == afterC1,
+          "replayed batch must append nothing")
+
+        chunk2.write.mode("append").parquet(d)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // every delta checksum now resolves against the maintained map
+      val unresolved = delta.select(md5(col("text")).as("ck"))
+        .join(LayoutStore.read(spark, ckTable), Seq("ck"), "left_anti")
+        .count()
+      assert(unresolved == 0, s"$unresolved delta cks missing after upkeep")
+      // and the map holds no duplicate checksums
+      val dups = LayoutStore.read(spark, ckTable)
+        .groupBy("ck").agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      assert(dups == 0, s"$dups duplicate checksums in the keeper map")
+
+      // restart: catalog death + memo wipe — the maintained table
+      // re-registers over its files and still resolves everything
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "reregistered")
+      assert(delta.select(md5(col("text")).as("ck"))
+        .join(LayoutStore.read(spark, ckTable), Seq("ck"), "left_anti")
+        .count() == 0)
+    }
+  }
+}
