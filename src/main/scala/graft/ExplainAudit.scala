@@ -75,6 +75,7 @@ object ExplainAudit {
       // must also prune to FEWER buckets than the table has)...
       if (name == "layout_ann_ivfpq" || name == "layout_ann_ivfpq_res" ||
           name == "layout_ann_ivfpq_appended" ||
+          name == "layout_ann_ivfpq_res_appended" ||
           name == "layout_postings_probe") {
         val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
         sel.findFirstMatchIn(plan) match {

@@ -117,6 +117,11 @@ object ScaleBench {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    // ONE timed run per query (the r9 methodology, so artifacts
+    // compare): almost every scale path memoizes its own intermediate
+    // layouts (winnow inverted lists, substring whashes, CC labels,
+    // manifest pins), so a second run would measure cache reads, not
+    // the engine
     def run(name: String, dir: String): Double =
       time(SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save())
@@ -129,6 +134,11 @@ object ScaleBench {
     factors.sorted.foreach { f =>
       val dir = s"/tmp/graft_scale/${sfName}_x$f"
       val ampSec = time(amplify(spark, base, f, dir))
+      // each factor measures from ITS OWN warmed artifacts: releasing
+      // the previous factor's memoized frames keeps the executor cache
+      // from thrashing (x1+x10+x30 shingle/list/label caches all live
+      // at once made mid-run numbers eviction-bound, not engine-bound)
+      Memo.clear(spark)
       rowCounts(f) = Tables.documents(spark, dir).count()
       // untimed: the session-shared bases every factor warms alike —
       // shingle table (most dedup paths), embeddings+ANN layouts
@@ -163,6 +173,9 @@ object ScaleBench {
       {
         val m = operators.AnnOps.DefaultM * f
         val table = graft.sources.LayoutStore.tableName(s"scale_ivfpq_m$m", dir)
+        // purge first: a surviving table from a prior run would turn
+        // the timed "build" into a catalog hit
+        graft.sources.LayoutStore.purge(spark, table)
         val buildSec = time {
           graft.sources.LayoutStore.ensure(spark, table, Seq("c_cid"), m)(
             operators.AnnOps.ivfPqListsFrameM(spark, dir, m))
@@ -172,11 +185,14 @@ object ScaleBench {
         val queries = Tables.embeddings(spark, dir)
           .filter(col("vec_id") % f === 0 && (col("vec_id") / f) % 50 === 0)
           .select("vec_id", "embedding")
-        val searchSec = time {
+        // the prod search memoizes nothing (handle + table probe), so
+        // min-of-2 here removes only box noise, not work
+        def searchOnce = time {
           operators.AnnOps.ivfPqSearchTables(spark, dir, sv, queries,
             excludeSelf = true)
             .write.format("noop").mode("overwrite").save()
         }
+        val searchSec = math.min(searchOnce, searchOnce)
         times.getOrElseUpdate("ann_ivfpq_prod",
           scala.collection.mutable.Map())(f) = searchSec
         times.getOrElseUpdate("ann_ivfpq_prod_build",
@@ -214,6 +230,7 @@ object ScaleBench {
          |"a density-inflating draft amplifier (each copy a near-dup of its original) measured winnow at exponent 2.1 (2.4s -> 282s at x10): time tracks the TRUE pair count, which that amplifier grows quadratically - evidence the cost is output-bound, not engine overhead",
          |"winnow's ubiquity cap gained an ABSOLUTE leg (df <= min(nDocs/20, ${operators.DedupOps.WinnowDfCap})) after the x30 run showed the relative leg admitting boilerplate fps a smaller corpus rejected (pair spill filled the disk) - per-fp pair cost is now bounded by C(cap,2) at any corpus size",
          |"ann_ivfpq scales BOTH queries (vec_id%50=0) and corpus Fx at fixed m=${operators.AnnOps.DefaultM} - per-list bytes grow Fx, so search grows superlinearly by design; ann_ivfpq_prod is the production regime: m=16F (per-list bytes constant), buckets=m, lists served bucket-pruned from a persisted table, query set FIXED at the base 100 - search should stay ~flat while ann_ivfpq_prod_build (Lloyd + encode + bucketed write, the once-per-deploy cost) grows ~linearly",
+         |"methodology: per-factor memo isolation (caches cleared between factors), standing layouts warmed untimed, ONE timed run per query (their internal memoized layouts make re-runs cache reads); this box's throughput varies ~2x run-to-run, so exponent signs and magnitudes are the signal, not small deltas; ann_ivfpq_prod search is min-of-2 (it memoizes nothing)",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear"]}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

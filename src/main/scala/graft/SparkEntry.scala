@@ -139,6 +139,7 @@ object SparkEntry {
     "layout_ann_ivfpq"     -> (LayoutOps.annIvfPqServed _),
     "layout_ann_ivfpq_res" -> (LayoutOps.annIvfPqResServed _),
     "layout_ann_ivfpq_appended" -> (LayoutOps.annIvfPqAppendedServed _),
+    "layout_ann_ivfpq_res_appended" -> (LayoutOps.annIvfPqResAppendedServed _),
     "layout_text_postings" -> (LayoutOps.postingsServed _),
     "layout_postings_probe" -> ((s: SparkSession, d: String) =>
       LayoutOps.postingsProbeServed(s, d)),
@@ -535,6 +536,7 @@ object SparkEntry {
       // grown table equals the full-corpus index — same oracle; hash
       // parity proves the append path loses nothing
       "layout_ann_ivfpq_appended" -> base("ann_ivfpq"),
+      "layout_ann_ivfpq_res_appended" -> base("ann_ivfpq_res"),
       "layout_text_postings"     -> base("text_inverted_postings"),
       "layout_dedup_minhash_lsh" -> base("dedup_minhash_lsh"),
 

@@ -1317,11 +1317,25 @@ object AnnOps {
       .withColumn("nrm", VectorFns.norm(col("v")))
       .select("vec_id", "v", "nrm")
     var bc: Broadcast[IvfModel] = null
-    val assigned = assignWith(prepped, sv.model, 1, {
+    val a = assignWith(prepped, sv.model, 1, {
         bc = spark.sparkContext.broadcast(sv.model); bc
       })
-      .select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
-    val sub = prepped.select(col("vec_id"), col("v"),
+    val assigned = a.select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
+    // residual handles code v − cq(centroid) — the same float-quantized
+    // centroid arithmetic the session build uses ([[quantCentroids]]),
+    // derived here from the handle's model so no session memo is read
+    val coding =
+      if (sv.residual) {
+        import spark.implicits._
+        val cq = (0 until sv.model.m).map(i => (sv.model.cids(i),
+            quantizeCent(sv.model.flat.slice(i * sv.model.dim,
+              (i + 1) * sv.model.dim))))
+          .toDF("cid", "cq")
+        a.join(broadcast(cq), "cid")
+          .withColumn("v", zip_with(col("v"), col("cq"), (x, c) => x - c))
+          .select("vec_id", "v")
+      } else a.select("vec_id", "v")
+    val sub = coding.select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(sv.nSub - 1))).as("s"))
       .select(col("vec_id"), col("s"),
         slice(col("v"), col("s") * sv.subDim + 1, lit(sv.subDim)).as("x"))

@@ -44,6 +44,7 @@ object LayoutOps {
       buckets: Int, build: (SparkSession, String) => DataFrame)
 
   val GrowFamily = "ivfpq_lists_grow"
+  val GrowResFamily = "ivfpq_res_lists_grow"
 
   private def annTag =
     s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}s${AnnOps.PqS}k${AnnOps.PqK}"
@@ -77,13 +78,16 @@ object LayoutOps {
       (s, d) => CurationOps.standingCkMin(s, d)),
     Family("cc_labels", "sh3", "doc_id", 16,
       (s, d) => CurationOps.standingLabels(s, d)),
-    // D36h: the GROWING coded-lists table — the persisted ANN index as
-    // a MAINTAINED artifact. Built from the standing-corpus split
-    // (vec_id % 10 != 7, the crawl convention shared with D15/D28b);
-    // appendDelta folds the delta split in by encoding it in-row
-    // against the persisted models and appending new bucketed files.
+    // D36h: the GROWING coded-lists tables — the persisted ANN index
+    // (both encodings) as MAINTAINED artifacts. Built from the
+    // standing-corpus split (vec_id % 10 != 7, the crawl convention
+    // shared with D15/D28b); appendDelta/appendDeltaRes fold the delta
+    // split in by encoding it in-row against the persisted models and
+    // appending new bucketed files.
     Family(GrowFamily, annTag, "c_cid", 16,
-      (s, d) => AnnOps.ivfPqListsFrame(s, d).filter(col("c_id") % 10 =!= 7)))
+      (s, d) => AnnOps.ivfPqListsFrame(s, d).filter(col("c_id") % 10 =!= 7)),
+    Family(GrowResFamily, annTagRes, "c_cid", 16,
+      (s, d) => AnnOps.ivfPqResListsFrame(s, d).filter(col("c_id") % 10 =!= 7)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -234,21 +238,32 @@ object LayoutOps {
     * of double-appending. Returns true iff this call performed the
     * append.
     */
-  def appendDelta(spark: SparkSession, dir: String): Boolean = {
-    val fam = familyOf(GrowFamily)
+  private def appendDeltaInto(spark: SparkSession, dir: String,
+      growFam: String, bookFam: String, residual: Boolean): Boolean = {
+    val fam = familyOf(growFam)
     val t = tableName(fam, dir)
-    ensure(spark, dir, GrowFamily)
+    ensure(spark, dir, growFam)
     LayoutStore.appendOnce(spark, t, DeltaMarker, Seq(fam.bucketKey),
       fam.buckets) {
       val sv = AnnOps.servingFromTables(
         table(spark, dir, "ivf_quantizer"),
-        table(spark, dir, "pq_book"),
-        LayoutStore.read(spark, t))
+        table(spark, dir, bookFam),
+        LayoutStore.read(spark, t), residual)
       AnnOps.codedRowsFor(spark, sv,
         Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 7)
           .select("vec_id", "embedding"))
     }
   }
+
+  def appendDelta(spark: SparkSession, dir: String): Boolean =
+    appendDeltaInto(spark, dir, GrowFamily, "pq_book", residual = false)
+
+  /** The residual twin: delta residual-encoded in-row (v − cq from the
+    * persisted quantizer, codes from the persisted residual book).
+    */
+  def appendDeltaRes(spark: SparkSession, dir: String): Boolean =
+    appendDeltaInto(spark, dir, GrowResFamily, "pq_book_res",
+      residual = true)
 
   /** D36h query: IVF-PQ search over the GROWN table — base split built
     * once, delta folded in by [[appendDelta]]. The delta is encoded
@@ -263,6 +278,18 @@ object LayoutOps {
       table(spark, dir, "ivf_quantizer"),
       table(spark, dir, "pq_book"),
       LayoutStore.read(spark, tableName(familyOf(GrowFamily), dir)))
+  }
+
+  /** D36h residual twin: search over the grown RESIDUAL table ≡
+    * ann_ivfpq_res (same oracle).
+    */
+  def annIvfPqResAppendedServed(spark: SparkSession, dir: String): DataFrame = {
+    appendDeltaRes(spark, dir)
+    AnnOps.ivfPqSearchFromTables(spark, dir,
+      table(spark, dir, "ivf_quantizer"),
+      table(spark, dir, "pq_book_res"),
+      LayoutStore.read(spark, tableName(familyOf(GrowResFamily), dir)),
+      residual = true)
   }
 
   /** D36i: compact a family's table back to one file per non-empty

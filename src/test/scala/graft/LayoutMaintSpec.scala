@@ -60,6 +60,18 @@ class LayoutMaintSpec extends GraftSpec {
     }
   }
 
+  test("residual delta append: grown residual table serves the full residual index bit-for-bit, exactly-once") {
+    withCleanLayouts {
+      val expected = rows(AnnOps.annIvfPqRes(spark, Sf))
+      assert(LayoutOps.ensure(spark, Sf, LayoutOps.GrowResFamily)
+        == "written")
+      assert(LayoutOps.appendDeltaRes(spark, Sf), "first append must run")
+      assert(rows(LayoutOps.annIvfPqResAppendedServed(spark, Sf))
+        == expected)
+      assert(!LayoutOps.appendDeltaRes(spark, Sf), "second append must skip")
+    }
+  }
+
   test("restart after append: catalog death + memo wipe, the re-registered grown table still serves the full index") {
     withCleanLayouts {
       val expected = rows(AnnOps.annIvfPq(spark, Sf))
