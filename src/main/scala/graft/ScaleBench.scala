@@ -130,8 +130,20 @@ object ScaleBench {
       scala.collection.mutable.Map[Int, Double]]()
     val warms = scala.collection.mutable.Map[Int, Double]()
     val rowCounts = scala.collection.mutable.Map[Int, Long]()
+    def keepMin(q: String, f: Int, s: Double): Unit = {
+      val m = times.getOrElseUpdate(q, scala.collection.mutable.Map())
+      m(f) = m.get(f).fold(s)(math.min(_, s))
+    }
 
-    factors.sorted.foreach { f =>
+    // the whole measurement repeats REPEAT times (per-factor memo
+    // isolation inside each pass) and each (query, factor) point keeps
+    // its MINIMUM — this host's I/O throughput swings ~3× between
+    // passes (spill-heavy x30 joins measured 10–40 s across otherwise
+    // identical runs), and the min is the engine's cost with host
+    // noise removed. Stated in the artifact's methodology note.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "2").toInt
+
+    for (rep <- 1 to repeats) factors.sorted.foreach { f =>
       val dir = s"/tmp/graft_scale/${sfName}_x$f"
       val ampSec = time(amplify(spark, base, f, dir))
       // each factor measures from ITS OWN warmed artifacts: releasing
@@ -155,8 +167,8 @@ object ScaleBench {
         s"docs ${rowCounts(f)}")
       Paths.foreach { q =>
         val s = run(q, dir)
-        times.getOrElseUpdate(q, scala.collection.mutable.Map())(f) = s
-        println(s"[scale] x$f $q: ${s}s")
+        keepMin(q, f, s)
+        println(s"[scale] rep$rep x$f $q: ${s}s")
       }
 
       // PRODUCTION ANN regime: the fixed-hardware run above scales
@@ -174,8 +186,14 @@ object ScaleBench {
         val m = operators.AnnOps.DefaultM * f
         val table = graft.sources.LayoutStore.tableName(s"scale_ivfpq_m$m", dir)
         // purge first: a surviving table from a prior run would turn
-        // the timed "build" into a catalog hit
+        // the timed "build" into a catalog hit. Clear the memo too —
+        // at f=1, m equals DefaultM, so the quantizer/lists/codes the
+        // earlier queries warmed would make the x1 "build" a cache
+        // read while x10/x30 pay cold Lloyd+encode; clearing makes
+        // build mean the same thing (full deploy build) at every
+        // factor.
         graft.sources.LayoutStore.purge(spark, table)
+        Memo.clear(spark)
         val buildSec = time {
           graft.sources.LayoutStore.ensure(spark, table, Seq("c_cid"), m)(
             operators.AnnOps.ivfPqListsFrameM(spark, dir, m))
@@ -193,12 +211,10 @@ object ScaleBench {
             .write.format("noop").mode("overwrite").save()
         }
         val searchSec = math.min(searchOnce, searchOnce)
-        times.getOrElseUpdate("ann_ivfpq_prod",
-          scala.collection.mutable.Map())(f) = searchSec
-        times.getOrElseUpdate("ann_ivfpq_prod_build",
-          scala.collection.mutable.Map())(f) = buildSec
-        println(s"[scale] x$f ann_ivfpq_prod (m=$m): build ${buildSec}s, " +
-          s"search ${searchSec}s")
+        keepMin("ann_ivfpq_prod", f, searchSec)
+        keepMin("ann_ivfpq_prod_build", f, buildSec)
+        println(s"[scale] rep$rep x$f ann_ivfpq_prod (m=$m): " +
+          s"build ${buildSec}s, search ${searchSec}s")
       }
     }
 
@@ -230,7 +246,7 @@ object ScaleBench {
          |"a density-inflating draft amplifier (each copy a near-dup of its original) measured winnow at exponent 2.1 (2.4s -> 282s at x10): time tracks the TRUE pair count, which that amplifier grows quadratically - evidence the cost is output-bound, not engine overhead",
          |"winnow's ubiquity cap gained an ABSOLUTE leg (df <= min(nDocs/20, ${operators.DedupOps.WinnowDfCap})) after the x30 run showed the relative leg admitting boilerplate fps a smaller corpus rejected (pair spill filled the disk) - per-fp pair cost is now bounded by C(cap,2) at any corpus size",
          |"ann_ivfpq scales BOTH queries (vec_id%50=0) and corpus Fx at fixed m=${operators.AnnOps.DefaultM} - per-list bytes grow Fx, so search grows superlinearly by design; ann_ivfpq_prod is the production regime: m=16F (per-list bytes constant), buckets=m, lists served bucket-pruned from a persisted table, query set FIXED at the base 100 - search should stay ~flat while ann_ivfpq_prod_build (Lloyd + encode + bucketed write, the once-per-deploy cost) grows ~linearly",
-         |"methodology: per-factor memo isolation (caches cleared between factors), standing layouts warmed untimed, ONE timed run per query (their internal memoized layouts make re-runs cache reads); this box's throughput varies ~2x run-to-run, so exponent signs and magnitudes are the signal, not small deltas; ann_ivfpq_prod search is min-of-2 (it memoizes nothing)",
+         |"methodology: per-factor memo isolation (caches cleared between factors), standing layouts warmed untimed, ONE timed run per query within a pass (their internal memoized layouts make re-runs cache reads); the WHOLE measurement repeats (SPARK_GRAFT_SCALE_REPEAT, default 2) and each point keeps its MINIMUM - this host's I/O throughput swings ~3x between passes (spill-heavy x30 joins measured 10-40s across identical runs) and the min is the engine's cost with host noise removed; ann_ivfpq_prod search is additionally min-of-2 within a pass (it memoizes nothing)",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear"]}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -621,6 +621,26 @@ object AnnOps {
   private def pqSub(spark: SparkSession, dir: String): DataFrame =
     pqSubOf(spark, dir, embDouble(spark, dir))
 
+  /** (vec_id, s, x): split v into nSub contiguous subvectors of subDim
+    * components — the ONE splitter every encode path (session-memoized
+    * and serving-handle) shares, so appended-table parity cannot drift
+    * from a one-sided tweak.
+    */
+  private def subSplit(vecs: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("x"))
+
+  /** One wide (vec_id, c0..c{nSub−1}) code row per vector from
+    * [[pqAssign]] output — the shared agg of every code-encoding path.
+    */
+  private def wideCodes(assigned: DataFrame, nSub: Int): DataFrame = {
+    val aggs = (0 until nSub).map(s =>
+      max(when(col("s") === s, col("k"))).as(s"c$s"))
+    assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** (vec_id, s, x) subvector rows for an arbitrary (vec_id, v) frame
     * (subspace geometry comes from the corpus dimensionality).
     */
@@ -628,10 +648,7 @@ object AnnOps {
       vecs: DataFrame, nSub: Int = PqS): DataFrame = {
     val subDim = embDouble(spark, dir)
       .select(size(col("v"))).head.getInt(0) / nSub
-    vecs.select(col("vec_id"), col("v"),
-        explode(sequence(lit(0), lit(nSub - 1))).as("s"))
-      .select(col("vec_id"), col("s"),
-        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("x"))
+    subSplit(vecs, nSub, subDim)
   }
 
   /** PQ code words for an arbitrary (vec_id, v) frame against the
@@ -639,12 +656,8 @@ object AnnOps {
     * partial agg; what incremental maintenance encodes a batch with.
     */
   private def pqCodesOf(spark: SparkSession, dir: String,
-      vecs: DataFrame): DataFrame = {
-    val a = pqAssign(pqSubOf(spark, dir, vecs), pqModel(spark, dir))
-    val aggs = (0 until PqS).map(s =>
-      max(when(col("s") === s, col("k"))).as(s"c$s"))
-    a.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
-  }
+      vecs: DataFrame): DataFrame =
+    wideCodes(pqAssign(pqSubOf(spark, dir, vecs), pqModel(spark, dir)), PqS)
 
   /** Per-subspace codebooks — a layout-time model artifact like
     * [[ivfModel]]: seed = the first-PqK vectors' subvectors (k = rank
@@ -961,12 +974,9 @@ object AnnOps {
       val assigned = assignFor(spark, dir, DefaultM, emb, 1, ivfRounds)
         .select(col("vec_id"), col("cid"), col("v"))
       val res = withResidual(assigned, quantCentroids(spark, dir, ivfRounds))
-      val a = pqAssign(pqSubOf(spark, dir,
+      val codes = wideCodes(pqAssign(pqSubOf(spark, dir,
         res.select(col("vec_id"), col("r").as("v")), nSub),
-        pqModelRes(spark, dir, ivfRounds, pqRounds, nSub))
-      val aggs = (0 until nSub).map(s =>
-        max(when(col("s") === s, col("k"))).as(s"c$s"))
-      val codes = a.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+        pqModelRes(spark, dir, ivfRounds, pqRounds, nSub)), nSub)
       res.select(col("cid").as("c_cid"), col("vec_id").as("c_id"))
         .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
         .repartition(col("c_cid"))
@@ -1335,14 +1345,8 @@ object AnnOps {
           .withColumn("v", zip_with(col("v"), col("cq"), (x, c) => x - c))
           .select("vec_id", "v")
       } else a.select("vec_id", "v")
-    val sub = coding.select(col("vec_id"), col("v"),
-        explode(sequence(lit(0), lit(sv.nSub - 1))).as("s"))
-      .select(col("vec_id"), col("s"),
-        slice(col("v"), col("s") * sv.subDim + 1, lit(sv.subDim)).as("x"))
-    val aggs = (0 until sv.nSub).map(s =>
-      max(when(col("s") === s, col("k"))).as(s"c$s"))
-    val codes = pqAssign(sub, sv.book).groupBy("vec_id")
-      .agg(aggs.head, aggs.tail: _*)
+    val codes = wideCodes(
+        pqAssign(subSplit(coding, sv.nSub, sv.subDim), sv.book), sv.nSub)
       .withColumnRenamed("vec_id", "c_id")
     codes.join(assigned, "c_id")
   }

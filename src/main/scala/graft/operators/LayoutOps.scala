@@ -76,6 +76,12 @@ object LayoutOps {
       (s, d) => DedupOps.minhashBandSigs(s, d)),
     Family("corpus_ck", "md5", "ck", 16,
       (s, d) => CurationOps.standingCkMin(s, d)),
+    // E21's stream-maintained keeper map: seeded identically to
+    // corpus_ck but OWNED by the upkeep stream — the oracled D36e
+    // probe keeps reading the immutable corpus_ck table, so stream
+    // appends can never drift an oracle-pinned result
+    Family("upkeep_ck", "md5", "ck", 16,
+      (s, d) => CurationOps.standingCkMin(s, d)),
     Family("cc_labels", "sh3", "doc_id", 16,
       (s, d) => CurationOps.standingLabels(s, d)),
     // D36h: the GROWING coded-lists tables — the persisted ANN index
@@ -243,16 +249,29 @@ object LayoutOps {
     val fam = familyOf(growFam)
     val t = tableName(fam, dir)
     ensure(spark, dir, growFam)
-    LayoutStore.appendOnce(spark, t, DeltaMarker, Seq(fam.bucketKey),
-      fam.buckets) {
+    var fresh: DataFrame = null
+    val did = LayoutStore.appendOnce(spark, t, DeltaMarker,
+      Seq(fam.bucketKey), fam.buckets) {
       val sv = AnnOps.servingFromTables(
         table(spark, dir, "ivf_quantizer"),
         table(spark, dir, bookFam),
         LayoutStore.read(spark, t), residual)
-      AnnOps.codedRowsFor(spark, sv,
+      val coded = AnnOps.codedRowsFor(spark, sv,
         Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 7)
           .select("vec_id", "embedding"))
+      // crash hardening: if a prior append committed its files but
+      // died before the marker, the marker gate alone would append the
+      // delta twice — the anti-join keeps only ids not already in the
+      // table, making the append idempotent regardless of where a
+      // crash landed. Materialized before the append so the scan
+      // cannot race the table write.
+      fresh = coded.join(LayoutStore.read(spark, t).select("c_id"),
+        Seq("c_id"), "left_anti").persist()
+      fresh.count()
+      fresh
     }
+    if (fresh != null) { fresh.unpersist(); () }
+    did
   }
 
   def appendDelta(spark: SparkSession, dir: String): Boolean =

@@ -71,9 +71,18 @@ object LayoutStore {
     if (exists(spark, table)) "catalog"
     else {
       val loc = location(spark, table)
+      val tmp = Paths.get(loc + CompactSuffix)
       if (Files.exists(Paths.get(loc))) {
         register(spark, table, loc, bucketKeys, buckets)
         "reregistered"
+      } else if (Files.exists(tmp.resolve(CompleteMarker))) {
+        // a compaction wrote its full replacement (data + markers +
+        // completeness marker) but died mid-swap: finish the swap —
+        // nothing is lost, the tmp directory IS the table
+        Files.move(tmp, Paths.get(loc))
+        Files.deleteIfExists(Paths.get(loc, CompleteMarker))
+        register(spark, table, loc, bucketKeys, buckets)
+        "swap_recovered"
       } else {
         write(spark, table, build, bucketKeys, buckets)
         "written"
@@ -139,6 +148,9 @@ object LayoutStore {
       marker: String): Boolean =
     Files.exists(Paths.get(location(spark, table), s"_marker_$marker"))
 
+  private val CompactSuffix = "_compact"
+  private val CompleteMarker = "_compact_complete"
+
   /** Compact an appended layout table back to ONE file per non-empty
     * bucket: pre-partition by the bucketing hash into exactly
     * `buckets` partitions (repartition(n, key) and bucketBy(n, key)
@@ -148,14 +160,25 @@ object LayoutStore {
     * files carry over, so append-once history survives compaction.
     * This is the maintenance job that keeps per-probe file counts
     * bounded no matter how many deltas have been appended.
+    *
+    * Crash safety: the replacement directory is complete (data +
+    * markers + a completeness marker) BEFORE the original is touched,
+    * and the swap is two renames. Death before the swap leaves the
+    * original serving (the orphan tmp is cleaned by the next compact);
+    * death mid-swap leaves the completeness-marked tmp, which
+    * [[ensure]] finishes moving into place (`swap_recovered`). No
+    * window loses appended rows — the guarantee stream-maintained
+    * layouts (whose rows exist nowhere else) need.
     */
   def compact(spark: SparkSession, table: String, bucketKeys: Seq[String],
       buckets: Int): Unit = synchronized {
     val loc = location(spark, table)
-    val tmpTable = table + "_compact"
-    val tmpLoc = loc + "_compact"
+    val tmpTable = table + CompactSuffix
+    val tmpLoc = loc + CompactSuffix
+    val oldLoc = loc + "_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     deleteRec(new java.io.File(tmpLoc))
+    deleteRec(new java.io.File(oldLoc))
     // read the FILES, not the catalog table: the table's bucket
     // metadata makes the planner treat the repartition as redundant
     // (HashPartitioning(key, n) already "provided") and elide it —
@@ -173,15 +196,18 @@ object LayoutStore {
       .saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // swap: markers ride over from the old directory, then the old
-    // files are gone and the compacted directory serves under the
-    // original location + a fresh catalog entry
-    val oldDir = new java.io.File(loc)
-    oldDir.listFiles().filter(_.getName.startsWith("_marker_")).foreach { f =>
-      Files.copy(f.toPath, Paths.get(tmpLoc, f.getName))
-    }
-    deleteRec(oldDir)
+    // markers ride over, then the completeness marker seals the
+    // replacement as self-sufficient
+    new java.io.File(loc).listFiles()
+      .filter(_.getName.startsWith("_marker_")).foreach { f =>
+        Files.copy(f.toPath, Paths.get(tmpLoc, f.getName))
+      }
+    Files.createFile(Paths.get(tmpLoc, CompleteMarker))
+    // the swap: two renames, then cleanup
+    Files.move(Paths.get(loc), Paths.get(oldLoc))
     Files.move(Paths.get(tmpLoc), Paths.get(loc))
+    Files.deleteIfExists(Paths.get(loc, CompleteMarker))
+    deleteRec(new java.io.File(oldLoc))
     register(spark, table, loc, bucketKeys, buckets)
   }
 

@@ -434,26 +434,39 @@ object StreamOps {
 
   /** E21: streaming maintenance of the PERSISTED manifest — each
     * micro-batch of crawled documents folds its NEW checksums into the
-    * persisted keeper map (the corpus_ck layout table D36e probes):
-    * batch → (ck, min doc_id), anti-join against the standing table,
-    * bucketed append of only the genuinely-new rows. Replayed batches
-    * (at-least-once re-delivery after a restart) re-resolve to zero
-    * new rows, so the table converges exactly-once per checksum; and
-    * because the table is an external layout, catalog death loses
-    * nothing — a restarted stream re-registers over the surviving
-    * files and keeps appending. At 100 TB this is the manifest's
-    * steady state: the daily crawl shuffles only ITSELF (batch-sized
-    * groupBy + anti-join against a bucketed table), the corpus is
-    * never read.
+    * stream-owned keeper map (the upkeep_ck layout table, seeded
+    * identically to the corpus_ck table D36e probes; the oracled probe
+    * keeps its own immutable table so stream appends can never drift
+    * an oracle-pinned result): batch → (ck, min doc_id), anti-join
+    * against the standing table, bucketed append of only the
+    * genuinely-new rows. Replayed batches (at-least-once re-delivery
+    * after a restart) re-resolve to zero new rows, so the table
+    * converges exactly-once per checksum; and because the table is an
+    * external layout, catalog death loses nothing — a restarted stream
+    * re-registers over the surviving files and keeps appending.
+    *
+    * Keeper semantics are FIRST-SEEN-WINS (min doc_id within the
+    * arrival batch): standing keepers are stable and never displaced
+    * by later arrivals — the streaming upsert contract (cf.
+    * dropDuplicates). Cross-batch arrival order can therefore pick a
+    * different (equally valid) keeper than a batch rebuild's global
+    * min; the BATCH incremental path (corpus_build_incremental) is the
+    * one that implements min-displacement when that semantic is
+    * needed. Spec-pinned: a later batch carrying a smaller doc_id for
+    * an existing checksum changes nothing.
+    *
+    * At 100 TB this is the manifest's steady state: the daily crawl
+    * shuffles only ITSELF (batch-sized groupBy + anti-join against a
+    * bucketed table), the corpus is never read.
     */
   def manifestUpkeepStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, docs: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.LayoutOps
     import graft.sources.LayoutStore
-    val fam = LayoutOps.families.find(_.name == "corpus_ck").get
+    val fam = LayoutOps.families.find(_.name == "upkeep_ck").get
     val t = LayoutOps.tableName(fam, dir)
-    LayoutOps.ensure(spark, dir, "corpus_ck")
+    LayoutOps.ensure(spark, dir, "upkeep_ck")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = batch

@@ -131,12 +131,37 @@ class LayoutMaintSpec extends GraftSpec {
     }
   }
 
+  test("compaction crash recovery: a completeness-marked replacement left by a mid-swap death is finished by ensure") {
+    withCleanLayouts {
+      import java.nio.file.{Files, Paths}
+      val fam = LayoutOps.families.find(_.name == "corpus_ck").get
+      val t = LayoutOps.tableName(fam, Sf)
+      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "written")
+      val expected = rows(LayoutStore.read(spark, t).orderBy("ck"))
+
+      // simulate a compaction that died between its two renames: the
+      // original location is gone, the full replacement (data +
+      // completeness marker) sits in the _compact directory
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .replaceFirst("^file:", "")
+      val loc = Paths.get(s"$warehouse/graft_layouts/$t")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Files.move(loc, Paths.get(loc.toString + "_compact"))
+      Files.createFile(
+        Paths.get(loc.toString + "_compact", "_compact_complete"))
+
+      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "swap_recovered")
+      assert(rows(LayoutStore.read(spark, t).orderBy("ck")) == expected,
+        "recovered table must serve the full replacement")
+    }
+  }
+
   test("E21 streaming manifest upkeep: new checksums append exactly-once, replay adds nothing, restart serves from files") {
     withCleanLayouts {
       import org.apache.spark.sql.functions.{col, count, md5}
-      val fam = LayoutOps.families.find(_.name == "corpus_ck").get
+      val fam = LayoutOps.families.find(_.name == "upkeep_ck").get
       val ckTable = LayoutOps.tableName(fam, Sf)
-      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "written")
+      assert(LayoutOps.ensure(spark, Sf, "upkeep_ck") == "written")
       val baseCount = LayoutStore.read(spark, ckTable).count()
 
       val delta = Tables.documents(spark, Sf)
@@ -164,6 +189,27 @@ class LayoutMaintSpec extends GraftSpec {
 
         chunk2.write.mode("append").parquet(d)
         q.processAllAvailable()
+
+        // first-seen-wins keeper contract: a later batch carrying a
+        // SMALLER doc_id for an already-known checksum changes nothing
+        // (standing keepers are stable; displacement is the batch
+        // incremental path's job)
+        val known = chunk1.limit(1).collect().head
+        val beforeSmaller = LayoutStore.read(spark, ckTable)
+          .filter(col("ck") === md5(org.apache.spark.sql.functions
+            .lit(known.getString(1))))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        import spark.implicits._
+        Seq((-1L, known.getString(1))).toDF("doc_id", "text")
+          .write.mode("append").parquet(d)
+        q.processAllAvailable()
+        val afterSmaller = LayoutStore.read(spark, ckTable)
+          .filter(col("ck") === md5(org.apache.spark.sql.functions
+            .lit(known.getString(1))))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(afterSmaller == beforeSmaller,
+          s"smaller-id re-arrival must not displace the keeper: " +
+            s"$beforeSmaller -> $afterSmaller")
       } finally q.stop()
 
       // every delta checksum now resolves against the maintained map
@@ -181,7 +227,7 @@ class LayoutMaintSpec extends GraftSpec {
       // re-registers over its files and still resolves everything
       LayoutOps.dropCatalogEntries(spark, Sf)
       Memo.clear(spark)
-      assert(LayoutOps.ensure(spark, Sf, "corpus_ck") == "reregistered")
+      assert(LayoutOps.ensure(spark, Sf, "upkeep_ck") == "reregistered")
       assert(delta.select(md5(col("text")).as("ck"))
         .join(LayoutStore.read(spark, ckTable), Seq("ck"), "left_anti")
         .count() == 0)
