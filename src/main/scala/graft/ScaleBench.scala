@@ -130,6 +130,7 @@ object ScaleBench {
       scala.collection.mutable.Map[Int, Double]]()
     val warms = scala.collection.mutable.Map[Int, Double]()
     val rowCounts = scala.collection.mutable.Map[Int, Long]()
+    val prodRecall = scala.collection.mutable.Map[Int, Double]()
     def keepMin(q: String, f: Int, s: Double): Unit = {
       val m = times.getOrElseUpdate(q, scala.collection.mutable.Map())
       m(f) = m.get(f).fold(s)(math.min(_, s))
@@ -213,6 +214,22 @@ object ScaleBench {
         val searchSec = math.min(searchOnce, searchOnce)
         keepMin("ann_ivfpq_prod", f, searchSec)
         keepMin("ann_ivfpq_prod_build", f, buildSec)
+        // does recall HOLD while search time stays flat? nprobe is
+        // fixed, so the probed FRACTION shrinks as m grows (8/16F) —
+        // flat time would be worthless if the smaller fraction lost
+        // the true neighbors. Measure recall@10 against the exact
+        // baseline (fixed queries, full amplified corpus) —
+        // deterministic, so one computation per (factor, rep)
+        // suffices.
+        if (rep == 1) {
+          val got = operators.AnnOps.ivfPqSearchTables(spark, dir, sv,
+              queries, excludeSelf = true)
+            .select("q_id", "c_id")
+          val exact = operators.AnnOps.exactTopKFor(spark, dir, queries)
+          val hit = got.join(exact, Seq("q_id", "c_id")).count().toDouble
+          prodRecall(f) = math.rint(hit / exact.count() * 1000) / 1000
+          println(s"[scale] x$f ann_ivfpq_prod recall@10 = ${prodRecall(f)}")
+        }
         println(s"[scale] rep$rep x$f ann_ivfpq_prod (m=$m): " +
           s"build ${buildSec}s, search ${searchSec}s")
       }
@@ -237,15 +254,20 @@ object ScaleBench {
     }.mkString(",")
     val wJson = fs.map(f => s""""x$f":${warms(f)}""").mkString(",")
     val rJson = fs.map(f => s""""x$f":${rowCounts(f)}""").mkString(",")
+    val recJson = fs.flatMap(f => prodRecall.get(f).map(r => s""""x$f":$r"""))
+      .mkString(",")
     val json =
       s"""{"base":"$base","factors":[${fs.mkString(",")}],
          |"docs":{$rJson},"warm_sec":{$wJson},
+         |"prod_recall_at10":{$recJson},
          |"queries":{$qJson},
          |"notes":["self-similar amplifier: copy shard k tags every token with ~k, so the corpus is F disjoint isomorphic images of the base - duplicate DENSITY constant while volume grows Fx (the regime a real corpus scales in)",
          |"delta (doc_id%10=7) is LITERALLY the base delta (copies remap 7->3) while the standing corpus grows Fx - corpus_build_incremental measures the marginal fixed-size daily-delta cost",
          |"a density-inflating draft amplifier (each copy a near-dup of its original) measured winnow at exponent 2.1 (2.4s -> 282s at x10): time tracks the TRUE pair count, which that amplifier grows quadratically - evidence the cost is output-bound, not engine overhead",
          |"winnow's ubiquity cap gained an ABSOLUTE leg (df <= min(nDocs/20, ${operators.DedupOps.WinnowDfCap})) after the x30 run showed the relative leg admitting boilerplate fps a smaller corpus rejected (pair spill filled the disk) - per-fp pair cost is now bounded by C(cap,2) at any corpus size",
          |"ann_ivfpq scales BOTH queries (vec_id%50=0) and corpus Fx at fixed m=${operators.AnnOps.DefaultM} - per-list bytes grow Fx, so search grows superlinearly by design; ann_ivfpq_prod is the production regime: m=16F (per-list bytes constant), buckets=m, lists served bucket-pruned from a persisted table, query set FIXED at the base 100 - search should stay ~flat while ann_ivfpq_prod_build (Lloyd + encode + bucketed write, the once-per-deploy cost) grows ~linearly",
+         |"prod_recall_at10: recall of the flat-time prod search vs the exact top-10 on the SAME amplified corpus (fixed queries, self excluded) - nprobe stays 8 while m grows, so the probed FRACTION shrinks (8/16F); the measurement shows what that costs in recall (production would scale nprobe ~log N or re-tune per deployment - the knob exists, this pins the default's behavior)",
+         |"recall RISES with F on this fixture (0.73 -> 1.0) because the amplifier's copies (+k*1e-5 per component) become each fixed query's true nearest neighbors and quantize into the same or adjacent lists - i.e. the shrinking probed fraction still covers the query's neighborhood; a corpus whose true neighbors disperse across cells would instead pay recall for the fixed nprobe, which is what the knob is for",
          |"methodology: per-factor memo isolation (caches cleared between factors), standing layouts warmed untimed, ONE timed run per query within a pass (their internal memoized layouts make re-runs cache reads); the WHOLE measurement repeats (SPARK_GRAFT_SCALE_REPEAT, default 2) and each point keeps its MINIMUM - this host's I/O throughput swings ~3x between passes (spill-heavy x30 joins measured 10-40s across identical runs) and the min is the engine's cost with host noise removed; ann_ivfpq_prod search is additionally min-of-2 within a pass (it memoizes nothing)",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear"]}"""
         .stripMargin.replace("\n", "")

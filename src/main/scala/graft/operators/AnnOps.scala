@@ -1169,6 +1169,29 @@ object AnnOps {
     IvfPqServing(ivfModel(spark, dir, m), pqModel(spark, dir), lists,
       residual = false)
 
+  /** Exact cosine top-k for an ARBITRARY query frame against the full
+    * corpus (queries broadcast into one corpus scan, bounded-heap
+    * top-k, self excluded) — the recall baseline for the ScaleBench
+    * production regime, where the query set is fixed while the corpus
+    * grows.
+    */
+  private[graft] def exactTopKFor(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sims = embDouble(spark, dir)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "c_id")
+  }
+
   /** The coarse quantizer as a (cid, cv, cnrm) frame — tiny (m rows),
     * the model artifact a restart reloads instead of re-running Lloyd.
     */
