@@ -322,4 +322,20 @@ object LayoutOps {
     LayoutStore.compact(spark, tableName(fam, dir), Seq(fam.bucketKey),
       fam.buckets)
   }
+
+  /** The compaction POLICY a maintenance scheduler runs after deltas:
+    * compact when the table's data-file count exceeds `maxFiles`
+    * (per-probe open cost is file-count-bound), no-op otherwise.
+    * Returns true iff a compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, familyName: String,
+      maxFiles: Int = 64): Boolean = {
+    val fam = familyOf(familyName)
+    val t = tableName(fam, dir)
+    if (LayoutStore.dataFileCount(spark, t) <= maxFiles) false
+    else {
+      LayoutStore.compact(spark, t, Seq(fam.bucketKey), fam.buckets)
+      true
+    }
+  }
 }

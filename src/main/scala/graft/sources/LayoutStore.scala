@@ -148,6 +148,16 @@ object LayoutStore {
       marker: String): Boolean =
     Files.exists(Paths.get(location(spark, table), s"_marker_$marker"))
 
+  /** Number of data files in the table location (markers, _SUCCESS and
+    * hidden files excluded) — the quantity compaction policy triggers
+    * on.
+    */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val fs = new java.io.File(location(spark, table)).listFiles()
+    if (fs == null) 0
+    else fs.count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
   private val CompactSuffix = "_compact"
   private val CompleteMarker = "_compact_complete"
 

@@ -101,7 +101,9 @@ class LayoutMaintSpec extends GraftSpec {
       assert(filesBefore > buckets,
         s"expected > $buckets files before compaction, got $filesBefore")
 
-      LayoutOps.compactFamily(spark, Sf, LayoutOps.GrowFamily)
+      // the scheduler-facing policy: triggers above the threshold...
+      assert(LayoutOps.compactIfNeeded(spark, Sf, LayoutOps.GrowFamily,
+        maxFiles = buckets), "policy must compact above the threshold")
 
       val filesAfter = dataFiles.size
       assert(filesAfter <= buckets,
@@ -110,6 +112,10 @@ class LayoutMaintSpec extends GraftSpec {
         == before, "compaction must not change table content")
       assert(rows(LayoutOps.annIvfPqAppendedServed(spark, Sf))
         == searchBefore, "compaction must not change search results")
+      // ...and no-ops below it (the compacted table is within bounds)
+      assert(!LayoutOps.compactIfNeeded(spark, Sf, LayoutOps.GrowFamily,
+        maxFiles = buckets), "policy must no-op below the threshold")
+
       // the marker carried over: append stays exactly-once
       assert(!LayoutOps.appendDelta(spark, Sf))
 
