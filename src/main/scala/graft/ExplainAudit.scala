@@ -35,7 +35,10 @@ object ExplainAudit {
       "ann_cosine_topk", "ann_lsh", "doc_mixture_weighted",
       "doc_decontaminate", "evt_value_zscore", "ann_recall",
       "decontaminate_semantic", "doc_keywords", "text_collocations",
-      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25", "q7_nation_volume")
+      "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25", "q7_nation_volume",
+      // r8: lmScore broadcasts the 1-row token total; tokenizeBpe the
+      // vocab-sized piece-count table
+      "doc_lm_score", "text_tokenize_bpe")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -66,7 +69,12 @@ object ExplainAudit {
       }
       // D36 persisted-layout serving: must actually read the bucketed
       // layout tables (no silent fallback to re-derivation)...
-      if (name.startsWith("layout_") && !plan.contains("graft_layout_v")) {
+      // layout_bpe_tokenize is exempt BY DESIGN: the whole model (M
+      // merge rows) is collected into plan structure (the replace
+      // chain), like the quantizer — nothing of the table remains to
+      // scan in the final plan
+      if (name.startsWith("layout_") && name != "layout_bpe_tokenize" &&
+          !plan.contains("graft_layout_v")) {
         println(s"!! AUDIT $name: does not scan a persisted layout table")
         bad += 1
       }

@@ -123,6 +123,12 @@ object SparkEntry {
       TextOps.invertedPostings(s, d)),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
       TextOps.collocations(s, d)),
+    // D37–D39: export manifest, LM quality scoring, BPE tokenizer
+    "corpus_export_shards" -> ((s: SparkSession, d: String) =>
+      CurationOps.exportShards(s, d)),
+    "doc_lm_score"         -> (TextOps.lmScore _),
+    "bpe_train"            -> (BpeOps.bpeTrain _),
+    "text_tokenize_bpe"    -> (BpeOps.tokenizeBpe _),
     // F. multimodal plumbing — image/audio/video decode all REAL via
     // the JDK's own codecs (ImageIO PNG + animated GIF, javax.sound
     // WAV); fakeDecode survives only as the no-codec fallback
@@ -145,7 +151,11 @@ object SparkEntry {
       LayoutOps.postingsProbeServed(s, d)),
     "layout_dedup_minhash_lsh" -> (LayoutOps.minhashLshServed _),
     "layout_manifest_probe" -> (LayoutOps.manifestProbeServed _),
-    "layout_cc_labels"     -> (LayoutOps.ccLabelsServed _)
+    "layout_cc_labels"     -> (LayoutOps.ccLabelsServed _),
+    // D38b/D39c: the reference LM and the trained tokenizer served
+    // from their persisted layouts
+    "layout_lm_delta_score" -> (LayoutOps.lmDeltaScored _),
+    "layout_bpe_tokenize"  -> (LayoutOps.bpeTokenizeServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -539,6 +549,11 @@ object SparkEntry {
       "layout_ann_ivfpq_res_appended" -> base("ann_ivfpq_res"),
       "layout_text_postings"     -> base("text_inverted_postings"),
       "layout_dedup_minhash_lsh" -> base("dedup_minhash_lsh"),
+      // D38b: the crawl delta scored from the persisted LM tables must
+      // equal the session LM's scores for the same docs
+      "layout_lm_delta_score"    -> lmScoreSql(deltaOnly = true),
+      // D39c: tokenization from the persisted merge table ≡ session
+      "layout_bpe_tokenize"      -> base("text_tokenize_bpe"),
 
       // D36c: term probe against the persisted postings (bucket-pruned
       // scan on the Spark side; the oracle just filters the postings
@@ -2212,6 +2227,145 @@ object SparkEntry {
         |SELECT media_id, n_frames, width, height, n_pixels,
         |  sum_r, sum_g, sum_b,
         |  CAST(sum_r AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_r
-        |FROM s ORDER BY media_id""".stripMargin
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // D37: deterministic export manifest over the corpus_build output —
+    // shard = splitmix64(doc_id) mod 8 (mod 2⁶⁴ arithmetic replicated
+    // in HUGEINT; 8 divides 2⁶⁴ so unsigned mod ≡ Spark's pmod of the
+    // signed word), checksum = sum mod 2⁶⁴ of per-doc xor'd mixes
+    "corpus_export_shards" -> {
+      val fpU = xor64(mix("CAST(doc_id AS HUGEINT)"),
+        mix("CAST(n_tokens + 7919 AS HUGEINT)"))
+      val ckM = s"(SUM(fp_u) % $M64)"
+      s"""WITH cb AS ($CorpusBuildSql),
+        |mx AS (SELECT doc_id, n_tokens, bin_id,
+        |    CAST((${mix("CAST(doc_id AS HUGEINT)")}) % 8 AS BIGINT) AS shard,
+        |    $fpU AS fp_u
+        |  FROM cb)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(CASE WHEN $ckM >= 9223372036854775808
+        |    THEN $ckM - $M64 ELSE $ckM END AS BIGINT) AS ck
+        |FROM mx GROUP BY shard ORDER BY shard""".stripMargin
+    },
+
+    // D38: bigram-LM cross-entropy in Q10 fixed point — the qlog2
+    // kernel (IntKernels.scala) replicated with bin()+shifts; the
+    // reference model is the standing corpus (doc_id % 10 != 7), so
+    // delta docs exercise the unigram-backoff branch in this oracle
+    "doc_lm_score" -> lmScoreSql(deltaOnly = false),
+
+    // D39: the BPE merge loop UNROLLED into one SQL pipeline — stage k
+    // recounts weighted adjacent pairs over the stage-(k−1) symbol
+    // states, picks the argmax (count desc, pair asc), and applies it
+    // as a literal leftmost-nonoverlapping replace on the
+    // doubled-separator state string (the exact semantics of the
+    // driver loop's String.replace — see BpeOps). Stage CTEs are
+    // MATERIALIZED: each bs_k is referenced 4× by s_k, and inlining
+    // would expand the chain 5^M-fold.
+    "bpe_train" ->
+      (BpeStageCtes + "mm AS (" +
+        (1 to BpeM).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, lhs, rhs, " +
+          s"lhs || rhs AS merged, pc AS pair_cnt FROM bs$k")
+          .mkString(" UNION ALL ") +
+        ") SELECT * FROM mm ORDER BY merge_rank"),
+
+    // D39b: apply the final symbol states to per-doc word counts. The
+    // join covers every corpus word because VocabCap exceeds the test
+    // corpora's distinct-word count; the Spark side applies the merge
+    // chain to ANY word (OOV words get the same fold), spec-pinned.
+    "text_tokenize_bpe" ->
+      (BpeStageCtes +
+        "wc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents) GROUP BY 1, 2), " +
+        s"seg AS (SELECT w, CAST(len(list_filter(string_split(st, '||'), " +
+        s"x -> x <> '')) AS BIGINT) AS n_pieces FROM s$BpeM) " +
+        "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words, " +
+        "CAST(SUM(n * n_pieces) AS BIGINT) AS n_pieces, " +
+        "CAST(CAST(SUM(n * n_pieces) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS pieces_per_word " +
+        "FROM wc JOIN seg ON wc.tok = seg.w " +
+        "GROUP BY doc_id ORDER BY doc_id")
   )
+
+  /** Monotone integer log2, Q10 — replication of IntMath.qlog2:
+    * q(n) = bl·1024 + ((n<<10) >> bl) − 1024, bl = floor(log2 n) via
+    * the length of DuckDB's minimal binary rendering.
+    */
+  private def ql(x: String): String = {
+    val n = s"CAST(($x) AS BIGINT)"
+    val bl = s"(length(bin($n)) - 1)"
+    s"(CAST($bl AS BIGINT) * 1024 + (($n << 10) >> $bl) - 1024)"
+  }
+
+  /** D38 oracle, shared by the session query and the persisted-LM
+    * delta probe (deltaOnly scores just the crawl split).
+    */
+  private def lmScoreSql(deltaOnly: Boolean): String = {
+    val scored = if (deltaOnly) "WHERE doc_id % 10 = 7" else ""
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |r AS (SELECT * FROM d WHERE doc_id % 10 != 7),
+      |ru AS (SELECT unnest(toks) AS tok FROM r),
+      |cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ru GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ru),
+      |rbl AS (SELECT list_transform(range(1, len(toks)),
+      |    i -> [toks[i], toks[i+1]]) AS grams FROM r),
+      |rb AS (SELECT unnest(grams) AS g FROM rbl),
+      |cb AS (SELECT g[1] AS tok1, g[2] AS tok2,
+      |    CAST(COUNT(*) AS BIGINT) AS c_ab FROM rb GROUP BY 1, 2),
+      |tl AS (SELECT doc_id, list_transform(range(1, len(toks)),
+      |    i -> [toks[i], toks[i+1]]) AS grams FROM d $scored),
+      |tr AS (SELECT doc_id, unnest(grams) AS g FROM tl),
+      |tj AS (SELECT doc_id,
+      |    CASE WHEN cb.c_ab IS NOT NULL
+      |      THEN ${ql("a.c")} - ${ql("cb.c_ab")}
+      |      ELSE ${ql("nn.n")} - ${ql("coalesce(b.c, 1)")} + 4096 END AS bits
+      |  FROM tr
+      |  LEFT JOIN cb ON tr.g[1] = cb.tok1 AND tr.g[2] = cb.tok2
+      |  LEFT JOIN cu a ON tr.g[1] = a.tok
+      |  LEFT JOIN cu b ON tr.g[2] = b.tok
+      |  CROSS JOIN nn)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |  CAST(SUM(bits) AS BIGINT) AS xent_q10,
+      |  CAST(CAST(SUM(bits) AS BIGINT) AS DOUBLE)
+      |    / (1024.0 * CAST(COUNT(*) AS DOUBLE)) AS bits_per_trans
+      |FROM tj GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val BpeM = operators.BpeOps.Merges
+  /** The unrolled BPE stage chain (shared by bpe_train and
+    * text_tokenize_bpe): h0 = top-V word histogram, s0 = char-split
+    * "||c1||c2||…||" states, then M× (pair count → argmax → replace).
+    */
+  private lazy val BpeStageCtes: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH h0 AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      s"GROUP BY 1 ORDER BY cnt DESC, w LIMIT ${operators.BpeOps.VocabCap}), "
+    sb ++= "s0 AS (SELECT w, cnt, '||' || array_to_string(" +
+      "list_transform(range(1, length(w)+1), i -> substr(w, i, 1)), '||') " +
+      "|| '||' AS st FROM h0), "
+    for (k <- 1 to BpeM) {
+      val p = s"s${k - 1}"
+      sb ++= s"sy$k AS (SELECT cnt, list_filter(string_split(st, '||'), " +
+        s"x -> x <> '') AS sy FROM $p), "
+      sb ++= s"pr$k AS (SELECT cnt, unnest(list_transform(range(1, len(sy)), " +
+        s"i -> [sy[i], sy[i+1]])) AS g FROM sy$k), "
+      sb ++= s"pk$k AS (SELECT g[1] AS lhs, g[2] AS rhs, " +
+        s"CAST(SUM(cnt) AS BIGINT) AS pc FROM pr$k GROUP BY 1, 2), "
+      sb ++= s"bs$k AS MATERIALIZED (SELECT lhs, rhs, pc FROM pk$k " +
+        s"ORDER BY pc DESC, lhs, rhs LIMIT 1), "
+      sb ++= s"s$k AS MATERIALIZED (SELECT w, cnt, replace(st, " +
+        s"coalesce('|' || (SELECT lhs FROM bs$k) || '||' || " +
+        s"(SELECT rhs FROM bs$k) || '|', chr(167)), " +
+        s"coalesce('|' || (SELECT lhs FROM bs$k) || " +
+        s"(SELECT rhs FROM bs$k) || '|', chr(167))) AS st FROM $p), "
+    }
+    sb.toString
+  }
 }

@@ -749,4 +749,45 @@ object CurationOps {
       .withColumn("bin_id", expr("(cum_tokens - 1) DIV 256").cast(LongType))
       .orderBy("doc_id")
   }
+
+  /** D37: corpus_export_shards — the verifiable export manifest of a
+    * training run: every doc surviving [[corpusBuild]] is assigned a
+    * deterministic shard (splitmix64 of doc_id, mod nShards — no RNG,
+    * no partition-order dependence, so the same corpus always ships
+    * the same shards), and each shard publishes the manifest row a
+    * downstream trainer checks before reading a byte: doc/token
+    * totals, bin span, and an ORDER-INDEPENDENT content checksum
+    * (sum mod 2⁶⁴ of per-doc splitmix fingerprints — commutative, so
+    * executor scheduling cannot change it; xor would be blind to a
+    * doc duplicated an even number of times, a real failure mode of
+    * retried writes). Scale shape: one partial-agg shuffle keyed by
+    * shard on top of the manifest (map-side combine reduces each
+    * partition to ≤ nShards rows); the checksum's 128-bit sum rides
+    * DECIMAL(38,0) — exact far past 10¹⁹ docs — and collapses back to
+    * a signed 64-bit word both engines agree on.
+    */
+  def exportShards(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    import graft.functions.IntKernels.mix64
+    val M64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+    val M63 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+    // per-doc fingerprint folds id and token count through independent
+    // avalanches (xor of two mixes — no wrapping multiply, ANSI-safe)
+    val fp = mix64(col("doc_id"))
+      .bitwiseXOR(mix64(col("n_tokens") + lit(7919L)))
+    // signed long -> unsigned value in DECIMAL(38,0)
+    val fpU = when(fp < 0L, fp.cast("decimal(38,0)") + lit(M64))
+      .otherwise(fp.cast("decimal(38,0)"))
+    val ckMod = (sum(fpU) % lit(M64)).cast("decimal(38,0)")
+    corpusBuild(spark, dir)
+      .withColumn("shard", pmod(mix64(col("doc_id")), lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(lcount.as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        countDistinct(col("bin_id")).cast(LongType).as("n_bins"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        when(ckMod >= lit(M63), ckMod - lit(M64)).otherwise(ckMod)
+          .cast(LongType).as("ck"))
+      .orderBy("shard")
+  }
 }

@@ -93,7 +93,19 @@ object LayoutOps {
     Family(GrowFamily, annTag, "c_cid", 16,
       (s, d) => AnnOps.ivfPqListsFrame(s, d).filter(col("c_id") % 10 =!= 7)),
     Family(GrowResFamily, annTagRes, "c_cid", 16,
-      (s, d) => AnnOps.ivfPqResListsFrame(s, d).filter(col("c_id") % 10 =!= 7)))
+      (s, d) => AnnOps.ivfPqResListsFrame(s, d).filter(col("c_id") % 10 =!= 7)),
+    // D38b: the standing reference LM (unigram + bigram counts) — a
+    // crawl delta is scored from the tables alone; bigrams bucket on
+    // tok1 so the transition join reuses the persisted clustering via
+    // subset-key co-partitioning (the count side never reshuffles)
+    Family("lm_unigrams", "std10", "tok", 8,
+      (s, d) => TextOps.lmUnigramFrame(s, d)),
+    Family("lm_bigrams", "std10", "tok1", 16,
+      (s, d) => TextOps.lmBigramFrame(s, d)),
+    // D39c: the trained tokenizer — M merge rows, the model artifact a
+    // serving stack collects (like the quantizer) instead of retraining
+    Family("bpe_merges", s"v${BpeOps.VocabCap}m${BpeOps.Merges}", "merge_rank", 1,
+      (s, d) => BpeOps.bpeTrain(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -226,6 +238,36 @@ object LayoutOps {
     */
   def ccLabelsServed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "cc_labels").orderBy("doc_id")
+
+  /** D38b: the daily-crawl LM probe — the delta split (doc_id % 10 =
+    * 7) scored against the PERSISTED reference LM: both count tables
+    * read from their bucketed layouts, N derived from the unigram
+    * table's count sum, the same [[TextOps.lmScoreAgainst]] code as
+    * the session path. Oracle = doc_lm_score's SQL filtered to the
+    * delta — a restarted session must score the crawl identically
+    * without re-counting the standing corpus.
+    */
+  def lmDeltaScored(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmScoreAgainst(spark, dir,
+      table(spark, dir, "lm_unigrams"),
+      table(spark, dir, "lm_bigrams"), deltaOnly = true)
+
+  /** D39c: tokenization served from the PERSISTED merge table — the
+    * model rows are collected (M rows, a bounded artifact like the
+    * quantizer: they become plan structure, the chain of replace
+    * calls) and applied by the same fold as the session path. Result
+    * ≡ text_tokenize_bpe without retraining; the audit exempts this
+    * query from the layout-scan check because the collected model
+    * leaves nothing of the table in the final plan.
+    */
+  def bpeTokenizeServed(spark: SparkSession, dir: String): DataFrame = {
+    val merges = table(spark, dir, "bpe_merges")
+      .orderBy("merge_rank").collect()
+      .map(r => BpeOps.MergeRow(r.getAs[Long]("merge_rank"),
+        r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_cnt"))).toSeq
+    BpeOps.tokenizeWith(spark, dir, merges)
+  }
 
   // ---------------------------------------------------------------
   // D36h/D36i: the persisted index as a MAINTAINED artifact — delta

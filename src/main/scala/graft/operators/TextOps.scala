@@ -199,6 +199,96 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D38: bigram-LM cross-entropy scoring — the CCNet-style quality
+    * filter: every document is scored by how surprising its token
+    * transitions are under a reference language model, and the
+    * reference model here is the STANDING corpus (doc_id % 10 ≠ 7,
+    * the house standing/delta split) — the production shape, where an
+    * incoming crawl is scored against the LM of the corpus you
+    * already trust, and genuinely novel deltas pay a measurable
+    * backoff penalty.
+    *
+    * All arithmetic is integer Q10 fixed point ([[IntKernels.qlog2]]):
+    * bits(a→b) = q(c(a)) − q(c(ab)) for a seen bigram, and
+    * q(N) − q(c(b)) + 4·1024 (unigram backoff + 4-bit penalty, c(b)=1
+    * for OOV) for an unseen one — so scores are bit-reproducible on
+    * any engine; libm-log perplexity is not. Scale shape: unigram and
+    * bigram count tables are each one partial-agg shuffle and both are
+    * vocab-bounded (≪ corpus); the scoring join keys transitions on
+    * the bigram — many-to-one onto the count table, hot bigrams are
+    * probe-side skew AQE splits; per-doc rollup is one partial-agg
+    * shuffle keyed by doc_id.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreAgainst(spark, dir, lmUnigramFrame(spark, dir),
+      lmBigramFrame(spark, dir), deltaOnly = false)
+
+  /** Adjacent-pair explode of a (doc_id, toks) frame. */
+  private def lmBigrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(0), size(col("toks")) - 2),
+      i => struct(element_at(col("toks"), i + 1).as("tok1"),
+        element_at(col("toks"), i + 2).as("tok2")))).as("g"))
+    .select(col("doc_id"), col("g.tok1"), col("g.tok2"))
+
+  private def lmDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+
+  /** Standing-corpus unigram counts — the reference LM's smaller half
+    * (vocab-sized; its count sum IS the reference token total, so the
+    * layout needs no separate N artifact).
+    */
+  private[graft] def lmUnigramFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"lmUnigrams:$dir") {
+      lmDocs(spark, dir).filter(col("doc_id") % 10 =!= 7)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(graft.functions.Exact.lcount.as("c_tok"))
+    }
+
+  /** Standing-corpus bigram counts — the reference LM's transition
+    * table (distinct-bigram-sized ≪ corpus).
+    */
+  private[graft] def lmBigramFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"lmBigrams:$dir") {
+      lmBigrams(lmDocs(spark, dir).filter(col("doc_id") % 10 =!= 7))
+        .groupBy("tok1", "tok2").agg(graft.functions.Exact.lcount.as("c_ab"))
+    }
+
+  /** Score documents against the given LM count tables (session
+    * frames or reloaded layout tables — same code either way, so the
+    * persisted path cannot drift). `deltaOnly` scores just the crawl
+    * split (doc_id % 10 = 7) — the production probe shape.
+    */
+  private[graft] def lmScoreAgainst(spark: SparkSession, dir: String,
+      cu: DataFrame, cb: DataFrame, deltaOnly: Boolean): DataFrame = {
+    import graft.functions.IntKernels.qlog2
+    import graft.functions.Exact.lcount
+    val scored = if (deltaOnly) lmDocs(spark, dir).filter(col("doc_id") % 10 === 7)
+      else lmDocs(spark, dir)
+    // N = sum of unigram counts (exact long; == the reference token
+    // count), broadcast as a 1-row frame
+    val nRef = cu.agg(sum(col("c_tok")).cast(LongType).as("n_toks"))
+      .withColumn("one", lit(1))
+    val bits = when(col("c_ab").isNotNull,
+        qlog2(col("c_a")) - qlog2(col("c_ab")))
+      .otherwise(qlog2(col("n_toks")) - qlog2(coalesce(col("c_b"), lit(1L)))
+        + lit(4096L))
+    lmBigrams(scored)
+      .join(cb, Seq("tok1", "tok2"), "left")
+      .join(cu.withColumnRenamed("tok", "tok1")
+        .withColumnRenamed("c_tok", "c_a"), Seq("tok1"), "left")
+      .join(cu.withColumnRenamed("tok", "tok2")
+        .withColumnRenamed("c_tok", "c_b"), Seq("tok2"), "left")
+      .withColumn("one", lit(1)).join(broadcast(nRef), "one")
+      .groupBy(col("doc_id"))
+      .agg(lcount.as("n_trans"), sum(bits).cast(LongType).as("xent_q10"))
+      .withColumn("bits_per_trans", col("xent_q10").cast(DoubleType)
+        / (lit(1024.0) * col("n_trans").cast(DoubleType)))
+      .orderBy("doc_id")
+  }
+
   /** D35: inverted-index build — the posting-list layout BM25 (D34)
     * consumes at scale: per term, df, total tf, and the doc-sorted
     * posting list "doc:tf …". The groupBy(term) exchange IS the index

@@ -524,4 +524,69 @@ object StreamOps {
           graft.functions.AvroEnvelope.envelope(payload, schemaId).as("value"))
     }
   }
+
+  /** E22: streaming LM quality scoring — each arriving document scored
+    * in-row against the reference bigram LM (batch dual: D38
+    * `doc_lm_score`; layouts: D38b). The count tables are collected
+    * ONCE at stream start and broadcast — the in-process-model serving
+    * shape (what a KenLM-style scorer does), the same pattern as
+    * [[annSearchStreamFromLayout]]'s collected quantizer. That makes
+    * the plan STATELESS map-only: no stream state beyond source
+    * offsets, verdicts emit with the arriving micro-batch, throughput
+    * scales with executors alone. At 100 TB a serving LM prunes /
+    * quantizes its count tables to broadcastable size (the standard
+    * trade); the batch operator remains the full-fidelity scale path.
+    * Scoring arithmetic is the same integer Q10 kernel
+    * ([[graft.functions.IntMath.qlog2]]) — streamed scores equal batch
+    * scores bit-for-bit (StreamBatchParitySpec).
+    */
+  def lmScoreStream(spark: org.apache.spark.sql.SparkSession,
+      cu: DataFrame, cb: DataFrame, incoming: DataFrame): DataFrame = {
+    import graft.functions.IntMath
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uni: Map[String, Long] = cu.collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("c_tok")).toMap
+    val bi: Map[(String, String), Long] = cb.collect()
+      .map(r => (r.getAs[String]("tok1"), r.getAs[String]("tok2")) ->
+        r.getAs[Long]("c_ab")).toMap
+    val n: Long = uni.valuesIterator.sum
+    val bUni = spark.sparkContext.broadcast(uni)
+    val bBi = spark.sparkContext.broadcast(bi)
+    val score = udf { text: String =>
+      // split(" ", -1) == functions.split limit semantics (keep
+      // trailing empties) — exact token parity with the batch path
+      val ts = text.split(" ", -1)
+      var x = 0L
+      var i = 0
+      while (i < ts.length - 1) {
+        x += (bBi.value.get((ts(i), ts(i + 1))) match {
+          case Some(cab) =>
+            IntMath.qlog2(bUni.value(ts(i))) - IntMath.qlog2(cab)
+          case None =>
+            IntMath.qlog2(n) -
+              IntMath.qlog2(bUni.value.getOrElse(ts(i + 1), 1L)) + 4096L
+        })
+        i += 1
+      }
+      ((ts.length - 1).toLong, x)
+    }
+    incoming
+      .filter(size(split(col("text"), " ")) >= 2)
+      .withColumn("s", score(col("text")))
+      .select(col("doc_id"), col("ts"),
+        col("s._1").cast(LongType).as("n_trans"),
+        col("s._2").cast(LongType).as("xent_q10"))
+      .withColumn("bits_per_trans", col("xent_q10").cast(DoubleType)
+        / (lit(1024.0) * col("n_trans").cast(DoubleType)))
+  }
+
+  /** E22 from the PERSISTED layout: a restarted scoring tier makes the
+    * LM tables servable (catalog / re-register — no recount of the
+    * standing corpus) and streams against them.
+    */
+  def lmScoreStreamFromLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame): DataFrame =
+    lmScoreStream(spark,
+      graft.operators.LayoutOps.table(spark, dir, "lm_unigrams"),
+      graft.operators.LayoutOps.table(spark, dir, "lm_bigrams"), incoming)
 }

@@ -224,4 +224,30 @@ class StreamBatchParitySpec extends GraftSpec {
       assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
     } finally q.stop()
   }
+
+  test("lmScoreStream == batch doc_lm_score bit-for-bit (incl. double division)") {
+    val expected = operators.TextOps.lmScore(spark, Sf)
+      .select("doc_id", "n_trans", "xent_q10", "bits_per_trans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val d = Files.createTempDirectory("lm_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.lmScoreStream(spark,
+        operators.TextOps.lmUnigramFrame(spark, Sf),
+        operators.TextOps.lmBigramFrame(spark, Sf),
+        spark.readStream.schema(incoming.schema).parquet(d))
+      .writeStream.format("memory").queryName("lm_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lm_par")
+        .select("doc_id", "n_trans", "xent_q10", "bits_per_trans")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
 }
