@@ -102,7 +102,12 @@ object ScaleBench {
     */
   private val Paths: Seq[String] = Seq(
     "dedup_winnow", "dedup_substring", "dedup_clusters", "corpus_build",
-    "corpus_build_incremental", "ann_ivfpq", "evt_funnel")
+    "corpus_build_incremental", "ann_ivfpq", "evt_funnel",
+    // r8 additions: LM scoring (vocab-bounded count joins — expect
+    // ~linear in the scored corpus) and BPE train+apply (one corpus
+    // histogram pass + vocab-sized merge work; the amplifier's ~k
+    // token tagging grows the vocab F×, still under VocabCap)
+    "doc_lm_score", "text_tokenize_bpe")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

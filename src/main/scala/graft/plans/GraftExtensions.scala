@@ -90,6 +90,14 @@ object GraftExtensions {
     fn("graft_bm25_idf",
       "rational BM25 idf (nDocs-df+0.5)/(df+0.5); args (nDocs, df) as longs") {
       case Seq(n, df) => Bm25Idf(n, df)
+    },
+    fn("graft_mix64",
+      "splitmix64 finalizer of a long (shard assignment / checksums)") {
+      case Seq(x) => Mix64(x)
+    },
+    fn("graft_qlog2",
+      "monotone integer log2 in Q10 fixed point; arg n >= 1 as long") {
+      case Seq(n) => QLog2(n)
     })
 
   /** Idempotent registration into an EXISTING session — getOrCreate

@@ -159,4 +159,29 @@ class KernelPropertySpec extends AnyFunSuite {
     val got2 = c2.sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got2.map(_._1) == Seq(1L, 3L, 3L, 3L, 3L), s"got $got2")
   }
+
+  test("BPE doubled-separator replace == leftmost-greedy list merge on random states") {
+    // the equivalence BpeOps rests on (driver String.replace, Spark
+    // SQL replace, DuckDB replace all share leftmost-nonoverlapping
+    // semantics) — randomized over multi-char symbols incl. symbols
+    // that are concatenations of others (the post-merge alphabet)
+    val alphabet = Vector("a", "b", "c", "ab", "bc", "aa", "abc")
+    for (_ <- 1 to 500) {
+      val n = 1 + rnd.nextInt(12)
+      val sy = List.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      val l = alphabet(rnd.nextInt(alphabet.size))
+      val r = alphabet(rnd.nextInt(alphabet.size))
+      // reference: explicit left-to-right scan with greedy tail merge
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      sy.foreach { s =>
+        if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+        else out += s
+      }
+      val st = "||" + sy.mkString("||") + "||"
+      val viaReplace = st.replace(s"|$l||$r|", s"|$l$r|")
+        .split("\\|\\|").filter(_.nonEmpty).toList
+      assert(viaReplace == out.toList,
+        s"diverged on $sy + ($l,$r): replace=$viaReplace scan=${out.toList}")
+    }
+  }
 }

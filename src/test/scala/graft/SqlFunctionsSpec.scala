@@ -126,6 +126,20 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(ex2.getMessage.toLowerCase.contains("type"))
   }
 
+  test("graft_mix64 / graft_qlog2: integer kernels from SQL, analysis-checked") {
+    assert(sparkReady)
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val r = spark.sql("SELECT graft_mix64(42L), graft_qlog2(1024L), " +
+      "graft_qlog2(3L)").head()
+    assert(r.getLong(0) == graft.functions.IntMath.mix64(42L))
+    assert(r.getLong(1) == 10L * 1024L)
+    assert(r.getLong(2) == graft.functions.IntMath.qlog2(3L))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_qlog2('x')").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+  }
+
   test("score kernels survive 128-bit cross products (counts near 2^63)") {
     assert(sparkReady)
     graft.plans.GraftExtensions.registerFunctions(spark)
