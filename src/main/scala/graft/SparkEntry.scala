@@ -129,6 +129,8 @@ object SparkEntry {
     "doc_lm_score"         -> (TextOps.lmScore _),
     "bpe_train"            -> (BpeOps.bpeTrain _),
     "text_tokenize_bpe"    -> (BpeOps.tokenizeBpe _),
+    "doc_pack_bpe"         -> ((s: SparkSession, d: String) =>
+      BpeOps.packBpe(s, d)),
     // F. multimodal plumbing — image/audio/video decode all REAL via
     // the JDK's own codecs (ImageIO PNG + animated GIF, javax.sound
     // WAV); fakeDecode survives only as the no-codec fallback
@@ -2272,6 +2274,27 @@ object SparkEntry {
           s"lhs || rhs AS merged, pc AS pair_cnt FROM bs$k")
           .mkString(" UNION ALL ") +
         ") SELECT * FROM mm ORDER BY merge_rank"),
+
+    // D19b: token-budget packing on the BPE piece counts (the D19
+    // window shape over the tokenizer's per-doc totals)
+    "doc_pack_bpe" ->
+      (BpeStageCtes +
+        "wc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents) GROUP BY 1, 2), " +
+        s"seg AS (SELECT w, CAST(len(list_filter(string_split(st, '||'), " +
+        s"x -> x <> '')) AS BIGINT) AS n_pieces FROM s$BpeM), " +
+        "dp AS (SELECT doc_id, CAST(SUM(n * n_pieces) AS BIGINT) AS n_pieces " +
+        "FROM wc JOIN seg ON wc.tok = seg.w GROUP BY doc_id), " +
+        "dd AS (SELECT d.doc_id, d.lang, dp.n_pieces, " +
+        "CAST(d.doc_id % 8 AS BIGINT) AS bucket " +
+        "FROM documents d JOIN dp ON d.doc_id = dp.doc_id) " +
+        "SELECT doc_id, lang, n_pieces, bucket, " +
+        "CAST(SUM(n_pieces) OVER w AS BIGINT) AS cum_pieces, " +
+        "CAST((SUM(n_pieces) OVER w - 1) // 1024 AS BIGINT) AS bin_id " +
+        "FROM dd WINDOW w AS (PARTITION BY lang, bucket ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY doc_id"),
 
     // D39b: apply the final symbol states to per-doc word counts. The
     // join covers every corpus word because VocabCap exceeds the test

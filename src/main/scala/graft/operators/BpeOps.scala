@@ -171,4 +171,30 @@ object BpeOps {
         col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
       .orderBy("doc_id")
   }
+
+  /** D19b: doc_pack_bpe — token-budget packing (the D19 shape: hash
+    * buckets inside each language, running-sum window, budget bins)
+    * driven by REAL BPE piece counts instead of the regex proxy. This
+    * is the batch-construction math a trainer actually runs: bins of
+    * ~BinPieces model tokens, not of approximate word counts. Same
+    * scale shape as D19 — the window spreads over |langs|×buckets
+    * partitions, bins never cross a shuffle boundary — plus the
+    * tokenizer join (vocab-sized broadcast).
+    */
+  def packBpe(spark: SparkSession, dir: String,
+      binPieces: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pieceCounts = tokenizeBpe(spark, dir)
+      .select(col("doc_id"), col("n_pieces"))
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pieceCounts, Seq("doc_id"))
+      .withColumn("bucket", (col("doc_id") % 8).cast(LongType))
+      .withColumn("cum_pieces", sum(col("n_pieces")).over(w).cast(LongType))
+      .withColumn("bin_id",
+        expr(s"(cum_pieces - 1) DIV $binPieces").cast(LongType))
+      .orderBy("doc_id")
+  }
 }

@@ -161,6 +161,23 @@ class BpeLmShardSpec extends GraftSpec {
     assert(unseenBits > seenMax)
   }
 
+  test("doc_pack_bpe: window math over real piece counts") {
+    val pieces = operators.BpeOps.tokenizeBpe(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_pieces")).toMap
+    val rows = operators.BpeOps.packBpe(spark, Sf).collect()
+    assert(rows.length == pieces.size)
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")))
+      .values.foreach { grp =>
+        var cum = 0L
+        grp.sortBy(_.getLong(0)).foreach { r =>
+          cum += pieces(r.getLong(0))
+          assert(r.getAs[Long]("n_pieces") == pieces(r.getLong(0)))
+          assert(r.getAs[Long]("cum_pieces") == cum, s"cum at doc ${r.getLong(0)}")
+          assert(r.getAs[Long]("bin_id") == (cum - 1) / 1024)
+        }
+      }
+  }
+
   // ---- persisted LM / tokenizer layouts --------------------------
 
   test("layout LM probe + persisted tokenizer serve a 'restarted' session identically") {
