@@ -131,6 +131,11 @@ object SparkEntry {
     "text_tokenize_bpe"    -> (BpeOps.tokenizeBpe _),
     "doc_pack_bpe"         -> ((s: SparkSession, d: String) =>
       BpeOps.packBpe(s, d)),
+    // D40: DSIR-style importance resampling (hashed-n-gram
+    // distribution matching, integer Q10 throughout)
+    "doc_importance_weights" -> (DsirOps.importanceWeights _),
+    "doc_importance_resample" -> ((s: SparkSession, d: String) =>
+      DsirOps.importanceResample(s, d)),
     // F. multimodal plumbing — image/audio/video decode all REAL via
     // the JDK's own codecs (ImageIO PNG + animated GIF, javax.sound
     // WAV); fakeDecode survives only as the no-codec fallback
@@ -2312,8 +2317,63 @@ object SparkEntry {
         "CAST(CAST(SUM(n * n_pieces) AS BIGINT) AS DOUBLE) " +
         "/ CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS pieces_per_word " +
         "FROM wc JOIN seg ON wc.tok = seg.w " +
-        "GROUP BY doc_id ORDER BY doc_id")
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    // D40: DSIR importance weights — hashed-n-gram LLR scores in Q10
+    // (qlog2 + splitmix64 replicated; Buckets divides 2^64 so the
+    // unsigned mod equals Spark's pmod of the signed word)
+    "doc_importance_weights" -> (DsirCtes +
+      " SELECT doc_id, n_feats, logw_q10, " +
+      "CAST(logw_q10 AS DOUBLE) / 1024.0 AS logw_bits " +
+      "FROM wt ORDER BY doc_id"),
+
+    // D40b: base-2 Gumbel-top-k resample — the deterministic draw
+    // (salted splitmix64 top 53 bits -> two qlog2 applications)
+    // replicated exactly, then ROW_NUMBER over the keyed weights
+    "doc_importance_resample" -> {
+      val u = s"((${mix(s"CAST(doc_id + ${operators.DsirOps.Salt} AS HUGEINT)")}) // 2048 + 1)"
+      val l = s"(${53 * 1024} - ${ql(u)})"
+      val g = s"(10240 - ${ql(s"greatest($l, 1)")})"
+      DsirCtes +
+        s", ky AS (SELECT doc_id, n_feats, logw_q10, $g AS gumbel_q10 FROM wt), " +
+        "k2 AS (SELECT doc_id, n_feats, logw_q10, gumbel_q10, " +
+        "CAST(logw_q10 + gumbel_q10 AS BIGINT) AS key_q10 FROM ky), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY key_q10 DESC, doc_id) AS rnk FROM k2) " +
+        "SELECT doc_id, n_feats, logw_q10, gumbel_q10, key_q10, " +
+        s"CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= ${operators.DsirOps.SampleK} ORDER BY rnk"
+    }
   )
+
+  /** D40 shared CTE chain: hashed unigram+bigram features (StrHash =
+    * poly fold + splitmix64, bucket = mod Buckets), per-bucket add-one
+    * LLR scores vs the standing corpus, per-crawl-doc Q10 weights.
+    */
+  private lazy val DsirCtes: String = {
+    val B = operators.DsirOps.Buckets
+    val bucket = s"CAST((${mix(strFold("feat"))}) % $B AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f0 AS (SELECT doc_id, unnest(toks) AS feat FROM d
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS feat FROM d),
+      |f AS MATERIALIZED (SELECT doc_id, $bucket AS bucket FROM f0),
+      |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM f
+      |  WHERE doc_id % 10 != 7 GROUP BY 1),
+      |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM f
+      |  WHERE doc_id % 10 = 7 GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM tc),
+      |nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n FROM rc),
+      |sc AS (SELECT rc.bucket,
+      |    (${ql("coalesce(tc.ct, 0) + 1")} - ${ql(s"nt.n + $B")})
+      |  - (${ql("rc.cr + 1")} - ${ql(s"nr.n + $B")}) AS score
+      |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+      |pd AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM f WHERE doc_id % 10 = 7 GROUP BY 1, 2),
+      |wt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+      |    CAST(SUM(n * score) AS BIGINT) AS logw_q10
+      |  FROM pd JOIN sc USING (bucket) GROUP BY doc_id)""".stripMargin
+        .replace("\n", " ")
+  }
 
   /** Monotone integer log2, Q10 — replication of IntMath.qlog2:
     * q(n) = bl·1024 + ((n<<10) >> bl) − 1024, bl = floor(log2 n) via
