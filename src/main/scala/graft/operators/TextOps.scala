@@ -125,6 +125,29 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D29b: the Misra–Gries twin of [[vocabTopK]] — the per-language
+    * vocabulary head from ONE pass with `capacity` counters per
+    * partial aggregate (G11 kernel), where the exact query shuffles
+    * every distinct (lang, token) pair. At 100 TB the exact head is a
+    * full-vocabulary shuffle; this is a constant-size mergeable state
+    * per task — the standard trade a profiling pass makes. Guarantees
+    * (partitioning-independent, spec-pinned): estimates never exceed
+    * the true count, undercount ≤ N_lang/(capacity+1), and every
+    * token above that threshold is present. Like the B18b HLL twin,
+    * the sketch is spec-bounded; [[vocabTopK]] is the oracled face.
+    */
+  def vocabSketch(spark: SparkSession, dir: String, capacity: Int = 64,
+      k: Int = 25): DataFrame = {
+    val sk = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(graft.functions.FreqSketch.mgSketch(col("tok"), capacity).as("sk"))
+    sk.select(col("lang"), posexplode(slice(col("sk"), 1, k)))
+      .select(col("lang"), col("col.key").as("tok"),
+        col("col.cnt").as("est_cnt"), (col("pos") + 1).cast(LongType).as("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** D31: per-doc top-k TF-IDF keywords — the tagging/indexing signal
     * a curation UI or topic router ranks documents by. The idf is kept
     * RATIONAL: score = (tf · N) / df, integer numerator and

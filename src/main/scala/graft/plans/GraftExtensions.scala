@@ -98,6 +98,11 @@ object GraftExtensions {
     fn("graft_qlog2",
       "monotone integer log2 in Q10 fixed point; arg n >= 1 as long") {
       case Seq(n) => QLog2(n)
+    },
+    fn("graft_mg_sketch",
+      "Misra-Gries frequent-items sketch of a string column; args (col, capacity)") {
+      case Seq(c, IntegerLiteral(cap)) =>
+        MisraGries(c, cap).toAggregateExpression()
     })
 
   /** Idempotent registration into an EXISTING session — getOrCreate

@@ -186,4 +186,19 @@ class SqlFunctionsSpec extends GraftSpec {
         org.apache.spark.sql.functions.col("a"), 4)).head().getLong(0)
     assert(viaSql == viaApi)
   }
+
+  test("graft_mg_sketch from SQL matches the aggregate kernel") {
+    assert(sparkReady)
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    Seq("a", "b", "a", "c", "a", "b").toDF("s")
+      .createOrReplaceTempView("mg_t")
+    val viaSql = spark.sql("SELECT graft_mg_sketch(s, 8) FROM mg_t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // arity errors surface at resolution (the fn-builder guard)
+    intercept[IllegalArgumentException](
+      spark.sql("SELECT graft_mg_sketch(s) FROM mg_t").collect())
+  }
 }
