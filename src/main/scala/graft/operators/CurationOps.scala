@@ -388,7 +388,9 @@ object CurationOps {
     */
   private[graft] def standingLabels(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"ccLabelsStanding:$dir") {
-      val ex = DedupOps.shingleExploded(spark, dir)
+      // filter preserves the cached (lang, shingle) clustering, so the
+      // standing self-join plans exchange-free like ngramPairs
+      val ex = DedupOps.shinglesByKey(spark, dir)
         .filter(col("doc_id") % 10 =!= 7)
       val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
         col("doc_id").as("a_id"), col("nsh").as("n_a"))
@@ -439,6 +441,7 @@ object CurationOps {
     */
   def warmStanding(spark: SparkSession, dir: String): Unit = {
     standingPacked(spark, dir).write.format("noop").mode("overwrite").save()
+    DedupOps.shinglesByKey(spark, dir).write.format("noop").mode("overwrite").save()
     graft.Memo.value(spark, s"ckBloom:$dir") {
       val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
       val n = math.max(corpus.count(), 1L)
@@ -472,10 +475,12 @@ object CurationOps {
     * anyway.
     */
   def corpusBuildIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (survivorsUnion, compMap, touchedSizes) =
+    val (survivorsUnion, compMap, touchedSizes, touchedDocIds) =
       incrementalSurvivors(spark, dir)
-    incrementalAssembly(spark, dir, survivorsUnion, compMap, touchedSizes)
+    incrementalAssembly(spark, dir, survivorsUnion, compMap, touchedSizes,
+      touchedDocIds)
   }
+
 
   /** Eagerly pinned intermediate: without materialization, every
     * downstream broadcast-exchange subquery re-executes the frame's
@@ -511,7 +516,7 @@ object CurationOps {
     * parity spec).
     */
   private[graft] def incrementalSurvivors(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val delta = docs.filter(col("doc_id") % 10 === 7)
     val scores = TextOps.qualityScored(spark, dir)
@@ -542,12 +547,16 @@ object CurationOps {
 
     // -- stage B: cluster merge. Only delta-incident edges are joined
     // (delta side × union side); corpus-corpus edges cannot change.
-    val ex = DedupOps.shingleExploded(spark, dir)
-    val exD = ex.filter(col("doc_id") % 10 === 7)
+    val exD = DedupOps.shingleExploded(spark, dir)
+      .filter(col("doc_id") % 10 === 7)
       .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
         col("doc_id").as("a_id"))
-    val exU = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
-      col("doc_id").as("b_id"))
+    // union side served from the pre-partitioned session artifact:
+    // its cached (lang, shingle) clustering satisfies the join's
+    // distribution requirement, so only the delta side exchanges
+    val exU = DedupOps.shinglesByKey(spark, dir)
+      .select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+        col("doc_id").as("b_id"))
     val deltaEdges = exD.join(exU, col("l_a") === col("l_b") &&
         col("sh_a") === col("sh_b") && col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -602,8 +611,9 @@ object CurationOps {
     // standing doc of a touched comp. Standing docs OUTSIDE touched
     // comps cannot change survivor status unless displaced (keeper
     // loss), which is handled as an explicit remove.
-    val touchedDocIds = touchedMembers.select("doc_id")
-      .unionByName(displaced.select("doc_id")).distinct()
+    val touchedDocIds = pin(spark, dir, "touchedDocIds")(
+      touchedMembers.select("doc_id")
+        .unionByName(displaced.select("doc_id")).distinct())
     // keep-first over the union is doc-set-global (a checksum group
     // may span touched and untouched docs), so resolve keeper status
     // directly instead of re-running the window: union keeper =
@@ -632,19 +642,26 @@ object CurationOps {
       .select("doc_id", "lang", "source", "n_tokens",
         "component", "cluster_size", "score")
       .unionByName(touchedSurvivors))
-    (survivorsUnion, compMap, touchedSizes)
+    (survivorsUnion, compMap, touchedSizes, touchedDocIds)
   }
 
   /** Stages D–E of [[corpusBuildIncremental]]. */
   private def incrementalAssembly(spark: SparkSession, dir: String,
       survivorsUnion: DataFrame, compMap: DataFrame,
-      touchedSizes: DataFrame): DataFrame = {
+      touchedSizes: DataFrame, touchedDocIds: DataFrame): DataFrame = {
     // -- stage D: mixture recomputed for TOUCHED sources (sources
     // whose survivor set changed in either direction)
     val stdSurv = standingSurvivors(spark, dir)
     val stdSel = standingSelected(spark, dir)
+    // survivor status can only change inside the touched doc set
+    // (survivorsUnion = stdSurv outside it by construction), so the
+    // diff restricts BOTH sides to touched docs first — two broadcast
+    // semi-joins and a delta-sized aggregate, where diffing the full
+    // frames union-shuffled two corpus-sized inputs per run
     val survDiff = stdSurv.select("doc_id", "source")
-      .unionByName(survivorsUnion.select("doc_id", "source"))
+      .join(touchedDocIds, Seq("doc_id"), "left_semi")
+      .unionByName(survivorsUnion.select("doc_id", "source")
+        .join(touchedDocIds, Seq("doc_id"), "left_semi"))
       .groupBy("doc_id", "source").agg(lcount.as("n")).filter(col("n") === 1)
     val touchedSources = pin(spark, dir, "touchedSources")(
       survDiff.select("source").distinct())

@@ -76,13 +76,34 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("nsh"),
         explode(col("shingles")).as("shingle"))
 
+  /** The exploded shingle table pre-partitioned by its join key — the
+    * in-session stand-in for a shingle-bucketed layout table (cf.
+    * D36d's persisted band signatures). Every consumer of the
+    * (lang, shingle) clustering reuses this ONE cached exchange: the
+    * ngramPairs / standing-labels self-joins plan exchange-free on
+    * both sides, and the incremental delta-edge join (D28b) shuffles
+    * only the delta's shingles where it previously re-exchanged the
+    * whole union table per run — the corpus-sized marginal cost the
+    * crossover measurement caught.
+    */
+  private[graft] def shinglesByKey(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"shinglesByKey:$dir") {
+      shingleExploded(spark, dir)
+        .repartition(col("lang"), col("shingle"))
+    }
+
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
     // memoized: D2 (pairs + jaccard) and D13 (the CC edge list) share
     // this self-join — the most expensive derivation in the dedup
     // family; its output (candidate pairs) is tiny relative to the
     // join work, so one session-cached copy serves both
     graft.Memo.df(spark, s"ngramPairs:$dir") {
-      val ex = shingleExploded(spark, dir)
+      // both self-join sides read the (lang, shingle)-partitioned
+      // session artifact: the cached clustering satisfies the join's
+      // distribution on BOTH sides, so the join plans with zero
+      // exchanges (sorts only) instead of re-shuffling the whole
+      // exploded shingle table twice
+      val ex = shinglesByKey(spark, dir)
       val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
         col("doc_id").as("a_id"), col("nsh").as("n_a"))
       val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
