@@ -162,7 +162,9 @@ object SparkEntry {
     // D38b/D39c: the reference LM and the trained tokenizer served
     // from their persisted layouts
     "layout_lm_delta_score" -> (LayoutOps.lmDeltaScored _),
-    "layout_bpe_tokenize"  -> (LayoutOps.bpeTokenizeServed _)
+    "layout_bpe_tokenize"  -> (LayoutOps.bpeTokenizeServed _),
+    // D40c: the DSIR model served from its persisted tables
+    "layout_importance_weights" -> (LayoutOps.importanceWeightsServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -561,6 +563,8 @@ object SparkEntry {
       "layout_lm_delta_score"    -> lmScoreSql(deltaOnly = true),
       // D39c: tokenization from the persisted merge table ≡ session
       "layout_bpe_tokenize"      -> base("text_tokenize_bpe"),
+      // D40c: weights from the persisted DSIR model tables ≡ session
+      "layout_importance_weights" -> base("doc_importance_weights"),
 
       // D36c: term probe against the persisted postings (bucket-pruned
       // scan on the Spark side; the oracle just filters the postings

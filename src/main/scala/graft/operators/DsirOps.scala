@@ -77,42 +77,61 @@ object DsirOps {
         pmod(StrHash.strhash64(col("feat")), lit(Buckets.toLong)).as("bucket"))
   }
 
-  /** The fitted model: per-bucket Q10 log-likelihood-ratio scores
-    * (target vs raw, add-one smoothed). Raw-side buckets only — a
-    * crawl doc can only hit buckets the raw distribution saw. Memoized
-    * like the other bounded model artifacts.
+  /** Target-side (standing corpus) bucket counts — half the fitted
+    * model, ≤[[Buckets]] rows; the layout write side of the
+    * `dsir_target` family.
     */
-  private[graft] def bucketScores(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.df(spark, s"dsirScores:$dir") {
-      import graft.functions.IntKernels.qlog2
-      val d = docsToks(spark, dir)
-      val tc = features(d.filter(col("doc_id") % 10 =!= 7))
+  private[graft] def targetCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"dsirTc:$dir") {
+      features(docsToks(spark, dir).filter(col("doc_id") % 10 =!= 7))
         .groupBy("bucket").agg(lcount.as("ct"))
-      val rc = features(d.filter(col("doc_id") % 10 === 7))
-        .groupBy("bucket").agg(lcount.as("cr"))
-      val nt = tc.agg(sum(col("ct")).cast(LongType).as("nt")).withColumn("one", lit(1))
-      val nr = rc.agg(sum(col("cr")).cast(LongType).as("nr")).withColumn("one", lit(1))
-      rc.join(tc, Seq("bucket"), "left")
-        .withColumn("one", lit(1))
-        .join(broadcast(nt), "one").join(broadcast(nr), "one")
-        .select(col("bucket"),
-          ((qlog2(coalesce(col("ct"), lit(0L)) + lit(1L))
-            - qlog2(col("nt") + lit(Buckets.toLong)))
-            - (qlog2(col("cr") + lit(1L))
-              - qlog2(col("nr") + lit(Buckets.toLong)))).as("score_q10"))
     }
 
-  /** Per-crawl-doc importance weights, unordered (shared by the two
-    * query faces).
+  /** Raw-side (crawl) bucket counts — the other half (`dsir_raw`). */
+  private[graft] def rawCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"dsirRc:$dir") {
+      features(docsToks(spark, dir).filter(col("doc_id") % 10 === 7))
+        .groupBy("bucket").agg(lcount.as("cr"))
+    }
+
+  /** The fitted model from explicit count frames (session memos or
+    * reloaded layout tables — same code either way): per-bucket Q10
+    * log-likelihood-ratio scores, add-one smoothed. Raw-side buckets
+    * only — a crawl doc can only hit buckets the raw fit saw.
     */
-  private[graft] def weightsFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def bucketScoresFrom(tc: DataFrame, rc: DataFrame): DataFrame = {
+    import graft.functions.IntKernels.qlog2
+    val nt = tc.agg(sum(col("ct")).cast(LongType).as("nt")).withColumn("one", lit(1))
+    val nr = rc.agg(sum(col("cr")).cast(LongType).as("nr")).withColumn("one", lit(1))
+    rc.join(tc, Seq("bucket"), "left")
+      .withColumn("one", lit(1))
+      .join(broadcast(nt), "one").join(broadcast(nr), "one")
+      .select(col("bucket"),
+        ((qlog2(coalesce(col("ct"), lit(0L)) + lit(1L))
+          - qlog2(col("nt") + lit(Buckets.toLong)))
+          - (qlog2(col("cr") + lit(1L))
+            - qlog2(col("nr") + lit(Buckets.toLong)))).as("score_q10"))
+  }
+
+  /** Per-crawl-doc importance weights against explicit model tables,
+    * unordered — shared by the session faces and the layout-served
+    * twin (one code path, so the persisted route cannot drift).
+    */
+  private[graft] def weightsAgainst(spark: SparkSession, dir: String,
+      tc: DataFrame, rc: DataFrame): DataFrame = {
     val perDoc = features(docsToks(spark, dir).filter(col("doc_id") % 10 === 7))
       .groupBy("doc_id", "bucket").agg(lcount.as("n"))
-    perDoc.join(broadcast(bucketScores(spark, dir)), Seq("bucket"))
+    perDoc.join(broadcast(bucketScoresFrom(tc, rc)), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("n")).cast(LongType).as("n_feats"),
         sum(col("n") * col("score_q10")).cast(LongType).as("logw_q10"))
   }
+
+  /** Per-crawl-doc importance weights, unordered (shared by the two
+    * query faces).
+    */
+  private[graft] def weightsFrame(spark: SparkSession, dir: String): DataFrame =
+    weightsAgainst(spark, dir, targetCounts(spark, dir), rawCounts(spark, dir))
 
   /** D40: doc_importance_weights — every crawl document's Q10 log
     * importance weight under the standing-corpus target.
@@ -121,6 +140,34 @@ object DsirOps {
     weightsFrame(spark, dir)
       .withColumn("logw_bits", col("logw_q10").cast(DoubleType) / lit(1024.0))
       .orderBy("doc_id")
+
+  /** Driver-side scorer against collected model maps — the streaming
+    * face's kernel (E23): same hash, same qlog2, same smoothing as the
+    * distributed path, so streamed weights equal batch weights
+    * bit-for-bit (parity spec).
+    */
+  private[graft] def driverScore(text: String,
+      t: Map[Long, Long], r: Map[Long, Long],
+      nt: Long, nr: Long): (Long, Long) = {
+    import graft.functions.{IntMath, StrHash}
+    val toks = text.split(" ", -1)
+    var n = 0L
+    var w = 0L
+    def add(feat: String): Unit = {
+      val h = StrHash.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(feat)) % Buckets
+      val b = if (h < 0) h + Buckets else h
+      w += (IntMath.qlog2(t.getOrElse(b, 0L) + 1) -
+          IntMath.qlog2(nt + Buckets)) -
+        (IntMath.qlog2(r.getOrElse(b, 0L) + 1) -
+          IntMath.qlog2(nr + Buckets))
+      n += 1
+    }
+    toks.foreach(add)
+    var i = 0
+    while (i < toks.length - 1) { add(toks(i) + " " + toks(i + 1)); i += 1 }
+    (n, w)
+  }
 
   /** The deterministic base-2 Gumbel draw for a doc id: u from the
     * salted splitmix64's top 53 bits (u ∈ [1, 2⁵³] as an integer, i.e.

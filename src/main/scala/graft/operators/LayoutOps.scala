@@ -105,7 +105,14 @@ object LayoutOps {
     // D39c: the trained tokenizer — M merge rows, the model artifact a
     // serving stack collects (like the quantizer) instead of retraining
     Family("bpe_merges", s"v${BpeOps.VocabCap}m${BpeOps.Merges}", "merge_rank", 1,
-      (s, d) => BpeOps.bpeTrain(s, d)))
+      (s, d) => BpeOps.bpeTrain(s, d)),
+    // D40c: the fitted DSIR model — two hashed-n-gram bucket-count
+    // tables (≤Buckets rows each); a restarted selection tier scores
+    // deltas (batch or streaming, E23) without re-fitting
+    Family("dsir_target", s"b${DsirOps.Buckets}", "bucket", 4,
+      (s, d) => DsirOps.targetCounts(s, d)),
+    Family("dsir_raw", s"b${DsirOps.Buckets}", "bucket", 4,
+      (s, d) => DsirOps.rawCounts(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -251,6 +258,18 @@ object LayoutOps {
     TextOps.lmScoreAgainst(spark, dir,
       table(spark, dir, "lm_unigrams"),
       table(spark, dir, "lm_bigrams"), deltaOnly = true)
+
+  /** D40c: DSIR importance weights served from the persisted model
+    * tables alone — same code path as the session query
+    * ([[DsirOps.weightsAgainst]]), same oracle as doc_importance_weights.
+    */
+  def importanceWeightsServed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    DsirOps.weightsAgainst(spark, dir,
+        table(spark, dir, "dsir_target"), table(spark, dir, "dsir_raw"))
+      .withColumn("logw_bits", col("logw_q10").cast(DoubleType) / lit(1024.0))
+      .orderBy("doc_id")
+  }
 
   /** D39c: tokenization served from the PERSISTED merge table — the
     * model rows are collected (M rows, a bounded artifact like the

@@ -589,4 +589,44 @@ object StreamOps {
     lmScoreStream(spark,
       graft.operators.LayoutOps.table(spark, dir, "lm_unigrams"),
       graft.operators.LayoutOps.table(spark, dir, "lm_bigrams"), incoming)
+
+  /** E23: streaming DSIR importance scoring — arriving documents get
+    * their hashed-n-gram importance weight in-row against the fitted
+    * model (D40's two bucket-count tables, ≤256 rows each, collected
+    * once at stream start and broadcast — the in-process-model serving
+    * shape of E20b/E22). Stateless map-only plan: no stream state
+    * beyond offsets. Same hash, same qlog2, same smoothing as the
+    * batch path ⇒ streamed weights equal batch weights bit-for-bit
+    * (parity spec); a selection tier would gate on the weight exactly
+    * like the E17 ingest gates.
+    */
+  def importanceScoreStream(spark: org.apache.spark.sql.SparkSession,
+      tc: DataFrame, rc: DataFrame, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val t: Map[Long, Long] = tc.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("ct")).toMap
+    val rw: Map[Long, Long] = rc.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cr")).toMap
+    val nt = t.valuesIterator.sum
+    val nr = rw.valuesIterator.sum
+    val bT = spark.sparkContext.broadcast(t)
+    val bR = spark.sparkContext.broadcast(rw)
+    val score = udf { text: String =>
+      graft.operators.DsirOps.driverScore(text, bT.value, bR.value, nt, nr)
+    }
+    incoming
+      .withColumn("s", score(col("text")))
+      .select(col("doc_id"), col("ts"),
+        col("s._1").cast(LongType).as("n_feats"),
+        col("s._2").cast(LongType).as("logw_q10"))
+      .withColumn("logw_bits",
+        col("logw_q10").cast(DoubleType) / lit(1024.0))
+  }
+
+  /** E23 from the PERSISTED layout (a restarted selection tier). */
+  def importanceScoreStreamFromLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame): DataFrame =
+    importanceScoreStream(spark,
+      graft.operators.LayoutOps.table(spark, dir, "dsir_target"),
+      graft.operators.LayoutOps.table(spark, dir, "dsir_raw"), incoming)
 }

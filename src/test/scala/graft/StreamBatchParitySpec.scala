@@ -250,4 +250,31 @@ class StreamBatchParitySpec extends GraftSpec {
       assert(expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("importanceScoreStream == batch doc_importance_weights bit-for-bit") {
+    val expected = operators.DsirOps.importanceWeights(spark, Sf)
+      .select("doc_id", "n_feats", "logw_q10", "logw_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val d = Files.createTempDirectory("dsir_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.importanceScoreStream(spark,
+        operators.DsirOps.targetCounts(spark, Sf),
+        operators.DsirOps.rawCounts(spark, Sf),
+        spark.readStream.schema(incoming.schema).parquet(d))
+      .writeStream.format("memory").queryName("dsir_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dsir_par")
+        .select("doc_id", "n_feats", "logw_q10", "logw_bits")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
 }
