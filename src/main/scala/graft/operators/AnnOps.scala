@@ -489,29 +489,50 @@ object AnnOps {
         .select(col("q_id"), col("c_id"), col("p_rnk"), col("sim"),
           adcCol().as("adc"))
     }
-    def hitsOf(method: String, param: Int, sims: DataFrame): DataFrame =
-      TopK.perKey(sims.filter(col("p_rnk") < param), Seq(col("q_id")),
+    // All of a family's curve points in ONE pass: each cached
+    // candidate row fans out to every configuration that admits it
+    // (param > rank, i.e. the same filter the per-point formulation
+    // applied), and a single bounded-heap TopK keyed by (param, q_id)
+    // replaces |params| separate jobs. A param whose top-10 scores
+    // zero exact hits must still emit its row, hence the left join
+    // from the literal param list.
+    def paramRows(method: String, params: Seq[Int]): DataFrame = {
+      import spark.implicits._
+      params.map(p => (method, p.toLong)).toDF("method", "param")
+    }
+    def familyHits(method: String, params: Seq[Int], cand: DataFrame): DataFrame = {
+      val counted = TopK.perKey(cand, Seq(col("param"), col("q_id")),
           Seq(col("sim").desc, col("c_id").asc), 10)
-        .select("q_id", "c_id").join(exact, Seq("q_id", "c_id"))
-        .agg(count(lit(1)).cast(LongType).as("hits"))
-        .select(lit(method).as("method"), lit(param.toLong).as("param"),
-          col("hits"))
+        .select("param", "q_id", "c_id")
+        .join(exact, Seq("q_id", "c_id"))
+        .groupBy("param").agg(count(lit(1)).cast(LongType).as("hits"))
+      paramRows(method, params)
+        .join(counted, Seq("param"), "left")
+        .select(col("method"), col("param"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }
+    def probeFan(sims: DataFrame, params: Seq[Int]): DataFrame =
+      sims.withColumn("param", explode(filter(
+        array(params.map(lit): _*), p => p > col("p_rnk"))))
+    def hitsOf(method: String, params: Seq[Int], sims: DataFrame): DataFrame =
+      familyHits(method, params, probeFan(sims, params))
     def countHits(method: String, param: Int, top10: DataFrame): DataFrame =
       top10.select("q_id", "c_id").join(exact, Seq("q_id", "c_id"))
         .agg(count(lit(1)).cast(LongType).as("hits"))
         .select(lit(method).as("method"), lit(param.toLong).as("param"),
           col("hits"))
-    def pqHitsOf(rr: Int): DataFrame =
-      countHits("pq", rr,
-        TopK.perKey(pqSims.filter(col("a_rnk") <= rr), Seq(col("q_id")),
-          Seq(col("sim").desc, col("c_id").asc), 10))
-    def ivfpqHitsOf(np: Int): DataFrame = {
-      val short = TopK.perKey(ivfpqSims.filter(col("p_rnk") < np),
-          Seq(col("q_id")), Seq(col("adc").asc, col("c_id").asc), IvfPqR)
-        .select("q_id", "c_id", "sim")
-      countHits("ivfpq", np,
-        TopK.perKey(short, Seq(col("q_id")),
-          Seq(col("sim").desc, col("c_id").asc), 10))
+    def pqHitsOf(params: Seq[Int]): DataFrame =
+      familyHits("pq", params, pqSims.withColumn("param", explode(filter(
+        array(params.map(lit): _*), p => p >= col("a_rnk")))))
+    def ivfpqHitsOf(params: Seq[Int]): DataFrame = {
+      // two chained heaps, both keyed by (param, q_id): ADC shortlist
+      // at R, then exact top-10 — annIvfPq's two-stage path, all
+      // curve points in one pass each
+      val short = TopK.perKey(probeFan(ivfpqSims, params),
+          Seq(col("param"), col("q_id")),
+          Seq(col("adc").asc, col("c_id").asc), IvfPqR)
+        .select("param", "q_id", "c_id", "sim")
+      familyHits("ivfpq", params, short)
     }
     // residual ADC-order points: the r = k = 10 search's result SET is
     // exactly the ADC top-10 (re-ranking 10 candidates for top-10
@@ -520,10 +541,10 @@ object AnnOps {
       countHits("res_adc", ns,
         annIvfPqRes(spark, dir, r = 10, k = 10, nSub = ns))
     val hits =
-      (RecallLshProbes.map(p => hitsOf("lsh", p, lshSims)) ++
-       RecallIvfNprobes.map(np => hitsOf("ivf", np, ivfSims)) ++
-       RecallPqR.map(rr => pqHitsOf(rr)) ++
-       RecallIvfPqNprobes.map(np => ivfpqHitsOf(np)) ++
+      (Seq(hitsOf("lsh", RecallLshProbes, lshSims),
+        hitsOf("ivf", RecallIvfNprobes, ivfSims),
+        pqHitsOf(RecallPqR),
+        ivfpqHitsOf(RecallIvfPqNprobes)) ++
        RecallResAdcSubs.map(ns => resAdcHitsOf(ns)))
         .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
