@@ -23,6 +23,10 @@ object SparkEntry {
     "q_orders_window"      -> (RelationalOps.qOrdersWindow _),
     "q_rank_parts"         -> (RelationalOps.qRankParts _),
     "q_dense_size_parts"   -> (RelationalOps.qDenseSizeParts _),
+    "q4_order_priority"    -> (RelationalOps.q4OrderPriority _),
+    "q17_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      RelationalOps.q17SmallQtyRevenue(s, d)),
+    "q22_idle_customers"   -> (RelationalOps.q22IdleCustomers _),
     // B. log-agent event semantics
     "evt_latest_per_key"   -> (EventOps.latestPerKey _),
     "evt_debounce"         -> (EventOps.debounce _),
@@ -721,6 +725,41 @@ object SparkEntry {
         |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk
         |  FROM part)
         |WHERE rnk <= 2 ORDER BY p_brand, p_size, p_partkey""".stripMargin,
+
+    // A10: EXISTS ⇒ semi join (Q4 shape, "late" = shipped after order)
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // A11: correlated scalar-avg subquery decorrelated (Q17 shape);
+    // the mean uses the house exact decimal average so the threshold
+    // compare is engine-independent
+    "q17_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+        |av AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem JOIN bp ON p_partkey = l_partkey GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
+        |JOIN av ON av.l_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.5 * av.avg_qty""".stripMargin,
+
+    // A12: global-mean scalar + NOT EXISTS ⇒ anti join (Q22 shape)
+    "q22_idle_customers" ->
+      """SELECT n.n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |    FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "evt_latest_per_key" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -194,4 +194,66 @@ object RelationalOps {
         col("rnk").cast(LongType).as("rnk"))
       .orderBy("p_brand", "p_size", "p_partkey")
   }
+
+  /** A10: TPC-H Q4 shape — orders per priority with at least one
+    * late-shipped line (EXISTS ⇒ LEFT SEMI; the schema carries no
+    * commit/receipt dates, so "late" is shipdate after orderdate).
+    * The semi join is the one fact⋈fact shuffle (orderkey on both
+    * sides — high-cardinality, skew-free) and stops probing an order
+    * at its first match; the agg output is |priorities| rows.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority").agg(lcount.as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A11: TPC-H Q17 shape — revenue lost to small-quantity orders of
+    * one brand: lineitems under half their part's mean quantity. The
+    * correlated scalar subquery decorrelates into a per-part mean
+    * (partial-agg keyed on partkey, output |brand parts| rows →
+    * broadcast back); the threshold compare is deterministic because
+    * the mean is the house exact decimal average and 0.5·x is a
+    * power-of-two scale.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#12"): DataFrame = {
+    val bp = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** A12: TPC-H Q22 shape — above-average-balance customers with no
+    * urgent orders, rolled up per nation (the "idle rich accounts"
+    * report). Two classic decorrelations in one plan: the global mean
+    * balance as a broadcast 1-row scalar, and NOT EXISTS as a LEFT
+    * ANTI join (shuffles only the filtered customer slice and the
+    * urgent-order keys); nation is a broadcast dim.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.agg(davg(col("c_acctbal")).as("ab"))
+      .withColumn("one", lit(1))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.withColumn("one", lit(1)).join(broadcast(avgBal), "one")
+      .filter(col("c_acctbal") > col("ab"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(lcount.as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
+  }
 }
