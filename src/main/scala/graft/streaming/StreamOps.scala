@@ -342,6 +342,30 @@ object StreamOps {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("n_users"))
 
+  /** E24: streaming heavy hitters — the G11 Misra–Gries aggregate as
+    * WINDOWED STREAM STATE: per tumbling day the state store carries
+    * one serialized sketch of `capacity` counters (exactly like E19's
+    * HLL buffer), merged across micro-batches by the MG merge rule —
+    * state per window is O(capacity) no matter how many distinct keys
+    * arrive, where an exact streamed count holds every key. With
+    * capacity ≥ the window's distinct keys the sketch never overflows
+    * and counters are pure counts ⇒ the streamed result equals the
+    * batch exact counts bit-for-bit (parity spec); under overflow the
+    * MG bounds hold regardless of how arrivals fall into
+    * micro-batches.
+    */
+  def heavyHittersStream(events: DataFrame, capacity: Int = 16,
+      watermark: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.FreqSketch.mgSketch(col("event_type"), capacity)
+        .as("sk"))
+      .select(col("window.start").as("bucket"),
+        posexplode(col("sk")).as(Seq("i", "e")))
+      .select(col("bucket"), col("e.key").as("event_type"),
+        col("e.cnt").as("est_cnt"),
+        (col("i") + 1).cast(org.apache.spark.sql.types.LongType).as("rnk"))
+
   /** E17: the streaming ingest gate — every arriving document judged
     * by the three curation gates in ONE stream, emitted as a verdict
     * LEDGER (one row per (doc, reason), reasons ∈ {exact_dup,

@@ -118,6 +118,39 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream (MG state) == batch exact counts per closed day when capacity covers keys") {
+    val expected = Tables.events(spark, Sf)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    val d = Files.createTempDirectory("hh_par").toFile.getAbsolutePath
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    all.write.mode("overwrite").parquet(d)
+    val q = StreamOps.heavyHittersStream(
+        spark.readStream.schema(all.schema).parquet(d))
+      .writeStream.format("memory").queryName("hh_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("hh_par").filter(col("bucket") < "2029-01-01")
+        .select("bucket", "event_type", "est_cnt")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map(r => (r._1.getTime, r._2, r._3)).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+      // ranks within each closed window are 1..n by (cnt desc, key asc)
+      val ranks = spark.table("hh_par").filter(col("bucket") < "2029-01-01")
+        .select("bucket", "rnk").as[(java.sql.Timestamp, Long)].collect()
+        .groupBy(_._1).values
+      ranks.foreach(rs =>
+        assert(rs.map(_._2).sorted.toSeq == (1L to rs.length.toLong)))
+    } finally q.stop()
+  }
+
   test("trendingStream == batch trending per closed hour on real events") {
     val expected = operators.EventOps.trending(spark, Sf)
       .filter(col("bucket") < "2029-01-01").collect()
