@@ -253,7 +253,7 @@ object ScaleBench {
     val meter = new ShuffleMeter(spark)
     val crossFactors = sys.env.get("SPARK_GRAFT_SCALE_CROSS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(factors ++ Seq(60)).sorted
+      .getOrElse(factors ++ Seq(60)).distinct.sorted
     val cross = scala.collection.mutable.Map[Int,
       scala.collection.mutable.Map[String, Double]]()
     for (rep <- 1 to repeats; f <- crossFactors) {

@@ -2374,7 +2374,12 @@ object SparkEntry {
     // (salted splitmix64 top 53 bits -> two qlog2 applications)
     // replicated exactly, then ROW_NUMBER over the keyed weights
     "doc_importance_resample" -> {
-      val u = s"((${mix(s"CAST(doc_id + ${operators.DsirOps.Salt} AS HUGEINT)")}) // 2048 + 1)"
+      val u0 = s"((${mix(s"CAST(doc_id + ${operators.DsirOps.Salt} AS HUGEINT)")}) // 2048 + 1)"
+      // the u = 2^53 atom (probability 2^-53): the Scala kernel's
+      // unsigned shift survives it (qlog2(2^53) = 53·1024, l clamps to
+      // 1) but DuckDB's `<< 10` overflows BIGINT there — clamping u to
+      // 2^53−1 yields the identical draw (l = 1 either way)
+      val u = s"least($u0, 9007199254740991)"
       val l = s"(${53 * 1024} - ${ql(u)})"
       val g = s"(10240 - ${ql(s"greatest($l, 1)")})"
       DsirCtes +

@@ -133,13 +133,21 @@ object DsirOps {
   private[graft] def weightsFrame(spark: SparkSession, dir: String): DataFrame =
     weightsAgainst(spark, dir, targetCounts(spark, dir), rawCounts(spark, dir))
 
+  /** The finished D40 output frame over explicit model tables — the
+    * ONE output face both the session query and the layout-served twin
+    * use, so the two cannot drift in column set, scale, or ordering.
+    */
+  private[graft] def weightsOutput(spark: SparkSession, dir: String,
+      tc: DataFrame, rc: DataFrame): DataFrame =
+    weightsAgainst(spark, dir, tc, rc)
+      .withColumn("logw_bits", col("logw_q10").cast(DoubleType) / lit(1024.0))
+      .orderBy("doc_id")
+
   /** D40: doc_importance_weights — every crawl document's Q10 log
     * importance weight under the standing-corpus target.
     */
   def importanceWeights(spark: SparkSession, dir: String): DataFrame =
-    weightsFrame(spark, dir)
-      .withColumn("logw_bits", col("logw_q10").cast(DoubleType) / lit(1024.0))
-      .orderBy("doc_id")
+    weightsOutput(spark, dir, targetCounts(spark, dir), rawCounts(spark, dir))
 
   /** Driver-side scorer against collected model maps — the streaming
     * face's kernel (E23): same hash, same qlog2, same smoothing as the

@@ -260,16 +260,13 @@ object LayoutOps {
       table(spark, dir, "lm_bigrams"), deltaOnly = true)
 
   /** D40c: DSIR importance weights served from the persisted model
-    * tables alone — same code path as the session query
-    * ([[DsirOps.weightsAgainst]]), same oracle as doc_importance_weights.
+    * tables alone — same code path AND same output face as the session
+    * query ([[DsirOps.weightsOutput]]), same oracle as
+    * doc_importance_weights.
     */
-  def importanceWeightsServed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    DsirOps.weightsAgainst(spark, dir,
-        table(spark, dir, "dsir_target"), table(spark, dir, "dsir_raw"))
-      .withColumn("logw_bits", col("logw_q10").cast(DoubleType) / lit(1024.0))
-      .orderBy("doc_id")
-  }
+  def importanceWeightsServed(spark: SparkSession, dir: String): DataFrame =
+    DsirOps.weightsOutput(spark, dir,
+      table(spark, dir, "dsir_target"), table(spark, dir, "dsir_raw"))
 
   /** D39c: tokenization served from the PERSISTED merge table — the
     * model rows are collected (M rows, a bounded artifact like the
