@@ -79,6 +79,8 @@ object SparkEntry {
       CurationOps.dedupIncrementalLsh(s, d)),
     "doc_curation"         -> (CurationOps.curate _),
     "doc_sample_stratified" -> (CurationOps.sampleStratified _),
+    "doc_sample_weighted"  -> ((s: SparkSession, d: String) =>
+      CurationOps.sampleWeighted(s, d)),
     "doc_pack_tokens"      -> (CurationOps.packTokens _),
     "doc_chunk"            -> ((s: SparkSession, d: String) =>
       CurationOps.docChunk(s, d)),
@@ -1386,6 +1388,20 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
 
+    // D17b: Gumbel-max sampling ∝ token count per language — the draw
+    // (gumbelSql) and the Q10 log-weight replicated exactly
+    "doc_sample_weighted" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT)
+        |      AS n_tokens FROM documents),
+        |ky AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(${ql("greatest(n_tokens, 1)")} + $gumbelSql AS BIGINT)
+        |      AS key_q10 FROM d),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY key_q10 DESC, doc_id) AS rnk FROM ky)
+        |SELECT lang, doc_id, n_tokens, key_q10, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
     "doc_source_quality" ->
       """WITH qt AS (SELECT source, text, n_chars,
         |    string_split(text, ' ') AS toks FROM documents),
@@ -2374,14 +2390,7 @@ object SparkEntry {
     // (salted splitmix64 top 53 bits -> two qlog2 applications)
     // replicated exactly, then ROW_NUMBER over the keyed weights
     "doc_importance_resample" -> {
-      val u0 = s"((${mix(s"CAST(doc_id + ${operators.DsirOps.Salt} AS HUGEINT)")}) // 2048 + 1)"
-      // the u = 2^53 atom (probability 2^-53): the Scala kernel's
-      // unsigned shift survives it (qlog2(2^53) = 53·1024, l clamps to
-      // 1) but DuckDB's `<< 10` overflows BIGINT there — clamping u to
-      // 2^53−1 yields the identical draw (l = 1 either way)
-      val u = s"least($u0, 9007199254740991)"
-      val l = s"(${53 * 1024} - ${ql(u)})"
-      val g = s"(10240 - ${ql(s"greatest($l, 1)")})"
+      val g = gumbelSql
       DsirCtes +
         s", ky AS (SELECT doc_id, n_feats, logw_q10, $g AS gumbel_q10 FROM wt), " +
         "k2 AS (SELECT doc_id, n_feats, logw_q10, gumbel_q10, " +
@@ -2391,6 +2400,21 @@ object SparkEntry {
         s"CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= ${operators.DsirOps.SampleK} ORDER BY rnk"
     }
   )
+
+  /** The deterministic base-2 Gumbel draw (DsirOps.gumbelQ10)
+    * replicated: u = salted splitmix64 top 53 bits + 1, two ql()
+    * applications. The u = 2^53 atom (probability 2^-53): the Scala
+    * kernel's unsigned shift survives it (qlog2(2^53) = 53·1024, l
+    * clamps to 1) but DuckDB's `<< 10` overflows BIGINT there —
+    * clamping u to 2^53−1 yields the identical draw (l = 1 either
+    * way). Shared by doc_importance_resample and doc_sample_weighted.
+    */
+  private def gumbelSql: String = {
+    val u0 = s"((${mix(s"CAST(doc_id + ${operators.DsirOps.Salt} AS HUGEINT)")}) // 2048 + 1)"
+    val u = s"least($u0, 9007199254740991)"
+    val l = s"(${53 * 1024} - ${ql(u)})"
+    s"(10240 - ${ql(s"greatest($l, 1)")})"
+  }
 
   /** D40 shared CTE chain: hashed unigram+bigram features (StrHash =
     * poly fold + splitmix64, bucket = mod Buckets), per-bucket add-one

@@ -171,6 +171,29 @@ object CurationOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D17b: size-weighted sampling — k docs per language with
+    * probability proportional to token count (the
+    * sampling-proportional-to-size primitive of data mixing: long
+    * documents carry more training mass, so a mass-faithful sample
+    * weights by length). Same machinery as D40b: key = q(n_tokens) +
+    * base-2 Gumbel of the salted doc id — exact Gumbel-max sampling
+    * ∝ n_tokens, without replacement per language, deterministic and
+    * inside the DuckDB oracle. Map-side key computation + the bounded
+    * per-language heap: shuffle O(k·|langs|).
+    */
+  def sampleWeighted(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import graft.functions.IntKernels.qlog2
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextFns.regexTokenCount(col("text")))
+      .withColumn("key_q10", (qlog2(greatest(col("n_tokens"), lit(1L)))
+        + DsirOps.gumbelQ10(col("doc_id"))).cast(LongType))
+    TopK.perKey(docs, Seq(col("lang")),
+        Seq(col("key_q10").desc, col("doc_id").asc), k)
+      .select("lang", "doc_id", "n_tokens", "key_q10", "rnk")
+      .orderBy("lang", "rnk")
+  }
+
   /** D21: dataset-mixture construction — weighted per-source sampling
     * to a budget, the step that assembles a training mixture from
     * heterogeneous sources. Each source's quota is a deterministic
