@@ -71,7 +71,7 @@ object DedupOps {
   /** Exploded (doc_id, lang, nsh, shingle) rows — shared by the D2/D13
     * self-join and incremental dedup's new-vs-corpus join.
     */
-  private[operators] def shingleExploded(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleExploded(spark: SparkSession, dir: String): DataFrame =
     withShingles(spark, dir)
       .select(col("doc_id"), col("lang"), col("nsh"),
         explode(col("shingles")).as("shingle"))

@@ -61,6 +61,36 @@ class DsirSpec extends GraftSpec {
     assert(got.map(_._3).distinct.size > 1)
   }
 
+  test("the base-2 Gumbel draw is distributed as a Gumbel and samples ∝ weight") {
+    def g(id: Long): Double = {
+      val u = (IntMath.mix64(id + DsirOps.Salt) >>> 11) + 1
+      val l = 53L * 1024 - IntMath.qlog2(u)
+      (10240L - IntMath.qlog2(math.max(l, 1L))) / 1024.0
+    }
+    // distribution moments of G = −log2(−log2 U): median = G(½) = 0,
+    // mean = (γ + ln ln 2)/ln 2 ≈ 0.304 bits; qlog2 bias < 0.09 bits
+    val n = 100000
+    val draws = Array.tabulate(n)(i => g(i.toLong * 7919 + 13))
+    val sorted = draws.sorted
+    assert(math.abs(sorted(n / 2)) < 0.1,
+      s"median ${sorted(n / 2)} not ~0")
+    val mean = draws.sum / n
+    assert(math.abs(mean - 0.304) < 0.1, s"mean $mean not ~0.304")
+    // Gumbel-max over log2-weights {0, 1, 2} (w = 1, 2, 4) must pick
+    // each item ∝ w: expected frequencies 1/7, 2/7, 4/7
+    val wins = new Array[Long](3)
+    val trials = 20000
+    for (t <- 0 until trials) {
+      val keys = Array.tabulate(3)(j => j * 1.0 + g(3L * t + j))
+      wins(keys.indices.maxBy(keys)) += 1
+    }
+    val freq = wins.map(_.toDouble / trials)
+    val want = Array(1.0 / 7, 2.0 / 7, 4.0 / 7)
+    freq.zip(want).foreach { case (f, w) =>
+      assert(math.abs(f - w) < 0.03, s"freqs ${freq.toSeq} vs ∝-weight ${want.toSeq}")
+    }
+  }
+
   test("doc_importance_resample is the Gumbel-top-k of the weights, deterministically") {
     val weights = DsirOps.importanceWeights(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
