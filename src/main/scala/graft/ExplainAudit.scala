@@ -38,7 +38,13 @@ object ExplainAudit {
       "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25", "q7_nation_volume",
       // r8: lmScore broadcasts the 1-row token total; tokenizeBpe the
       // vocab-sized piece-count table
-      "doc_lm_score", "text_tokenize_bpe")
+      "doc_lm_score", "text_tokenize_bpe",
+      // r8: DSIR broadcasts the ≤256-row model; Q17/Q22 broadcast the
+      // brand-part mean table / the 1-row global mean + nation dim
+      // (doc_sample_weighted joins nothing: map-side keys + the heap)
+      "doc_importance_weights", "doc_importance_resample",
+      "layout_importance_weights",
+      "q17_small_qty_revenue", "q22_idle_customers")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -47,7 +53,8 @@ object ExplainAudit {
       "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build",
       "text_vocab", "doc_keywords", "text_collocations",
       "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25",
-      "text_inverted_postings", "evt_trending")
+      "text_inverted_postings", "evt_trending",
+      "doc_importance_resample", "doc_sample_weighted")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
@@ -62,6 +69,15 @@ object ExplainAudit {
       }
       if (topkExpected(name) && !plan.contains("TopKPerKey")) {
         println(s"!! AUDIT $name: expected the TopKPerKey operator"); bad += 1
+      }
+      // the decorrelated subquery shapes must stay semi/anti joins —
+      // an inner-join rewrite would duplicate rows, a filter-after-
+      // materialize would scan everything
+      if (name == "q4_order_priority" && !plan.contains("LeftSemi")) {
+        println(s"!! AUDIT $name: expected a LEFT SEMI join"); bad += 1
+      }
+      if (name == "q22_idle_customers" && !plan.contains("LeftAnti")) {
+        println(s"!! AUDIT $name: expected a LEFT ANTI join"); bad += 1
       }
       // every parquet scan should prune columns (never SELECT *)
       if ("ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined) {
