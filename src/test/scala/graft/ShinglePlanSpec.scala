@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.DedupOps
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -21,59 +22,60 @@ class ShinglePlanSpec extends GraftSpec {
     case other => other
   }
 
-  test("ngram self-join reuses the cached (lang, shingle) clustering — no input shuffle") {
+  /** The production join shape's two sides (the exact aliasing
+    * ngramPairs / the incremental delta join use — one definition, so
+    * the pinned plan cannot drift from the operator's join).
+    */
+  private def sideA(df: DataFrame): DataFrame =
+    df.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+      col("doc_id").as("a_id"))
+  private def sideB(df: DataFrame): DataFrame =
+    df.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+      col("doc_id").as("b_id"))
+  private def blockedJoin(a: DataFrame, b: DataFrame,
+      idCond: org.apache.spark.sql.Column): DataFrame =
+    a.join(b, col("l_a") === col("l_b") &&
+      col("sh_a") === col("sh_b") && idCond)
+
+  private def withBroadcastDisabled[T](body: => T): T = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def inputShuffles(df: DataFrame): Int = {
+    val plan = unwrap(df.queryExecution.executedPlan)
+    val smj = plan.collect { case s: SortMergeJoinExec => s }
+    assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+    smj.head.collect { case e: ShuffleExchangeExec => e }.size
+  }
+
+  test("ngram self-join reuses the cached (lang, shingle) clustering — no input shuffle") {
+    withBroadcastDisabled {
       val ex = DedupOps.shinglesByKey(spark, Sf)
       ex.count() // materialize the single build exchange
-      val a = ex.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
-        col("doc_id").as("a_id"))
-      val b = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
-        col("doc_id").as("b_id"))
-      val j = a.join(b, col("l_a") === col("l_b") &&
-        col("sh_a") === col("sh_b") && col("a_id") < col("b_id"))
-      val plan = unwrap(j.queryExecution.executedPlan)
-      val smj = plan.collect { case s: SortMergeJoinExec => s }
-      assert(smj.nonEmpty, s"expected a sort-merge self-join:\n$plan")
-      val shuffles = smj.head.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.isEmpty,
-        s"self-join re-shuffles the cached shingle table:\n$plan")
+      val j = blockedJoin(sideA(ex), sideB(ex), col("a_id") < col("b_id"))
+      assert(inputShuffles(j) == 0,
+        "self-join re-shuffles the cached shingle table")
       // the join still answers: same pair count as a from-scratch join
       // over the unpartitioned exploded frame
       val raw = DedupOps.shingleExploded(spark, Sf)
-      val a2 = raw.select(col("lang").as("l_a"), col("shingle").as("sh_a"),
-        col("doc_id").as("a_id"))
-      val b2 = raw.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
-        col("doc_id").as("b_id"))
-      val j2 = a2.join(b2, col("l_a") === col("l_b") &&
-        col("sh_a") === col("sh_b") && col("a_id") < col("b_id"))
+      val j2 = blockedJoin(sideA(raw), sideB(raw), col("a_id") < col("b_id"))
       assert(j.count() == j2.count())
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("incremental delta-edge join shuffles only the delta side") {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withBroadcastDisabled {
       val ex = DedupOps.shinglesByKey(spark, Sf)
       ex.count()
-      val exD = DedupOps.shingleExploded(spark, Sf)
+      val delta = DedupOps.shingleExploded(spark, Sf)
         .filter(col("doc_id") % 10 === 7)
-        .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
-          col("doc_id").as("a_id"))
-      val exU = ex.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
-        col("doc_id").as("b_id"))
-      val j = exD.join(exU, col("l_a") === col("l_b") &&
-        col("sh_a") === col("sh_b") && col("a_id") =!= col("b_id"))
-      val plan = unwrap(j.queryExecution.executedPlan)
-      val smj = plan.collect { case s: SortMergeJoinExec => s }
-      assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
-      // exactly ONE input shuffle (the delta side); the union side
-      // rides its cached clustering
-      val shuffles = smj.head.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.size == 1,
-        s"expected exactly the delta-side exchange, got ${shuffles.size}:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val j = blockedJoin(sideA(delta), sideB(ex),
+        col("a_id") =!= col("b_id"))
+      assert(inputShuffles(j) == 1,
+        "expected exactly the delta-side exchange")
+    }
   }
 }
