@@ -106,8 +106,11 @@ object ScaleBench {
     // r8 additions: LM scoring (vocab-bounded count joins — expect
     // ~linear in the scored corpus) and BPE train+apply (one corpus
     // histogram pass + vocab-sized merge work; the amplifier's ~k
-    // token tagging grows the vocab F×, still under VocabCap)
-    "doc_lm_score", "text_tokenize_bpe")
+    // token tagging grows the vocab F×, still under VocabCap),
+    // plus DSIR weighting (model fit = one corpus feature-hash pass
+    // into 256 buckets; scoring is delta-keyed — expect ~linear,
+    // dominated by the fit)
+    "doc_lm_score", "text_tokenize_bpe", "doc_importance_weights")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
