@@ -27,6 +27,15 @@ private case class DebState(event_id: Long, tsMs: Long, event_type: String,
 
 private case class SessState(n: Long, startMs: Long, endMs: Long, total: Double)
 
+/** Emitted funnel row (streaming analog of B14's evt_funnel; null
+  * stage timestamps = stage not reached).
+  */
+case class FunnelOut(user_id: Long, t_view: Timestamp, t_click: Timestamp,
+    t_purchase: Timestamp, funnel_depth: Long)
+
+private case class FunnelState(viewMs: Long, clickMs: Long, purchMs: Long,
+    lastMs: Long, done: Boolean)
+
 /** One eval doc's distinct shingles, carried as a literal into the
   * streaming decontamination plan.
   */
@@ -129,6 +138,81 @@ object StreamOps {
             state.update(s)
             state.setTimeoutTimestamp(s.endMs + gapMs)
             out.iterator
+          }
+        })
+  }
+
+  /** E25: streaming conversion funnel — B14's state machine as
+    * per-user stream state: the in-order fold of
+    * view → first-click-after-view → first-purchase-after-click is
+    * EXACTLY the batch funnel's three chained minima when events
+    * arrive in event-time order per user (each transition latches the
+    * first qualifying timestamp and never revisits — the same
+    * first-completion semantics, O(1) state per user instead of three
+    * corpus aggregations). A completed funnel (depth 3) emits
+    * immediately; a partial one emits when the user goes quiet for
+    * `ttlMs` of event time (the production bound on open-funnel state
+    * — state is (3 timestamps, flag) per active user, and TTL evicts
+    * it; the batch operator stays the unbounded-history face). After
+    * emission the user's state is a tombstone until the TTL passes, so
+    * replayed or trailing events cannot double-emit. Non-funnel event
+    * types advance nothing (they neither update stages nor extend the
+    * TTL), so watermark-advancing sentinels flush cleanly.
+    */
+  def funnelStream(events: Dataset[Ev], ttlMs: Long,
+      watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val unset = Long.MinValue
+    def emit(user: Long, s: FunnelState): FunnelOut = {
+      val depth = 1L + (if (s.clickMs != unset) 1L else 0L) +
+        (if (s.purchMs != unset) 1L else 0L)
+      FunnelOut(user, new Timestamp(s.viewMs),
+        if (s.clickMs != unset) new Timestamp(s.clickMs) else null,
+        if (s.purchMs != unset) new Timestamp(s.purchMs) else null, depth)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (!s.done && s.viewMs != unset) Iterator.single(emit(user, s))
+            else Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            var s = state.getOption.getOrElse(
+              FunnelState(unset, unset, unset, unset, done = false))
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case _ if s.done => ()
+                case "view" if s.viewMs == unset =>
+                  s = s.copy(viewMs = t, lastMs = t)
+                case "click" if s.viewMs != unset && s.clickMs == unset &&
+                    t > s.viewMs =>
+                  s = s.copy(clickMs = t, lastMs = t)
+                case "purchase" if s.clickMs != unset && s.purchMs == unset &&
+                    t > s.clickMs =>
+                  s = s.copy(purchMs = t, lastMs = t, done = true)
+                  out += emit(user, s)
+                case "view" | "click" | "purchase" =>
+                  // a funnel event that latches nothing still counts as
+                  // activity (keeps the open funnel alive)
+                  s = s.copy(lastMs = math.max(s.lastMs, t))
+                case _ => () // non-funnel types: no stage, no TTL extension
+              }
+            }
+            if (s.viewMs != unset) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + ttlMs)
+              out.iterator
+            } else {
+              // nothing latched yet (clicks/purchases before any view
+              // are ignored, like the batch operator's join on t_view)
+              out.iterator
+            }
           }
         })
   }

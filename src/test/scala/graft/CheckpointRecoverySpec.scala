@@ -107,6 +107,46 @@ class CheckpointRecoverySpec extends GraftSpec {
     assert(u7.head.t_start == ts(0) && u7.head.t_end == ts(2))
   }
 
+  test("E25 funnel mid-stage state survives a checkpoint restart") {
+    val in = tmp("ckpt_fun_in")
+    val out = tmp("ckpt_fun_out")
+    val ckpt = tmp("ckpt_fun_state")
+
+    def start(): StreamingQuery =
+      StreamOps.funnelStream(
+        spark.readStream.schema(evSchema).parquet(in).as[Ev],
+        ttlMs = 20 * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: user 7 latches view + click (depth 2, open); user 8 only
+    // a view. Nothing emits — both funnels are open at stop time.
+    addFile(in, Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(2), 7, "click", 1.0),
+      Ev(3, ts(3), 8, "view", 1.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 0)
+
+    // run 2 from the checkpoint: user 7's purchase COMPLETES the
+    // funnel held in state (its view/click offsets are committed — a
+    // state-less restart could never produce depth 3), and the far-
+    // future event times out user 8's still-open depth-1 funnel.
+    addFile(in, Ev(10, ts(5), 7, "purchase", 1.0))
+    addFile(in, Ev(99, ts(59), 9, "error", 1.0), Ev(100, ts(59), 9, "view", 1.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).as[graft.streaming.FunnelOut].collect()
+    val u7 = rows.filter(_.user_id == 7)
+    assert(u7.length == 1 && u7.head.funnel_depth == 3 &&
+      u7.head.t_view == ts(0) && u7.head.t_click == ts(2) &&
+      u7.head.t_purchase == ts(5), s"got ${rows.toSeq}")
+    val u8 = rows.filter(_.user_id == 8)
+    assert(u8.length == 1 && u8.head.funnel_depth == 1 &&
+      u8.head.t_click == null && u8.head.t_purchase == null,
+      s"open depth-1 funnel must flush on TTL: ${rows.toSeq}")
+  }
+
   test("E3 stream-dedup state survives a checkpoint restart") {
     val in = tmp("ckpt_dd_in")
     val out = tmp("ckpt_dd_out")

@@ -118,6 +118,36 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("funnelStream == batch evt_funnel (first ordered view→click→purchase) on real events") {
+    def key(u: Long, v: java.sql.Timestamp, c: java.sql.Timestamp,
+        p: java.sql.Timestamp, d: Long) =
+      (u, v.getTime, Option(c).map(_.getTime), Option(p).map(_.getTime), d)
+    val expected = operators.EventOps.funnel(spark, Sf)
+      .filter(col("user_id") <= 3).collect()
+      .map(r => key(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4))).toSeq.sorted
+    val d = Files.createTempDirectory("fun_par").toFile.getAbsolutePath
+    evs.write.mode("overwrite").parquet(d)
+    val q = StreamOps.funnelStream(
+        spark.readStream.schema(evs.schema).parquet(d).as[Ev],
+        ttlMs = 90L * 24 * 3600 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("fun_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("fun_par").collect()
+        .map(r => key(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getLong(4))).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+      // at least one funnel completes and one stays partial, so both
+      // emission paths (immediate on depth 3, TTL flush) are exercised
+      assert(expected.exists(_._5 == 3L) || got.exists(_._5 == 3L) ||
+        expected.map(_._5).distinct.size > 1,
+        s"fixture too uniform: depths ${expected.map(_._5).distinct}")
+    } finally q.stop()
+  }
+
   test("heavyHittersStream (MG state) == batch exact counts per closed day when capacity covers keys") {
     val expected = Tables.events(spark, Sf)
       .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
