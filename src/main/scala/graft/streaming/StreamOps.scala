@@ -36,6 +36,13 @@ case class FunnelOut(user_id: Long, t_view: Timestamp, t_click: Timestamp,
 private case class FunnelState(viewMs: Long, clickMs: Long, purchMs: Long,
     lastMs: Long, done: Boolean)
 
+/** Emitted grid row (streaming analog of B15's evt_resample_ffill). */
+case class ResampleOut(user_id: Long, ts: Timestamp,
+    last_event_id: Option[Long], last_value: Option[Double])
+
+private case class ResampleState(nextGridMs: Long, hasLast: Boolean,
+    lastId: Long, lastVal: Double, lastTsMs: Long)
+
 /** One eval doc's distinct shingles, carried as a literal into the
   * streaming decontamination plan.
   */
@@ -213,6 +220,71 @@ object StreamOps {
               // are ignored, like the batch operator's join on t_view)
               out.iterator
             }
+          }
+        })
+  }
+
+  /** E26: streaming time-grid resample with forward fill — B15's
+    * dashboard query as per-user stream state: each user's grid
+    * (15-minute steps from the hour floor of their first event)
+    * emits INCREMENTALLY as their event time advances, every grid row
+    * carrying the last event at-or-before it (same-instant events fill
+    * their own grid point, matching the batch window's sort order).
+    * State is O(1) per user — (next grid instant, last event) — and
+    * the grid never materializes as a whole, so the batch operator's
+    * span-cap contract (a 400-day explode guard) simply disappears: a
+    * decade-span key streams a decade of rows at 15-minute pace
+    * instead of exploding anywhere. Grid emission is capped at the
+    * user's last SEEN event time (exactly the batch grid's t1), so
+    * stream output is always a prefix of what the batch operator would
+    * produce over the same total history; TTL evicts idle users'
+    * state.
+    */
+  def resampleStream(events: Dataset[Ev], ttlMs: Long,
+      stepMs: Long = 15 * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[ResampleOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[ResampleState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[ResampleOut]
+            var s = state.getOption.orNull
+            def emitThrough(boundMs: Long, inclusive: Boolean): Unit = {
+              while (s.nextGridMs < boundMs ||
+                  (inclusive && s.nextGridMs == boundMs)) {
+                out += ResampleOut(user, new Timestamp(s.nextGridMs),
+                  if (s.hasLast) Some(s.lastId) else None,
+                  if (s.hasLast) Some(s.lastVal) else None)
+                s = s.copy(nextGridMs = s.nextGridMs + stepMs)
+              }
+            }
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (s == null) {
+                // grid anchors at the hour floor of the user's first
+                // event (the batch gridStart)
+                s = ResampleState(t - math.floorMod(t, 3600 * 1000L),
+                  hasLast = false, 0L, 0.0, t)
+              }
+              // grid points strictly before this event carry the
+              // PREVIOUS fill; the point AT the event's instant waits
+              // until every same-instant event has applied
+              emitThrough(t, inclusive = false)
+              s = s.copy(hasLast = true, lastId = e.event_id,
+                lastVal = e.value, lastTsMs = math.max(s.lastTsMs, t))
+            }
+            if (s != null) {
+              // the batch grid ends at the user's max event ts: emit up
+              // to and including it, so output is always that prefix
+              emitThrough(s.lastTsMs, inclusive = true)
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTsMs + ttlMs)
+            }
+            out.iterator
           }
         })
   }

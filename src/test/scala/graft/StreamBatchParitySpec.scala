@@ -148,6 +148,43 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("resampleStream == batch evt_resample_ffill grid on real events") {
+    def key(u: Long, t: java.sql.Timestamp, id: Any, v: Any) =
+      (u, t.getTime, Option(id).map(_.toString), Option(v).map(_.toString))
+    val expected = operators.EventOps.resampleFfill(spark, Sf)
+      .filter(col("user_id") <= 3).collect()
+      .map(r => key(r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq.sorted
+    val d = Files.createTempDirectory("rsmp_par").toFile.getAbsolutePath
+    evs.write.mode("overwrite").parquet(d)
+    val q = StreamOps.resampleStream(
+        spark.readStream.schema(evs.schema).parquet(d).as[Ev],
+        ttlMs = 90L * 24 * 3600 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("rsmp_par")
+      .outputMode("append").start()
+    try {
+      // flush with DISTINCT sentinel users: resample grids every event
+      // regardless of type, so reusing users 0–3 would extend their
+      // grids to the sentinel instant
+      q.processAllAvailable()
+      (0L to 3L).map(u => (999990L + u,
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 9990L + u, "x", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("rsmp_par").filter(col("user_id") <= 3).collect()
+        .map(r => key(r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+      // the fixture exercises the leading-null fill (grid points before
+      // the first event of an hour-anchored grid)
+      assert(expected.exists(_._3.isEmpty) == got.exists(_._3.isEmpty))
+    } finally q.stop()
+  }
+
   test("heavyHittersStream (MG state) == batch exact counts per closed day when capacity covers keys") {
     val expected = Tables.events(spark, Sf)
       .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
