@@ -109,6 +109,8 @@ object SparkEntry {
     "ann_ivf"              -> (AnnOps.annIvf _),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
+    "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
+      AnnOps.sampleClusterBalanced(s, d)),
     "emb_label_stats"      -> (AnnOps.embLabelStats _),
     "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
       AnnOps.decontaminateSemantic(s, d)),
@@ -1879,32 +1881,18 @@ object SparkEntry {
     // the ann_ivf oracle's pipeline truncated at the nprobe=1
     // corpus assignment (the cluster-label step)
     "emb_cluster_assign" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings),
-        |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM e ORDER BY vec_id LIMIT 16),
-        |s0 AS (SELECT e.vec_id, e.v, s.cid,
-        |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
-        |  FROM e, seed s),
-        |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
-        |  WHERE rn = 1),
-        |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
-        |  FROM a1),
-        |cx AS (SELECT cid, pos,
-        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
-        |  FROM cm GROUP BY cid, pos),
-        |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
-        |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
-        |  FROM ref),
-        |l0 AS (SELECT e.vec_id, r.cid,
-        |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
-        |  FROM e, ref2 r)
-        |SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM l0)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      (ClusterAssignCtes + " SELECT vec_id, cid FROM asg ORDER BY vec_id"),
+
+    // D25b: the assignment chain + a salted-splitmix64 rank capped at
+    // quota per cluster (the D17 selection device over clusters)
+    "emb_sample_balanced" ->
+      (ClusterAssignCtes +
+        s", ky AS (SELECT cid, vec_id, " +
+        s"CAST(${signed64(mix("CAST(vec_id + 7919 AS HUGEINT)"))} AS BIGINT) AS h FROM asg), " +
+        "rk AS (SELECT cid, vec_id, h, ROW_NUMBER() OVER (PARTITION BY cid " +
+        "ORDER BY h, vec_id) AS rnk FROM ky) " +
+        "SELECT cid, vec_id, h, CAST(rnk AS BIGINT) AS rnk FROM rk " +
+        "WHERE rnk <= 10 ORDER BY cid, rnk"),
 
     "dedup_embedding" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2400,6 +2388,39 @@ object SparkEntry {
         s"CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= ${operators.DsirOps.SampleK} ORDER BY rnk"
     }
   )
+
+  /** The one-refinement-round exact-integer Lloyd assignment chain
+    * (replicates AnnOps.assignFor at m = 16, rounds = 1), ending in
+    * `asg(vec_id, cid)` — shared by emb_cluster_assign and the
+    * cluster-balanced sample.
+    */
+  private lazy val ClusterAssignCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |s0 AS (SELECT e.vec_id, e.v, s.cid,
+      |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+      |  FROM e, seed s),
+      |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+      |  WHERE rn = 1),
+      |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM a1),
+      |cx AS (SELECT cid, pos,
+      |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+      |  FROM cm GROUP BY cid, pos),
+      |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+      |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+      |  FROM ref),
+      |l0 AS (SELECT e.vec_id, r.cid,
+      |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+      |  FROM e, ref2 r),
+      |asg AS (SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM l0)
+      |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
 
   /** The deterministic base-2 Gumbel draw (DsirOps.gumbelQ10)
     * replicated: u = salted splitmix64 top 53 bits + 1, two ql()

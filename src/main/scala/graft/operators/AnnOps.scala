@@ -382,6 +382,30 @@ object AnnOps {
       .select(col("vec_id"), col("cid"))
       .orderBy("vec_id")
 
+  /** D25b: cluster-balanced sampling — the diversity-balancing step
+    * of a curation pipeline (the cluster-quota recipe of the
+    * SemDeDup-style semantic-diversity line of work, public): at most
+    * `quota` vectors per embedding cluster, chosen inside each
+    * cluster by the deterministic salted splitmix64 rank (the D17
+    * device, oracle-replicable). A crawl whose embedding mass piles
+    * into a few dense clusters — near-duplicate topics — gets clipped
+    * to quota per cluster, flattening topical skew before training.
+    * Scale shape: assignment is in-row against the broadcast
+    * quantizer; the per-cluster pick is the bounded heap, shuffle
+    * O(quota·m).
+    */
+  def sampleClusterBalanced(spark: SparkSession, dir: String,
+      quota: Int = 10): DataFrame = {
+    val keyed = assignFor(spark, dir, DefaultM, embDouble(spark, dir), 1)
+      .select(col("vec_id"), col("cid"))
+      .withColumn("h",
+        graft.functions.IntKernels.mix64(col("vec_id") + lit(7919L)))
+    TopK.perKey(keyed, Seq(col("cid")),
+        Seq(col("h").asc, col("vec_id").asc), quota)
+      .select("cid", "vec_id", "h", "rnk")
+      .orderBy("cid", "rnk")
+  }
+
   /** The LSH probe counts and IVF nprobe values [[annRecall]] measures
     * — shared with the oracle SQL generator in SparkEntry so the
     * measured contract and its oracle cannot drift.
