@@ -164,7 +164,20 @@ object StreamOps {
     * emission the user's state is a tombstone until the TTL passes, so
     * replayed or trailing events cannot double-emit. Non-funnel event
     * types advance nothing (they neither update stages nor extend the
-    * TTL), so watermark-advancing sentinels flush cleanly.
+    * TTL), so watermark-advancing sentinels flush cleanly; a key whose
+    * TTL lapses while such ignored traffic keeps arriving is flushed
+    * on its next data batch (the lapsed-TTL check below — Spark's
+    * timeout callback only fires for keys with no data in the batch,
+    * and a timeout timestamp is not allowed to sit below the
+    * watermark).
+    *
+    * Disorder contract: stages latch in ARRIVAL order (sorted by event
+    * time within each micro-batch) — a click arriving in an earlier
+    * micro-batch than its user's view is not recovered later; that is
+    * the O(1)-state trade. A deployment needing full
+    * disorder tolerance up to the watermark buffers events first (the
+    * E1/E7 pattern); the batch dual (B14) is the unbounded-history
+    * face and the parity spec feeds in order.
     */
   def funnelStream(events: Dataset[Ev], ttlMs: Long,
       watermark: String = "10 minutes"): Dataset[FunnelOut] = {
@@ -189,8 +202,16 @@ object StreamOps {
             else Iterator.empty
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            val wm = state.getCurrentWatermarkMs()
             var s = state.getOption.getOrElse(
               FunnelState(unset, unset, unset, unset, done = false))
+            // lapsed-TTL flush on the DATA path: if ignored traffic
+            // kept this key in every batch, the timeout callback never
+            // ran — apply its semantics here before folding new events
+            if (s.viewMs != unset && s.lastMs + ttlMs <= wm) {
+              if (!s.done) out += emit(user, s)
+              s = FunnelState(unset, unset, unset, unset, done = false)
+            }
             it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
               e.event_type match {
@@ -213,11 +234,16 @@ object StreamOps {
             }
             if (s.viewMs != unset) {
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + ttlMs)
+              // never place the timeout below the watermark (Spark
+              // rejects that); a lapsed target fires at the next
+              // watermark advance instead
+              state.setTimeoutTimestamp(math.max(s.lastMs + ttlMs, wm + 1))
               out.iterator
             } else {
-              // nothing latched yet (clicks/purchases before any view
-              // are ignored, like the batch operator's join on t_view)
+              // nothing latched (clicks/purchases before any view are
+              // ignored, like the batch operator's join on t_view);
+              // drop any tombstone left from the lapsed-TTL flush
+              if (state.exists) state.remove()
               out.iterator
             }
           }
@@ -235,10 +261,17 @@ object StreamOps {
     * span-cap contract (a 400-day explode guard) simply disappears: a
     * decade-span key streams a decade of rows at 15-minute pace
     * instead of exploding anywhere. Grid emission is capped at the
-    * user's last SEEN event time (exactly the batch grid's t1), so
-    * stream output is always a prefix of what the batch operator would
-    * produce over the same total history; TTL evicts idle users'
-    * state.
+    * user's last SEEN event time (exactly the batch grid's t1), so —
+    * for keys whose activity never pauses longer than the TTL — stream
+    * output is always a prefix of what the batch operator would
+    * produce over the same total history. TTL evicts idle users'
+    * state; a user returning AFTER eviction re-anchors a fresh grid at
+    * their new first event (trailing-window semantics: the gap is
+    * deliberately not back-filled — that is the state bound doing its
+    * job; the batch dual is the unbounded-history face). Late events
+    * inside the watermark that arrive BEHIND an already-applied fill
+    * are ignored (the fill is last-by-(ts, event_id), matching the
+    * batch window's ordering).
     */
   def resampleStream(events: Dataset[Ev], ttlMs: Long,
       stepMs: Long = 15 * 60 * 1000,
@@ -252,7 +285,12 @@ object StreamOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val out = scala.collection.mutable.ArrayBuffer.empty[ResampleOut]
+            val wm = state.getCurrentWatermarkMs()
             var s = state.getOption.orNull
+            // lapsed-TTL eviction on the DATA path (the timeout
+            // callback only fires for keys with no data in the batch):
+            // same semantics as the timeout — drop state, re-anchor
+            if (s != null && s.lastTsMs + ttlMs <= wm) s = null
             def emitThrough(boundMs: Long, inclusive: Boolean): Unit = {
               while (s.nextGridMs < boundMs ||
                   (inclusive && s.nextGridMs == boundMs)) {
@@ -274,15 +312,24 @@ object StreamOps {
               // PREVIOUS fill; the point AT the event's instant waits
               // until every same-instant event has applied
               emitThrough(t, inclusive = false)
-              s = s.copy(hasLast = true, lastId = e.event_id,
-                lastVal = e.value, lastTsMs = math.max(s.lastTsMs, t))
+              // apply only if not BEHIND the current fill: a late
+              // event from an earlier instant (or a lower-id event at
+              // the same instant, across micro-batches) must not
+              // overwrite the last-by-(ts, event_id) fill the batch
+              // window semantics define
+              if (!s.hasLast || t > s.lastTsMs ||
+                  (t == s.lastTsMs && e.event_id >= s.lastId))
+                s = s.copy(hasLast = true, lastId = e.event_id,
+                  lastVal = e.value, lastTsMs = t)
             }
             if (s != null) {
               // the batch grid ends at the user's max event ts: emit up
               // to and including it, so output is always that prefix
               emitThrough(s.lastTsMs, inclusive = true)
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTsMs + ttlMs)
+              // never below the watermark (Spark rejects that); a
+              // lapsed target fires at the next watermark advance
+              state.setTimeoutTimestamp(math.max(s.lastTsMs + ttlMs, wm + 1))
             }
             out.iterator
           }

@@ -140,11 +140,13 @@ class StreamBatchParitySpec extends GraftSpec {
           r.getTimestamp(3), r.getLong(4))).toSeq.sorted
       assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
       assert(expected.nonEmpty)
-      // at least one funnel completes and one stays partial, so both
-      // emission paths (immediate on depth 3, TTL flush) are exercised
-      assert(expected.exists(_._5 == 3L) || got.exists(_._5 == 3L) ||
-        expected.map(_._5).distinct.size > 1,
-        s"fixture too uniform: depths ${expected.map(_._5).distinct}")
+      // this fixture's users all complete depth 3 (exercising the
+      // immediate-emission path); the TTL-flush path for partial
+      // funnels is pinned with exact expectations in StreamTtlSpec and
+      // the checkpoint-restart spec
+      assert(expected.forall(_._5 == 3L),
+        s"fixture changed: depths ${expected.map(_._5).distinct} — " +
+          "revisit which emission paths this parity test covers")
     } finally q.stop()
   }
 
