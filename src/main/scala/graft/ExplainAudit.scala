@@ -44,7 +44,13 @@ object ExplainAudit {
       // (doc_sample_weighted joins nothing: map-side keys + the heap)
       "doc_importance_weights", "doc_importance_resample",
       "layout_importance_weights",
-      "q17_small_qty_revenue", "q22_idle_customers")
+      "q17_small_qty_revenue", "q22_idle_customers",
+      // r9: the subquery-shape batch — every dim/aggregate-back join
+      // in these plans must stay broadcast
+      "q2_min_cost_supplier", "q11_value_share", "q14_promo_share",
+      "q16_supplier_variety", "q18_large_orders",
+      "q19_disjunctive_revenue", "q20_share_suppliers",
+      "q21_sole_late_supplier")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",

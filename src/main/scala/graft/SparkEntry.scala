@@ -27,6 +27,24 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       RelationalOps.q17SmallQtyRevenue(s, d)),
     "q22_idle_customers"   -> (RelationalOps.q22IdleCustomers _),
+    "q2_min_cost_supplier" -> (RelationalOps.q2MinCostSupplier _),
+    "q11_value_share"      -> ((s: SparkSession, d: String) =>
+      RelationalOps.q11ValueShare(s, d)),
+    "q14_promo_share"      -> (RelationalOps.q14PromoShare _),
+    "q16_supplier_variety" -> (RelationalOps.q16SupplierVariety _),
+    "q18_large_orders"     -> ((s: SparkSession, d: String) =>
+      RelationalOps.q18LargeOrders(s, d)),
+    "q19_disjunctive_revenue" -> (RelationalOps.q19DisjunctiveRevenue _),
+    "q20_share_suppliers"  -> ((s: SparkSession, d: String) =>
+      RelationalOps.q20ShareSuppliers(s, d)),
+    "q21_sole_late_supplier" -> ((s: SparkSession, d: String) =>
+      RelationalOps.q21SoleLateSupplier(s, d)),
+    // D41-44: intake profiling / quality gates / source overlap / link rank
+    "data_profile"         -> (ProfileOps.dataProfile _),
+    "quality_gates"        -> (ProfileOps.qualityGates _),
+    "source_overlap"       -> (ProfileOps.sourceOverlap _),
+    "graph_pagerank"       -> (GraphOps.pageRank _),
+    "evt_attribution"      -> (EventOps.attribution _),
     // B. log-agent event semantics
     "evt_latest_per_key"   -> (EventOps.latestPerKey _),
     "evt_debounce"         -> (EventOps.debounce _),
@@ -221,6 +239,38 @@ object SparkEntry {
   }
   private def signed64(v: String): String =
     s"(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - $M64 ELSE ($v) END)"
+
+  /** D44 oracle: integer PageRank with GraphOps' exact arithmetic —
+    * the synthesized edge set replicates Mix64 (splitmix64) in
+    * HUGEINT, then 5 unrolled rounds of floor-division mass passing.
+    * Every quantity is an integer, so the oracle is replication, not
+    * approximation.
+    */
+  private lazy val PagerankSql: String = {
+    val n = "(SELECT c FROM nn)"
+    val sig = signed64(mix(s"((CAST(doc_id AS HUGEINT) * 1000003 + j) % $M64)"))
+    val rounds = (1 to graft.operators.GraphOps.Iterations).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS (SELECT d.doc_id AS id,
+         |  (SELECT base FROM b) + (COALESCE(s.inc, 0) * 17) // 20 AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT dst, SUM(r // ${graft.operators.GraphOps.OutDegree}) AS inc
+         |    FROM e JOIN $prev ON e.src = $prev.id GROUP BY 1) s
+         |  ON s.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val last = s"r${graft.operators.GraphOps.Iterations}"
+    s"""WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+       |b AS (SELECT ((${graft.operators.GraphOps.TotalMass} // $n) * 3) // 20
+       |  AS base),
+       |e AS (SELECT doc_id AS src,
+       |    CAST(((($sig) % $n) + $n) % $n AS BIGINT) AS dst
+       |  FROM documents, range(0, ${graft.operators.GraphOps.OutDegree}) t(j)),
+       |r0 AS (SELECT doc_id AS id,
+       |  ${graft.operators.GraphOps.TotalMass} // $n AS r FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr FROM $last
+       |ORDER BY pr DESC, doc_id""".stripMargin
+  }
 
   /** Hyperplane-LSH coefficient/bucket replication (VecKernels
     * .hyperplaneBucket): coef(p,d) = (splitmix64(p·131+d) mod 1000
@@ -764,6 +814,220 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // A13: Q2 shape — correlated MIN subquery over the pair-cost view
+    "q2_min_cost_supplier" ->
+      """WITH pp AS (SELECT p_partkey FROM part
+        |    WHERE p_type = 'SMALL' AND p_size < 15),
+        |pair AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem JOIN pp ON p_partkey = l_partkey GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, pair.l_partkey AS p_partkey,
+        |  s_suppkey, cost
+        |FROM pair JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost = (SELECT MIN(p2.cost) FROM pair p2
+        |  WHERE p2.l_partkey = pair.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+
+    // A14: Q11 shape — scalar total subquery in the HAVING position
+    "q11_value_share" ->
+      s"""WITH v AS (SELECT l_partkey, $drev AS value
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_partkey, value FROM v
+         |WHERE value > 0.001 * (SELECT $drev FROM lineitem)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    // A15: Q14 shape — conditional decimal aggregation
+    "q14_promo_share" ->
+      s"""WITH f AS (SELECT l_extendedprice, l_discount, p_type
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'),
+         |a AS (SELECT
+         |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice
+         |      ELSE 0 END AS $DEC) * CAST(1 - l_discount AS $DEC))
+         |    AS DOUBLE) AS promo_revenue,
+         |  CAST(SUM(CAST(l_extendedprice AS $DEC)
+         |      * CAST(1 - l_discount AS $DEC)) AS DOUBLE) AS total_revenue
+         |  FROM f)
+         |SELECT promo_revenue, total_revenue,
+         |  100.0 * promo_revenue / total_revenue AS promo_share FROM a""".stripMargin,
+
+    // A16: Q16 shape — NOT IN exclusion + count(DISTINCT)
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // A17: Q18 shape — IN over a grouped HAVING
+    "q18_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey, ${dsum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1 HAVING ${dsum("l_quantity")} > 250)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  sum_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // A18: Q19 shape — disjunctive multi-branch predicate
+    "q19_disjunctive_revenue" ->
+      s"""SELECT $drev AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity <= 20)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 35)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity >= 25)""".stripMargin,
+
+    // A19: Q20 shape — nested share semi join; both sums decimal-exact
+    "q20_share_suppliers" ->
+      s"""WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+         |li AS (SELECT l_partkey, l_suppkey, l_quantity
+         |  FROM lineitem JOIN pp ON p_partkey = l_partkey),
+         |pq AS (SELECT l_partkey, l_suppkey, ${dsum("l_quantity")} AS qty
+         |  FROM li GROUP BY 1, 2),
+         |pt AS (SELECT l_partkey, ${dsum("l_quantity")} AS tot
+         |  FROM li GROUP BY 1)
+         |SELECT DISTINCT s_suppkey, s_name, s_acctbal
+         |FROM pq JOIN pt ON pq.l_partkey = pt.l_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE qty > 0.1 * tot ORDER BY s_suppkey""".stripMargin,
+
+    // A20: Q21 shape — the ORIGINAL EXISTS/NOT-EXISTS statement; hash
+    // parity proves the engine's single-shuffle window decorrelation
+    "q21_sole_late_supplier" ->
+      """WITH l AS (SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate,
+        |    o.o_orderdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |sole AS (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey FROM l l1
+        |  WHERE date_diff('day', CAST(l1.o_orderdate AS DATE),
+        |      CAST(l1.l_shipdate AS DATE)) > 60
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND date_diff('day', CAST(l3.o_orderdate AS DATE),
+        |        CAST(l3.l_shipdate AS DATE)) > 60))
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // D41: one-pass profile — every metric from a single aggregate row
+    "data_profile" ->
+      s"""WITH a AS (SELECT
+         |  CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         |  CAST(COUNT(*) - COUNT(doc_id) AS DOUBLE) AS doc_id_n_null,
+         |  CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS doc_id_n_distinct,
+         |  CAST(COUNT(*) - COUNT(lang) AS DOUBLE) AS lang_n_null,
+         |  CAST(COUNT(DISTINCT lang) AS DOUBLE) AS lang_n_distinct,
+         |  CAST(COUNT(*) - COUNT(source) AS DOUBLE) AS source_n_null,
+         |  CAST(COUNT(DISTINCT source) AS DOUBLE) AS source_n_distinct,
+         |  CAST(COUNT(*) - COUNT(text) AS DOUBLE) AS text_n_null,
+         |  CAST(COUNT(DISTINCT text) AS DOUBLE) AS text_n_distinct,
+         |  CAST(COUNT(*) - COUNT(n_chars) AS DOUBLE) AS n_chars_n_null,
+         |  CAST(COUNT(DISTINCT n_chars) AS DOUBLE) AS n_chars_n_distinct,
+         |  CAST(MIN(n_chars) AS DOUBLE) AS n_chars_min,
+         |  CAST(MAX(n_chars) AS DOUBLE) AS n_chars_max,
+         |  CAST(SUM(CAST(n_chars AS $DEC)) AS DOUBLE) / COUNT(*) AS n_chars_mean,
+         |  CAST(MIN(length(text)) AS DOUBLE) AS text_len_min,
+         |  CAST(MAX(length(text)) AS DOUBLE) AS text_len_max,
+         |  CAST(SUM(CAST(length(text) AS $DEC)) AS DOUBLE) / COUNT(*)
+         |    AS text_len_mean
+         |FROM documents)
+         |SELECT col_name, metric, value FROM (
+         |  SELECT 'table' AS col_name, 'n_rows' AS metric, n_rows AS value FROM a
+         |  UNION ALL SELECT 'doc_id', 'n_null', doc_id_n_null FROM a
+         |  UNION ALL SELECT 'doc_id', 'n_distinct', doc_id_n_distinct FROM a
+         |  UNION ALL SELECT 'lang', 'n_null', lang_n_null FROM a
+         |  UNION ALL SELECT 'lang', 'n_distinct', lang_n_distinct FROM a
+         |  UNION ALL SELECT 'source', 'n_null', source_n_null FROM a
+         |  UNION ALL SELECT 'source', 'n_distinct', source_n_distinct FROM a
+         |  UNION ALL SELECT 'text', 'n_null', text_n_null FROM a
+         |  UNION ALL SELECT 'text', 'n_distinct', text_n_distinct FROM a
+         |  UNION ALL SELECT 'n_chars', 'n_null', n_chars_n_null FROM a
+         |  UNION ALL SELECT 'n_chars', 'n_distinct', n_chars_n_distinct FROM a
+         |  UNION ALL SELECT 'n_chars', 'min', n_chars_min FROM a
+         |  UNION ALL SELECT 'n_chars', 'max', n_chars_max FROM a
+         |  UNION ALL SELECT 'n_chars', 'mean', n_chars_mean FROM a
+         |  UNION ALL SELECT 'text_len', 'min', text_len_min FROM a
+         |  UNION ALL SELECT 'text_len', 'max', text_len_max FROM a
+         |  UNION ALL SELECT 'text_len', 'mean', text_len_mean FROM a)
+         |ORDER BY col_name, metric""".stripMargin,
+
+    // D42: constraint gates — integer-count ratios, engine-exact verdicts
+    "quality_gates" ->
+      """WITH a AS (SELECT
+        |  CAST(COUNT(doc_id) AS DOUBLE) / COUNT(*) AS doc_id_complete,
+        |  CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(*) AS doc_id_unique,
+        |  CAST(COUNT(*) FILTER (lang IN ('en','de','fr','es','zh'))
+        |    AS DOUBLE) / COUNT(*) AS lang_known,
+        |  CAST(COUNT(*) FILTER (n_chars = length(text)) AS DOUBLE)
+        |    / COUNT(*) AS n_chars_consistent,
+        |  CAST(COUNT(*) FILTER (n_chars BETWEEN 1 AND 1000000) AS DOUBLE)
+        |    / COUNT(*) AS n_chars_in_range,
+        |  CAST(COUNT(*) FILTER (length(text) > 0) AS DOUBLE) / COUNT(*)
+        |    AS text_nonempty
+        |FROM documents)
+        |SELECT gate, measured, threshold, pass FROM (
+        |  SELECT 'doc_id_complete' AS gate, doc_id_complete AS measured,
+        |    CAST(1.0 AS DOUBLE) AS threshold,
+        |    doc_id_complete >= 1.0 AS pass FROM a
+        |  UNION ALL SELECT 'doc_id_unique', doc_id_unique,
+        |    CAST(1.0 AS DOUBLE), doc_id_unique >= 1.0 FROM a
+        |  UNION ALL SELECT 'lang_known', lang_known,
+        |    CAST(0.99 AS DOUBLE), lang_known >= CAST(0.99 AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_chars_consistent', n_chars_consistent,
+        |    CAST(0.99 AS DOUBLE),
+        |    n_chars_consistent >= CAST(0.99 AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_chars_in_range', n_chars_in_range,
+        |    CAST(0.99 AS DOUBLE),
+        |    n_chars_in_range >= CAST(0.99 AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'text_nonempty', text_nonempty,
+        |    CAST(0.99 AS DOUBLE),
+        |    text_nonempty >= CAST(0.99 AS DOUBLE) FROM a)
+        |ORDER BY gate""".stripMargin,
+
+    // D43: the naive vocab self-join — hash parity proves the engine's
+    // in-row pair generation rewrite
+    "source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM st GROUP BY 1),
+        |pr AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa AS src_a, sb AS src_b, pa.n AS n_a, pb.n AS n_b,
+        |  nc AS n_common,
+        |  CAST(nc AS DOUBLE) / (pa.n + pb.n - nc) AS jaccard
+        |FROM pr JOIN per pa ON pa.source = sa
+        |JOIN per pb ON pb.source = sb
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // D44: 5 unrolled integer-PageRank rounds (see PagerankSql builder)
+    "graph_pagerank" -> PagerankSql,
+
+    // B20: all click touches in the 24 h before each purchase
+    "evt_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  CAST(FLOOR((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0)
+        |    AS BIGINT) AS mins_before
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOURS
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "evt_latest_per_key" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -470,4 +470,36 @@ object EventOps {
         approx_count_distinct(col("user_id"), rsd).as("n_users"),
         approx_count_distinct(date_trunc("day", col("ts")), rsd).as("n_days"))
       .orderBy("event_type")
+
+  /** B20: click→purchase attribution — every (purchase, click) pair
+    * where the same user clicked within the 24 h BEFORE the purchase
+    * (all qualifying touches, not just the latest — the dual of
+    * [[asofPriorError]]'s latest-only as-of join). Equi-join on
+    * user_id with the time range as a post-join band filter: the
+    * shuffle keys on user (high-cardinality, skew-free at scale) and
+    * the band prunes per-user pair blowup to the window. The streaming
+    * twin is StreamOps.attributionStream (stream–stream interval join,
+    * same band).
+    */
+  val AttributionWindowHours = 24
+
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    buys.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") -
+          expr(s"INTERVAL $AttributionWindowHours HOURS"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          / lit(60000000L)).cast(LongType).as("mins_before"))
+      .orderBy("purchase_id", "click_id")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Memo, Tables}
+import graft.functions.IntKernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** D44: link-graph ranking for source/document quality weighting —
+  * the PageRank-style centrality a web-scale curation pipeline feeds
+  * into its quality priors (CommonCrawl-style domain ranking). The
+  * corpus tables carry no hyperlinks, so the link graph is
+  * SYNTHESIZED deterministically from doc ids with the house
+  * splitmix64 kernel — the operator under test is the distributed
+  * iteration, and the deterministic graph makes the whole fixed-point
+  * loop DuckDB-replicable.
+  *
+  * All rank arithmetic is INTEGER (mass starts as 10^12 split evenly;
+  * contributions and damping use floor division), so the result is
+  * bit-identical under any partitioning and any engine — the same
+  * design as the exact-integer Lloyd means.
+  *
+  * Scale design: the edge table is built in-row (no shuffle), hash
+  * co-partitioned once on src and reused across iterations; each
+  * iteration is ONE contribution shuffle (dst aggregation with
+  * map-side partial sums) plus a same-key join back to the node list.
+  * Iteration count is fixed (5) — at 1000 executors the wall cost is
+  * 5 bounded shuffle rounds over |edges| rows, exactly the Pregel
+  * budget of the CC engine (DedupOps.dedupClusters).
+  */
+object GraphOps {
+
+  val OutDegree = 3
+  val TotalMass = 1000000000000L // 10^12, split evenly at init
+  val Iterations = 5
+
+  /** Deterministic out-links: dst(src, j) = splitmix64(src·1000003 + j)
+    * mod N for j < OutDegree (self-loops and duplicate targets kept —
+    * both engines see the identical multigraph). The multiply is safe
+    * from ANSI overflow for doc_id < 2^43.
+    */
+  private[graft] def linkEdges(spark: SparkSession, dir: String,
+      n: Long): DataFrame =
+    Memo.df(spark, s"graph_edges:$dir") {
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .select(col("doc_id").as("src"),
+          explode(array((0 until OutDegree).map(j => lit(j.toLong)): _*)).as("j"))
+        .withColumn("dst",
+          pmod(IntKernels.mix64(col("src") * lit(1000003L) + col("j")), lit(n)))
+        .select("src", "dst")
+        .repartition(col("src"))
+    }
+
+  /** Node count, memoized so repeat invocations don't re-count. */
+  private[graft] def nodeCount(spark: SparkSession, dir: String): Long =
+    Memo.value(spark, s"graph_n:$dir") {
+      java.lang.Long.valueOf(Tables.documents(spark, dir).count())
+    }.longValue()
+
+  /** D44: 5-iteration integer PageRank over the synthesized graph.
+    * r₀ = ⌊10^12/N⌋ per node; each round every node ships ⌊r/outdeg⌋
+    * along each edge and recombines as ⌊3·r₀/20⌋ + ⌊17·Σincoming/20⌋
+    * (damping 0.85 in exact integer form; nodes without in-links keep
+    * the base mass).
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val n = nodeCount(spark, dir)
+    val r0 = TotalMass / n
+    val base = (r0 * 3L) / 20L
+    val edges = linkEdges(spark, dir, n)
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    var ranks = nodes.select(col("doc_id").as("id"), lit(r0).as("r"))
+    for (_ <- 1 to Iterations) {
+      val inc = edges.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr(s"r div $OutDegree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      ranks = nodes.select(col("doc_id").as("id"))
+        .join(inc, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(coalesce(inc, 0L) * 17) div 20")).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("r").cast(LongType).as("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+  }
+}

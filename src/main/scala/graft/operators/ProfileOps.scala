@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** D41-family: data-quality profiling for corpus intake — the
+  * deequ-style analyzer a 100 TB ingest runs BEFORE spending compute
+  * on curation (reference has no analogue; this is the intake-gate
+  * layer a production pipeline needs).
+  *
+  * Scale design: ALL metrics of a profile (and all gate measurements)
+  * are batched into ONE aggregation over ONE scan — at 100 TB a scan
+  * per metric is the difference between a 10-minute and a 10-hour
+  * intake check. The distinct-count metrics ride Spark's Expand
+  * rewrite (still a single shuffle with partial aggregation); every
+  * other metric partial-aggregates map-side. The long (col, metric,
+  * value) output shape is produced by exploding the single aggregate
+  * row — constant-size driver work.
+  */
+object ProfileOps {
+
+  private def metric(colName: String, name: String, v: Column): Column =
+    struct(lit(colName).as("col_name"), lit(name).as("metric"),
+      v.cast(DoubleType).as("value"))
+
+  /** D41: one-pass table profile of `documents` in long form —
+    * null/distinct counts per column, numeric min/max/mean for
+    * n_chars, text length stats, and the row count. The mean is the
+    * house exact decimal average, so every value is engine-exact.
+    */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("text_len", length(col("text")).cast(LongType))
+    val n = count(lit(1))
+    def nNull(c: String) = (n - count(col(c))).cast(DoubleType)
+    val agg = d.agg(
+      n.cast(DoubleType).as("n_rows"),
+      nNull("doc_id").as("doc_id_n_null"),
+      countDistinct(col("doc_id")).cast(DoubleType).as("doc_id_n_distinct"),
+      nNull("lang").as("lang_n_null"),
+      countDistinct(col("lang")).cast(DoubleType).as("lang_n_distinct"),
+      nNull("source").as("source_n_null"),
+      countDistinct(col("source")).cast(DoubleType).as("source_n_distinct"),
+      nNull("text").as("text_n_null"),
+      countDistinct(col("text")).cast(DoubleType).as("text_n_distinct"),
+      nNull("n_chars").as("n_chars_n_null"),
+      countDistinct(col("n_chars")).cast(DoubleType).as("n_chars_n_distinct"),
+      min(col("n_chars")).cast(DoubleType).as("n_chars_min"),
+      max(col("n_chars")).cast(DoubleType).as("n_chars_max"),
+      davg(col("n_chars")).as("n_chars_mean"),
+      min(col("text_len")).cast(DoubleType).as("text_len_min"),
+      max(col("text_len")).cast(DoubleType).as("text_len_max"),
+      davg(col("text_len")).as("text_len_mean"))
+    agg.select(explode(array(
+        metric("table", "n_rows", col("n_rows")),
+        metric("doc_id", "n_null", col("doc_id_n_null")),
+        metric("doc_id", "n_distinct", col("doc_id_n_distinct")),
+        metric("lang", "n_null", col("lang_n_null")),
+        metric("lang", "n_distinct", col("lang_n_distinct")),
+        metric("source", "n_null", col("source_n_null")),
+        metric("source", "n_distinct", col("source_n_distinct")),
+        metric("text", "n_null", col("text_n_null")),
+        metric("text", "n_distinct", col("text_n_distinct")),
+        metric("n_chars", "n_null", col("n_chars_n_null")),
+        metric("n_chars", "n_distinct", col("n_chars_n_distinct")),
+        metric("n_chars", "min", col("n_chars_min")),
+        metric("n_chars", "max", col("n_chars_max")),
+        metric("n_chars", "mean", col("n_chars_mean")),
+        metric("text_len", "min", col("text_len_min")),
+        metric("text_len", "max", col("text_len_max")),
+        metric("text_len", "mean", col("text_len_mean")))).as("m"))
+      .select(col("m.col_name"), col("m.metric"), col("m.value"))
+      .orderBy("col_name", "metric")
+  }
+
+  /** The languages the pipeline's curation models cover (cf.
+    * TextOps.langId's alphabet).
+    */
+  val KnownLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** D42: constraint gates over the same single pass — each gate is a
+    * (share-style measurement, threshold, verdict) row. The measured
+    * shares are integer-count ratios (exact in IEEE doubles), so the
+    * verdicts are engine-exact, not tolerance-based.
+    */
+  def qualityGates(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = count(lit(1))
+    def share(cond: Column) = (count(when(cond, lit(1))).cast(DoubleType) /
+      n.cast(DoubleType))
+    val agg = d.agg(
+      (count(col("doc_id")).cast(DoubleType) / n.cast(DoubleType))
+        .as("doc_id_complete"),
+      (countDistinct(col("doc_id")).cast(DoubleType) / n.cast(DoubleType))
+        .as("doc_id_unique"),
+      share(col("lang").isin(KnownLangs: _*)).as("lang_known"),
+      share(col("n_chars") === length(col("text"))).as("n_chars_consistent"),
+      share(col("n_chars").between(1, 1000000)).as("n_chars_in_range"),
+      share(length(col("text")) > 0).as("text_nonempty"))
+    def gate(name: String, thr: Double) =
+      struct(lit(name).as("gate"), col(name).as("measured"),
+        lit(thr).as("threshold"), (col(name) >= thr).as("pass"))
+    agg.select(explode(array(
+        gate("doc_id_complete", 1.0),
+        gate("doc_id_unique", 1.0),
+        gate("lang_known", 0.99),
+        gate("n_chars_consistent", 0.99),
+        gate("n_chars_in_range", 0.99),
+        gate("text_nonempty", 0.99))).as("g"))
+      .select(col("g.gate"), col("g.measured"), col("g.threshold"),
+        col("g.pass"))
+      .orderBy("gate")
+  }
+
+  /** Distinct (source, token) vocabulary pairs — the shared input of
+    * the exact and sketched overlap faces.
+    */
+  private[graft] def sourceTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .distinct()
+
+  /** D43: pairwise lexical overlap between sources — |vocab(A) ∩
+    * vocab(B)| and Jaccard for every source pair. The curation signal
+    * for "which crawls duplicate each other's coverage" BEFORE running
+    * cross-source dedup.
+    *
+    * Scale design: no vocab×vocab self-join — tokens group once on the
+    * high-cardinality token key, each token emits its C(|sources|,2)
+    * in-row ordered pairs (bounded by the SOURCE count, not the corpus),
+    * and the pair counts aggregate on a ≤|sources|² key. The per-source
+    * sizes are a broadcast side table. The oracle states the naive
+    * self-join SQL; hash parity proves the in-row pair rewrite.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = sourceTokens(spark, dir)
+    val per = st.groupBy(col("source")).agg(lcount.as("n"))
+    val pairs = st.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(lcount.as("n_common"))
+    pairs
+      .join(broadcast(per.select(col("source").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(per.select(col("source").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** D43b: the sketched twin — one HLL sketch per source (constant
+    * bytes/source), pairwise union estimates at |sources|² driver
+    * scale, overlap by inclusion–exclusion. At 100 TB this replaces
+    * the token-key shuffle with a map-side sketch merge; the exact
+    * face above is its accuracy oracle (tolerance-pinned in
+    * ProfileSpec).
+    */
+  def sourceOverlapApprox(spark: SparkSession, dir: String): DataFrame = {
+    val st = sourceTokens(spark, dir)
+    val sk = st.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), lit(14)).as("sk"),
+        lcount.as("n"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"),
+      col("n").as("n_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"),
+      col("n").as("n_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_common"))
+      .orderBy("src_a", "src_b")
+  }
+}

@@ -234,6 +234,220 @@ object RelationalOps {
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** A13: TPC-H Q2 shape — cheapest supplier per part. The schema has
+    * no partsupp, so pair cost is MIN(l_extendedprice) over the
+    * lineitems linking a (part, supplier) pair; for each SMALL part
+    * under size 15 keep the supplier(s) achieving the per-part minimum
+    * (the correlated MIN subquery of Q2, decorrelated into an
+    * aggregate-then-broadcast-back join). The only fact shuffle is the
+    * pair aggregation on (partkey, suppkey); the per-part minima table
+    * is |filtered parts| rows → broadcast, as are both dims. The final
+    * sort key ends in the unique (p_partkey, s_suppkey) so LIMIT is
+    * deterministic.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "SMALL" && col("p_size") < 15)
+      .select("p_partkey")
+    val pair = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val minc = pair.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    pair.join(broadcast(minc), col("l_partkey") === col("m_partkey") &&
+        col("cost") === col("min_cost"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("s_suppkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** A14: TPC-H Q11 shape — parts whose revenue exceeds a fraction of
+    * TOTAL revenue (scalar subquery in HAVING). Both the per-part
+    * values and the global total are exact decimal sums (each computed
+    * straight off lineitem, so order-independent), the total rides a
+    * broadcast 1-row join, and the threshold compare is double-exact.
+    */
+  def q11ValueShare(spark: SparkSession, dir: String,
+      fraction: Double = 0.001): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val v = li.groupBy(col("l_partkey"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("value"))
+    val tot = li.agg(dsum2(col("l_extendedprice"),
+        lit(1.0) - col("l_discount")).as("tot"))
+      .withColumn("one", lit(1))
+    v.withColumn("one", lit(1)).join(broadcast(tot), "one")
+      .filter(col("value") > lit(fraction) * col("tot"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** A15: TPC-H Q14 shape — promo revenue share for one ship-date
+    * window (conditional aggregation: CASE inside the decimal sum, so
+    * both branches stay order-independent; the ratio is one double
+    * division at the end).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-07-01 00:00:00"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum2(when(col("p_type") === "PROMO", col("l_extendedprice"))
+          .otherwise(lit(0.0)), lit(1.0) - col("l_discount")).as("promo_revenue"),
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_share"))
+  }
+
+  /** A16: TPC-H Q16 shape — supplier variety per (brand, type, size)
+    * for a size list, excluding one brand/type and any supplier with a
+    * negative balance (the NOT IN subquery ⇒ LEFT ANTI against the
+    * tiny exclusion list). count(DISTINCT supp) shuffles once on the
+    * group key with partial distinct-aggregation map-side.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#21" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).cast(LongType).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** A17: TPC-H Q18 shape — big-quantity orders (IN over a grouped
+    * HAVING). The lineitem aggregate keys on orderkey — same key as
+    * the orders join that follows, so AQE plans one co-partitioned
+    * exchange pair; the qualifying-order set shrinks with the
+    * threshold but SCALES WITH DATA, so it is joined (not broadcast)
+    * on purpose. customer is the broadcast dim.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** A18: TPC-H Q19 shape — revenue under a 3-branch OR of
+    * brand/size/quantity predicates. The disjunction references both
+    * sides, so it evaluates post-join; what pushes DOWN is the derived
+    * prefix (part: the brand list + max size bound; lineitem: the
+    * overall quantity envelope), keeping the broadcast build side and
+    * the probe stream pruned.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size") >= 1)
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branch =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity") >= 25)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+  }
+
+  /** A19: TPC-H Q20 shape — suppliers holding a dominant share of any
+    * "small"-named part's shipped quantity (nested semi join). BOTH
+    * quantity sums are exact decimal sums computed straight off
+    * lineitem (the per-part total is NOT a double re-sum of the pair
+    * rows), so the share compare replicates engine-independently. The
+    * pair agg and the per-part totals share the partkey-derived key;
+    * totals are |parts| rows → broadcast back.
+    */
+  def q20ShareSuppliers(spark: SparkSession, dir: String,
+      share: Double = 0.1): DataFrame = {
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+    val pairQty = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val partTot = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(dsum(col("l_quantity")).as("tot"))
+    pairQty.join(broadcast(partTot), col("l_partkey") === col("t_partkey"))
+      .filter(col("qty") > lit(share) * col("tot"))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  /** A20: TPC-H Q21 shape — suppliers who were the SOLE late shipper
+    * on a multi-supplier finished order. The classic EXISTS ("another
+    * supplier shipped this order") + NOT EXISTS ("no OTHER supplier
+    * was late") pair is decorrelated into one grouped pass per order —
+    * n_supp > 1 ∧ n_late_supp = 1 ∧ this supplier late — turning two
+    * correlated self-joins into a single orderkey shuffle — the
+    * (order, supplier) pair agg and the per-order counts share one
+    * exchange (the counts ride a window over the pair rows, so the
+    * pair table is never recomputed or self-joined); the oracle states
+    * the original EXISTS/NOT-EXISTS SQL, so hash parity PROVES the
+    * rewrite. "Late" = shipped >60 days after the order date.
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String,
+      lateDays: Int = 60): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val pair = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
+        1).otherwise(0)).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    pair
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(lcount.as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** A12: TPC-H Q22 shape — above-average-balance customers with no
     * urgent orders, rolled up per nation (the "idle rich accounts"
     * report). Two classic decorrelations in one plan: the global mean

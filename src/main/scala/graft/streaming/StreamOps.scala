@@ -856,4 +856,42 @@ object StreamOps {
     importanceScoreStream(spark,
       graft.operators.LayoutOps.table(spark, dir, "dsir_target"),
       graft.operators.LayoutOps.table(spark, dir, "dsir_raw"), incoming)
+
+  /** E27: streaming click→purchase attribution — the engine's
+    * STREAM–STREAM interval join (every other streaming op is
+    * stream-static or keyed-state). Purchases join clicks from the
+    * same user within the trailing [[graft.operators.EventOps
+    * .AttributionWindowHours]] band; BOTH sides carry event-time
+    * watermarks, so Spark derives the state bound from the band: a
+    * buffered click is droppable once the purchase-side watermark
+    * passes click_ts + window, a buffered purchase once the
+    * click-side watermark passes purchase_ts. State is
+    * O(events-in-window), not O(stream) — the property that makes the
+    * join deployable on an unbounded feed. Exact output parity with
+    * [[graft.operators.EventOps.attribution]] is pinned in
+    * StreamBatchParitySpec, including pairs whose halves arrive in
+    * different micro-batches.
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+      windowHours: Int = graft.operators.EventOps.AttributionWindowHours,
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") -
+          expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          / lit(60000000L))
+          .cast(org.apache.spark.sql.types.LongType).as("mins_before"))
+  }
 }

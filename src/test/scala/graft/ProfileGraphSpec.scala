@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{GraphOps, ProfileOps}
+import org.apache.spark.sql.functions._
+
+/** D41–D44: intake profiling, quality gates, source overlap (exact vs
+  * sketched), and the integer PageRank.
+  */
+class ProfileGraphSpec extends GraftSpec {
+
+  test("data_profile: one row per metric, counts agree with the table") {
+    val prof = ProfileOps.dataProfile(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val n = Tables.documents(spark, Sf).count().toDouble
+    assert(prof.size == 17)
+    assert(prof(("table", "n_rows")) == n)
+    assert(prof(("doc_id", "n_distinct")) == n) // ids are unique
+    assert(prof(("doc_id", "n_null")) == 0.0)
+    assert(prof(("n_chars", "min")) >= 0.0)
+    assert(prof(("n_chars", "mean")) <= prof(("n_chars", "max")))
+    // the generator sets n_chars = length(text): the two mean metrics agree
+    assert(prof(("n_chars", "mean")) == prof(("text_len", "mean")))
+  }
+
+  test("quality_gates: the clean corpus passes every gate") {
+    val gates = ProfileOps.qualityGates(spark, Sf).collect()
+    assert(gates.length == 6)
+    gates.foreach { g =>
+      assert(g.getBoolean(3), s"gate ${g.getString(0)} failed: ${g.getDouble(1)}")
+      assert(g.getDouble(1) >= g.getDouble(2))
+    }
+  }
+
+  test("sourceOverlapApprox tracks the exact overlap within HLL tolerance") {
+    val exact = ProfileOps.sourceOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val approx = ProfileOps.sourceOverlapApprox(spark, Sf).collect()
+    assert(approx.map(r => (r.getString(0), r.getString(1))).toSet ==
+      exact.keySet)
+    approx.foreach { r =>
+      val e = exact((r.getString(0), r.getString(1)))
+      val a = r.getLong(4).toDouble // hll_sketch_estimate yields BIGINT
+      // lgK=14 on small per-source sets: near-exact; allow 5% + small abs
+      assert(math.abs(a - e) <= math.max(5.0, e * 0.05),
+        s"${r.getString(0)}-${r.getString(1)}: est $a vs exact $e")
+    }
+  }
+
+  test("source_overlap jaccard is consistent with its own counts") {
+    ProfileOps.sourceOverlap(spark, Sf).collect().foreach { r =>
+      val (na, nb, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nc <= math.min(na, nb))
+      assert(r.getDouble(5) == nc.toDouble / (na + nb - nc))
+    }
+  }
+
+  test("graph_pagerank: full node cover, positive integer mass, conserved bound") {
+    val n = Tables.documents(spark, Sf).count()
+    val pr = GraphOps.pageRank(spark, Sf).collect()
+    assert(pr.length == n)
+    val r0 = GraphOps.TotalMass / n
+    val base = r0 * 3 / 20
+    assert(pr.forall(_.getLong(1) >= base), "every node keeps the base mass")
+    // floor divisions only ever drop mass: total never exceeds the start
+    assert(pr.map(_.getLong(1)).sum <= GraphOps.TotalMass)
+    // the ranking is non-degenerate: not all nodes equal
+    assert(pr.map(_.getLong(1)).distinct.length > 1)
+  }
+
+  test("graph_pagerank is deterministic across invocations") {
+    val a = GraphOps.pageRank(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = GraphOps.pageRank(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("evt_attribution pairs respect the band and user equality") {
+    val rows = operators.EventOps.attribution(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getTimestamp(2).getTime
+      val c = r.getTimestamp(4).getTime
+      assert(c <= p && c > p - GraphOpsSpecHelpers.WindowMs)
+      assert(r.getLong(5) == (p - c) / 60000L)
+    }
+  }
+}
+
+private object GraphOpsSpecHelpers {
+  val WindowMs: Long =
+    operators.EventOps.AttributionWindowHours.toLong * 3600L * 1000L
+}

@@ -379,4 +379,39 @@ class StreamBatchParitySpec extends GraftSpec {
       assert(expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("attributionStream == batch evt_attribution across micro-batch splits") {
+    val expected = operators.EventOps.attribution(spark, Sf)
+      .select("purchase_id", "click_id", "mins_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // time-split the feed so pairs STRADDLE the micro-batch boundary:
+    // clicks buffered in join state from batch 1 must still match
+    // purchases arriving in batch 2
+    val cut = all.agg(percentile_approx(col("ts"), lit(0.5), lit(100)))
+      .collect()(0).getTimestamp(0)
+    val cDir = Files.createTempDirectory("attr_c").toFile.getAbsolutePath
+    val pDir = Files.createTempDirectory("attr_p").toFile.getAbsolutePath
+    val clicks = all.filter(col("event_type") === "click")
+    val buys = all.filter(col("event_type") === "purchase")
+    clicks.filter(col("ts") <= cut).write.mode("overwrite").parquet(cDir)
+    buys.filter(col("ts") <= cut).write.mode("overwrite").parquet(pDir)
+    val q = StreamOps.attributionStream(
+        spark.readStream.schema(all.schema).parquet(cDir),
+        spark.readStream.schema(all.schema).parquet(pDir))
+      .writeStream.format("memory").queryName("attr_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      clicks.filter(col("ts") > cut).write.mode("append").parquet(cDir)
+      buys.filter(col("ts") > cut).write.mode("append").parquet(pDir)
+      q.processAllAvailable()
+      val got = spark.table("attr_par")
+        .select("purchase_id", "click_id", "mins_before")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
 }
