@@ -45,6 +45,9 @@ object SparkEntry {
     "source_overlap"       -> (ProfileOps.sourceOverlap _),
     "graph_pagerank"       -> (GraphOps.pageRank _),
     "evt_attribution"      -> (EventOps.attribution _),
+    "bpe_coverage"         -> (BpeOps.coverageBpe _),
+    "emb_outliers"         -> ((s: SparkSession, d: String) =>
+      AnnOps.embOutliers(s, d)),
     // B. log-agent event semantics
     "evt_latest_per_key"   -> (EventOps.latestPerKey _),
     "evt_debounce"         -> (EventOps.debounce _),
@@ -1017,6 +1020,35 @@ object SparkEntry {
 
     // D44: 5 unrolled integer-PageRank rounds (see PagerankSql builder)
     "graph_pagerank" -> PagerankSql,
+
+    // D45: per-language tokenizer coverage over the trained merges
+    "bpe_coverage" ->
+      (BpeStageCtes +
+        "wc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents) GROUP BY 1, 2), " +
+        s"seg AS (SELECT w, CAST(len(list_filter(string_split(st, '||'), " +
+        s"x -> x <> '')) AS BIGINT) AS n_pieces FROM s$BpeM) " +
+        "SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words, " +
+        "CAST(SUM(n * n_pieces) AS BIGINT) AS n_pieces, " +
+        "CAST(SUM(CASE WHEN n_pieces = 1 THEN n ELSE 0 END) AS BIGINT) " +
+        "AS n_single, " +
+        "CAST(CAST(SUM(n * n_pieces) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS pieces_per_word, " +
+        "CAST(CAST(SUM(CASE WHEN n_pieces = 1 THEN n ELSE 0 END) AS BIGINT) " +
+        "AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) " +
+        "AS single_piece_share " +
+        "FROM wc JOIN seg ON wc.tok = seg.w GROUP BY lang ORDER BY lang"),
+
+    // D25c: bottom-decile distance-to-centroid outliers — the exact
+    // interpolated per-cluster percentile (quantile_cont = Spark's
+    // percentile, the evt_percentiles parity)
+    "emb_outliers" ->
+      (ClusterAssignCtes +
+        ", ct AS (SELECT cid AS c2, quantile_cont(sim, 0.1) AS cut " +
+        "FROM asg GROUP BY 1) " +
+        "SELECT vec_id, cid, sim, cut FROM asg JOIN ct ON cid = c2 " +
+        "WHERE sim < cut ORDER BY vec_id"),
 
     // B20: all click touches in the 24 h before each purchase
     "evt_attribution" ->
@@ -2682,7 +2714,7 @@ object SparkEntry {
       |l0 AS (SELECT e.vec_id, r.cid,
       |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
       |  FROM e, ref2 r),
-      |asg AS (SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |asg AS (SELECT vec_id, cid, sim FROM (SELECT *, ROW_NUMBER() OVER
       |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM l0)
       |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
 

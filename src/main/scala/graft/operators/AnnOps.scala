@@ -406,6 +406,35 @@ object AnnOps {
       .orderBy("cid", "rnk")
   }
 
+  /** D25c: embedding outliers — vectors in the bottom decile of
+    * cosine similarity to their OWN cluster centroid: the corrupt/
+    * off-distribution review queue of an embedding intake (mislabeled
+    * modality, truncated vectors, garbage encodes all land here). The
+    * cutoff is the exact interpolated per-cluster percentile — the
+    * evt_percentiles device, engine-exact — so the flag set is
+    * deterministic, not a tolerance heuristic. Scale shape: assignment
+    * is in-row against the quantizer, the per-cluster cutoffs are m
+    * rows → broadcast back; nothing shuffles but the m-keyed
+    * percentile aggregation.
+    */
+  def embOutliers(spark: SparkSession, dir: String,
+      q: Double = 0.1): DataFrame = {
+    val model = ivfModel(spark, dir, DefaultM)
+    val cents = centsLit(model)
+    val withSim = assignFor(spark, dir, DefaultM, embDouble(spark, dir), 1)
+      .withColumn("cent",
+        element_at(filter(cents, c => c.getField("cid") === col("cid")), 1))
+      .withColumn("sim", VectorFns.cosine(col("v"), col("cent").getField("cv"),
+        col("nrm"), col("cent").getField("cnrm")))
+      .select(col("vec_id"), col("cid"), col("sim"))
+    val cuts = withSim.groupBy(col("cid").as("c2"))
+      .agg(percentile(col("sim"), lit(q)).as("cut"))
+    withSim.join(broadcast(cuts), col("cid") === col("c2"))
+      .filter(col("sim") < col("cut"))
+      .select(col("vec_id"), col("cid"), col("sim"), col("cut"))
+      .orderBy("vec_id")
+  }
+
   /** The LSH probe counts and IVF nprobe values [[annRecall]] measures
     * — shared with the oracle SQL generator in SparkEntry so the
     * measured contract and its oracle cannot drift.

@@ -197,4 +197,34 @@ object BpeOps {
         expr(s"(cum_pieces - 1) DIV $binPieces").cast(LongType))
       .orderBy("doc_id")
   }
+
+  /** D45: tokenizer coverage report — per language: word/piece
+    * volumes, pieces-per-word, and the share of word OCCURRENCES the
+    * trained vocab covers as a single piece (the fragmentation signal
+    * that tells a tokenizer team which languages the merge budget is
+    * short-changing). Same scale shape as tokenizeBpe: merges apply
+    * once per DISTINCT word (broadcast piece table), the corpus pays
+    * one (lang, word) aggregation; all ratios are exact long-count
+    * divisions.
+    */
+  def coverageBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(spark, dir)
+    val wc = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(lcount.as("n"))
+    val pieces = wc.select(col("tok")).distinct()
+      .withColumn("n_pieces", pieceCount(merges))
+      .select(col("tok"), col("n_pieces"))
+    wc.join(broadcast(pieces), Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).cast(LongType).as("n_words"),
+        sum(col("n") * col("n_pieces")).cast(LongType).as("n_pieces"),
+        sum(when(col("n_pieces") === 1, col("n")).otherwise(lit(0L)))
+          .cast(LongType).as("n_single"))
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("single_piece_share",
+        col("n_single").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .orderBy("lang")
+  }
 }

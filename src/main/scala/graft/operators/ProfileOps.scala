@@ -87,34 +87,84 @@ object ProfileOps {
     * shares are integer-count ratios (exact in IEEE doubles), so the
     * verdicts are engine-exact, not tolerance-based.
     */
-  def qualityGates(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val n = count(lit(1))
-    def share(cond: Column) = (count(when(cond, lit(1))).cast(DoubleType) /
-      n.cast(DoubleType))
+  def qualityGates(spark: SparkSession, dir: String): DataFrame =
+    qualityGatesOn(Tables.documents(spark, dir))
+
+  private def shareOf(cond: Column): Column =
+    count(when(cond, lit(1))).cast(DoubleType) /
+      count(lit(1)).cast(DoubleType)
+
+  /** The 5 share-style gate measurements (every one streamable — no
+    * distinct aggregation), shared by the batch, windowed, and
+    * streaming faces.
+    */
+  private def shareAggs: Seq[Column] = Seq(
+    (count(col("doc_id")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+      .as("doc_id_complete"),
+    shareOf(col("lang").isin(KnownLangs: _*)).as("lang_known"),
+    shareOf(col("n_chars") === length(col("text"))).as("n_chars_consistent"),
+    shareOf(col("n_chars").between(1, 1000000)).as("n_chars_in_range"),
+    shareOf(length(col("text")) > 0).as("text_nonempty"))
+
+  private def gateStruct(name: String, thr: Double): Column =
+    struct(lit(name).as("gate"), col(name).as("measured"),
+      lit(thr).as("threshold"), (col(name) >= thr).as("pass"))
+
+  private val ShareGates: Seq[(String, Double)] = Seq(
+    "doc_id_complete" -> 1.0, "lang_known" -> 0.99,
+    "n_chars_consistent" -> 0.99, "n_chars_in_range" -> 0.99,
+    "text_nonempty" -> 0.99)
+
+  /** [[qualityGates]] over an arbitrary documents-shaped frame — the
+    * real API face (a pipeline gates whatever slice is arriving, not
+    * only the canonical table). The uniqueness gate needs a distinct
+    * aggregation, so it exists only here and in the batch query — the
+    * windowed/streaming monitor carries the 5 share gates.
+    */
+  def qualityGatesOn(d: DataFrame): DataFrame = {
     val agg = d.agg(
-      (count(col("doc_id")).cast(DoubleType) / n.cast(DoubleType))
-        .as("doc_id_complete"),
-      (countDistinct(col("doc_id")).cast(DoubleType) / n.cast(DoubleType))
-        .as("doc_id_unique"),
-      share(col("lang").isin(KnownLangs: _*)).as("lang_known"),
-      share(col("n_chars") === length(col("text"))).as("n_chars_consistent"),
-      share(col("n_chars").between(1, 1000000)).as("n_chars_in_range"),
-      share(length(col("text")) > 0).as("text_nonempty"))
-    def gate(name: String, thr: Double) =
-      struct(lit(name).as("gate"), col(name).as("measured"),
-        lit(thr).as("threshold"), (col(name) >= thr).as("pass"))
+      (countDistinct(col("doc_id")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("doc_id_unique"),
+      shareAggs: _*)
     agg.select(explode(array(
-        gate("doc_id_complete", 1.0),
-        gate("doc_id_unique", 1.0),
-        gate("lang_known", 0.99),
-        gate("n_chars_consistent", 0.99),
-        gate("n_chars_in_range", 0.99),
-        gate("text_nonempty", 0.99))).as("g"))
+        (("doc_id_unique" -> 1.0) +: ShareGates)
+          .map { case (g, t) => gateStruct(g, t) }: _*)).as("g"))
       .select(col("g.gate"), col("g.measured"), col("g.threshold"),
         col("g.pass"))
       .orderBy("gate")
   }
+
+  /** D42b: the windowed batch twin of the streaming gate monitor —
+    * the 5 share gates per event-time window. Shares the aggregate
+    * definitions with [[qualityGatesStream]], so the streaming parity
+    * spec pins both.
+    */
+  def qualityGatesWindowed(d: DataFrame, windowLen: String = "1 day")
+      : DataFrame =
+    explodeWindowGates(
+      d.groupBy(window(col("ts"), windowLen)).agg(lcount.as("n_docs"),
+        shareAggs: _*))
+
+  /** E28: streaming intake-gate monitor — the 5 share gates evaluated
+    * per closed event-time window on the arriving document stream
+    * (the uniqueness gate needs a distinct aggregation, which
+    * streaming aggregation cannot do exactly — it stays batch-side).
+    * Watermark + append mode: a window's verdicts emit once, when it
+    * closes; state is one partial-aggregate row per open window.
+    */
+  def qualityGatesStream(incoming: DataFrame, windowLen: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    explodeWindowGates(
+      incoming.withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), windowLen)).agg(lcount.as("n_docs"),
+          shareAggs: _*))
+
+  private def explodeWindowGates(agg: DataFrame): DataFrame =
+    agg.select(col("window.start").as("w_start"), col("n_docs"),
+        explode(array(ShareGates.map { case (g, t) => gateStruct(g, t) }: _*))
+          .as("g"))
+      .select(col("w_start"), col("n_docs"), col("g.gate"),
+        col("g.measured"), col("g.threshold"), col("g.pass"))
 
   /** Distinct (source, token) vocabulary pairs — the shared input of
     * the exact and sketched overlap faces.

@@ -73,6 +73,54 @@ class ProfileGraphSpec extends GraftSpec {
     assert(a.sameElements(b))
   }
 
+  test("qualityGatesOn flags a dirty frame gate by gate") {
+    import spark.implicits._
+    val dirty = Seq(
+      // (doc_id, text, lang, source, n_chars)
+      (Some(1L), "good text", "en", "s", 9L),
+      (Some(1L), "dup id", "en", "s", 6L),          // uniqueness violation
+      (None, "no id", "xx", "s", 5L),               // null id + unknown lang
+      (Some(2L), "", "en", "s", 0L),                // empty text + n_chars=0
+      (Some(3L), "short", "en", "s", 99L))          // n_chars inconsistent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gates = operators.ProfileOps.qualityGatesOn(dirty).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(!gates("doc_id_complete")._2 && gates("doc_id_complete")._1 == 0.8)
+    assert(!gates("doc_id_unique")._2 && gates("doc_id_unique")._1 == 0.6)
+    assert(!gates("lang_known")._2 && gates("lang_known")._1 == 0.8)
+    assert(!gates("n_chars_consistent")._2 &&
+      gates("n_chars_consistent")._1 == 0.8) // only the 99-vs-5 row lies
+    assert(!gates("n_chars_in_range")._2 && gates("n_chars_in_range")._1 == 0.8)
+    assert(!gates("text_nonempty")._2 && gates("text_nonempty")._1 == 0.8)
+  }
+
+  test("bpe_coverage totals reconcile with the per-doc tokenize output") {
+    val cov = operators.BpeOps.coverageBpe(spark, Sf).collect()
+    val perDoc = operators.BpeOps.tokenizeBpe(spark, Sf)
+      .agg(sum(col("n_words")), sum(col("n_pieces"))).collect()(0)
+    assert(cov.map(_.getLong(1)).sum == perDoc.getLong(0))
+    assert(cov.map(_.getLong(2)).sum == perDoc.getLong(1))
+    cov.foreach { r =>
+      assert(r.getDouble(4) >= 1.0)              // pieces_per_word
+      val s = r.getDouble(5)                     // single_piece_share
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getLong(3) <= r.getLong(1))       // n_single <= n_words
+    }
+  }
+
+  test("emb_outliers flags the strict bottom tail of each cluster") {
+    val sizes = operators.AnnOps.clusterAssign(spark, Sf).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val out = operators.AnnOps.embOutliers(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) < r.getDouble(3)))
+    // the 10th-percentile cutoff keeps the flag set near a decile
+    out.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.length <= math.ceil(sizes(cid) * 0.15) + 1,
+        s"cluster $cid flagged ${rows.length} of ${sizes(cid)}")
+    }
+  }
+
   test("evt_attribution pairs respect the band and user equality") {
     val rows = operators.EventOps.attribution(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -380,6 +380,38 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("qualityGatesStream == windowed batch gates per closed day") {
+    val docs = Tables.documents(spark, Sf)
+      .withColumn("ts", expr(
+        "timestamp '2024-01-01 06:00:00' + make_interval(0,0,0,CAST(doc_id % 5 AS INT),0,0,0)"))
+    val expected = operators.ProfileOps.qualityGatesWindowed(docs).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(2),
+        r.getDouble(3), r.getBoolean(5))).toSeq.sorted
+    val d = Files.createTempDirectory("qg_par").toFile.getAbsolutePath
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(d)
+    val q = operators.ProfileOps.qualityGatesStream(
+        spark.readStream.schema(docs.schema).parquet(d))
+      .writeStream.format("memory").queryName("qg_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      // watermark flush: a far-future doc closes the 5 real windows
+      docs.limit(1).withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("qg_par")
+        .filter(col("w_start") < "2029-01-01")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(2),
+          r.getDouble(3), r.getBoolean(5))).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("attributionStream == batch evt_attribution across micro-batch splits") {
     val expected = operators.EventOps.attribution(spark, Sf)
       .select("purchase_id", "click_id", "mins_before").collect()
