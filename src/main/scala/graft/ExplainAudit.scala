@@ -50,7 +50,9 @@ object ExplainAudit {
       "q2_min_cost_supplier", "q11_value_share", "q14_promo_share",
       "q16_supplier_variety", "q18_large_orders",
       "q19_disjunctive_revenue", "q20_share_suppliers",
-      "q21_sole_late_supplier")
+      "q21_sole_late_supplier",
+      "q8_market_share", "q9_product_profit", "q10_returned_customers",
+      "q15_top_supplier")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",

@@ -39,6 +39,15 @@ object SparkEntry {
       RelationalOps.q20ShareSuppliers(s, d)),
     "q21_sole_late_supplier" -> ((s: SparkSession, d: String) =>
       RelationalOps.q21SoleLateSupplier(s, d)),
+    "q6_forecast_revenue"  -> (RelationalOps.q6ForecastRevenue _),
+    "q8_market_share"      -> ((s: SparkSession, d: String) =>
+      RelationalOps.q8MarketShare(s, d)),
+    "q9_product_profit"    -> ((s: SparkSession, d: String) =>
+      RelationalOps.q9ProductProfit(s, d)),
+    "q10_returned_customers" -> (RelationalOps.q10ReturnedCustomers _),
+    "q12_lateship_priority" -> (RelationalOps.q12LateShipPriority _),
+    "q13_order_count_dist" -> (RelationalOps.q13OrderCountDistribution _),
+    "q15_top_supplier"     -> (RelationalOps.q15TopSupplier _),
     // D41-44: intake profiling / quality gates / source overlap / link rank
     "data_profile"         -> (ProfileOps.dataProfile _),
     "quality_gates"        -> (ProfileOps.qualityGates _),
@@ -1020,6 +1029,97 @@ object SparkEntry {
 
     // D44: 5 unrolled integer-PageRank rounds (see PagerankSql builder)
     "graph_pagerank" -> PagerankSql,
+
+    // A21: Q6 shape — one filtered scan, no join
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS $DEC)
+         |    * CAST(l_discount AS $DEC)) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // A22: Q8 shape — conditional num/den decimal sums, ratio per year
+    "q8_market_share" ->
+      s"""WITH cn AS (SELECT c_custkey FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+         |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey),
+         |f AS (SELECT YEAR(o_orderdate) AS o_year, supp_nation,
+         |    l_extendedprice, l_discount
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN cn ON o_custkey = c_custkey
+         |  JOIN sn ON l_suppkey = s_suppkey
+         |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+         |SELECT CAST(o_year AS BIGINT) AS o_year,
+         |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_18'
+         |      THEN l_extendedprice ELSE 0 END AS $DEC)
+         |    * CAST(1 - l_discount AS $DEC)) AS DOUBLE) AS nation_rev,
+         |  CAST(SUM(CAST(l_extendedprice AS $DEC)
+         |    * CAST(1 - l_discount AS $DEC)) AS DOUBLE) AS total_rev,
+         |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_18'
+         |      THEN l_extendedprice ELSE 0 END AS $DEC)
+         |    * CAST(1 - l_discount AS $DEC)) AS DOUBLE)
+         |  / CAST(SUM(CAST(l_extendedprice AS $DEC)
+         |    * CAST(1 - l_discount AS $DEC)) AS DOUBLE) AS mkt_share
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // A23: Q9 shape — color-part revenue by (supplier nation, year)
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         |  $drev AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // A24: Q10 shape — returned-item revenue top-20
+    "q10_returned_customers" ->
+      s"""WITH rev AS (SELECT o_custkey, $drev AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment, revenue
+         |FROM rev JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // A25: Q12 shape — conditional priority counts over late shipments
+    "q12_lateship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // A26: Q13 shape — LEFT OUTER keeps zero-order customers
+    "q13_order_count_dist" ->
+      """WITH co AS (SELECT c_custkey,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // A27: Q15 shape — revenue view vs its own MAX scalar, ties kept
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, $drev AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
 
     // D45: per-language tokenizer coverage over the trained merges
     "bpe_coverage" ->

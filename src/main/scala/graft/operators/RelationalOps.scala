@@ -234,6 +234,167 @@ object RelationalOps {
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** A21: TPC-H Q6 shape — the forecast-revenue scan: one predicate
+    * pass, no join, map-side partial agg; the three filters push into
+    * the parquet scan.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum2(col("l_extendedprice"), col("l_discount")).as("revenue"))
+
+  /** A22: TPC-H Q8 shape — one supplier nation's market share of ASIA
+    * customers' revenue per year: the num/den are BOTH conditional
+    * exact decimal sums over the same star join, so the ratio is one
+    * double division per year row.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      nation: String = "NATION_18"): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        dsum2(when(col("supp_nation") === nation, col("l_extendedprice"))
+          .otherwise(lit(0.0)), lit(1.0) - col("l_discount")).as("nation_rev"),
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** A23: TPC-H Q9 shape — revenue from color-named parts by
+    * (supplier nation, order year). part and supplier/nation are
+    * broadcast dims; the only fact⋈fact shuffle is lineitem⋈orders.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String,
+      color: String = "red"): DataFrame = {
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_name").contains(color)).select("p_partkey")
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** A24: TPC-H Q10 shape — top-20 customers by returned-item revenue
+    * in one quarter (agg on the high-cardinality custkey, THEN the
+    * broadcast dim joins, then the bounded top-k).
+    */
+  def q10ReturnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-04-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("revenue"))
+    rev.join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("c_mktsegment"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** A25: TPC-H Q12 shape — late-shipment priority mix per line
+    * status: conditional counts (CASE inside COUNT) over one
+    * fact⋈fact join, grouped on a tiny key.
+    */
+  def q12LateShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+          .cast(LongType).as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+          .cast(LongType).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** A26: TPC-H Q13 shape — customer distribution by order count:
+    * LEFT OUTER join keeps the zero-order customers, then a
+    * two-level aggregation (per customer, then per count).
+    */
+  def q13OrderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).cast(LongType).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(lcount.as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** A27: TPC-H Q15 shape — the top supplier(s) of a quarter: the
+    * per-supplier revenue view joined against its own broadcast MAX
+    * (scalar subquery), keeping ties like the original.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      .withColumn("one", lit(1))
+    rev.withColumn("one", lit(1)).join(broadcast(mx), "one")
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** A13: TPC-H Q2 shape — cheapest supplier per part. The schema has
     * no partsupp, so pair cost is MIN(l_extendedprice) over the
     * lineitems linking a (part, supplier) pair; for each SMALL part
