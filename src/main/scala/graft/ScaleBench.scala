@@ -110,7 +110,15 @@ object ScaleBench {
     // plus DSIR weighting (model fit = one corpus feature-hash pass
     // into 256 buckets; scoring is delta-keyed — expect ~linear,
     // dominated by the fit)
-    "doc_lm_score", "text_tokenize_bpe", "doc_importance_weights")
+    "doc_lm_score", "text_tokenize_bpe", "doc_importance_weights",
+    // r9 additions: the graph iteration (5 contribution shuffles over
+    // 3F·N edges — expect ~linear), the vocab-pair overlap (token-key
+    // shuffle with C(|sources|,2)-bounded in-row pair emission; the
+    // amplifier's ~k tagging grows the vocab F× at constant source
+    // count — expect ~linear), the one-pass profiler (scan-bound),
+    // and the interval join (user count scales F×, per-user history
+    // constant ⇒ band output ~linear)
+    "graph_pagerank", "source_overlap", "data_profile", "evt_attribution")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
