@@ -52,7 +52,7 @@ object ExplainAudit {
       "q19_disjunctive_revenue", "q20_share_suppliers",
       "q21_sole_late_supplier",
       "q8_market_share", "q9_product_profit", "q10_returned_customers",
-      "q15_top_supplier")
+      "q15_top_supplier", "evt_transitions")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",

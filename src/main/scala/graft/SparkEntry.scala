@@ -55,6 +55,8 @@ object SparkEntry {
     "graph_pagerank"       -> (GraphOps.pageRank _),
     "evt_attribution"      -> (EventOps.attribution _),
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
+    "graph_source_rank"    -> (GraphOps.sourceRank _),
+    "evt_transitions"      -> (EventOps.transitions _),
     "emb_outliers"         -> ((s: SparkSession, d: String) =>
       AnnOps.embOutliers(s, d)),
     // B. log-agent event semantics
@@ -1149,6 +1151,30 @@ object SparkEntry {
         "FROM asg GROUP BY 1) " +
         "SELECT vec_id, cid, sim, cut FROM asg JOIN ct ON cid = c2 " +
         "WHERE sim < cut ORDER BY vec_id"),
+
+    // D44b: the PageRank mass rolled up as a per-source prior
+    "graph_source_rank" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(pr) AS BIGINT) AS total_pr, " +
+        "CAST(SUM(pr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_pr " +
+        s"FROM ($PagerankSql) p JOIN documents ON p.doc_id = documents.doc_id " +
+        "GROUP BY 1 ORDER BY mean_pr DESC, source"),
+
+    // B21: Markov transition counts + row-normalized probabilities
+    "evt_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT prev_type AS p2, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN tt ON prev_type = p2
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     // B20: all click touches in the 24 h before each purchase
     "evt_attribution" ->

@@ -471,6 +471,31 @@ object EventOps {
         approx_count_distinct(date_trunc("day", col("ts")), rsd).as("n_days"))
       .orderBy("event_type")
 
+  /** B21: event-type transition matrix — every event paired with its
+    * predecessor on the same user's timeline (lag window), then
+    * counted per (prev, next) pair with row-normalized probabilities:
+    * the Markov-chain summary a log platform derives for flow mining
+    * and anomaly baselining. One user-keyed shuffle for the lag, one
+    * tiny-keyed aggregation; the per-prev totals are |event types|
+    * rows → broadcast back.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val cnt = t.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(lcount.as("n"))
+    val tot = cnt.groupBy(col("prev_type").as("p2"))
+      .agg(sum(col("n")).cast(LongType).as("tot"))
+    cnt.join(broadcast(tot), col("prev_type") === col("p2"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** B20: click→purchase attribution — every (purchase, click) pair
     * where the same user clicked within the 24 h BEFORE the purchase
     * (all qualifying touches, not just the latest — the dual of

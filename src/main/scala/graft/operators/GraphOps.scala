@@ -82,4 +82,21 @@ object GraphOps {
     ranks.select(col("id").as("doc_id"), col("r").cast(LongType).as("pr"))
       .orderBy(col("pr").desc, col("doc_id"))
   }
+
+  /** D44b: the rank consumed — per-source centrality prior: mean
+    * PageRank mass of a source's documents, the source-level quality
+    * weight a curation mixture feeds on (CommonCrawl-style domain
+    * prior). Integer mass sums exactly; the mean is one double
+    * division per source row.
+    */
+  def sourceRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy(col("source"))
+      .agg(graft.functions.Exact.lcount.as("n_docs"),
+        sum(col("pr")).cast(LongType).as("total_pr"))
+      .select(col("source"), col("n_docs"), col("total_pr"),
+        (col("total_pr").cast("double") / col("n_docs").cast("double"))
+          .as("mean_pr"))
+      .orderBy(col("mean_pr").desc, col("source"))
 }

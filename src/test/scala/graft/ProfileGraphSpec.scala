@@ -121,6 +121,30 @@ class ProfileGraphSpec extends GraftSpec {
     }
   }
 
+  test("graph_source_rank conserves the node count and total mass") {
+    val pr = GraphOps.pageRank(spark, Sf).collect()
+    val sr = GraphOps.sourceRank(spark, Sf).collect()
+    assert(sr.map(_.getLong(1)).sum == pr.length)
+    assert(sr.map(_.getLong(2)).sum == pr.map(_.getLong(1)).sum)
+    sr.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) == 0.0)
+    }
+  }
+
+  test("evt_transitions rows normalize to 1 per predecessor") {
+    val rows = operators.EventOps.transitions(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$prev rows sum to $psum")
+    }
+    // pair count = events minus one first-event per user
+    val ev = Tables.events(spark, Sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("evt_attribution pairs respect the band and user equality") {
     val rows = operators.EventOps.attribution(spark, Sf).collect()
     assert(rows.nonEmpty)
