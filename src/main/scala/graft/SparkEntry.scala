@@ -204,7 +204,9 @@ object SparkEntry {
     "layout_lm_delta_score" -> (LayoutOps.lmDeltaScored _),
     "layout_bpe_tokenize"  -> (LayoutOps.bpeTokenizeServed _),
     // D40c: the DSIR model served from its persisted tables
-    "layout_importance_weights" -> (LayoutOps.importanceWeightsServed _)
+    "layout_importance_weights" -> (LayoutOps.importanceWeightsServed _),
+    // D44c: the persisted rank served
+    "layout_graph_rank"    -> (LayoutOps.pagerankServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -637,6 +639,8 @@ object SparkEntry {
       "layout_bpe_tokenize"      -> base("text_tokenize_bpe"),
       // D40c: weights from the persisted DSIR model tables ≡ session
       "layout_importance_weights" -> base("doc_importance_weights"),
+      // D44c: the persisted rank must equal the session iteration
+      "layout_graph_rank"        -> base("graph_pagerank"),
 
       // D36c: term probe against the persisted postings (bucket-pruned
       // scan on the Spark side; the oracle just filters the postings

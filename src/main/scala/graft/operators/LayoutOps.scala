@@ -112,7 +112,14 @@ object LayoutOps {
     Family("dsir_target", s"b${DsirOps.Buckets}", "bucket", 4,
       (s, d) => DsirOps.targetCounts(s, d)),
     Family("dsir_raw", s"b${DsirOps.Buckets}", "bucket", 4,
-      (s, d) => DsirOps.rawCounts(s, d)))
+      (s, d) => DsirOps.rawCounts(s, d)),
+    // D44c: the converged PageRank mass — 5 shuffle rounds paid once
+    // per deploy; a restarted session serves lookups and the source
+    // prior from the table alone (bucketed on doc_id for pruned
+    // point probes)
+    Family("pagerank",
+      s"i${GraphOps.Iterations}d${GraphOps.OutDegree}", "doc_id", 8,
+      (s, d) => GraphOps.pageRank(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -245,6 +252,14 @@ object LayoutOps {
     */
   def ccLabelsServed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "cc_labels").orderBy("doc_id")
+
+  /** D44c: the persisted rank served — same face and oracle as the
+    * session's graph_pagerank (a restarted session must rank
+    * identically without re-iterating the graph).
+    */
+  def pagerankServed(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "pagerank")
+      .orderBy(col("pr").desc, col("doc_id"))
 
   /** D38b: the daily-crawl LM probe — the delta split (doc_id % 10 =
     * 7) scored against the PERSISTED reference LM: both count tables

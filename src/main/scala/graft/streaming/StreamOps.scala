@@ -43,6 +43,12 @@ case class ResampleOut(user_id: Long, ts: Timestamp,
 private case class ResampleState(nextGridMs: Long, hasLast: Boolean,
     lastId: Long, lastVal: Double, lastTsMs: Long)
 
+/** Emitted transition pair (streaming analog of B21's evt_transitions
+  * lag chain).
+  */
+case class TransitionOut(user_id: Long, event_id: Long, ts: Timestamp,
+    prev_type: String, next_type: String)
+
 /** One eval doc's distinct shingles, carried as a literal into the
   * streaming decontamination plan.
   */
@@ -856,6 +862,37 @@ object StreamOps {
     importanceScoreStream(spark,
       graft.operators.LayoutOps.table(spark, dir, "dsir_target"),
       graft.operators.LayoutOps.table(spark, dir, "dsir_raw"), incoming)
+
+  /** E29: streaming transition pairs — B21's lag chain as per-user
+    * stream state: state carries only the LAST event type on each
+    * user's timeline (O(1), the changeDetectStream device); every
+    * arriving event emits its (prev, next) pair, events foldable
+    * within a micro-batch are ordered like the batch lag (ts,
+    * event_id). The pair stream feeds the same count/probability
+    * aggregation as the batch operator; multiset parity with B21's
+    * pairs on time-split feeds is pinned in StreamBatchParitySpec.
+    */
+  def transitionsStream(events: Dataset[Ev]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[Ev], state: GroupState[String]) => {
+          var prev = state.getOption.orNull
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              val pair =
+                if (prev != null)
+                  Some(TransitionOut(user, e.event_id, e.ts, prev,
+                    e.event_type))
+                else None
+              prev = e.event_type
+              pair
+            }
+          if (prev != null) state.update(prev)
+          out.iterator
+        })
+  }
 
   /** E27: streaming click→purchase attribution — the engine's
     * STREAM–STREAM interval join (every other streaming op is

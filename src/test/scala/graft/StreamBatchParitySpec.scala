@@ -380,6 +380,33 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream pairs == batch evt_transitions counts") {
+    val expected = operators.EventOps.transitions(spark, Sf)
+      .select("prev_type", "next_type", "n").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = all.agg(percentile_approx(col("ts"), lit(0.5), lit(100)))
+      .collect()(0).getTimestamp(0)
+    val d = Files.createTempDirectory("trans_par").toFile.getAbsolutePath
+    all.filter(col("ts") <= cut).write.mode("overwrite").parquet(d)
+    val q = StreamOps.transitionsStream(
+        spark.readStream.schema(all.schema).parquet(d).as[Ev])
+      .writeStream.format("memory").queryName("trans_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // chains crossing the split boundary must continue from state
+      all.filter(col("ts") > cut).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("trans_par")
+        .groupBy("prev_type", "next_type").count().collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(got == expected, s"streamed ${got.size} vs batch ${expected.size}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("qualityGatesStream == windowed batch gates per closed day") {
     val docs = Tables.documents(spark, Sf)
       .withColumn("ts", expr(
