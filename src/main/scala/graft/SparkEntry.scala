@@ -50,6 +50,8 @@ object SparkEntry {
     "q15_top_supplier"     -> (RelationalOps.q15TopSupplier _),
     // D41-44: intake profiling / quality gates / source overlap / link rank
     "data_profile"         -> (ProfileOps.dataProfile _),
+    "events_profile"       -> (ProfileOps.eventsProfile _),
+    "emb_profile"          -> (ProfileOps.embeddingsProfile _),
     "quality_gates"        -> (ProfileOps.qualityGates _),
     "source_overlap"       -> (ProfileOps.sourceOverlap _),
     "graph_pagerank"       -> (GraphOps.pageRank _),
@@ -611,6 +613,45 @@ object SparkEntry {
   }
 
   private val DEC = "DECIMAL(12,2)"
+
+  /** D41 oracle builder — replicates ProfileOps.profileOn's
+    * schema-driven metric set for a named table. Kinds: num | str |
+    * ts | arr.
+    */
+  private def profileSql(table: String, cols: Seq[(String, String)]): String = {
+    def mean(e: String) =
+      s"CAST(SUM(CAST($e AS $DEC)) AS DOUBLE) / COUNT(*)"
+    val specs = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    specs += (("table", "n_rows", "CAST(COUNT(*) AS DOUBLE)"))
+    cols.foreach { case (c, kind) =>
+      specs += ((c, "n_null", s"CAST(COUNT(*) - COUNT($c) AS DOUBLE)"))
+      specs += ((c, "n_distinct", s"CAST(COUNT(DISTINCT $c) AS DOUBLE)"))
+      def lenStats(l: String): Unit = {
+        specs += ((s"${c}_len", "min", s"CAST(MIN($l) AS DOUBLE)"))
+        specs += ((s"${c}_len", "max", s"CAST(MAX($l) AS DOUBLE)"))
+        specs += ((s"${c}_len", "mean", mean(l)))
+      }
+      kind match {
+        case "num" =>
+          specs += ((c, "min", s"CAST(MIN($c) AS DOUBLE)"))
+          specs += ((c, "max", s"CAST(MAX($c) AS DOUBLE)"))
+          specs += ((c, "mean", mean(c)))
+        case "str" => lenStats(s"length($c)")
+        case "ts" =>
+          specs += ((c, "min_us", s"CAST(MIN(epoch_us($c)) AS DOUBLE)"))
+          specs += ((c, "max_us", s"CAST(MAX(epoch_us($c)) AS DOUBLE)"))
+        case "arr" => lenStats(s"len($c)")
+      }
+    }
+    val aggs = specs.zipWithIndex
+      .map { case ((_, _, e), i) => s"$e AS m$i" }.mkString(", ")
+    val arms = specs.zipWithIndex.map { case ((cn, mt, _), i) =>
+      s"SELECT '$cn' AS col_name, '$mt' AS metric, m$i AS value FROM a"
+    }.mkString(" UNION ALL ")
+    s"WITH a AS (SELECT $aggs FROM $table) " +
+      s"SELECT col_name, metric, value FROM ($arms) " +
+      "ORDER BY col_name, metric"
+  }
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
   private def drev =
     s"CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)) AS DOUBLE)"
@@ -941,46 +982,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     // D41: one-pass profile — every metric from a single aggregate row
-    "data_profile" ->
-      s"""WITH a AS (SELECT
-         |  CAST(COUNT(*) AS DOUBLE) AS n_rows,
-         |  CAST(COUNT(*) - COUNT(doc_id) AS DOUBLE) AS doc_id_n_null,
-         |  CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS doc_id_n_distinct,
-         |  CAST(COUNT(*) - COUNT(lang) AS DOUBLE) AS lang_n_null,
-         |  CAST(COUNT(DISTINCT lang) AS DOUBLE) AS lang_n_distinct,
-         |  CAST(COUNT(*) - COUNT(source) AS DOUBLE) AS source_n_null,
-         |  CAST(COUNT(DISTINCT source) AS DOUBLE) AS source_n_distinct,
-         |  CAST(COUNT(*) - COUNT(text) AS DOUBLE) AS text_n_null,
-         |  CAST(COUNT(DISTINCT text) AS DOUBLE) AS text_n_distinct,
-         |  CAST(COUNT(*) - COUNT(n_chars) AS DOUBLE) AS n_chars_n_null,
-         |  CAST(COUNT(DISTINCT n_chars) AS DOUBLE) AS n_chars_n_distinct,
-         |  CAST(MIN(n_chars) AS DOUBLE) AS n_chars_min,
-         |  CAST(MAX(n_chars) AS DOUBLE) AS n_chars_max,
-         |  CAST(SUM(CAST(n_chars AS $DEC)) AS DOUBLE) / COUNT(*) AS n_chars_mean,
-         |  CAST(MIN(length(text)) AS DOUBLE) AS text_len_min,
-         |  CAST(MAX(length(text)) AS DOUBLE) AS text_len_max,
-         |  CAST(SUM(CAST(length(text) AS $DEC)) AS DOUBLE) / COUNT(*)
-         |    AS text_len_mean
-         |FROM documents)
-         |SELECT col_name, metric, value FROM (
-         |  SELECT 'table' AS col_name, 'n_rows' AS metric, n_rows AS value FROM a
-         |  UNION ALL SELECT 'doc_id', 'n_null', doc_id_n_null FROM a
-         |  UNION ALL SELECT 'doc_id', 'n_distinct', doc_id_n_distinct FROM a
-         |  UNION ALL SELECT 'lang', 'n_null', lang_n_null FROM a
-         |  UNION ALL SELECT 'lang', 'n_distinct', lang_n_distinct FROM a
-         |  UNION ALL SELECT 'source', 'n_null', source_n_null FROM a
-         |  UNION ALL SELECT 'source', 'n_distinct', source_n_distinct FROM a
-         |  UNION ALL SELECT 'text', 'n_null', text_n_null FROM a
-         |  UNION ALL SELECT 'text', 'n_distinct', text_n_distinct FROM a
-         |  UNION ALL SELECT 'n_chars', 'n_null', n_chars_n_null FROM a
-         |  UNION ALL SELECT 'n_chars', 'n_distinct', n_chars_n_distinct FROM a
-         |  UNION ALL SELECT 'n_chars', 'min', n_chars_min FROM a
-         |  UNION ALL SELECT 'n_chars', 'max', n_chars_max FROM a
-         |  UNION ALL SELECT 'n_chars', 'mean', n_chars_mean FROM a
-         |  UNION ALL SELECT 'text_len', 'min', text_len_min FROM a
-         |  UNION ALL SELECT 'text_len', 'max', text_len_max FROM a
-         |  UNION ALL SELECT 'text_len', 'mean', text_len_mean FROM a)
-         |ORDER BY col_name, metric""".stripMargin,
+    // D41/b/c: generated from the same schema-driven metric set as
+    // ProfileOps.profileOn (see profileSql)
+    "data_profile" -> profileSql("documents", Seq(
+      "doc_id" -> "num", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "num")),
+    "events_profile" -> profileSql("events", Seq(
+      "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
+      "event_type" -> "str", "value" -> "num", "props" -> "str")),
+    "emb_profile" -> profileSql("embeddings", Seq(
+      "vec_id" -> "num", "embedding" -> "arr", "label" -> "num")),
 
     // D42: constraint gates — integer-count ratios, engine-exact verdicts
     "quality_gates" ->

@@ -23,59 +23,71 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object ProfileOps {
 
-  private def metric(colName: String, name: String, v: Column): Column =
-    struct(lit(colName).as("col_name"), lit(name).as("metric"),
-      v.cast(DoubleType).as("value"))
-
-  /** D41: one-pass table profile of `documents` in long form —
-    * null/distinct counts per column, numeric min/max/mean for
-    * n_chars, text length stats, and the row count. The mean is the
-    * house exact decimal average, so every value is engine-exact.
+  /** SCHEMA-DRIVEN one-pass profiler — the generic engine behind the
+    * D41 queries. Per column: null + distinct counts; numerics add
+    * min/max/exact-decimal mean; strings add `<col>_len` length
+    * stats; timestamps add epoch-µs min/max; arrays add `<col>_len`
+    * element-count stats (the dimension-consistency check an
+    * embedding intake needs). Everything is ONE aggregation over ONE
+    * scan regardless of column count, exploded to long form from the
+    * single aggregate row.
     */
-  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .withColumn("text_len", length(col("text")).cast(LongType))
-    val n = count(lit(1))
-    def nNull(c: String) = (n - count(col(c))).cast(DoubleType)
-    val agg = d.agg(
-      n.cast(DoubleType).as("n_rows"),
-      nNull("doc_id").as("doc_id_n_null"),
-      countDistinct(col("doc_id")).cast(DoubleType).as("doc_id_n_distinct"),
-      nNull("lang").as("lang_n_null"),
-      countDistinct(col("lang")).cast(DoubleType).as("lang_n_distinct"),
-      nNull("source").as("source_n_null"),
-      countDistinct(col("source")).cast(DoubleType).as("source_n_distinct"),
-      nNull("text").as("text_n_null"),
-      countDistinct(col("text")).cast(DoubleType).as("text_n_distinct"),
-      nNull("n_chars").as("n_chars_n_null"),
-      countDistinct(col("n_chars")).cast(DoubleType).as("n_chars_n_distinct"),
-      min(col("n_chars")).cast(DoubleType).as("n_chars_min"),
-      max(col("n_chars")).cast(DoubleType).as("n_chars_max"),
-      davg(col("n_chars")).as("n_chars_mean"),
-      min(col("text_len")).cast(DoubleType).as("text_len_min"),
-      max(col("text_len")).cast(DoubleType).as("text_len_max"),
-      davg(col("text_len")).as("text_len_mean"))
-    agg.select(explode(array(
-        metric("table", "n_rows", col("n_rows")),
-        metric("doc_id", "n_null", col("doc_id_n_null")),
-        metric("doc_id", "n_distinct", col("doc_id_n_distinct")),
-        metric("lang", "n_null", col("lang_n_null")),
-        metric("lang", "n_distinct", col("lang_n_distinct")),
-        metric("source", "n_null", col("source_n_null")),
-        metric("source", "n_distinct", col("source_n_distinct")),
-        metric("text", "n_null", col("text_n_null")),
-        metric("text", "n_distinct", col("text_n_distinct")),
-        metric("n_chars", "n_null", col("n_chars_n_null")),
-        metric("n_chars", "n_distinct", col("n_chars_n_distinct")),
-        metric("n_chars", "min", col("n_chars_min")),
-        metric("n_chars", "max", col("n_chars_max")),
-        metric("n_chars", "mean", col("n_chars_mean")),
-        metric("text_len", "min", col("text_len_min")),
-        metric("text_len", "max", col("text_len_max")),
-        metric("text_len", "mean", col("text_len_mean")))).as("m"))
+  def profileOn(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val specs = scala.collection.mutable.ArrayBuffer.empty[(String, String, Column)]
+    specs += (("table", "n_rows", count(lit(1)).cast(DoubleType)))
+    df.schema.fields.foreach { f =>
+      val c = col(f.name)
+      specs += ((f.name, "n_null", (count(lit(1)) - count(c)).cast(DoubleType)))
+      specs += ((f.name, "n_distinct", countDistinct(c).cast(DoubleType)))
+      def lenStats(l: Column): Unit = {
+        specs += ((s"${f.name}_len", "min", min(l).cast(DoubleType)))
+        specs += ((s"${f.name}_len", "max", max(l).cast(DoubleType)))
+        specs += ((s"${f.name}_len", "mean", davg(l)))
+      }
+      f.dataType match {
+        case ShortType | IntegerType | LongType | FloatType | DoubleType =>
+          specs += ((f.name, "min", min(c).cast(DoubleType)))
+          specs += ((f.name, "max", max(c).cast(DoubleType)))
+          specs += ((f.name, "mean", davg(c)))
+        case StringType => lenStats(length(c).cast(LongType))
+        case TimestampType =>
+          specs += ((f.name, "min_us", min(unix_micros(c)).cast(DoubleType)))
+          specs += ((f.name, "max_us", max(unix_micros(c)).cast(DoubleType)))
+        case _: ArrayType => lenStats(size(c).cast(LongType))
+        case _ => ()
+      }
+    }
+    val agg = df.agg(
+      specs.head._3.as("m0"),
+      specs.tail.zipWithIndex.map { case ((_, _, e), i) =>
+        e.as(s"m${i + 1}")
+      }.toSeq: _*)
+    agg.select(explode(array(specs.zipWithIndex.map { case ((cn, mt, _), i) =>
+        struct(lit(cn).as("col_name"), lit(mt).as("metric"),
+          col(s"m$i").as("value"))
+      }.toSeq: _*)).as("m"))
       .select(col("m.col_name"), col("m.metric"), col("m.value"))
       .orderBy("col_name", "metric")
   }
+
+  /** D41: the documents-table profile (26 metrics from one pass). */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOn(Tables.documents(spark, dir))
+
+  /** D41b: the events-table profile — timestamps profiled as epoch-µs
+    * bounds, the JSON props bag by payload length.
+    */
+  def eventsProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOn(Tables.events(spark, dir))
+
+  /** D41c: the embeddings-table profile — the array column's element
+    * counts are the dimension-consistency gate of a vector intake
+    * (every vector must have the model's dimension; a min ≠ max here
+    * is a corrupt batch).
+    */
+  def embeddingsProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOn(Tables.embeddings(spark, dir))
 
   /** The languages the pipeline's curation models cover (cf.
     * TextOps.langId's alphabet).

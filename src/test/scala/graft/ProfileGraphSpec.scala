@@ -12,7 +12,7 @@ class ProfileGraphSpec extends GraftSpec {
     val prof = ProfileOps.dataProfile(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     val n = Tables.documents(spark, Sf).count().toDouble
-    assert(prof.size == 17)
+    assert(prof.size == 26)
     assert(prof(("table", "n_rows")) == n)
     assert(prof(("doc_id", "n_distinct")) == n) // ids are unique
     assert(prof(("doc_id", "n_null")) == 0.0)
