@@ -59,6 +59,10 @@ object SparkEntry {
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
     "graph_source_rank"    -> (GraphOps.sourceRank _),
     "evt_transitions"      -> (EventOps.transitions _),
+    "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
+      EventOps.dailyAnomaly(s, d)),
+    "text_phrase_search"   -> ((s: SparkSession, d: String) =>
+      TextOps.phraseSearch(s, d)),
     "emb_outliers"         -> ((s: SparkSession, d: String) =>
       AnnOps.embOutliers(s, d)),
     // B. log-agent event semantics
@@ -1190,6 +1194,40 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         |FROM c JOIN tt ON prev_type = p2
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // B22: trailing-window volume anomalies, z-test in square form
+    "evt_daily_anomaly" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, COUNT(cnt) OVER win AS n_prev,
+        |    SUM(cnt) OVER win AS sum_prev,
+        |    SUM(cnt * cnt) OVER win AS sumsq_prev
+        |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT *, CAST(sum_prev AS DOUBLE) / n_prev AS mean,
+        |    (CAST(sumsq_prev AS DOUBLE) - CAST(sum_prev AS DOUBLE)
+        |      * CAST(sum_prev AS DOUBLE) / n_prev) / n_prev AS variance
+        |  FROM w WHERE n_prev >= 3)
+        |SELECT event_type, day, cnt, mean, variance FROM f
+        |WHERE cnt > mean
+        |  AND (cnt - mean) * (cnt - mean) > 4 * variance
+        |ORDER BY event_type, day""".stripMargin,
+
+    // D35b: positional phrase search — generated from the SHARED
+    // phrase constant (TextOps.PhraseTerms) like the BM25 terms
+    "text_phrase_search" -> {
+      val terms = operators.TextOps.PhraseTerms
+      val joins = terms.indices.tail.map { i =>
+        s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i"
+      }.mkString(" ")
+      val conds = terms.zipWithIndex
+        .map { case (t, i) => s"t$i.tok = '$t'" }.mkString(" AND ")
+      "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+        "FROM documents) " +
+        s"SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits " +
+        s"FROM t t0 $joins WHERE $conds GROUP BY 1 ORDER BY 1"
+    },
 
     // B20: all click touches in the 24 h before each purchase
     "evt_attribution" ->

@@ -471,6 +471,41 @@ object EventOps {
         approx_count_distinct(date_trunc("day", col("ts")), rsd).as("n_days"))
       .orderBy("event_type")
 
+  /** B22: daily volume anomalies — per event type, each day's count
+    * against its trailing 7-OBSERVED-day baseline; flagged when the
+    * excess exceeds 2σ. The z-test is computed square-form —
+    * (cnt−mean)² > 4·var with mean/var from exact long window sums —
+    * so no sqrt enters and the verdict is engine-exact. One
+    * day-grained aggregation plus a |types|-keyed window: the shuffle
+    * carries |types|·|days| rows no matter the event volume (the
+    * monitor shape a collector runs continuously; cf. B7's burst
+    * monitor for the intra-day face).
+    */
+  def dailyAnomaly(spark: SparkSession, dir: String,
+      minPrev: Int = 3): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(lcount.as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prev", count(col("cnt")).over(w))
+      .withColumn("sum_prev", sum(col("cnt")).over(w))
+      .withColumn("sumsq_prev", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n_prev") >= minPrev)
+      .withColumn("mean", col("sum_prev").cast(DoubleType) / col("n_prev"))
+      .withColumn("variance",
+        (col("sumsq_prev").cast(DoubleType) -
+          col("sum_prev").cast(DoubleType) * col("sum_prev").cast(DoubleType) /
+            col("n_prev")) / col("n_prev"))
+      .filter(col("cnt") > col("mean") &&
+        (col("cnt") - col("mean")) * (col("cnt") - col("mean")) >
+          lit(4.0) * col("variance"))
+      .select(col("event_type"), col("day"), col("cnt"), col("mean"),
+        col("variance"))
+      .orderBy("event_type", "day")
+  }
+
   /** B21: event-type transition matrix — every event paired with its
     * predecessor on the same user's timeline (lag window), then
     * counted per (prev, next) pair with row-normalized probabilities:

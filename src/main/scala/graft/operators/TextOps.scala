@@ -547,4 +547,40 @@ object TextOps {
           PhoneRe, "[PHONE]")).as("scrub_md5"))
       .orderBy("doc_id")
   }
+
+  /** The phrase D35b searches — shared with the oracle generator so
+    * query and oracle cannot drift (the Bm25Terms device).
+    */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
+
+  /** D35b: exact phrase search over POSITIONAL postings — the
+    * retrieval capability doc-level postings (D35) cannot answer.
+    * The position table is filtered to the phrase's terms BEFORE any
+    * join (at 100 TB that filter prunes the explode output to the
+    * phrase terms' document frequency), then an (L−1)-way chain join
+    * on (doc_id, pos + offset) counts occurrences. Every join keys on
+    * doc_id — one clustering reused across the chain; at scale the
+    * filtered slices would come bucket-pruned from a token-bucketed
+    * positional layout (the D36c postings pattern with a pos column).
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least 2 terms")
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+    val head = pos.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(head) {
+      case (acc, (term, i)) =>
+        val ti = pos.filter(col("tok") === term)
+          .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+        acc.join(ti, col("doc_id") === col(s"d$i") &&
+            col(s"p$i") === col("p0") + i)
+          .drop(s"d$i", s"p$i")
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(graft.functions.Exact.lcount.as("n_hits"))
+      .orderBy("doc_id")
+  }
 }

@@ -145,6 +145,54 @@ class ProfileGraphSpec extends GraftSpec {
     assert(rows.map(_.getLong(2)).sum == expected)
   }
 
+  test("text_phrase_search matches a driver-side sliding-window recount") {
+    val phrase = operators.TextOps.PhraseTerms
+    val got = operators.TextOps.phraseSearch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables.documents(spark, Sf).select("doc_id", "text")
+      .collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        r.getLong(0) -> toks.sliding(phrase.size)
+          .count(w => w.sameElements(phrase))
+      }
+      .filter(_._2 > 0).map { case (d, n) => d -> n.toLong }.toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("phraseSearch extension hits are contained in prefix hits") {
+    val prefix = operators.TextOps.phraseSearch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // extending the phrase can only shrink per-doc hit counts
+    val ext = operators.TextOps.phraseSearch(spark, Sf,
+      operators.TextOps.PhraseTerms :+ "scan").collect()
+    ext.foreach { r =>
+      assert(prefix.getOrElse(r.getLong(0), 0L) >= r.getLong(1))
+    }
+  }
+
+  test("evt_daily_anomaly rows satisfy the square-form z-test") {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, Sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getString(0))
+    val flagged = operators.EventOps.dailyAnomaly(spark, Sf).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      val series = daily(r.getString(0)).sortBy(_.getTimestamp(1).getTime)
+      val idx = series.indexWhere(_.getTimestamp(1) == r.getTimestamp(1))
+      val prev = series.slice(math.max(0, idx - 7), idx).map(_.getLong(2))
+      assert(prev.length >= 3)
+      val mean = prev.sum.toDouble / prev.length
+      val variance = (prev.map(c => c * c).sum.toDouble -
+        prev.sum.toDouble * prev.sum / prev.length) / prev.length
+      val cnt = r.getLong(2)
+      assert(cnt > mean && (cnt - mean) * (cnt - mean) > 4 * variance)
+    }
+  }
+
   test("evt_attribution pairs respect the band and user equality") {
     val rows = operators.EventOps.attribution(spark, Sf).collect()
     assert(rows.nonEmpty)
