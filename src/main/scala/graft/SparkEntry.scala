@@ -212,7 +212,9 @@ object SparkEntry {
     // D40c: the DSIR model served from its persisted tables
     "layout_importance_weights" -> (LayoutOps.importanceWeightsServed _),
     // D44c: the persisted rank served
-    "layout_graph_rank"    -> (LayoutOps.pagerankServed _)
+    "layout_graph_rank"    -> (LayoutOps.pagerankServed _),
+    // D36i: phrase search from the persisted positional postings
+    "layout_phrase_search" -> (LayoutOps.phraseServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -686,6 +688,8 @@ object SparkEntry {
       "layout_importance_weights" -> base("doc_importance_weights"),
       // D44c: the persisted rank must equal the session iteration
       "layout_graph_rank"        -> base("graph_pagerank"),
+      // D36i: served phrase search ≡ the session explode
+      "layout_phrase_search"     -> base("text_phrase_search"),
 
       // D36c: term probe against the persisted postings (bucket-pruned
       // scan on the Spark side; the oracle just filters the postings

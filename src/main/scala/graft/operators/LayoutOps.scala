@@ -113,6 +113,11 @@ object LayoutOps {
       (s, d) => DsirOps.targetCounts(s, d)),
     Family("dsir_raw", s"b${DsirOps.Buckets}", "bucket", 4,
       (s, d) => DsirOps.rawCounts(s, d)),
+    // D36i: POSITIONAL postings — the table behind served phrase
+    // search: bucketed on tok, each phrase term's slice is a
+    // bucket-pruned scan (|terms|/n of the files at any corpus size)
+    Family("postings_pos", "tok1", "tok", 16,
+      (s, d) => TextOps.posPostingsFrame(s, d)),
     // D44c: the converged PageRank mass — 5 shuffle rounds paid once
     // per deploy; a restarted session serves lookups and the source
     // prior from the table alone (bucketed on doc_id for pruned
@@ -252,6 +257,13 @@ object LayoutOps {
     */
   def ccLabelsServed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "cc_labels").orderBy("doc_id")
+
+  /** D36i: phrase search served from the persisted positional
+    * postings — each term of the chain join reads its own pruned
+    * buckets; same face and oracle as the session text_phrase_search.
+    */
+  def phraseServed(spark: SparkSession, dir: String): DataFrame =
+    TextOps.phraseSearchOn(table(spark, dir, "postings_pos"))
 
   /** D44c: the persisted rank served — same face and oracle as the
     * session's graph_pagerank (a restarted session must rank

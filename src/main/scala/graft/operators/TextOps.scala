@@ -564,11 +564,26 @@ object TextOps {
     * positional layout (the D36c postings pattern with a pos column).
     */
   def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = PhraseTerms): DataFrame = {
-    require(phrase.size >= 2, "phrase needs at least 2 terms")
-    val pos = Tables.documents(spark, dir)
+      phrase: Seq[String] = PhraseTerms): DataFrame =
+    phraseSearchOn(posPostingsFrame(spark, dir), phrase)
+
+  /** Positional postings rows (tok, doc_id, pos) — the layout-time
+    * derivation behind the persisted D36i table (token-bucketed, so
+    * each phrase term's slice comes bucket-pruned).
+    */
+  private[graft] def posPostingsFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select("tok", "doc_id", "pos")
+
+  /** [[phraseSearch]] over any positional postings source — the
+    * session explode or the persisted bucketed table (D36i).
+    */
+  def phraseSearchOn(pos: DataFrame,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least 2 terms")
     val head = pos.filter(col("tok") === phrase.head)
       .select(col("doc_id"), col("pos").as("p0"))
     val matched = phrase.zipWithIndex.tail.foldLeft(head) {

@@ -109,6 +109,29 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("served phrase search prunes each term's scan to its bucket") {
+    withCleanLayouts {
+      LayoutOps.ensure(spark, Sf, "postings_pos")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val served = LayoutOps.phraseServed(spark, Sf)
+      val plan = served.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val ms = sel.findAllMatchIn(plan).toSeq
+      assert(ms.nonEmpty, s"no bucket pruning in phrase plan:\n$plan")
+      // every term branch scans at most its own bucket
+      ms.foreach { m =>
+        assert(m.group(1).toInt <= 1 && m.group(2).toInt == 16,
+          s"expected 1 of 16 buckets per term scan, got ${m.matched}")
+      }
+      // and it answers exactly like the session explode
+      val session = operators.TextOps.phraseSearch(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == session)
+    }
+  }
+
   test("postings probe prunes to the probed terms' buckets") {
     withCleanLayouts {
       LayoutOps.ensure(spark, Sf, "postings")
