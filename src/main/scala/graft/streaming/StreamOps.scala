@@ -49,6 +49,12 @@ private case class ResampleState(nextGridMs: Long, hasLast: Boolean,
 case class TransitionOut(user_id: Long, event_id: Long, ts: Timestamp,
     prev_type: String, next_type: String)
 
+/** Flagged day (streaming analog of B22's evt_daily_anomaly). */
+case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
+    mean: Double, variance: Double)
+
+private case class AnomState(openDays: Map[Long, Long], prev: Seq[Long])
+
 /** One eval doc's distinct shingles, carried as a literal into the
   * streaming decontamination plan.
   */
@@ -862,6 +868,60 @@ object StreamOps {
     importanceScoreStream(spark,
       graft.operators.LayoutOps.table(spark, dir, "dsir_target"),
       graft.operators.LayoutOps.table(spark, dir, "dsir_raw"), incoming)
+
+  /** E30: streaming volume-anomaly monitor — B22's trailing-baseline
+    * z-test as per-type stream state: open days accumulate counts
+    * until the watermark passes their end (a day's count is FINAL
+    * before it is judged — no retraction), closed counts ride a
+    * 7-deep deque, and a closing day is flagged with exactly the
+    * batch operator's square-form arithmetic. State per type is
+    * O(open days + 7), independent of event volume — the
+    * continuous-monitor shape of the B22 report. Parity with the
+    * batch flag set on watermark-closed history is pinned in
+    * StreamBatchParitySpec.
+    */
+  def dailyAnomalyStream(events: Dataset[Ev], watermark: String = "1 hour",
+      minPrev: Int = 3): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (typ: String, it: Iterator[Ev], state: GroupState[AnomState]) => {
+          var s = state.getOption.getOrElse(AnomState(Map.empty, Nil))
+          if (!state.hasTimedOut) it.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs) * DayMs
+            s = s.copy(openDays =
+              s.openDays + (d -> (s.openDays.getOrElse(d, 0L) + 1L)))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyOut]
+          val closable = s.openDays.keys.filter(_ + DayMs <= wm).toSeq.sorted
+          closable.foreach { d =>
+            val cnt = s.openDays(d)
+            val prev = s.prev.takeRight(7)
+            if (prev.length >= minPrev) {
+              // the batch operator's exact double ordering
+              val n = prev.length
+              val sum = prev.sum
+              val sumsq = prev.map(c => c * c).sum
+              val mean = sum.toDouble / n
+              val variance = (sumsq.toDouble - sum.toDouble * sum.toDouble / n) / n
+              if (cnt > mean && (cnt - mean) * (cnt - mean) > 4.0 * variance)
+                out += AnomalyOut(typ, new Timestamp(d), cnt, mean, variance)
+            }
+            s = AnomState(s.openDays - d, (s.prev :+ cnt).takeRight(7))
+          }
+          state.update(s)
+          // wake when the earliest still-open day becomes closable
+          if (s.openDays.nonEmpty) {
+            val next = s.openDays.keys.min + DayMs
+            state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          }
+          out.iterator
+        })
+  }
 
   /** E29: streaming transition pairs — B21's lag chain as per-user
     * stream state: state carries only the LAST event type on each

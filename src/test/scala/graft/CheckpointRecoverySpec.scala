@@ -76,6 +76,53 @@ class CheckpointRecoverySpec extends GraftSpec {
     assert(afterRun2.count(_.user_id == 7) == 1)
   }
 
+  test("E30 anomaly baseline deque survives a checkpoint restart") {
+    val in = tmp("ckpt_anom_in")
+    val out = tmp("ckpt_anom_out")
+    val ckpt = tmp("ckpt_anom_state")
+    def dayTs(day: Int, i: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        day * 86400000L + i * 60000L)
+
+    def start(): StreamingQuery =
+      StreamOps.dailyAnomalyStream(
+        spark.readStream.schema(evSchema).parquet(in).as[Ev],
+        watermark = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: 4 quiet days (2 events each) close into the baseline
+    // deque; the spike day (day 4, 40 events) is still OPEN at stop
+    var id = 0L
+    def evs(day: Int, n: Int): Seq[Ev] = (0 until n).map { i =>
+      id += 1; Ev(id, dayTs(day, i), 1L, "err", 1.0)
+    }
+    (0 to 3).foreach(d => addFile(in, evs(d, 2): _*))
+    addFile(in, evs(4, 40): _*)
+    val anomSchema = implicitly[org.apache.spark.sql.Encoder[
+      graft.streaming.AnomalyOut]].schema
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.schema(anomSchema).parquet(out).isEmpty,
+      "spike day must still be open at stop time")
+
+    // run 2: a day-5 event closes the spike day — flagging it needs
+    // BOTH halves of recovered state (the open day's 40-count and the
+    // quiet baseline deque), neither of which a state-less restart
+    // could rebuild from already-committed offsets. The probe sits at
+    // 00:01, STRICTLY past the day-4 boundary: the event-time timeout
+    // fires only when the watermark passes the registered timestamp.
+    addFile(in, Ev(9001L, dayTs(5, 1), 1L, "err", 1.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .as[graft.streaming.AnomalyOut].collect()
+    assert(rows.length == 1, s"expected the spike flag, got ${rows.toSeq}")
+    assert(rows.head.cnt == 40 && rows.head.mean == 2.0 &&
+      rows.head.day.getTime == dayTs(4, 0).getTime)
+  }
+
   test("E7 sessionize open-session state survives a checkpoint restart") {
     val in = tmp("ckpt_sess_in")
     val out = tmp("ckpt_sess_out")

@@ -380,6 +380,36 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("dailyAnomalyStream == batch evt_daily_anomaly on closed history") {
+    val expected = operators.EventOps.dailyAnomaly(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sorted
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = all.agg(percentile_approx(col("ts"), lit(0.5), lit(100)))
+      .collect()(0).getTimestamp(0)
+    val d = Files.createTempDirectory("anom_par").toFile.getAbsolutePath
+    all.filter(col("ts") <= cut).write.mode("overwrite").parquet(d)
+    val q = StreamOps.dailyAnomalyStream(
+        spark.readStream.schema(all.schema).parquet(d).as[Ev])
+      .writeStream.format("memory").queryName("anom_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("ts") > cut).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      flush(d) // far-future rows close every real day for every type
+      q.processAllAvailable()
+      val got = spark.table("anom_par")
+        .filter(col("event_type") =!= "x")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("transitionsStream pairs == batch evt_transitions counts") {
     val expected = operators.EventOps.transitions(spark, Sf)
       .select("prev_type", "next_type", "n").collect()
