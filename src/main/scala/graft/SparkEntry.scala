@@ -95,6 +95,8 @@ object SparkEntry {
     "kafka_envelope_key"   -> (FileMetaOps.kafkaEnvelopeKey _),
     "gzip_content"         -> (FileMetaOps.gzipContent _),
     "zip_expand"           -> (ZipOps.zipExpand _),
+    "jsonl_ingest"         -> (graft.sources.IngestSources.jsonlIngest _),
+    "csv_ingest"           -> (graft.sources.IngestSources.csvIngest _),
     // D. LLM-training-data pipeline
     "dedup_exact"          -> (DedupOps.dedupExact _),
     "dedup_source_stats"   -> (DedupOps.sourceDupStats _),
@@ -1198,6 +1200,15 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         |FROM c JOIN tt ON prev_type = p2
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // C9/C10: text-format roundtrips oracled against the ORIGINAL
+    // rows — a hash match proves the writer/reader pair is lossless
+    "jsonl_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "csv_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // B22: trailing-window volume anomalies, z-test in square form
     "evt_daily_anomaly" ->

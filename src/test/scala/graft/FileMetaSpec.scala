@@ -223,4 +223,29 @@ class FileMetaSpec extends GraftSpec {
     assert(got == expected, s"zip64 roundtrip diverged: $got")
     assert(got.map(_._1) == Seq("测试/结果.txt", "plain/b.log", "c.dat"))
   }
+
+  test("C9 jsonl health report counts malformed lines without failing") {
+    val d = java.nio.file.Files.createTempDirectory("jsonl_health")
+    java.nio.file.Files.write(d.resolve("part.jsonl"),
+      ("""{"doc_id":1,"text":"ok","lang":"en","source":"s","n_chars":2}""" +
+        "\n{broken json line\n" +
+        """{"doc_id":2,"text":"also ok","lang":"de","source":"s","n_chars":7}""" +
+        "\n").getBytes("UTF-8"))
+    val r = graft.sources.IngestSources
+      .jsonlHealth(spark, d.toFile.getAbsolutePath).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 2)
+  }
+
+  test("C9/C10 text-format roundtrips preserve every row") {
+    val orig = Tables.documents(spark, Sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sorted
+    Seq(graft.sources.IngestSources.jsonlIngest(spark, Sf),
+        graft.sources.IngestSources.csvIngest(spark, Sf)).foreach { df =>
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).toSeq.sorted
+      assert(got == orig)
+    }
+  }
 }
