@@ -1244,16 +1244,18 @@ object SparkEntry {
         s"FROM t t0 $joins WHERE $conds GROUP BY 1 ORDER BY 1"
     },
 
-    // B20: all click touches in the 24 h before each purchase
+    // B20: all click touches in the window before each purchase (the
+    // band interpolates the SHARED constant, like PagerankSql)
     "evt_attribution" ->
-      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
-        |  c.event_id AS click_id, c.ts AS click_ts,
-        |  CAST(FLOOR((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0)
-        |    AS BIGINT) AS mins_before
-        |FROM events p JOIN events c ON p.user_id = c.user_id
-        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
-        |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOURS
-        |ORDER BY purchase_id, click_id""".stripMargin,
+      s"""SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         |  c.event_id AS click_id, c.ts AS click_ts,
+         |  CAST(FLOOR((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0)
+         |    AS BIGINT) AS mins_before
+         |FROM events p JOIN events c ON p.user_id = c.user_id
+         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND c.ts <= p.ts AND c.ts > p.ts
+         |    - INTERVAL ${operators.EventOps.AttributionWindowHours} HOURS
+         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "evt_latest_per_key" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -65,6 +65,7 @@ object GraphOps {
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val n = nodeCount(spark, dir)
+    require(n > 0, s"graph_pagerank: no documents under $dir")
     val r0 = TotalMass / n
     val base = (r0 * 3L) / 20L
     val edges = linkEdges(spark, dir, n)

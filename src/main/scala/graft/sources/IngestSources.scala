@@ -33,13 +33,33 @@ object IngestSources {
     org.apache.spark.sql.types.StructField("n_chars",
       org.apache.spark.sql.types.LongType)))
 
-  private def mirrorDir(dir: String, fmt: String): String =
-    s"/tmp/graft_ingest/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$fmt"
+  /** Mirror path key: an md5 of the RAW dir string (no sanitizer
+    * collisions) plus a content fingerprint (row count + summed text
+    * crc32), so a regenerated source table can never serve a stale
+    * mirror. The fingerprint is one tiny aggregation, memoized per
+    * session.
+    */
+  private def mirrorKey(spark: SparkSession, dir: String): String =
+    graft.Memo.value(spark, s"ingest_mirror_key:$dir") {
+      val fp = Tables.documents(spark, dir)
+        .agg(count(lit(1)).cast("long"),
+          sum(crc32(col("text"))).cast("long"))
+        .collect()(0)
+      val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)
+      s"${dirMd5}_${fp.getLong(0)}_${java.lang.Long.toHexString(fp.getLong(1))}"
+    }
 
-  /** Write the fixture once per (dir, format); `_SUCCESS` gates. */
+  private val mirrorLock = new Object
+
+  /** Write the fixture once per (dir-content, format); `_SUCCESS`
+    * gates, and a JVM-level lock serializes concurrent first builds
+    * (the conc-bench shape — cf. Memo's build lock).
+    */
   private def ensureMirror(spark: SparkSession, dir: String,
-      fmt: String): String = {
-    val out = mirrorDir(dir, fmt)
+      fmt: String): String = mirrorLock.synchronized {
+    val out = s"/tmp/graft_ingest/${mirrorKey(spark, dir)}/$fmt"
     val p = new Path(out, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
@@ -84,13 +104,14 @@ object IngestSources {
   def jsonlHealth(spark: SparkSession, path: String): DataFrame = {
     val schema = docSchema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
-    // Spark disallows queries that reference ONLY the internal corrupt
-    // column over a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
-    // the documented workaround is materializing the parsed rows first.
+    // Spark disallows queries whose referenced columns are ONLY the
+    // internal corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    // counting a real data column alongside keeps the scan legal
+    // without caching the parsed frame for the session lifetime.
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
-      .cache()
       .agg(count(lit(1)).as("n_lines"),
         count(col("_corrupt_record")).as("n_corrupt"),
+        count(col("doc_id")).as("n_parsed_id"),
         (count(lit(1)) - count(col("_corrupt_record"))).as("n_clean"))
   }
 }

@@ -49,6 +49,8 @@ private case class ResampleState(nextGridMs: Long, hasLast: Boolean,
 case class TransitionOut(user_id: Long, event_id: Long, ts: Timestamp,
     prev_type: String, next_type: String)
 
+private case class LastTypeState(hasPrev: Boolean, t: String)
+
 /** Flagged day (streaming analog of B22's evt_daily_anomaly). */
 case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
     mean: Double, variance: Double)
@@ -937,19 +939,23 @@ object StreamOps {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (user: Long, it: Iterator[Ev], state: GroupState[String]) => {
-          var prev = state.getOption.orNull
+        (user: Long, it: Iterator[Ev], state: GroupState[LastTypeState]) => {
+          // the state wrapper distinguishes "no predecessor yet" from
+          // "predecessor had a null type" — the batch lag emits no
+          // pair in EITHER case, but a null-typed event must still
+          // REPLACE the chain head across micro-batches
+          var prev = state.getOption.getOrElse(LastTypeState(false, null))
           val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             .flatMap { e =>
               val pair =
-                if (prev != null)
-                  Some(TransitionOut(user, e.event_id, e.ts, prev,
+                if (prev.hasPrev && prev.t != null)
+                  Some(TransitionOut(user, e.event_id, e.ts, prev.t,
                     e.event_type))
                 else None
-              prev = e.event_type
+              prev = LastTypeState(hasPrev = true, e.event_type)
               pair
             }
-          if (prev != null) state.update(prev)
+          state.update(prev)
           out.iterator
         })
   }

@@ -233,7 +233,8 @@ class FileMetaSpec extends GraftSpec {
         "\n").getBytes("UTF-8"))
     val r = graft.sources.IngestSources
       .jsonlHealth(spark, d.toFile.getAbsolutePath).collect()(0)
-    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 2)
+    assert(r.getAs[Long]("n_lines") == 3 &&
+      r.getAs[Long]("n_corrupt") == 1 && r.getAs[Long]("n_clean") == 2)
   }
 
   test("C9/C10 text-format roundtrips preserve every row") {

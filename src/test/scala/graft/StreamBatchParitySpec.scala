@@ -437,6 +437,33 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream: a null-typed event replaces the chain head") {
+    // timeline A, null, B split so the null-typed event ENDS batch 1:
+    // batch semantics emit (A, null) and drop B's pair (its lag
+    // predecessor is null) — state must carry the null replacement
+    val d = Files.createTempDirectory("trans_null").toFile.getAbsolutePath
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((1L, ts(0), 5L, "A", 1.0), (2L, ts(1), 5L, null, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val q = StreamOps.transitionsStream(
+        spark.readStream.schema(schema).parquet(d).as[Ev])
+      .writeStream.format("memory").queryName("trans_null")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((3L, ts(2), 5L, "B", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("trans_null")
+        .select("prev_type", "next_type").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSeq.sorted
+      assert(got == Seq(("A", None)), s"got $got")
+    } finally q.stop()
+  }
+
   test("qualityGatesStream == windowed batch gates per closed day") {
     val docs = Tables.documents(spark, Sf)
       .withColumn("ts", expr(
