@@ -61,6 +61,9 @@ object SparkEntry {
     "evt_transitions"      -> (EventOps.transitions _),
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
+    "evt_sessionize_native" -> (EventOps.sessionizeNative _),
+    "evt_attribution_outer" -> (EventOps.attributionOuter _),
+    "evt_attribution_credit" -> (EventOps.attributionCredit _),
     "text_phrase_search"   -> ((s: SparkSession, d: String) =>
       TextOps.phraseSearch(s, d)),
     "emb_outliers"         -> ((s: SparkSession, d: String) =>
@@ -1209,6 +1212,64 @@ object SparkEntry {
     "csv_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // B4b: the native session_window semantics replicated — new
+    // session at diff >= gap, window end = last event + gap
+    "evt_sessionize_native" ->
+      """WITH base AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS prev_us
+        |  FROM events),
+        |marked AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR us - prev_us >= 7200000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM base),
+        |sess AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS w_start,
+        |  MAX(ts) + INTERVAL 2 HOUR AS w_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, w_start""".stripMargin,
+
+    // B20b: LEFT join — unattributed purchases carry a null click
+    "evt_attribution_outer" ->
+      s"""SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         |  c.event_id AS click_id, c.ts AS click_ts,
+         |  c.event_id IS NOT NULL AS attributed
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         |  ON p.user_id = c.user_id
+         |  AND c.ts <= p.ts AND c.ts > p.ts
+         |    - INTERVAL ${operators.EventOps.AttributionWindowHours} HOURS
+         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // B20c: integer recency weights over the inner-join pairs —
+    // exact normalizing sums, engine-exact shares
+    "evt_attribution_credit" ->
+      s"""WITH pairs AS (
+         |  SELECT p.user_id, p.event_id AS purchase_id,
+         |    c.event_id AS click_id,
+         |    CAST(FLOOR((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0)
+         |      AS BIGINT) AS mins_before
+         |  FROM events p JOIN events c ON p.user_id = c.user_id
+         |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |    AND c.ts <= p.ts AND c.ts > p.ts
+         |      - INTERVAL ${operators.EventOps.AttributionWindowHours} HOURS),
+         |wt AS (SELECT *,
+         |    ${operators.EventOps.AttributionWindowHours * 60L} - mins_before
+         |      AS w_int,
+         |    CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+         |      AS n_clicks,
+         |    CAST(SUM(${operators.EventOps.AttributionWindowHours * 60L}
+         |      - mins_before) OVER (PARTITION BY purchase_id) AS BIGINT)
+         |      AS sum_w
+         |  FROM pairs)
+         |SELECT user_id, purchase_id, click_id, mins_before,
+         |  CAST(1.0 AS DOUBLE) / n_clicks AS credit_linear,
+         |  CAST(w_int AS DOUBLE) / CAST(sum_w AS DOUBLE) AS credit_decay
+         |FROM wt ORDER BY purchase_id, click_id""".stripMargin,
 
     // B22: trailing-window volume anomalies, z-test in square form
     "evt_daily_anomaly" ->

@@ -506,6 +506,74 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** B4b: gap sessionization through Spark's NATIVE `session_window`
+    * operator — the same analysis as B4 driven by the built-in
+    * merging-window aggregation instead of the lag chain (the
+    * streaming-ready formulation: the identical expression runs under
+    * `withWatermark` unchanged — parity pinned in StreamingSpec).
+    * Boundary semantics differ from B4 deliberately and are pinned by
+    * the oracle: session_window closes at diff ≥ gap (B4's chain
+    * splits at diff > gap), and the window end is last-event + gap.
+    */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+      .agg(lcount.as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "w_start")
+
+  /** B20b: OUTER attribution — every purchase, with its click touches
+    * when they exist and an explicit unattributed row (null click)
+    * when none do: the report a marketing pipeline actually ships
+    * (conversion coverage needs the denominator). LEFT join over the
+    * same user-keyed band; the streaming twin
+    * (StreamOps.attributionOuterStream) emits the null rows only
+    * after the watermark PROVES absence.
+    */
+  def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    buys.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") -
+          expr(s"INTERVAL $AttributionWindowHours HOURS"), "left")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        col("click_id").isNotNull.as("attributed"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** B20c: multi-touch credit assignment — each purchase's credit
+    * split across its window clicks: equal shares (linear) and a
+    * recency-decayed share whose weights are INTEGERS (window-minutes
+    * remaining, 1440 − mins_before), so the normalizing sums are
+    * exact and the shares engine-exact — no transcendental decay
+    * curve, same design as the rational tf-idf scores.
+    */
+  def attributionCredit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("purchase_id"))
+    attribution(spark, dir)
+      .withColumn("n_clicks", count(lit(1)).over(w))
+      .withColumn("w_int",
+        lit(AttributionWindowHours * 60L) - col("mins_before"))
+      .withColumn("sum_w", sum(col("w_int")).over(w))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("mins_before"),
+        (lit(1.0) / col("n_clicks")).as("credit_linear"),
+        (col("w_int").cast(DoubleType) / col("sum_w").cast(DoubleType))
+          .as("credit_decay"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** B21: event-type transition matrix — every event paired with its
     * predecessor on the same user's timeline (lag window), then
     * counted per (prev, next) pair with row-normalized probabilities:

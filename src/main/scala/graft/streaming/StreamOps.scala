@@ -977,7 +977,31 @@ object StreamOps {
     */
   def attributionStream(clicks: DataFrame, purchases: DataFrame,
       windowHours: Int = graft.operators.EventOps.AttributionWindowHours,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, windowHours, watermark, "inner")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          / lit(60000000L))
+          .cast(org.apache.spark.sql.types.LongType).as("mins_before"))
+
+  /** E31: OUTER streaming attribution — B20b's report shape on the
+    * live feed: matched touches emit as they join; an UNATTRIBUTED
+    * purchase row (null click) emits only once the click-side
+    * watermark has passed the purchase's whole trailing band — the
+    * null is a PROOF of absence, not a timeout guess. Same state
+    * bound as the inner join (the band defines what is droppable).
+    */
+  def attributionOuterStream(clicks: DataFrame, purchases: DataFrame,
+      windowHours: Int = graft.operators.EventOps.AttributionWindowHours,
+      watermark: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, windowHours, watermark, "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        col("click_id").isNotNull.as("attributed"))
+
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowHours: Int, watermark: String, joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -987,14 +1011,9 @@ object StreamOps {
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
     p.join(c,
-        col("user_id") === col("c_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") > col("purchase_ts") -
-          expr(s"INTERVAL $windowHours HOURS"))
-      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
-        col("click_id"), col("click_ts"),
-        floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
-          / lit(60000000L))
-          .cast(org.apache.spark.sql.types.LongType).as("mins_before"))
+      col("user_id") === col("c_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") > col("purchase_ts") -
+        expr(s"INTERVAL $windowHours HOURS"), joinType)
   }
 }

@@ -496,6 +496,70 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("native session_window streaming == batch evt_sessionize_native") {
+    val expected = operators.EventOps.sessionizeNative(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3),
+        math.rint(r.getDouble(4) * 100) / 100)).toSeq.sorted
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val d = Files.createTempDirectory("sessnat_par").toFile.getAbsolutePath
+    all.write.mode("overwrite").parquet(d)
+    val q = spark.readStream.schema(all.schema).parquet(d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"), col("n_events"),
+        col("total_value"))
+      .writeStream.format("memory").queryName("sessnat_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable(); flush(d); q.processAllAvailable()
+      val got = spark.table("sessnat_par")
+        .filter(col("w_start") < "2029-01-01").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3),
+          math.rint(r.getDouble(4) * 100) / 100)).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("attributionOuterStream == batch outer report incl. proven-absent nulls") {
+    val expected = operators.EventOps.attributionOuter(spark, Sf)
+      .select("purchase_id", "click_id", "attributed").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getBoolean(2))).toSeq.sorted
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cDir = Files.createTempDirectory("attro_c").toFile.getAbsolutePath
+    val pDir = Files.createTempDirectory("attro_p").toFile.getAbsolutePath
+    all.filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(cDir)
+    all.filter(col("event_type") === "purchase")
+      .write.mode("overwrite").parquet(pDir)
+    val q = StreamOps.attributionOuterStream(
+        spark.readStream.schema(all.schema).parquet(cDir),
+        spark.readStream.schema(all.schema).parquet(pDir))
+      .writeStream.format("memory").queryName("attro_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // far-future rows on BOTH sides push the watermark past every
+      // real purchase's band: the unattributed nulls may now emit
+      flush(cDir); flush(pDir)
+      q.processAllAvailable()
+      val got = spark.table("attro_par")
+        .filter(col("purchase_ts") < "2029-01-01").collect()
+        .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(5))).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.exists(!_._3), "fixture has no unattributed purchases")
+    } finally q.stop()
+  }
+
   test("attributionStream == batch evt_attribution across micro-batch splits") {
     val expected = operators.EventOps.attribution(spark, Sf)
       .select("purchase_id", "click_id", "mins_before").collect()
