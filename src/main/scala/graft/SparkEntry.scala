@@ -62,6 +62,9 @@ object SparkEntry {
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
     "evt_sessionize_native" -> (EventOps.sessionizeNative _),
+    "evt_value_histogram"  -> ((s: SparkSession, d: String) =>
+      EventOps.valueHistogram(s, d)),
+    "emb_norm_stats"       -> (AnnOps.embNormStats _),
     "evt_attribution_outer" -> (EventOps.attributionOuter _),
     "evt_attribution_credit" -> (EventOps.attributionCredit _),
     "text_phrase_search"   -> ((s: SparkSession, d: String) =>
@@ -1270,6 +1273,25 @@ object SparkEntry {
          |  CAST(1.0 AS DOUBLE) / n_clicks AS credit_linear,
          |  CAST(w_int AS DOUBLE) / CAST(sum_w AS DOUBLE) AS credit_decay
          |FROM wt ORDER BY purchase_id, click_id""".stripMargin,
+
+    // B23: fixed-width value histogram (floor is double-exact)
+    "evt_value_histogram" ->
+      """SELECT event_type,
+        |  CAST(LEAST(FLOOR(value / 25.0), 15) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // D11b: per-label norm gate (sqrt IEEE-exact, replicates)
+    "emb_norm_stats" ->
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(nrm) AS norm_min, MAX(nrm) AS norm_max,
+        |  CAST(COUNT(CASE WHEN ABS(nrm - 1.0) > 0.001 THEN 1 END)
+        |    AS BIGINT) AS n_nonunit
+        |FROM (SELECT label,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // B22: trailing-window volume anomalies, z-test in square form
     "evt_daily_anomaly" ->

@@ -435,6 +435,23 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
+  /** D11b: per-label norm gate — vector intake sanity alongside
+    * D41c's dimension check: every embedding is supposed to arrive
+    * unit-normalized, so the report pins min/max norms and counts
+    * vectors off unit by more than 1e-3 (a renormalization bug or a
+    * zero vector lands here). sqrt is IEEE-exact, so min/max and the
+    * flag counts replicate bit-for-bit.
+    */
+  def embNormStats(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .groupBy(col("label"))
+      .agg(graft.functions.Exact.lcount.as("n"),
+        min(col("nrm")).as("norm_min"),
+        max(col("nrm")).as("norm_max"),
+        count(when(abs(col("nrm") - lit(1.0)) > 0.001, lit(1)))
+          .cast(org.apache.spark.sql.types.LongType).as("n_nonunit"))
+      .orderBy("label")
+
   /** The LSH probe counts and IVF nprobe values [[annRecall]] measures
     * — shared with the oracle SQL generator in SparkEntry so the
     * measured contract and its oracle cannot drift.

@@ -574,6 +574,20 @@ object EventOps {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** B23: fixed-width value histogram per event type — the dashboard
+    * shape of the value distribution (bucket = ⌊value/25⌋ capped at
+    * 15, exact double floor in both engines). One tiny-keyed
+    * aggregation; the shuffle carries |types|·16 rows max.
+    */
+  def valueHistogram(spark: SparkSession, dir: String,
+      width: Double = 25.0, maxBucket: Int = 15): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / width), lit(maxBucket.toLong))
+          .cast(LongType).as("bucket"))
+      .agg(lcount.as("n"))
+      .orderBy("event_type", "bucket")
+
   /** B21: event-type transition matrix — every event paired with its
     * predecessor on the same user's timeline (lag window), then
     * counted per (prev, next) pair with row-normalized probabilities:
