@@ -69,6 +69,9 @@ object SparkEntry {
     "evt_attribution_credit" -> (EventOps.attributionCredit _),
     "text_phrase_search"   -> ((s: SparkSession, d: String) =>
       TextOps.phraseSearch(s, d)),
+    "text_typo_pairs"      -> (TextOps.typoPairs _),
+    "doc_holdout_split"    -> ((s: SparkSession, d: String) =>
+      CurationOps.holdoutSplit(s, d)),
     "emb_outliers"         -> ((s: SparkSession, d: String) =>
       AnnOps.embOutliers(s, d)),
     // B. log-agent event semantics
@@ -1325,6 +1328,31 @@ object SparkEntry {
         "FROM documents) " +
         s"SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits " +
         s"FROM t t0 $joins WHERE $conds GROUP BY 1 ORDER BY 1"
+    },
+
+    // D46: the NAIVE banded typo self-join — hash parity proves the
+    // SymSpell deletion-neighborhood rewrite loses no pair
+    "text_typo_pairs" ->
+      s"""WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents)
+         |SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+         |FROM (SELECT tok FROM v WHERE length(tok) > 0) a
+         |JOIN (SELECT tok FROM v WHERE length(tok) > 0) b
+         |  ON abs(length(a.tok) - length(b.tok))
+         |    <= ${operators.TextOps.TypoMaxDist}
+         |  AND a.tok < b.tok
+         |WHERE levenshtein(a.tok, b.tok) <= ${operators.TextOps.TypoMaxDist}
+         |ORDER BY tok_a, tok_b""".stripMargin,
+
+    // D47: the salted-splitmix split membership replicated
+    "doc_holdout_split" -> {
+      val sig = signed64(mix(
+        s"((CAST(doc_id AS HUGEINT) + ${operators.CurationOps.HoldoutSalt}) % $M64)"))
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ((($sig) % 100) + 100) % 100 < 5
+         |    THEN 'val' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     // B20: all click touches in the window before each purchase (the

@@ -830,4 +830,23 @@ object CurationOps {
           .cast(LongType).as("ck"))
       .orderBy("shard")
   }
+
+  /** D47's split salt (shared with the oracle). */
+  val HoldoutSalt = 20240814L
+
+  /** D47: deterministic train/validation holdout — split membership is
+    * a pure function of doc_id (salted splitmix64 mod 100), so the
+    * assignment is partition-order-independent, restart-stable, and
+    * identical on every engine (the D17/D40b selection device). A
+    * trainer re-deriving the split years later gets the same rows;
+    * changing the salt re-rolls the whole split atomically.
+    */
+  def holdoutSplit(spark: SparkSession, dir: String,
+      valPct: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(graft.functions.IntKernels.mix64(
+            col("doc_id") + lit(HoldoutSalt)), lit(100L)) < valPct, "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
 }

@@ -553,6 +553,47 @@ object TextOps {
     */
   val PhraseTerms: Seq[String] = Seq("table", "hash")
 
+  /** D46's edit-distance ceiling (shared with the oracle builder). */
+  val TypoMaxDist = 2
+
+  /** D46: vocabulary typo pairs — distinct token pairs within edit
+    * distance ≤ 2 (the OCR/typo normalization input of text
+    * curation). Candidate generation is SymSpell-style (Garbe,
+    * public): every token emits its ≤2-deletion neighborhood (O(L²)
+    * short strings), and any two tokens within distance 2 MUST share
+    * a variant — so the join keys on the high-cardinality variant
+    * string, never on a length bucket whose vocabulary slice is
+    * effectively all-pairs. The exact `levenshtein` verify runs only
+    * on bucket cohabitants. The oracle states the NAIVE banded
+    * self-join; hash parity proves the neighborhood rewrite loses no
+    * pair.
+    */
+  def typoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val keyed = vocab
+      .withColumn("d1", expr(
+        "array_distinct(transform(sequence(1, length(tok)), " +
+          "i -> concat(substring(tok, 1, i - 1), " +
+          "substring(tok, i + 1, length(tok)))))"))
+      .withColumn("d2", expr(
+        "array_distinct(flatten(transform(d1, v -> " +
+          "transform(sequence(1, length(v)), j -> " +
+          "concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))))))"))
+      .select(col("tok"),
+        explode(array_distinct(concat(array(col("tok")), col("d1"),
+          col("d2")))).as("k"))
+    val a = keyed.select(col("k"), col("tok").as("tok_a"))
+    val b = keyed.select(col("k").as("k2"), col("tok").as("tok_b"))
+    a.join(b, col("k") === col("k2") && col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
+      .withColumn("dist",
+        levenshtein(col("tok_a"), col("tok_b")).cast(LongType))
+      .filter(col("dist") <= TypoMaxDist)
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** D35b: exact phrase search over POSITIONAL postings — the
     * retrieval capability doc-level postings (D35) cannot answer.
     * The position table is filtered to the phrase's terms BEFORE any

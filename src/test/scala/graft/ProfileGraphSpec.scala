@@ -193,6 +193,40 @@ class ProfileGraphSpec extends GraftSpec {
     }
   }
 
+  test("text_typo_pairs equals the brute-force edit-distance pass") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Tables.documents(spark, Sf).collect()
+      .flatMap(_.getString(1).split(" ")).filter(_.nonEmpty).distinct.sorted
+    val expected = (for {
+      i <- vocab.indices; j <- (i + 1) until vocab.length
+      d = lev(vocab(i), vocab(j)) if d <= operators.TextOps.TypoMaxDist
+    } yield (vocab(i), vocab(j), d.toLong)).toSeq.sorted
+    val got = operators.TextOps.typoPairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("doc_holdout_split is deterministic and near the requested rate") {
+    val a = operators.CurationOps.holdoutSplit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val b = operators.CurationOps.holdoutSplit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(a.sameElements(b))
+    val n = a.length
+    val nVal = a.count(_._2 == "val")
+    assert(a.map(_._2).toSet.subsetOf(Set("train", "val")))
+    // salted-hash binomial: allow a wide band around 5%
+    assert(nVal > 0 && nVal < n * 0.15, s"$nVal of $n in val")
+  }
+
   test("evt_attribution pairs respect the band and user equality") {
     val rows = operators.EventOps.attribution(spark, Sf).collect()
     assert(rows.nonEmpty)
