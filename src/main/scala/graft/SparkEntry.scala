@@ -1279,10 +1279,11 @@ object SparkEntry {
 
     // B23: fixed-width value histogram (floor is double-exact)
     "evt_value_histogram" ->
-      """SELECT event_type,
-        |  CAST(LEAST(FLOOR(value / 25.0), 15) AS BIGINT) AS bucket,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT event_type,
+         |  CAST(LEAST(FLOOR(value / ${operators.EventOps.HistWidth}),
+         |    ${operators.EventOps.HistMaxBucket}) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // D11b: per-label norm gate (sqrt IEEE-exact, replicates)
     "emb_norm_stats" ->
@@ -1350,7 +1351,8 @@ object SparkEntry {
       val sig = signed64(mix(
         s"((CAST(doc_id AS HUGEINT) + ${operators.CurationOps.HoldoutSalt}) % $M64)"))
       s"""SELECT doc_id, lang,
-         |  CASE WHEN ((($sig) % 100) + 100) % 100 < 5
+         |  CASE WHEN ((($sig) % 100) + 100) % 100
+         |      < ${operators.CurationOps.HoldoutValPct}
          |    THEN 'val' ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },

@@ -831,8 +831,11 @@ object CurationOps {
       .orderBy("shard")
   }
 
-  /** D47's split salt (shared with the oracle). */
+  /** D47's split salt and validation percentage (shared with the
+    * oracle, the AttributionWindowHours device).
+    */
   val HoldoutSalt = 20240814L
+  val HoldoutValPct = 5
 
   /** D47: deterministic train/validation holdout — split membership is
     * a pure function of doc_id (salted splitmix64 mod 100), so the
@@ -842,7 +845,7 @@ object CurationOps {
     * changing the salt re-rolls the whole split atomically.
     */
   def holdoutSplit(spark: SparkSession, dir: String,
-      valPct: Int = 5): DataFrame =
+      valPct: Int = HoldoutValPct): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         when(pmod(graft.functions.IntKernels.mix64(

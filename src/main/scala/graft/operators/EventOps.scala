@@ -533,24 +533,12 @@ object EventOps {
     * (StreamOps.attributionOuterStream) emits the null rows only
     * after the watermark PROVES absence.
     */
-  def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-    val buys = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-    buys.join(clicks,
-        col("user_id") === col("c_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") > col("purchase_ts") -
-          expr(s"INTERVAL $AttributionWindowHours HOURS"), "left")
+  def attributionOuter(spark: SparkSession, dir: String): DataFrame =
+    attributionPairs(spark, dir, "left")
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"),
         col("click_id").isNotNull.as("attributed"))
       .orderBy("purchase_id", "click_id")
-  }
 
   /** B20c: multi-touch credit assignment — each purchase's credit
     * split across its window clicks: equal shares (linear) and a
@@ -561,7 +549,11 @@ object EventOps {
     */
   def attributionCredit(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("purchase_id"))
-    attribution(spark, dir)
+    // build on the UNSORTED pairs: attribution's global orderBy would
+    // be a sort exchange the window's hash repartition then discards
+    attributionPairs(spark, dir, "inner")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        minsBefore)
       .withColumn("n_clicks", count(lit(1)).over(w))
       .withColumn("w_int",
         lit(AttributionWindowHours * 60L) - col("mins_before"))
@@ -579,8 +571,11 @@ object EventOps {
     * 15, exact double floor in both engines). One tiny-keyed
     * aggregation; the shuffle carries |types|·16 rows max.
     */
+  val HistWidth = 25.0
+  val HistMaxBucket = 15
+
   def valueHistogram(spark: SparkSession, dir: String,
-      width: Double = 25.0, maxBucket: Int = 15): DataFrame =
+      width: Double = HistWidth, maxBucket: Int = HistMaxBucket): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"),
         least(floor(col("value") / width), lit(maxBucket.toLong))
@@ -625,7 +620,13 @@ object EventOps {
     */
   val AttributionWindowHours = 24
 
-  def attribution(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE copy of the attribution band join (user equi-key +
+    * trailing window) — B20/B20b/B20c all derive from it, mirroring
+    * StreamOps.attributionJoin, so the band cannot desynchronize
+    * between the faces.
+    */
+  private def attributionPairs(spark: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -634,14 +635,19 @@ object EventOps {
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
     buys.join(clicks,
-        col("user_id") === col("c_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") > col("purchase_ts") -
-          expr(s"INTERVAL $AttributionWindowHours HOURS"))
-      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
-        col("click_id"), col("click_ts"),
-        floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
-          / lit(60000000L)).cast(LongType).as("mins_before"))
-      .orderBy("purchase_id", "click_id")
+      col("user_id") === col("c_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") > col("purchase_ts") -
+        expr(s"INTERVAL $AttributionWindowHours HOURS"), joinType)
   }
+
+  private def minsBefore: org.apache.spark.sql.Column =
+    floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      / lit(60000000L)).cast(LongType).as("mins_before")
+
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionPairs(spark, dir, "inner")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), minsBefore)
+      .orderBy("purchase_id", "click_id")
 }

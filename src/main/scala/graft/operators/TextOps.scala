@@ -569,21 +569,24 @@ object TextOps {
     * pair.
     */
   def typoPairs(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(TextFns.tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0).distinct()
-    val keyed = vocab
-      .withColumn("d1", expr(
-        "array_distinct(transform(sequence(1, length(tok)), " +
-          "i -> concat(substring(tok, 1, i - 1), " +
-          "substring(tok, i + 1, length(tok)))))"))
-      .withColumn("d2", expr(
-        "array_distinct(flatten(transform(d1, v -> " +
-          "transform(sequence(1, length(v)), j -> " +
-          "concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))))))"))
-      .select(col("tok"),
-        explode(array_distinct(concat(array(col("tok")), col("d1"),
-          col("d2")))).as("k"))
+    // memoized: the O(|vocab|·L²) neighborhood expansion feeds BOTH
+    // sides of the self-join — uncached it would be computed twice
+    val keyed = graft.Memo.df(spark, s"typoKeys:$dir") {
+      Tables.documents(spark, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+        .withColumn("d1", expr(
+          "array_distinct(transform(sequence(1, length(tok)), " +
+            "i -> concat(substring(tok, 1, i - 1), " +
+            "substring(tok, i + 1, length(tok)))))"))
+        .withColumn("d2", expr(
+          "array_distinct(flatten(transform(d1, v -> " +
+            "transform(sequence(1, length(v)), j -> " +
+            "concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))))))"))
+        .select(col("tok"),
+          explode(array_distinct(concat(array(col("tok")), col("d1"),
+            col("d2")))).as("k"))
+    }
     val a = keyed.select(col("k"), col("tok").as("tok_a"))
     val b = keyed.select(col("k").as("k2"), col("tok").as("tok_b"))
     a.join(b, col("k") === col("k2") && col("tok_a") < col("tok_b"))

@@ -508,8 +508,10 @@ class StreamBatchParitySpec extends GraftSpec {
     val q = spark.readStream.schema(all.schema).parquet(d)
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
-      .agg(count(lit(1)).cast("long").as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      // the SAME shared aggregates as the batch operator — the point
+      // of E32 is that the expression is literally identical
+      .agg(graft.functions.Exact.lcount.as("n_events"),
+        graft.functions.Exact.dsum(col("value")).as("total_value"))
       .select(col("user_id"), col("session_window.start").as("w_start"),
         col("session_window.end").as("w_end"), col("n_events"),
         col("total_value"))
