@@ -122,6 +122,7 @@ object SparkEntry {
       DedupOps.dedupSubstring(s, d)),
     "dedup_substring_scrub" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSubstringScrub(s, d)),
+    "dedup_lines"          -> (DedupOps.dedupLines _),
     "dedup_incremental"    -> (CurationOps.dedupIncremental _),
     "dedup_incremental_bloom" -> (CurationOps.dedupIncrementalBloom _),
     "dedup_incremental_lsh" -> ((s: SparkSession, d: String) =>
@@ -149,6 +150,7 @@ object SparkEntry {
     "doc_source_quality"   -> (TextOps.sourceQuality _),
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
+    "doc_gopher_rules"     -> (TextOps.gopherRules _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -2157,6 +2159,54 @@ object SparkEntry {
         |  CAST(cnt AS DOUBLE) / CAST(lang_tokens AS DOUBLE) AS tok_frac
         |FROM r JOIN tt ON r.lang = tt.lang
         |WHERE rnk <= 50 ORDER BY r.lang, rnk""".stripMargin,
+
+    "dedup_lines" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |l AS (SELECT doc_id,
+        |    CAST(unnest(range(0, CAST(floor((len(toks) - 1) / ${DedupOps.LineTok}.0)
+        |      AS BIGINT) + 1)) AS BIGINT) AS line_no, toks
+        |  FROM d),
+        |x AS (SELECT doc_id, line_no, array_to_string(
+        |    toks[(line_no * ${DedupOps.LineTok} + 1):((line_no + 1) * ${DedupOps.LineTok})],
+        |    ' ') AS line FROM l),
+        |f AS (SELECT doc_id, line_no, line, ROW_NUMBER() OVER
+        |    (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+        |  FROM x)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+        |    ORDER BY line_no), '')) AS clean_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+        |      AS tok_chars,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS digit_cnt
+        |  FROM t)
+        |SELECT doc_id, n_tok, tok_chars, alpha_cnt, stop_hits, digit_cnt,
+        |  (n_tok BETWEEN 5 AND 1000) AS r_word_count,
+        |  (3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok) AS r_mean_word_len,
+        |  (5 * alpha_cnt >= 4 * n_tok) AS r_alpha_share,
+        |  (stop_hits >= 2) AS r_stopwords,
+        |  (10 * digit_cnt <= CAST(n_chars AS BIGINT)) AS r_digit_share,
+        |  ((n_tok BETWEEN 5 AND 1000)
+        |    AND (3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok)
+        |    AND (5 * alpha_cnt >= 4 * n_tok) AND (stop_hits >= 2)
+        |    AND (10 * digit_cnt <= CAST(n_chars AS BIGINT))) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

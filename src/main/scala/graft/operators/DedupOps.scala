@@ -718,4 +718,58 @@ object DedupOps {
       .select("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
   }
+
+  /** D48's line width in tokens (shared with the oracle builder). */
+  private[graft] val LineTok = 10
+
+  /** D48: C4-style global line-level dedup. The corpus text carries no
+    * newlines, so a "line" is each consecutive [[LineTok]]-token window
+    * (deterministic re-lining — the same synthesized-fixture device as
+    * D18's PII lines). An occurrence (doc_id, line_no) survives iff it
+    * is the FIRST occurrence of that exact line text corpus-wide
+    * (ordered by doc_id, then line_no) — later copies, within or
+    * across documents, are dropped, exactly the C4 recipe of removing
+    * every repeated three-sentence span but at line granularity.
+    *
+    * Scale: one shuffle keyed on the 16-byte line digest (not the line
+    * text — bounded shuffle width), min(struct(doc_id,line_no)) is an
+    * order-independent partial aggregate so boilerplate hot lines
+    * combine map-side; reassembly is a doc_id-keyed sort-free
+    * collect_list + array_sort, O(lines-per-doc) memory per key.
+    * Output: per-doc line counts + an md5 of the deduped text, pinning
+    * the reassembled survivor bytes against the oracle.
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame =
+    dedupLinesOn(Tables.documents(spark, dir))
+
+  /** [[dedupLines]] over an arbitrary (doc_id, text) frame — the API
+    * face a caller cleaning their own corpus snapshot composes.
+    */
+  private[graft] def dedupLinesOn(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(LineTok)).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * LineTok + 1, lit(LineTok)))))
+        .as(Seq("line_no", "line")))
+      .withColumn("h", md5(col("line")))
+    val firsts = lines
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("f_doc"),
+        col("first.line_no").as("f_line"))
+    lines.join(firsts, "h")
+      .withColumn("kept", col("doc_id") === col("f_doc") &&
+        col("line_no") === col("f_line"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ")).as("clean_md5"))
+      .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast(LongType))
+      .select("doc_id", "n_lines", "n_kept", "n_dropped", "clean_md5")
+      .orderBy("doc_id")
+  }
 }

@@ -517,6 +517,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D49: Gopher-style per-document filter battery — the named rule
+    * set (word-count bounds, mean-word-length bounds, alphabetic-word
+    * share, minimum stopword hits, digit-character share) each emitted
+    * as its own verdict column plus the conjunction `keep`. Every
+    * threshold is evaluated by integer cross-multiplication (e.g.
+    * mean word length in [3,10] ⇔ 3·n_tok ≤ tok_chars ≤ 10·n_tok), so
+    * verdicts are engine-exact with no floating-point boundary — the
+    * same device as the D42 quality gates. Per-row expressions only:
+    * embarrassingly parallel, no shuffle before the presentation sort.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("tok_chars", TextFns.tokenChars(toks))
+      .withColumn("alpha_cnt",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType))
+      .withColumn("stop_hits", TextFns.stopwordCount(toks, Stopwords))
+      .withColumn("digit_cnt", TextFns.digitCount(col("text")))
+      .withColumn("r_word_count", col("n_tok").between(5L, 1000L))
+      .withColumn("r_mean_word_len",
+        lit(3L) * col("n_tok") <= col("tok_chars") &&
+          col("tok_chars") <= lit(10L) * col("n_tok"))
+      .withColumn("r_alpha_share",
+        lit(5L) * col("alpha_cnt") >= lit(4L) * col("n_tok"))
+      .withColumn("r_stopwords", col("stop_hits") >= 2L)
+      .withColumn("r_digit_share",
+        lit(10L) * col("digit_cnt") <= col("n_chars").cast(LongType))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_alpha_share") && col("r_stopwords") && col("r_digit_share"))
+      .select("doc_id", "n_tok", "tok_chars", "alpha_cnt", "stop_hits",
+        "digit_cnt", "r_word_count", "r_mean_word_len", "r_alpha_share",
+        "r_stopwords", "r_digit_share", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Email/phone patterns restricted to the regex subset Java and RE2
     * share (no lookaround), so the oracle replicates them verbatim.
     */

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** D48 (C4-style global line dedup) + D49 (Gopher rule battery). */
+class LineGopherSpec extends GraftSpec {
+
+  test("dedup_lines: line counts, keep-first accounting, dup docs emptied") {
+    val out = DedupOps.dedupLines(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // independent re-derivation of the line grid via SQL (not the
+    // operator's column pipeline): n_lines == ceil(n_tok / LineTok)
+    val toks = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tok")).toMap
+    assert(out.keySet == toks.keySet)
+    toks.foreach { case (id, n) =>
+      val expLines = (n + DedupOps.LineTok - 1) / DedupOps.LineTok
+      assert(out(id).getAs[Long]("n_lines") == expLines, s"doc $id")
+      val r = out(id)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_lines"))
+    }
+
+    // global accounting: total kept == number of DISTINCT line texts
+    // (each distinct line keeps exactly one occurrence corpus-wide) —
+    // derived independently through SQL string functions
+    Tables.documents(spark, Sf).createOrReplaceTempView("dl_docs")
+    val distinctLines = spark.sql(
+      s"""SELECT COUNT(DISTINCT line) AS c FROM (
+         |  SELECT explode(transform(
+         |    sequence(0, CAST(floor((size(split(text,' ')) - 1) /
+         |      ${DedupOps.LineTok}) AS INT)),
+         |    i -> concat_ws(' ', slice(split(text,' '),
+         |      i * ${DedupOps.LineTok} + 1, ${DedupOps.LineTok})))) AS line
+         |  FROM dl_docs)""".stripMargin).head().getAs[Long]("c")
+    assert(out.values.map(_.getAs[Long]("n_kept")).sum == distinctLines)
+
+  }
+
+  test("dedup_lines: constructed dups — keep-first within and across docs") {
+    import spark.implicits._
+    val lineA = (1 to 10).map(i => s"a$i").mkString(" ")   // one full line
+    val lineB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$lineA $lineB"),          // doc 1: A,B — both first ⇒ kept
+      (2L, s"$lineB $lineA"),          // doc 2: B,A — both dups ⇒ 0 kept
+      (3L, s"$lineA $lineA"),          // doc 3: A twice — both dups of doc 1
+      (4L, "fresh tokens only here")   // partial line, unique ⇒ kept
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupLinesOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(1L).getAs[String]("clean_md5") == md5hex(s"$lineA $lineB"))
+    assert(out(2L).getAs[Long]("n_kept") == 0L)
+    assert(out(2L).getAs[String]("clean_md5") == md5hex(""))
+    assert(out(3L).getAs[Long]("n_lines") == 2L)
+    assert(out(3L).getAs[Long]("n_kept") == 0L)   // dups of doc 1's A
+    assert(out(4L).getAs[Long]("n_lines") == 1L)
+    assert(out(4L).getAs[Long]("n_kept") == 1L)
+    assert(out(4L).getAs[String]("clean_md5") == md5hex("fresh tokens only here"))
+    // within-doc first occurrence: a doc that introduces a line twice
+    // keeps only the first copy
+    val solo = DedupOps.dedupLinesOn(
+      Seq((7L, s"$lineB $lineB")).toDF("doc_id", "text")).collect().head
+    assert(solo.getAs[Long]("n_lines") == 2L)
+    assert(solo.getAs[Long]("n_kept") == 1L)
+    assert(solo.getAs[String]("clean_md5") == md5hex(lineB))
+  }
+
+  test("doc_gopher_rules: verdicts match a plain-Scala re-derivation") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_chars"))).toSeq
+    val out = TextOps.gopherRules(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == docs.size)
+    docs.foreach { case (id, text, nChars) =>
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toLong
+      val tokChars = toks.map(_.length.toLong).sum
+      val alpha = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val stops = toks.count(stop.contains).toLong
+      val digits = text.count(c => c >= '0' && c <= '9').toLong
+      val r = out(id)
+      assert(r.getAs[Long]("n_tok") == nTok, s"doc $id n_tok")
+      assert(r.getAs[Long]("tok_chars") == tokChars, s"doc $id tok_chars")
+      assert(r.getAs[Long]("alpha_cnt") == alpha, s"doc $id alpha")
+      assert(r.getAs[Long]("stop_hits") == stops, s"doc $id stops")
+      assert(r.getAs[Long]("digit_cnt") == digits, s"doc $id digits")
+      assert(r.getAs[Boolean]("r_word_count") == (nTok >= 5 && nTok <= 1000))
+      assert(r.getAs[Boolean]("r_mean_word_len") ==
+        (3 * nTok <= tokChars && tokChars <= 10 * nTok))
+      assert(r.getAs[Boolean]("r_alpha_share") == (5 * alpha >= 4 * nTok))
+      assert(r.getAs[Boolean]("r_stopwords") == (stops >= 2))
+      assert(r.getAs[Boolean]("r_digit_share") == (10 * digits <= nChars))
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("r_word_count") && r.getAs[Boolean]("r_mean_word_len")
+          && r.getAs[Boolean]("r_alpha_share") && r.getAs[Boolean]("r_stopwords")
+          && r.getAs[Boolean]("r_digit_share")))
+    }
+  }
+}
