@@ -742,17 +742,40 @@ object DedupOps {
   def dedupLines(spark: SparkSession, dir: String): DataFrame =
     dedupLinesOn(Tables.documents(spark, dir))
 
+  /** The deterministic re-lining shared by the batch operator, its
+    * oracle constant, and the E33 streaming face (one definition, so
+    * batch and stream cannot drift): every non-`text` column passes
+    * through, joined by (line_no, line, h=md5(line)).
+    */
+  private[graft] def lineFrame(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .select(keep :+ posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(LineTok)).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * LineTok + 1, lit(LineTok)))))
+        .as(Seq("line_no", "line")): _*)
+      .withColumn("h", md5(col("line")))
+  }
+
+  /** Distinct line digests of the standing corpus (docs OUTSIDE the
+    * doc_id % 10 = 7 incoming partition — the E15 split) — the
+    * stream-static anti-join side of E33, memoized per session like
+    * the band-signature index.
+    */
+  private[graft] def corpusLineDigests(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"corpusLineDigests:$dir") {
+      lineFrame(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 =!= 7)
+        .select("doc_id", "text"))
+        .select("h").distinct()
+    }
+
   /** [[dedupLines]] over an arbitrary (doc_id, text) frame — the API
     * face a caller cleaning their own corpus snapshot composes.
     */
   private[graft] def dedupLinesOn(docs: DataFrame): DataFrame = {
-    val lines = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), floor((size(col("toks")) - 1) / lit(LineTok)).cast("int")),
-        i => concat_ws(" ", slice(col("toks"), i * LineTok + 1, lit(LineTok)))))
-        .as(Seq("line_no", "line")))
-      .withColumn("h", md5(col("line")))
+    val lines = lineFrame(docs.select(col("doc_id"), col("text")))
     val firsts = lines
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))

@@ -480,6 +480,37 @@ object StreamOps {
     nearDupStream(incoming, sigs, sh, tau, watermark)
   }
 
+  /** E33: streaming line-level dedup — D48's ingest face: each
+    * incoming document's deterministic 10-token lines (the SAME
+    * [[graft.operators.DedupOps.lineFrame]] definition as the batch
+    * operator, so the grids cannot drift) are cleaned against
+    * (a) the standing corpus's distinct line digests via a
+    * stream-static LEFT ANTI join (the corpus is a persisted/memoized
+    * digest set, never reshuffled per batch) and (b) lines already
+    * admitted earlier in the stream via
+    * `dropDuplicatesWithinWatermark` on the digest — so a boilerplate
+    * line entering through one crawl shard is dropped from every
+    * later shard inside the watermark horizon. Emits the SURVIVING
+    * line occurrences (doc_id, ts, line_no, line); a sink reassembles
+    * per doc. State is bounded by distinct new digests × watermark.
+    */
+  def dedupLinesStream(incoming: DataFrame, corpusDigests: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    graft.operators.DedupOps.lineFrame(
+        incoming.select(col("doc_id"), col("ts"), col("text")))
+      .withWatermark("ts", watermark)
+      .join(corpusDigests, Seq("h"), "left_anti")
+      .dropDuplicatesWithinWatermark("h")
+      .select("doc_id", "ts", "line_no", "line", "h")
+
+  /** [[dedupLinesStream]] against the standing corpus of `dir` (docs
+    * outside the incoming doc_id % 10 = 7 partition — the E15 split).
+    */
+  def dedupLinesStreamFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+      incoming: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    dedupLinesStream(incoming,
+      graft.operators.DedupOps.corpusLineDigests(spark, dir), watermark)
+
   /** E16: streaming decontamination — D22's ingest-time face: the
     * eval-leak gate a crawl pipeline runs BEFORE a document enters the
     * corpus. The eval set is collected once into a literal (benchmark

@@ -67,6 +67,50 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("dedupLinesStream: survivors = new-vs-corpus digests, re-arrival suppressed") {
+    import graft.operators.DedupOps
+    // plain-Scala expectation: corpus digest set from the standing
+    // partition, then incoming lines keep one occurrence per digest
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    def linesOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(DedupOps.LineTok).map(_.mkString(" ")).toSeq
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    val corpusDigests = docs.filter(_._1 % 10 != 7)
+      .flatMap(d => linesOf(d._2)).map(md5hex).toSet
+    val incomingDocs = docs.filter(_._1 % 10 == 7)
+    val expectedDigests = incomingDocs.flatMap(d => linesOf(d._2))
+      .map(md5hex).distinct.filterNot(corpusDigests.contains).toSet
+    assert(expectedDigests.nonEmpty, "fixture yields no new lines")
+
+    val d = Files.createTempDirectory("lines_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.dedupLinesStreamFor(spark, Sf,
+        spark.readStream.schema(incoming.schema).parquet(d),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("lines_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("lines_par").select("h").as[String].collect()
+      assert(got1.length == got1.distinct.length, "digest emitted twice")
+      assert(got1.toSet == expectedDigests,
+        s"streamed ${got1.length} vs expected ${expectedDigests.size}")
+      // re-arrival inside the watermark: the same shard again adds no rows
+      incoming.write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got2 = spark.table("lines_par").count()
+      assert(got2 == got1.length.toLong, "re-arrival was not suppressed")
+    } finally q.stop()
+  }
+
   test("decontaminateStream == batch decontaminate on the real corpus") {
     val evalSet = operators.CurationOps.demoEvalSet(spark)
     val expected = operators.CurationOps.decontaminate(spark, Sf, evalSet, minHits = 1)
