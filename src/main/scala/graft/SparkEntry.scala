@@ -151,6 +151,8 @@ object SparkEntry {
     "text_pii_scrub"       -> (TextOps.piiScrub _),
     "text_repetition"      -> (TextOps.repetition _),
     "doc_gopher_rules"     -> (TextOps.gopherRules _),
+    "doc_similar"          -> ((s: SparkSession, d: String) =>
+      TextOps.docSimilar(s, d)),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -2181,6 +2183,34 @@ object SparkEntry {
         |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
         |    ORDER BY line_no), '')) AS clean_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_similar" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT lang, shingle,
+        |    (${TextOps.SimilarW} * n_docs) // COUNT(*) AS w
+        |  FROM e, n GROUP BY lang, shingle, n_docs
+        |  HAVING COUNT(*) BETWEEN 2 AND ${TextOps.SimilarDfCap}),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |    CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS score
+        |  FROM e a
+        |  JOIN w ON a.lang = w.lang AND a.shingle = w.shingle
+        |  JOIN e b ON b.lang = w.lang AND b.shingle = w.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT a_id, b_id, n_shared, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY score DESC, b_id) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT a_id, b_id, n_shared, score, rnk FROM r
+        |WHERE rnk <= ${TextOps.SimilarK} ORDER BY a_id, rnk""".stripMargin,
 
     "doc_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks

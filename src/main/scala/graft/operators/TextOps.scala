@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** D5–D8: text analysis over `documents` — token counting, quality
   * scoring, language ID, winnowing fingerprints. Per-row expressions
@@ -407,6 +407,56 @@ object TextOps {
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("doc_id"), col("n_tok"), col("score"), col("rnk"))
       .orderBy("rnk")
+  }
+
+  /** D50's knobs, shared with the oracle builder: shingles with
+    * 2 ≤ df ≤ cap carry signal (df=1 shingles pair with nothing;
+    * ubiquitous shingles are boilerplate AND the self-join's skew
+    * risk — the same stop-shingle guard as D2b), k neighbors per doc,
+    * W the idf weight scale.
+    */
+  val SimilarDfCap = 50L
+  val SimilarW = 1000L
+  val SimilarK = 5
+
+  /** D50: sparse "more-like-this" — top-k most similar documents per
+    * document through the shingle postings, the SPARSE counterpart of
+    * dense ANN (D9): score(a,b) = Σ over shared distinct 3-gram
+    * shingles of an integer idf weight ⌊W·N/df⌋, so rare shared
+    * phrasing dominates. The weight is exact integer floor-division
+    * and the pair score accumulates in DECIMAL(38,0) — order-
+    * independent and overflow-safe at any corpus scale (the PmiScore
+    * lesson), DuckDB-replicable via HUGEINT.
+    *
+    * Scale shape: candidates come from the df-capped postings
+    * self-join (per-shingle cost ≤ cap², never O(n²)); per-pair
+    * aggregation is map-side combinable; ranking is the bounded-heap
+    * TopKPerKey — no corpus sort anywhere.
+    */
+  def docSimilar(spark: SparkSession, dir: String, k: Int = SimilarK): DataFrame = {
+    val ex = DedupOps.shingleExploded(spark, dir)
+      .select("doc_id", "lang", "shingle")
+    val stats = Tables.documents(spark, dir)
+      .agg(graft.functions.Exact.lcount.as("n_docs"))
+    val wtab = ex.groupBy("lang", "shingle")
+      .agg(graft.functions.Exact.lcount.as("df"))
+      .filter(col("df").between(lit(2L), lit(SimilarDfCap)))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", expr(s"($SimilarW * n_docs) div df"))
+      .select("lang", "shingle", "w")
+    val keyed = ex.join(wtab, Seq("lang", "shingle"))
+    val pairs = keyed.select(col("lang"), col("shingle"),
+        col("doc_id").as("a_id"), col("w"))
+      .join(keyed.select(col("lang"), col("shingle"),
+        col("doc_id").as("b_id")), Seq("lang", "shingle"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(graft.functions.Exact.lcount.as("n_shared"),
+        sum(col("w").cast(DecimalType(38, 0))).as("score"))
+    graft.plans.TopK.perKey(pairs, Seq(col("a_id")),
+        Seq(col("score").desc, col("b_id").asc), k)
+      .select("a_id", "b_id", "n_shared", "score", "rnk")
+      .orderBy("a_id", "rnk")
   }
 
   /** D26: per-source quality profile — the signal a mixture/curation

@@ -73,6 +73,39 @@ class LineGopherSpec extends GraftSpec {
     assert(solo.getAs[String]("clean_md5") == md5hex(lineB))
   }
 
+  test("doc_similar: k-bounded, rank-consistent, symmetric scores") {
+    val rows = TextOps.docSimilar(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byA = rows.groupBy(_.getAs[Long]("a_id"))
+    byA.foreach { case (a, rs) =>
+      assert(rs.length <= TextOps.SimilarK, s"doc $a over k")
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          val sx = x.getAs[java.math.BigDecimal]("score")
+          val sy = y.getAs[java.math.BigDecimal]("score")
+          val c = sx.compareTo(sy)
+          assert(c > 0 || (c == 0 &&
+            x.getAs[Long]("b_id") < y.getAs[Long]("b_id")))
+        case _ =>
+      }
+      rs.foreach(r => assert(r.getAs[Long]("n_shared") >= 1L))
+    }
+    // the pair score is symmetric: whenever both orientations survive
+    // their respective top-k cuts they carry the identical score
+    val score = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+      r.getAs[java.math.BigDecimal]("score")).toMap
+    var checked = 0
+    score.foreach { case ((a, b), s) =>
+      score.get((b, a)).foreach { s2 =>
+        assert(s.compareTo(s2) == 0, s"asymmetric $a<->$b"); checked += 1
+      }
+    }
+    assert(checked > 0, "no mutual pairs to check symmetry on")
+  }
+
   test("doc_gopher_rules: verdicts match a plain-Scala re-derivation") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is")
     val docs = Tables.documents(spark, Sf)
