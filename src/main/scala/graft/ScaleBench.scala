@@ -118,7 +118,15 @@ object ScaleBench {
     // count — expect ~linear), the one-pass profiler (scan-bound),
     // and the interval join (user count scales F×, per-user history
     // constant ⇒ band output ~linear)
-    "graph_pagerank", "source_overlap", "data_profile", "evt_attribution")
+    "graph_pagerank", "source_overlap", "data_profile", "evt_attribution",
+    // r9 session-3 additions: global line dedup (one digest-keyed
+    // shuffle of all lines, min() map-side combinable — expect
+    // ~linear; the amplifier's ~k tagging makes shard digests
+    // disjoint so duplicate density stays constant) and the sparse
+    // neighbor join (df-capped postings self-join; the cap is
+    // absolute, per-shard df constant under amplification — expect
+    // ~linear, the D2b capped-join contract measured)
+    "dedup_lines", "doc_similar")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

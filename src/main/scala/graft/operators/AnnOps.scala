@@ -317,6 +317,42 @@ object AnnOps {
       .select("q_id", "c_id", "sim", "rnk")
   }
 
+  /** D51: hard-negative mining for embedding-model training — per
+    * anchor (the % 50 query set), the top-k most SIMILAR corpus
+    * vectors with a DIFFERENT label: the confusable negatives
+    * contrastive training wants. Candidates come through the IVF
+    * layout exactly like D10b (broadcast probe assignment into the
+    * co-located lists, nprobe=4) with the label-mismatch filter
+    * applied BEFORE the bounded heap, so positives never occupy heap
+    * slots. The label join is a one-time layout derivation
+    * (memoized), not per-query work.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, nprobe: Int = 4,
+      k: Int = 5): DataFrame = {
+    val labels = embDouble(spark, dir).select(col("vec_id"), col("label"))
+    val lists = graft.Memo.df(spark, s"ivfListsLabeled:$dir") {
+      ivfLists(spark, dir, DefaultM)
+        .join(labels.select(col("vec_id").as("c_id"),
+          col("label").as("c_label")), "c_id")
+        .repartition(col("c_cid"))
+    }
+    val probes = assignFor(spark, dir, DefaultM,
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe)
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+    val sims = lists.join(broadcast(probes),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id") &&
+          col("q_label") =!= col("c_label"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "q_label", "c_id", "c_label", "sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** D10b: IVF-Flat ANN — the other classic scale path next to LSH.
     * The coarse quantizer and inverted lists are layout-time artifacts
     * ([[ivfModel]]/[[ivfLists]], built once per session); the query

@@ -106,6 +106,40 @@ class LineGopherSpec extends GraftSpec {
     assert(checked > 0, "no mutual pairs to check symmetry on")
   }
 
+  test("emb_hard_negatives: labels differ, ranks consistent, sims exact") {
+    import graft.operators.AnnOps
+    val emb = Tables.embeddings(spark, Sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("label"), r.getAs[Seq[Float]]("embedding").toArray))
+      .toMap
+    val rows = AnnOps.hardNegatives(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getAs[Double]("sim") >= b.getAs[Double]("sim")
+        case _ => true
+      })
+      sorted.foreach { r =>
+        val c = r.getAs[Long]("c_id")
+        assert(r.getAs[Int]("q_label") == emb(q)._1)
+        assert(r.getAs[Int]("c_label") == emb(c)._1)
+        assert(r.getAs[Int]("q_label") != r.getAs[Int]("c_label"))
+        // exact cosine re-derivation in plain Scala
+        val (qa, ca) = (emb(q)._2.map(_.toDouble), emb(c)._2.map(_.toDouble))
+        def dot(x: Array[Double], y: Array[Double]) =
+          x.zip(y).map { case (a, b) => a * b }.sum
+        val expSim = dot(qa, ca) /
+          (math.sqrt(dot(qa, qa)) * math.sqrt(dot(ca, ca)))
+        assert(math.abs(r.getAs[Double]("sim") - expSim) < 1e-9,
+          s"sim mismatch q=$q c=$c")
+      }
+    }
+  }
+
   test("doc_gopher_rules: verdicts match a plain-Scala re-derivation") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is")
     val docs = Tables.documents(spark, Sf)
