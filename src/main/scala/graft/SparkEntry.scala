@@ -231,7 +231,8 @@ object SparkEntry {
     // D44c: the persisted rank served
     "layout_graph_rank"    -> (LayoutOps.pagerankServed _),
     // D36i: phrase search from the persisted positional postings
-    "layout_phrase_search" -> (LayoutOps.phraseServed _)
+    "layout_phrase_search" -> (LayoutOps.phraseServed _),
+    "layout_doc_similar"   -> (LayoutOps.docSimilarServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -707,6 +708,11 @@ object SparkEntry {
       "layout_graph_rank"        -> base("graph_pagerank"),
       // D36i: served phrase search ≡ the session explode
       "layout_phrase_search"     -> base("text_phrase_search"),
+      // D36j: more-like-this served from the persisted shingle
+      // postings ≡ the session query restricted to the anchor set
+      "layout_doc_similar"       -> base("doc_similar")
+        .replace("AND a.doc_id <> b.doc_id",
+          "AND a.doc_id <> b.doc_id AND a.doc_id % 20 = 3"),
 
       // D36c: term probe against the persisted postings (bucket-pruned
       // scan on the Spark side; the oracle just filters the postings

@@ -124,7 +124,14 @@ object LayoutOps {
     // point probes)
     Family("pagerank",
       s"i${GraphOps.Iterations}d${GraphOps.OutDegree}", "doc_id", 8,
-      (s, d) => GraphOps.pageRank(s, d)))
+      (s, d) => GraphOps.pageRank(s, d)),
+    // D36j: D50's df-capped weighted shingle postings — bucketed on
+    // the shingle so served more-like-this joins reuse the persisted
+    // clustering (the bucketed side never reshuffles; probes are the
+    // small side)
+    Family("shingle_postings",
+      s"df${TextOps.SimilarDfCap}w${TextOps.SimilarW}", "shingle", 16,
+      (s, d) => TextOps.similarPostingsFrame(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -264,6 +271,22 @@ object LayoutOps {
     */
   def phraseServed(spark: SparkSession, dir: String): DataFrame =
     TextOps.phraseSearchOn(table(spark, dir, "postings_pos"))
+
+  /** D36j: more-like-this served from the persisted shingle postings —
+    * anchor docs (doc_id % 20 = 3) derive their shingles in-row from
+    * their own text and probe the bucketed table through the shared
+    * [[TextOps.docSimilarOn]] path; no session postings are rebuilt.
+    * Oracle = doc_similar's SQL restricted to the anchor set.
+    */
+  def docSimilarServed(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 3)
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFns.shingles3(col("toks"))).as("shingle"))
+    TextOps.docSimilarOn(table(spark, dir, "shingle_postings"), anchors)
+  }
 
   /** D44c: the persisted rank served — same face and oracle as the
     * session's graph_pagerank (a restarted session must rank

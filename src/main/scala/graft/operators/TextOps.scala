@@ -434,21 +434,40 @@ object TextOps {
     * TopKPerKey — no corpus sort anywhere.
     */
   def docSimilar(spark: SparkSession, dir: String, k: Int = SimilarK): DataFrame = {
-    val ex = DedupOps.shingleExploded(spark, dir)
-      .select("doc_id", "lang", "shingle")
-    val stats = Tables.documents(spark, dir)
-      .agg(graft.functions.Exact.lcount.as("n_docs"))
-    val wtab = ex.groupBy("lang", "shingle")
-      .agg(graft.functions.Exact.lcount.as("df"))
-      .filter(col("df").between(lit(2L), lit(SimilarDfCap)))
-      .crossJoin(broadcast(stats))
-      .withColumn("w", expr(s"($SimilarW * n_docs) div df"))
-      .select("lang", "shingle", "w")
-    val keyed = ex.join(wtab, Seq("lang", "shingle"))
-    val pairs = keyed.select(col("lang"), col("shingle"),
-        col("doc_id").as("a_id"), col("w"))
-      .join(keyed.select(col("lang"), col("shingle"),
-        col("doc_id").as("b_id")), Seq("lang", "shingle"))
+    val p = similarPostingsFrame(spark, dir)
+    docSimilarOn(p, p.select("doc_id", "lang", "shingle"), k)
+  }
+
+  /** The df-capped WEIGHTED shingle postings (lang, shingle, doc_id,
+    * w) — D50's candidate layout, session-memoized here and persisted
+    * shingle-bucketed by the D36j family.
+    */
+  private[graft] def similarPostingsFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"similarPostings:$dir") {
+      val ex = DedupOps.shingleExploded(spark, dir)
+        .select("doc_id", "lang", "shingle")
+      val stats = Tables.documents(spark, dir)
+        .agg(graft.functions.Exact.lcount.as("n_docs"))
+      val wtab = ex.groupBy("lang", "shingle")
+        .agg(graft.functions.Exact.lcount.as("df"))
+        .filter(col("df").between(lit(2L), lit(SimilarDfCap)))
+        .crossJoin(broadcast(stats))
+        .withColumn("w", expr(s"($SimilarW * n_docs) div df"))
+        .select("lang", "shingle", "w")
+      ex.join(wtab, Seq("lang", "shingle"))
+    }
+
+  /** [[docSimilar]] over any postings source (session-built or
+    * persisted) and any probe frame (doc_id, lang, shingle) — the
+    * serving face. Probe shingles need no df pre-filter: joining the
+    * capped postings applies it.
+    */
+  private[graft] def docSimilarOn(postings: DataFrame, probes: DataFrame,
+      k: Int = SimilarK): DataFrame = {
+    val pairs = probes.select(col("lang"), col("shingle"),
+        col("doc_id").as("a_id"))
+      .join(postings.select(col("lang"), col("shingle"),
+        col("doc_id").as("b_id"), col("w")), Seq("lang", "shingle"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(graft.functions.Exact.lcount.as("n_shared"),

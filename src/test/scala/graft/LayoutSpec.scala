@@ -40,6 +40,19 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("served more-like-this over reloaded shingle postings == session doc_similar on anchors") {
+    withCleanLayouts {
+      val anchorSet = rows(TextOps.docSimilar(spark, Sf)
+        .filter(org.apache.spark.sql.functions.col("a_id") % 20 === 3))
+      assert(LayoutOps.ensure(spark, Sf, "shingle_postings") == "written")
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "shingle_postings") == "reregistered")
+      assert(rows(LayoutOps.docSimilarServed(spark, Sf)) == anchorSet)
+    }
+  }
+
   test("ivfpq serving from reloaded tables matches session ann_ivfpq bit-for-bit") {
     withCleanLayouts {
       val sessionBuilt = rows(AnnOps.annIvfPq(spark, Sf))
