@@ -596,9 +596,17 @@ object TextOps {
     * same device as the D42 quality gates. Per-row expressions only:
     * embarrassingly parallel, no shuffle before the presentation sort.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  /** The D49 battery over any (doc_id, text, n_chars) frame — shared
+    * by the batch query and the E34 stream face (one definition, no
+    * drift), unsorted so a streaming plan can consume it.
+    */
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .withColumn("n_tok", size(toks).cast(LongType))
       .withColumn("tok_chars", TextFns.tokenChars(toks))
       .withColumn("alpha_cnt",
@@ -620,7 +628,6 @@ object TextOps {
       .select("doc_id", "n_tok", "tok_chars", "alpha_cnt", "stop_hits",
         "digit_cnt", "r_word_count", "r_mean_word_len", "r_alpha_share",
         "r_stopwords", "r_digit_share", "keep")
-      .orderBy("doc_id")
   }
 
   /** Email/phone patterns restricted to the regex subset Java and RE2

@@ -511,6 +511,16 @@ object StreamOps {
     dedupLinesStream(incoming,
       graft.operators.DedupOps.corpusLineDigests(spark, dir), watermark)
 
+  /** E34: the D49 Gopher battery at ingest time — a stateless
+    * map-only plan (the E16 shape): per-document rule verdicts emit
+    * with the arriving micro-batch, no stream state beyond source
+    * offsets. Same expressions as the batch query via the shared
+    * [[graft.operators.TextOps.gopherRulesOn]], so batch and stream
+    * cannot drift. Incoming frame: (doc_id, text, n_chars, ...).
+    */
+  def gopherRulesStream(incoming: DataFrame): DataFrame =
+    graft.operators.TextOps.gopherRulesOn(incoming)
+
   /** E16: streaming decontamination — D22's ingest-time face: the
     * eval-leak gate a crawl pipeline runs BEFORE a document enters the
     * corpus. The eval set is collected once into a literal (benchmark

@@ -135,6 +135,24 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("gopherRulesStream == batch doc_gopher_rules on the real corpus") {
+    val expected = operators.TextOps.gopherRules(spark, Sf).collect()
+      .map(_.toString).toSeq.sorted
+    val d = Files.createTempDirectory("goph_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .select("doc_id", "text", "n_chars")
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.gopherRulesStream(
+        spark.readStream.schema(incoming.schema).parquet(d))
+      .writeStream.format("memory").queryName("goph_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("goph_par").collect().map(_.toString).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+    } finally q.stop()
+  }
+
   test("cardinalityStream sketch == batch sketch per closed day (exact merge)") {
     val expected = Tables.events(spark, Sf)
       .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
