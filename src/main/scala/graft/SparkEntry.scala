@@ -205,6 +205,8 @@ object SparkEntry {
     "media_feature_stats"  -> (multimodal.MultimodalOps.mediaFeatureStats _),
     "media_features"       -> (multimodal.MultimodalOps.mediaFeatures _),
     "media_image_stats"    -> (multimodal.MultimodalOps.imagePixelStats _),
+    "media_image_dedup"    -> ((s: SparkSession, d: String) =>
+      multimodal.MultimodalOps.imageDedup(s, d)),
     "media_audio_stats"    -> (multimodal.MultimodalOps.audioSampleStats _),
     "media_video_stats"    -> (multimodal.MultimodalOps.videoFrameStats _),
     // D36: persisted-layout serving — each query ensures its family's
@@ -2957,6 +2959,37 @@ object SparkEntry {
     // the oracle computes the same channel sums analytically from the
     // deterministic pixel function — a hash match proves the codec
     // roundtrip preserved every pixel
+    // F9: dHash56 replicated from the analytic pixel functions (the F6
+    // roundtrip proof makes decoded == analytic), then the same 4×14
+    // banding + exact Hamming verify as the Spark side.
+    "media_image_dedup" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |    WHERE doc_id % 3 = 0),
+        |bits AS (SELECT media_id, x, y,
+        |    CASE WHEN ((media_id*7+(x+1)*3+y*5) % 256
+        |          + (media_id*11+(x+1)*13+y*17) % 256
+        |          + (media_id*19+(x+1)*23+y*29) % 256) // 3
+        |        > ((media_id*7+x*3+y*5) % 256
+        |          + (media_id*11+x*13+y*17) % 256
+        |          + (media_id*19+x*23+y*29) % 256) // 3
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit,
+        |    y*7 + x AS pos
+        |  FROM ids, range(0, 7) rx(x), range(0, 8) ry(y)),
+        |hs AS (SELECT media_id,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |bd AS (SELECT media_id, dhash, b AS band_id,
+        |    (dhash >> CAST(14*b AS INT)) & 16383 AS band_val
+        |  FROM hs, range(0, 4) rb(b)),
+        |p AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+        |    a.dhash AS da, b.dhash AS db
+        |  FROM bd a JOIN bd b ON a.band_id = b.band_id
+        |    AND a.band_val = b.band_val AND a.media_id < b.media_id)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+        |FROM p WHERE bit_count(xor(da, db)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "media_image_stats" ->
       """WITH ids AS (SELECT doc_id AS media_id,
         |    CAST(8 + doc_id % 5 AS BIGINT) AS width,

@@ -488,6 +488,71 @@ object MultimodalOps {
     * would be a parquet binary column scan and the decode shape is
     * identical.
     */
+  /** 56-bit difference hash over a decoded image's top-left 8×8
+    * window: g = (r+g+b)/3 integer grayscale, bit(x,y) = [g(x+1,y) >
+    * g(x,y)] for x<7, y<8 — the classic dHash, sized to the smallest
+    * synthesized image (every image is ≥8×8). Pure integer ops on the
+    * REAL decoded pixels, so the DuckDB oracle replicates it from the
+    * analytic pixel functions (the F6 roundtrip proof makes decoded ==
+    * analytic).
+    */
+  def dHash56(img: java.awt.image.BufferedImage): Long = {
+    def g(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+    }
+    var v = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(x + 1, y) > g(x, y)) v |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    v
+  }
+
+  /** F9: perceptual image near-dup — dHash56 per decoded image, LSH
+    * banding (4 × 14-bit bands: hamming ≤ 3 pairs ALWAYS share a
+    * band — pigeonhole, the D4 SimHash design), exact Hamming verify
+    * ≤ τ on band cohabitants. The multimodal member of the dedup
+    * family: candidates via the banded self-join (never O(n²)), the
+    * hash kernel per-partition over the real codec path.
+    */
+  def imageDedup(spark: SparkSession, dir: String, tau: Int = 6): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          if (img == null) throw new IllegalStateException(
+            s"JDK PNG reader missing for media $id")
+          (id, dHash56(img))
+        }
+      }.toDF("media_id", "dhash")
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L))): _*))
+        .as(Seq("band_id", "band_val")))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("media_id").as("a_id"), col("dhash").as("dh_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("media_id").as("b_id"), col("dhash").as("dh_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "dh_a", "dh_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long"))
+      .filter(col("hamming") <= tau)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
   def imagePixelStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stats = Tables.documents(spark, dir)

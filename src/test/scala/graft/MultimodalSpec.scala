@@ -147,4 +147,34 @@ class MultimodalSpec extends GraftSpec {
       }
     }
   }
+
+  test("media_image_dedup: pigeonhole recall at <=3, no pair above tau") {
+    // ground truth from the pure kernel over the synthesized codecs
+    val ids = Tables.documents(spark, Sf)
+      .select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .collect().map(_.getLong(0)).sorted
+    val hs = ids.map { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.synthPng(id)))
+      id -> MultimodalOps.dHash56(img)
+    }.toMap
+    val all = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      h = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    } yield ((a, b), h)
+    val got = MultimodalOps.imageDedup(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Long]("hamming")).toMap
+    // soundness: every emitted pair has the true hamming, <= tau
+    got.foreach { case (p, h) =>
+      assert(h <= 6L)
+      assert(all.toMap.apply(p).toLong == h, s"hamming mismatch $p")
+    }
+    // guaranteed recall: hamming <= 3 pairs MUST share one of the 4
+    // 14-bit bands (pigeonhole) and so must all be emitted
+    val close = all.filter(_._2 <= 3).map(_._1)
+    close.foreach(p => assert(got.contains(p), s"missed close pair $p"))
+    assert(close.nonEmpty, "fixture has no close pairs to prove recall on")
+  }
 }
