@@ -155,6 +155,7 @@ object SparkEntry {
     "doc_gopher_rules"     -> (TextOps.gopherRules _),
     "doc_similar"          -> ((s: SparkSession, d: String) =>
       TextOps.docSimilar(s, d)),
+    "doc_quality_report"   -> (CurationOps.qualityReport _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -710,6 +711,31 @@ object SparkEntry {
       "layout_graph_rank"        -> base("graph_pagerank"),
       // D36i: served phrase search ≡ the session explode
       "layout_phrase_search"     -> base("text_phrase_search"),
+      // D52: the report's oracle COMPOSES the gate oracles verbatim —
+      // the dashboard can never disagree with the gates it summarizes
+      "doc_quality_report" ->
+        s"""WITH gr AS (${base("doc_gopher_rules")}),
+          |dl AS (${base("dedup_lines")}),
+          |j AS (SELECT d.source, gr.n_tok, gr.keep, dl.n_lines, dl.n_dropped
+          |  FROM documents d
+          |  JOIN gr ON d.doc_id = gr.doc_id
+          |  JOIN dl ON d.doc_id = dl.doc_id),
+          |s AS (SELECT source,
+          |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          |    CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+          |    CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+          |    CAST(SUM(n_dropped) AS BIGINT) AS dup_lines
+          |  FROM j GROUP BY source)
+          |SELECT source, n_docs, n_keep,
+          |  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+          |  total_tok,
+          |  CAST(total_tok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tok,
+          |  total_lines, dup_lines,
+          |  CAST(dup_lines AS DOUBLE) / CAST(total_lines AS DOUBLE)
+          |    AS dup_line_rate
+          |FROM s ORDER BY source""".stripMargin,
+
       // D36j: more-like-this served from the persisted shingle
       // postings ≡ the session query restricted to the anchor set
       "layout_doc_similar"       -> base("doc_similar")

@@ -852,4 +852,37 @@ object CurationOps {
             col("doc_id") + lit(HoldoutSalt)), lit(100L)) < valPct, "val")
           .otherwise("train").as("split"))
       .orderBy("doc_id")
+
+  /** D52: the per-source curation dashboard — the daily report a
+    * 100 TB pipeline actually reviews: per source, document volume,
+    * the D49 Gopher keep rate, the D48 duplicate-line rate, and mean
+    * tokens. Composes the shared On-frames (one definition each — the
+    * report can never disagree with the gates it summarizes); all
+    * aggregates are exact integer sums with one final double division
+    * per rate, |sources| groups after a partial agg.
+    */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val gopher = TextOps.gopherRulesOn(Tables.documents(spark, dir))
+      .select("doc_id", "n_tok", "keep")
+    val lines = DedupOps.dedupLines(spark, dir)
+      .select("doc_id", "n_lines", "n_dropped")
+    docs.join(gopher, "doc_id").join(lines, "doc_id")
+      .groupBy("source")
+      .agg(
+        lcount.as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast(LongType).as("n_keep"),
+        sum(col("n_tok")).cast(LongType).as("total_tok"),
+        sum(col("n_lines")).cast(LongType).as("total_lines"),
+        sum(col("n_dropped")).cast(LongType).as("dup_lines"))
+      .withColumn("keep_rate",
+        col("n_keep").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("dup_line_rate",
+        col("dup_lines").cast(DoubleType) / col("total_lines").cast(DoubleType))
+      .withColumn("mean_tok",
+        col("total_tok").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .select("source", "n_docs", "n_keep", "keep_rate", "total_tok",
+        "mean_tok", "total_lines", "dup_lines", "dup_line_rate")
+      .orderBy("source")
+  }
 }
