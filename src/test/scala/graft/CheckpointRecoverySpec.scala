@@ -430,4 +430,46 @@ class CheckpointRecoverySpec extends GraftSpec {
     assert(run2.sorted.toSeq == run1.sorted.toSeq,
       s"re-arrival emitted duplicates: ${run2.length} vs ${run1.length}")
   }
+
+  test("E33 line-dedup digest state survives a checkpoint restart") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val in = tmp("ckpt_lines_in")
+    val out = tmp("ckpt_lines_out")
+    val ckpt = tmp("ckpt_lines_state")
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    def mkLine(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val (lineX, lineY, lineZ, lineC) =
+      (mkLine("x"), mkLine("y"), mkLine("z"), mkLine("c"))
+    // the standing corpus already holds lineC
+    val corpus = Seq(lineC).toDF("line").select(md5(col("line")).as("h"))
+    def addDoc(id: Long, text: String, t: Timestamp): Unit =
+      Seq((id, text, t)).toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(): StreamingQuery =
+      StreamOps.dedupLinesStream(
+        spark.readStream.schema(docSchema).parquet(in), corpus,
+        watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    addDoc(1, s"$lineX $lineY", ts(0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = spark.read.parquet(out).select("line").collect()
+      .map(_.getString(0)).toSet
+    assert(run1 == Set(lineX, lineY))
+
+    // restart: lineX must be suppressed by RECOVERED digest state (its
+    // source offset is committed — only the checkpoint knows it),
+    // lineC by the standing-corpus anti-join, lineZ is new
+    addDoc(2, s"$lineX $lineZ $lineC", ts(5))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val run2 = spark.read.parquet(out).select("doc_id", "line").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(run2 == Set((1L, lineX), (1L, lineY), (2L, lineZ)),
+      s"restart state wrong: $run2")
+  }
 }
