@@ -605,6 +605,39 @@ object SparkEntry {
     s"i -> CAST(ord(substr($c, i, 1)) AS HUGEINT))), " +
     s"(acc, b) -> (${mulmod("acc", "1000003")} + b) % $M64)"
 
+  /** D50's oracle, parameterized by an optional anchor predicate so
+    * the session query ("") and the D36j served face (the anchor
+    * restriction) share one STRUCTURAL definition — no string surgery
+    * that could silently no-op if the SQL is reformatted.
+    */
+  private def docSimilarSql(anchorPred: String): String =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM d),
+      |e AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (SELECT lang, shingle,
+      |    (${operators.TextOps.SimilarW} * n_docs) // COUNT(*) AS w
+      |  FROM e, n GROUP BY lang, shingle, n_docs
+      |  HAVING COUNT(*) BETWEEN 2 AND ${operators.TextOps.SimilarDfCap}),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |    CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS score
+      |  FROM e a
+      |  JOIN w ON a.lang = w.lang AND a.shingle = w.shingle
+      |  JOIN e b ON b.lang = w.lang AND b.shingle = w.shingle
+      |    AND a.doc_id <> b.doc_id $anchorPred
+      |  GROUP BY 1, 2),
+      |r AS (SELECT a_id, b_id, n_shared, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+      |      ORDER BY score DESC, b_id) AS BIGINT) AS rnk
+      |  FROM p)
+      |SELECT a_id, b_id, n_shared, score, rnk FROM r
+      |WHERE rnk <= ${operators.TextOps.SimilarK} ORDER BY a_id, rnk""".stripMargin
+
   private def TokFoldSql: String = strFold("tok")
 
   private def u64(x: Long): String =
@@ -738,9 +771,8 @@ object SparkEntry {
 
       // D36j: more-like-this served from the persisted shingle
       // postings ≡ the session query restricted to the anchor set
-      "layout_doc_similar"       -> base("doc_similar")
-        .replace("AND a.doc_id <> b.doc_id",
-          "AND a.doc_id <> b.doc_id AND a.doc_id % 20 = 3"),
+      "layout_doc_similar"       ->
+        docSimilarSql(anchorPred = "AND a.doc_id % 20 = 3"),
 
       // D36c: term probe against the persisted postings (bucket-pruned
       // scan on the Spark side; the oracle just filters the postings
@@ -2220,33 +2252,7 @@ object SparkEntry {
         |    ORDER BY line_no), '')) AS clean_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "doc_similar" ->
-      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM d),
-        |e AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
-        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        |w AS (SELECT lang, shingle,
-        |    (${TextOps.SimilarW} * n_docs) // COUNT(*) AS w
-        |  FROM e, n GROUP BY lang, shingle, n_docs
-        |  HAVING COUNT(*) BETWEEN 2 AND ${TextOps.SimilarDfCap}),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    CAST(COUNT(*) AS BIGINT) AS n_shared,
-        |    CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS score
-        |  FROM e a
-        |  JOIN w ON a.lang = w.lang AND a.shingle = w.shingle
-        |  JOIN e b ON b.lang = w.lang AND b.shingle = w.shingle
-        |    AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2),
-        |r AS (SELECT a_id, b_id, n_shared, score,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
-        |      ORDER BY score DESC, b_id) AS BIGINT) AS rnk
-        |  FROM p)
-        |SELECT a_id, b_id, n_shared, score, rnk FROM r
-        |WHERE rnk <= ${TextOps.SimilarK} ORDER BY a_id, rnk""".stripMargin,
+    "doc_similar" -> docSimilarSql(anchorPred = ""),
 
     "doc_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks

@@ -302,19 +302,23 @@ object AnnOps {
     */
   private def searchIvf(spark: SparkSession, dir: String, m: Int,
       lists: DataFrame, qVecs: DataFrame, nprobe: Int, k: Int,
-      excludeSelf: Boolean, rounds: Int = LloydRounds): DataFrame = {
-    val probes = assignFor(spark, dir, m, qVecs, nprobe, rounds)
-      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
+      excludeSelf: Boolean, rounds: Int = LloydRounds,
+      decorateProbes: DataFrame => DataFrame = identity,
+      extraCond: Column = lit(true),
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val probes = decorateProbes(
+      assignFor(spark, dir, m, qVecs, nprobe, rounds)
+        .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn")))
     val joinCond =
       if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
       else col("q_cid") === col("c_cid")
-    val sims = lists.join(broadcast(probes), joinCond)
+    val sims = lists.join(broadcast(probes), joinCond && extraCond)
       .withColumn("sim",
         VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
     TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), k)
-      .select("q_id", "c_id", "sim", "rnk")
+      .select("q_id", (Seq("c_id", "sim", "rnk") ++ extraCols): _*)
   }
 
   /** D51: hard-negative mining for embedding-model training — per
@@ -336,19 +340,15 @@ object AnnOps {
           col("label").as("c_label")), "c_id")
         .repartition(col("c_cid"))
     }
-    val probes = assignFor(spark, dir, DefaultM,
-        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe)
-      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
-      .join(labels.select(col("vec_id").as("q_id"),
-        col("label").as("q_label")), "q_id")
-    val sims = lists.join(broadcast(probes),
-        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id") &&
-          col("q_label") =!= col("c_label"))
-      .withColumn("sim",
-        VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
-    TopK.perKey(sims, Seq(col("q_id")),
-        Seq(col("sim").desc, col("c_id").asc), k)
+    // the ONE searchIvf chain, decorated: probes carry the anchor's
+    // label, the list join adds the label-mismatch predicate
+    searchIvf(spark, dir, DefaultM, lists,
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k,
+        excludeSelf = true,
+        decorateProbes = p => p.join(labels.select(
+          col("vec_id").as("q_id"), col("label").as("q_label")), "q_id"),
+        extraCond = col("q_label") =!= col("c_label"),
+        extraCols = Seq("q_label", "c_label"))
       .select("q_id", "q_label", "c_id", "c_label", "sim", "rnk")
       .orderBy("q_id", "rnk")
   }

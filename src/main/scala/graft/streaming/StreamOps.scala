@@ -52,6 +52,8 @@ case class TransitionOut(user_id: Long, event_id: Long, ts: Timestamp,
 private case class LastTypeState(hasPrev: Boolean, t: String)
 
 /** Flagged day (streaming analog of B22's evt_daily_anomaly). */
+case class LineOcc(doc_id: Long, ts: Timestamp, line_no: Int,
+  line: String, h: String)
 case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
     mean: Double, variance: Double)
 
@@ -490,18 +492,47 @@ object StreamOps {
     * admitted earlier in the stream via
     * `dropDuplicatesWithinWatermark` on the digest — so a boilerplate
     * line entering through one crawl shard is dropped from every
-    * later shard inside the watermark horizon. Emits the SURVIVING
-    * line occurrences (doc_id, ts, line_no, line); a sink reassembles
-    * per doc. State is bounded by distinct new digests × watermark.
+    * later shard inside the TTL horizon (explicit per-digest state
+    * with an event-time timeout — the same bound
+    * dropDuplicatesWithinWatermark gives, but with a DETERMINISTIC
+    * within-batch survivor: arrivals sharing a digest in one
+    * micro-batch reduce to min(doc_id, line_no), the batch
+    * operator's pinned choice, so attribution is identical across
+    * re-runs and partitionings). Emits the SURVIVING line
+    * occurrences (doc_id, ts, line_no, line); a sink reassembles per
+    * doc. State is bounded by distinct new digests × TTL.
     */
   def dedupLinesStream(incoming: DataFrame, corpusDigests: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000): DataFrame = {
+    import incoming.sparkSession.implicits._
     graft.operators.DedupOps.lineFrame(
         incoming.select(col("doc_id"), col("ts"), col("text")))
       .withWatermark("ts", watermark)
       .join(corpusDigests, Seq("h"), "left_anti")
-      .dropDuplicatesWithinWatermark("h")
       .select("doc_id", "ts", "line_no", "line", "h")
+      .as[LineOcc]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[LineOcc], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // DETERMINISTIC within-batch survivor: the batch operator
+            // pins min(doc_id, line_no); reduce the batch's arrivals
+            // the same way before consulting state, so attribution is
+            // identical across re-runs and partitionings
+            val occs = it.toSeq
+            val first = occs.minBy(o => (o.doc_id, o.line_no))
+            val fresh = !state.exists
+            state.update(true)
+            state.setTimeoutTimestamp(math.max(
+              occs.map(_.ts.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            if (fresh) Iterator.single(first) else Iterator.empty
+          }
+        })
+      .toDF()
+  }
 
   /** [[dedupLinesStream]] against the standing corpus of `dir` (docs
     * outside the incoming doc_id % 10 = 7 partition — the E15 split).

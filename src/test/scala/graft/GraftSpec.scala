@@ -36,4 +36,13 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (sessionStarted) Memo.clear(spark)
     super.afterAll()
   }
+
+  /** Hex MD5 over UTF-8 bytes — the same bytes Spark's `md5(col)`
+    * hashes (UTF8String), pinned explicitly so platform default
+    * charsets can't skew a test expectation.
+    */
+  protected def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 }

@@ -52,9 +52,6 @@ class LineGopherSpec extends GraftSpec {
     ).toDF("doc_id", "text")
     val out = DedupOps.dedupLinesOn(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
-        .map("%02x".format(_)).mkString
     assert(out(1L).getAs[Long]("n_kept") == 2L)
     assert(out(1L).getAs[String]("clean_md5") == md5hex(s"$lineA $lineB"))
     assert(out(2L).getAs[Long]("n_kept") == 0L)

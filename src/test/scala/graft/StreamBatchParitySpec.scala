@@ -71,9 +71,6 @@ class StreamBatchParitySpec extends GraftSpec {
     import graft.operators.DedupOps
     // plain-Scala expectation: corpus digest set from the standing
     // partition, then incoming lines keep one occurrence per digest
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
-        .map("%02x".format(_)).mkString
     def linesOf(text: String): Seq[String] =
       text.split(" ", -1).grouped(DedupOps.LineTok).map(_.mkString(" ")).toSeq
     val docs = Tables.documents(spark, Sf)
@@ -108,6 +105,33 @@ class StreamBatchParitySpec extends GraftSpec {
       q.processAllAvailable()
       val got2 = spark.table("lines_par").count()
       assert(got2 == got1.length.toLong, "re-arrival was not suppressed")
+    } finally q.stop()
+  }
+
+  test("dedupLinesStream: within-batch survivor is the batch-pinned min(doc_id, line_no)") {
+    val lineL = (1 to 10).map(i => s"l$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val d = Files.createTempDirectory("lines_det").toFile.getAbsolutePath
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // ONE micro-batch: doc 17 carries L at line_no 1, doc 27 at
+    // line_no 0 — the survivor must be (17, 1), the batch operator's
+    // min(doc_id, line_no), never the partition-order pick
+    Seq((27L, lineL, t0), (17L, s"$filler $lineL", t0))
+      .toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(d)
+    val emptyCorpus = Seq.empty[String].toDF("h")
+    val q = StreamOps.dedupLinesStream(
+        spark.readStream.schema(
+          spark.read.parquet(d).schema).parquet(d), emptyCorpus,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("lines_det")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lines_det")
+        .filter(col("line") === lineL)
+        .select("doc_id", "line_no").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(got.toSeq == Seq((17L, 1)), s"survivor wrong: ${got.toSeq}")
     } finally q.stop()
   }
 
