@@ -156,6 +156,7 @@ object SparkEntry {
     "doc_similar"          -> ((s: SparkSession, d: String) =>
       TextOps.docSimilar(s, d)),
     "doc_quality_report"   -> (CurationOps.qualityReport _),
+    "doc_lm_tiers"         -> (TextOps.lmTiers _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -744,6 +745,25 @@ object SparkEntry {
       "layout_graph_rank"        -> base("graph_pagerank"),
       // D36i: served phrase search ≡ the session explode
       "layout_phrase_search"     -> base("text_phrase_search"),
+      // D38c: the tier oracle composes the D38 LM-score SQL + the
+      // quantile_cont ≡ percentile device; fraction literals come
+      // from the SAME Scala constants as the operator
+      "doc_lm_tiers" ->
+        s"""WITH ls AS (${lmScoreSql(deltaOnly = false)}),
+          |j AS (SELECT ls.*, d.lang FROM ls
+          |  JOIN documents d ON ls.doc_id = d.doc_id),
+          |c AS (SELECT lang,
+          |    quantile_cont(bits_per_trans, ${operators.TextOps.TierLo})
+          |      AS c_head,
+          |    quantile_cont(bits_per_trans, ${operators.TextOps.TierHi})
+          |      AS c_mid
+          |  FROM j GROUP BY lang)
+          |SELECT j.doc_id, j.lang, n_trans, bits_per_trans, c_head, c_mid,
+          |  CASE WHEN bits_per_trans <= c_head THEN 'head'
+          |    WHEN bits_per_trans <= c_mid THEN 'middle'
+          |    ELSE 'tail' END AS tier
+          |FROM j JOIN c ON j.lang = c.lang ORDER BY j.doc_id""".stripMargin,
+
       // D52: the report's oracle COMPOSES the gate oracles verbatim —
       // the dashboard can never disagree with the gates it summarizes
       "doc_quality_report" ->

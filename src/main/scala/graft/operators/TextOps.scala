@@ -246,6 +246,37 @@ object TextOps {
     lmScoreAgainst(spark, dir, lmUnigramFrame(spark, dir),
       lmBigramFrame(spark, dir), deltaOnly = false)
 
+  /** D38c's tier cutpoints (shared with the oracle builder so the
+    * fraction literals are bit-identical on both engines).
+    */
+  val TierLo: Double = 1.0 / 3
+  val TierHi: Double = 2.0 / 3
+
+  /** D38c: CCNet-style perplexity tiers — per language, documents
+    * split into head/middle/tail thirds by bigram-LM bits-per-
+    * transition (D38's score), the classic quality bucketing a
+    * pretraining mixture samples from. Cutoffs are the exact
+    * interpolated per-lang percentiles (the evt_percentiles device,
+    * DuckDB quantile_cont ≡ Spark percentile) — |langs| rows
+    * broadcast back for an IN-ROW tier assign: no corpus sort
+    * anywhere, unlike a window NTILE.
+    */
+  def lmTiers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    val cuts = scored.groupBy("lang").agg(
+      expr(s"percentile(bits_per_trans, $TierLo)").as("c_head"),
+      expr(s"percentile(bits_per_trans, $TierHi)").as("c_mid"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("tier",
+        when(col("bits_per_trans") <= col("c_head"), "head")
+          .when(col("bits_per_trans") <= col("c_mid"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "n_trans", "bits_per_trans",
+        "c_head", "c_mid", "tier")
+      .orderBy("doc_id")
+  }
+
   /** Adjacent-pair explode of a (doc_id, toks) frame. */
   private def lmBigrams(df: DataFrame): DataFrame = df
     .select(col("doc_id"), explode(transform(

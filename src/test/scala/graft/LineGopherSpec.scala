@@ -137,6 +137,26 @@ class LineGopherSpec extends GraftSpec {
     }
   }
 
+  test("doc_lm_tiers: assignment consistent with cutoffs, thirds roughly balanced") {
+    val rows = TextOps.lmTiers(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("bits_per_trans")
+      val (h, m) = (r.getAs[Double]("c_head"), r.getAs[Double]("c_mid"))
+      assert(h <= m)
+      val exp = if (b <= h) "head" else if (b <= m) "middle" else "tail"
+      assert(r.getAs[String]("tier") == exp, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val n = rs.length
+      if (n >= 9) {
+        val heads = rs.count(_.getAs[String]("tier") == "head")
+        assert(heads >= n / 5 && heads <= n / 2,
+          s"$lang head share off: $heads/$n")
+      }
+    }
+  }
+
   test("doc_gopher_rules: verdicts match a plain-Scala re-derivation") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is")
     val docs = Tables.documents(spark, Sf)
