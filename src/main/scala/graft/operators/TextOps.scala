@@ -269,13 +269,30 @@ object TextOps {
       expr(s"percentile(bits_per_trans, $TierHi)").as("c_mid"))
     scored.join(broadcast(cuts), "lang")
       .withColumn("tier",
-        when(col("bits_per_trans") <= col("c_head"), "head")
-          .when(col("bits_per_trans") <= col("c_mid"), "middle")
-          .otherwise("tail"))
+        tierCol(col("bits_per_trans"), col("c_head"), col("c_mid")))
       .select("doc_id", "lang", "n_trans", "bits_per_trans",
         "c_head", "c_mid", "tier")
       .orderBy("doc_id")
   }
+
+  /** The tier CASE shared by D38c and the E35 stream face. */
+  private[graft] def tierCol(bits: Column, cHead: Column, cMid: Column): Column =
+    when(bits <= cHead, "head").when(bits <= cMid, "middle").otherwise("tail")
+
+  /** Frozen per-lang tier cutoffs from the STANDING corpus's own
+    * scores (docs outside the % 10 = 7 delta split) — the serving
+    * artifact E35 tiers arrivals against; memoized like the LM count
+    * tables it derives from.
+    */
+  private[graft] def lmStandingCuts(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"lmStandingCuts:$dir") {
+      lmScore(spark, dir)
+        .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+        .filter(col("doc_id") % 10 =!= 7)
+        .groupBy("lang").agg(
+          expr(s"percentile(bits_per_trans, $TierLo)").as("c_head"),
+          expr(s"percentile(bits_per_trans, $TierHi)").as("c_mid"))
+    }
 
   /** Adjacent-pair explode of a (doc_id, toks) frame. */
   private def lmBigrams(df: DataFrame): DataFrame = df

@@ -854,7 +854,8 @@ object StreamOps {
     * scores bit-for-bit (StreamBatchParitySpec).
     */
   def lmScoreStream(spark: org.apache.spark.sql.SparkSession,
-      cu: DataFrame, cb: DataFrame, incoming: DataFrame): DataFrame = {
+      cu: DataFrame, cb: DataFrame, incoming: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.IntMath
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val uni: Map[String, Long] = cu.collect()
@@ -886,11 +887,30 @@ object StreamOps {
     incoming
       .filter(size(split(col("text"), " ")) >= 2)
       .withColumn("s", score(col("text")))
-      .select(col("doc_id"), col("ts"),
-        col("s._1").cast(LongType).as("n_trans"),
-        col("s._2").cast(LongType).as("xent_q10"))
+      .select(col("doc_id") +: col("ts") +: carryCols.map(col) :+
+        col("s._1").cast(LongType).as("n_trans") :+
+        col("s._2").cast(LongType).as("xent_q10"): _*)
       .withColumn("bits_per_trans", col("xent_q10").cast(DoubleType)
         / (lit(1024.0) * col("n_trans").cast(DoubleType)))
+  }
+
+  /** E35: streaming perplexity tiering — arriving documents scored
+    * in-row against the standing bigram LM (the E22 plan, still
+    * stateless map-only) and assigned a CCNet tier against FROZEN
+    * per-lang cutoffs derived from the standing corpus's own score
+    * distribution (a |langs|-row broadcast). The serving shape of
+    * D38c: the crawl is bucketed on arrival without re-ranking the
+    * corpus; cutoffs refresh when the standing LM layout does.
+    */
+  def lmTierStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      incoming: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    lmScoreStream(spark, TextOps.lmUnigramFrame(spark, dir),
+        TextOps.lmBigramFrame(spark, dir), incoming, carryCols = Seq("lang"))
+      .join(broadcast(TextOps.lmStandingCuts(spark, dir)), "lang")
+      .withColumn("tier", TextOps.tierCol(col("bits_per_trans"),
+        col("c_head"), col("c_mid")))
+      .select("doc_id", "ts", "lang", "n_trans", "bits_per_trans", "tier")
   }
 
   /** E22 from the PERSISTED layout: a restarted scoring tier makes the

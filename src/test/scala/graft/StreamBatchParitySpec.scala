@@ -159,6 +159,36 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("lmTierStream == batch scores + frozen standing cutoffs") {
+    import graft.operators.TextOps
+    // batch composition of published faces: D38 scores joined to the
+    // standing cutoffs with the shared tier expression
+    val expected = TextOps.lmScore(spark, Sf)
+      .join(Tables.documents(spark, Sf).select("doc_id", "lang"), "doc_id")
+      .join(TextOps.lmStandingCuts(spark, Sf), "lang")
+      .withColumn("tier", TextOps.tierCol(col("bits_per_trans"),
+        col("c_head"), col("c_mid")))
+      .select("doc_id", "lang", "n_trans", "bits_per_trans", "tier")
+      .collect().map(_.toString).toSeq.sorted
+    val d = Files.createTempDirectory("tier_par").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.lmTierStream(spark, Sf,
+        spark.readStream.schema(incoming.schema).parquet(d))
+      .writeStream.format("memory").queryName("tier_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tier_par")
+        .select("doc_id", "lang", "n_trans", "bits_per_trans", "tier")
+        .collect().map(_.toString).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("gopherRulesStream == batch doc_gopher_rules on the real corpus") {
     val expected = operators.TextOps.gopherRules(spark, Sf).collect()
       .map(_.toString).toSeq.sorted
