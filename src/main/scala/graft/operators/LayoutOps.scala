@@ -131,7 +131,13 @@ object LayoutOps {
     // small side)
     Family("shingle_postings",
       s"df${TextOps.SimilarDfCap}w${TextOps.SimilarW}", "shingle", 16,
-      (s, d) => TextOps.similarPostingsFrame(s, d)))
+      (s, d) => TextOps.similarPostingsFrame(s, d)),
+    // D36k: the standing corpus's line-digest set (D48/E33) — a
+    // restarted ingest pipeline anti-joins arrivals against the
+    // table instead of re-lining the corpus; bucketed on the digest
+    // so the stream-static anti-join reuses the persisted clustering
+    Family("line_digests", s"lt${DedupOps.LineTok}", "h", 16,
+      (s, d) => DedupOps.corpusLineDigests(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(

@@ -542,6 +542,17 @@ object StreamOps {
     dedupLinesStream(incoming,
       graft.operators.DedupOps.corpusLineDigests(spark, dir), watermark)
 
+  /** E33 from the PERSISTED digest layout (D36k): a restarted ingest
+    * pipeline makes the `line_digests` table servable (catalog /
+    * re-register — the corpus is never re-lined) and anti-joins
+    * arrivals against it.
+    */
+  def dedupLinesStreamFromLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupLinesStream(incoming,
+      graft.operators.LayoutOps.table(spark, dir, "line_digests"), watermark)
+
   /** E34: the D49 Gopher battery at ingest time — a stateless
     * map-only plan (the E16 shape): per-document rule verdicts emit
     * with the arriving micro-batch, no stream state beyond source

@@ -122,6 +122,54 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("streaming line dedup from the persisted digest layout == direct path, across a restart") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.{col, lit}
+      val incoming = Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+      // expected digest set via the session (memoized-corpus) path
+      val d0 = java.nio.file.Files.createTempDirectory("lines_lay0")
+        .toFile.getAbsolutePath
+      incoming.write.mode("overwrite").parquet(d0)
+      val q0 = graft.streaming.StreamOps.dedupLinesStreamFor(spark, Sf,
+          spark.readStream.schema(incoming.schema).parquet(d0),
+          watermark = "1 hour")
+        .writeStream.format("memory").queryName("lines_lay0")
+        .outputMode("append").start()
+      val expected = try {
+        q0.processAllAvailable()
+        spark.table("lines_lay0").select("h").collect()
+          .map(_.getString(0)).toSet
+      } finally q0.stop()
+
+      LayoutOps.ensure(spark, Sf, "line_digests")
+      // restart: catalog death + memo wipe — the stream must serve
+      // from the re-registered table, never re-lining the corpus
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "line_digests") == "reregistered")
+
+      val d = java.nio.file.Files.createTempDirectory("lines_lay")
+        .toFile.getAbsolutePath
+      incoming.write.mode("overwrite").parquet(d)
+      val q = graft.streaming.StreamOps.dedupLinesStreamFromLayout(spark, Sf,
+          spark.readStream.schema(incoming.schema).parquet(d),
+          watermark = "1 hour")
+        .writeStream.format("memory").queryName("lines_lay")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("lines_lay").select("h").collect()
+          .map(_.getString(0)).toSet
+        assert(got == expected,
+          s"layout-served ${got.size} digests vs direct ${expected.size}")
+        assert(expected.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("served phrase search prunes each term's scan to its bucket") {
     withCleanLayouts {
       LayoutOps.ensure(spark, Sf, "postings_pos")
