@@ -184,4 +184,33 @@ class KernelPropertySpec extends AnyFunSuite {
         s"diverged on $sy + ($l,$r): replace=$viaReplace scan=${out.toList}")
     }
   }
+
+  test("dHash56: 56-bit range, brute-force parity, one-pixel locality <= 2 bits") {
+    import graft.multimodal.MultimodalOps
+    def img(px: Array[Array[Int]]): java.awt.image.BufferedImage = {
+      val b = new java.awt.image.BufferedImage(
+        px(0).length, px.length, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- px.indices; x <- px(0).indices) b.setRGB(x, y, px(y)(x))
+      b
+    }
+    def gray(p: Int): Int = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+    for (_ <- 1 to 50) {
+      val px = Array.fill(8, 8)(rnd.nextInt(1 << 24))
+      val h = MultimodalOps.dHash56(img(px))
+      assert(h >= 0L && h < (1L << 56))
+      // brute-force bit layout reference
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (gray(px(y)(x + 1)) > gray(px(y)(x))) want |= 1L << (y * 7 + x)
+      assert(h == want)
+      // locality: changing ONE pixel flips at most its two adjacent
+      // comparisons — the property that makes dHash a near-dup hash
+      val (py, pxx) = (rnd.nextInt(8), rnd.nextInt(8))
+      val px2 = px.map(_.clone())
+      px2(py)(pxx) = rnd.nextInt(1 << 24)
+      val h2 = MultimodalOps.dHash56(img(px2))
+      assert(java.lang.Long.bitCount(h ^ h2) <= 2,
+        s"one-pixel edit flipped >2 bits at ($pxx,$py)")
+    }
+  }
 }
