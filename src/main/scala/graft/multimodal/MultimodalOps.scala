@@ -514,6 +514,49 @@ object MultimodalOps {
     v
   }
 
+  /** dHash the payload bytes through the real codec — None when no
+    * installed reader recognises them or the payload is corrupt (the
+    * decodeImage fallback contract).
+    */
+  def dHashBytes(bytes: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map(dHash56)
+    } catch { case _: java.io.IOException => None }
+
+  /** The 4 × 14-bit band explode shared by F9 and the E36 stream face
+    * (one banding definition, no drift): appends (band_id, band_val)
+    * rows to any frame carrying a `dhash` column.
+    */
+  private[graft] def withDHashBands(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) :+
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L))): _*))
+        .as(Seq("band_id", "band_val")): _*)
+
+  /** Standing-corpus dHash band index (images OUTSIDE the doc_id % 10
+    * = 7 incoming split — the E15 convention): the static side of the
+    * E36 stream-static join, memoized per session.
+    */
+  private[graft] def standingImageBands(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"imageBands:$dir") {
+      import spark.implicits._
+      val hashes = Tables.documents(spark, dir)
+        .select(col("doc_id"))
+        .where(col("doc_id") % 3 === 0 && col("doc_id") % 10 =!= 7)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          if (img == null) throw new IllegalStateException(
+            s"JDK PNG reader missing for media $id")
+          (id, dHash56(img))
+        }).toDF("media_id", "dhash")
+      withDHashBands(hashes)
+        .select(col("band_id"), col("band_val"),
+          col("media_id").as("b_id"), col("dhash").as("dh_b"))
+    }
+
   /** F9: perceptual image near-dup — dHash56 per decoded image, LSH
     * banding (4 × 14-bit bands: hamming ≤ 3 pairs ALWAYS share a
     * band — pigeonhole, the D4 SimHash design), exact Hamming verify
@@ -535,10 +578,7 @@ object MultimodalOps {
           (id, dHash56(img))
         }
       }.toDF("media_id", "dhash")
-    val banded = hashes.select(col("media_id"), col("dhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L))): _*))
-        .as(Seq("band_id", "band_val")))
+    val banded = withDHashBands(hashes)
     val a = banded.select(col("band_id"), col("band_val"),
       col("media_id").as("a_id"), col("dhash").as("dh_a"))
     val b = banded.select(col("band_id"), col("band_val"),

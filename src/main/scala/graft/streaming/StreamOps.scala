@@ -563,6 +563,50 @@ object StreamOps {
   def gopherRulesStream(incoming: DataFrame): DataFrame =
     graft.operators.TextOps.gopherRulesOn(incoming)
 
+  /** E36: streaming perceptual image dedup — the multimodal member of
+    * the ingest-gate family: each arriving image payload is decoded
+    * and dHash56-hashed IN-ROW through the real codec (unparseable
+    * bytes drop out, the F-family fallback contract), banded by the
+    * SHARED 4 × 14-bit definition, and probed against the STANDING
+    * corpus band index via a stream-static equi-join (the corpus is a
+    * memoized/persistable artifact, never reshuffled per batch);
+    * band cohabitants verify by exact Hamming ≤ τ.
+    * `dropDuplicatesWithinWatermark` collapses multi-band candidate
+    * copies and suppresses re-arrivals, so state is bounded by
+    * emitted pairs × watermark. Incoming: (doc_id, ts, bytes).
+    */
+  def imageDedupStream(incoming: DataFrame, corpusBands: DataFrame,
+      watermark: String = "10 minutes", tau: Int = 6): DataFrame = {
+    import incoming.sparkSession.implicits._
+    import graft.multimodal.MultimodalOps
+    val hashed = incoming
+      .select(col("doc_id"), col("ts"), col("bytes"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (id, ts, bytes) =>
+        MultimodalOps.dHashBytes(bytes).map(h => (id, ts, h))
+      }
+      .toDF("a_id", "ts", "dhash")
+    MultimodalOps.withDHashBands(hashed)
+      .withWatermark("ts", watermark)
+      .join(corpusBands, Seq("band_id", "band_val"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("dh_b"))).cast("long"))
+      .filter(col("hamming") <= tau)
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .select("a_id", "b_id", "ts", "hamming")
+  }
+
+  /** [[imageDedupStream]] against the standing corpus index of `dir`
+    * (images outside the doc_id % 10 = 7 incoming split).
+    */
+  def imageDedupStreamFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame,
+      watermark: String = "10 minutes", tau: Int = 6): DataFrame =
+    imageDedupStream(incoming,
+      graft.multimodal.MultimodalOps.standingImageBands(spark, dir),
+      watermark, tau)
+
   /** E16: streaming decontamination — D22's ingest-time face: the
     * eval-leak gate a crawl pipeline runs BEFORE a document enters the
     * corpus. The eval set is collected once into a literal (benchmark

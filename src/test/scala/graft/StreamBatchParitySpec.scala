@@ -159,6 +159,45 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("imageDedupStream: pairs == plain-Scala bands+hamming vs the standing split") {
+    import graft.multimodal.MultimodalOps
+    def hash(id: Long): Long = MultimodalOps.dHash56(
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.synthPng(id))))
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >> (14 * b)) & 16383L)).toSet
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 0).sorted
+    val standing = ids.filter(_ % 10 != 7).map(i => i -> hash(i))
+    val incomingIds = ids.filter(_ % 10 == 7)
+    val expected = (for {
+      a <- incomingIds; ha = hash(a)
+      (b, hb) <- standing
+      if bands(ha).intersect(bands(hb)).nonEmpty
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(expected.nonEmpty, "fixture yields no cross-split image pairs")
+
+    val d = Files.createTempDirectory("imgdedup_par").toFile.getAbsolutePath
+    incomingIds.map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        MultimodalOps.synthPng(i)))
+      .toSeq.toDF("doc_id", "ts", "bytes")
+      .write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val q = StreamOps.imageDedupStreamFor(spark, Sf,
+        spark.readStream.schema(schema).parquet(d), watermark = "1 hour")
+      .writeStream.format("memory").queryName("imgdedup_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("imgdedup_par")
+        .select("a_id", "b_id", "hamming").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == expected, s"streamed ${got.size} vs expected ${expected.size}")
+    } finally q.stop()
+  }
+
   test("lmTierStream == batch scores + frozen standing cutoffs") {
     import graft.operators.TextOps
     // batch composition of published faces: D38 scores joined to the
