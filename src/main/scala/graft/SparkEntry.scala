@@ -157,6 +157,7 @@ object SparkEntry {
       TextOps.docSimilar(s, d)),
     "doc_quality_report"   -> (CurationOps.qualityReport _),
     "doc_lm_tiers"         -> (TextOps.lmTiers _),
+    "doc_mixture_tiered"   -> (CurationOps.mixtureTiered _),
     "text_normalize"       -> (TextOps.normalize _),
     "text_quality"         -> (TextOps.quality _),
     "text_langid"          -> (TextOps.langid _),
@@ -606,6 +607,23 @@ object SparkEntry {
     s"i -> CAST(ord(substr($c, i, 1)) AS HUGEINT))), " +
     s"(acc, b) -> (${mulmod("acc", "1000003")} + b) % $M64)"
 
+  /** D38c's tier oracle, shared verbatim by the D21c composition. */
+  private def lmTiersSql: String =
+    s"""WITH ls AS (${lmScoreSql(deltaOnly = false)}),
+      |j AS (SELECT ls.*, d.lang FROM ls
+      |  JOIN documents d ON ls.doc_id = d.doc_id),
+      |c AS (SELECT lang,
+      |    quantile_cont(bits_per_trans, ${operators.TextOps.TierLo})
+      |      AS c_head,
+      |    quantile_cont(bits_per_trans, ${operators.TextOps.TierHi})
+      |      AS c_mid
+      |  FROM j GROUP BY lang)
+      |SELECT j.doc_id, j.lang, n_trans, bits_per_trans, c_head, c_mid,
+      |  CASE WHEN bits_per_trans <= c_head THEN 'head'
+      |    WHEN bits_per_trans <= c_mid THEN 'middle'
+      |    ELSE 'tail' END AS tier
+      |FROM j JOIN c ON j.lang = c.lang ORDER BY j.doc_id""".stripMargin
+
   /** D50's oracle, parameterized by an optional anchor predicate so
     * the session query ("") and the D36j served face (the anchor
     * restriction) share one STRUCTURAL definition — no string surgery
@@ -748,21 +766,25 @@ object SparkEntry {
       // D38c: the tier oracle composes the D38 LM-score SQL + the
       // quantile_cont ≡ percentile device; fraction literals come
       // from the SAME Scala constants as the operator
-      "doc_lm_tiers" ->
-        s"""WITH ls AS (${lmScoreSql(deltaOnly = false)}),
-          |j AS (SELECT ls.*, d.lang FROM ls
-          |  JOIN documents d ON ls.doc_id = d.doc_id),
-          |c AS (SELECT lang,
-          |    quantile_cont(bits_per_trans, ${operators.TextOps.TierLo})
-          |      AS c_head,
-          |    quantile_cont(bits_per_trans, ${operators.TextOps.TierHi})
-          |      AS c_mid
-          |  FROM j GROUP BY lang)
-          |SELECT j.doc_id, j.lang, n_trans, bits_per_trans, c_head, c_mid,
-          |  CASE WHEN bits_per_trans <= c_head THEN 'head'
-          |    WHEN bits_per_trans <= c_mid THEN 'middle'
-          |    ELSE 'tail' END AS tier
-          |FROM j JOIN c ON j.lang = c.lang ORDER BY j.doc_id""".stripMargin,
+      "doc_lm_tiers" -> lmTiersSql,
+
+      // D21c: tiered mixture — the tier SQL composed with the D21
+      // salted-hash ROW_NUMBER device; quotas from the SAME constants
+      "doc_mixture_tiered" -> {
+        val quotaCase = operators.CurationOps.TierQuotas
+          .map { case (t, q) => s"WHEN '$t' THEN $q" }.mkString(" ")
+        s"""WITH t AS (${lmTiersSql}),
+          |m AS (SELECT doc_id, lang, tier,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h,
+          |    CAST(CASE tier $quotaCase END AS BIGINT) AS quota
+          |  FROM t),
+          |r AS (SELECT doc_id, lang, tier, h, quota,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, tier
+          |      ORDER BY h, doc_id) AS BIGINT) AS rnk
+          |  FROM m)
+          |SELECT doc_id, lang, tier, h, rnk FROM r
+          |WHERE rnk <= quota ORDER BY lang, tier, rnk""".stripMargin
+      },
 
       // D52: the report's oracle COMPOSES the gate oracles verbatim —
       // the dashboard can never disagree with the gates it summarizes

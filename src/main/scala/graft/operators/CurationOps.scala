@@ -222,6 +222,37 @@ object CurationOps {
       .orderBy("source", "rnk")
   }
 
+  /** D21c's per-tier quotas (shared with the oracle builder): CCNet's
+    * point — over-sample the low-perplexity head, keep a thin tail
+    * slice for diversity.
+    */
+  val TierQuotas: Seq[(String, Long)] =
+    Seq("head" -> 15L, "middle" -> 8L, "tail" -> 3L)
+
+  /** D21c: perplexity-tiered mixture — deterministic per-(lang, tier)
+    * sampling with tier-dependent quotas over D38c's tier assignment,
+    * the CCNet sampling recipe end-to-end. Selection order is the
+    * D21 salted-hash device (pure function of doc_id ⇒ partition-
+    * order-independent); the bounded heap is keyed by (lang, tier)
+    * with k = the largest quota, so shuffle stays O(k·|langs|·3).
+    */
+  def mixtureTiered(spark: SparkSession, dir: String): DataFrame = {
+    val maxQuota = TierQuotas.map(_._2).max.toInt
+    val quotaCol = TierQuotas.init.foldRight(
+        lit(TierQuotas.last._2): Column) { case ((t, q), els) =>
+      when(col("tier") === t, q).otherwise(els)
+    }
+    val docs = TextOps.lmTiers(spark, dir)
+      .select("doc_id", "lang", "tier")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("quota", quotaCol)
+    TopK.perKey(docs, Seq(col("lang"), col("tier")),
+        Seq(col("h").asc, col("doc_id").asc), maxQuota)
+      .filter(col("rnk") <= col("quota"))
+      .select("doc_id", "lang", "tier", "h", "rnk")
+      .orderBy("lang", "tier", "rnk")
+  }
+
   /** D21 with an EXTERNAL weights table — the production shape of
     * [[mixture]]: quotas come from a (source, quota) config DataFrame
     * instead of an id-derived demo scheme. The table is config-sized,
