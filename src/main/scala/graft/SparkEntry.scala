@@ -93,6 +93,7 @@ object SparkEntry {
     "evt_props_json"       -> (EventOps.propsJson _),
     "evt_asof_prior"       -> (EventOps.asofPriorError _),
     "evt_percentiles"      -> (EventOps.valuePercentiles _),
+    "evt_interarrival"     -> (EventOps.interarrival _),
     "evt_salted_stats"     -> (EventOps.saltedUserStats _),
     "evt_change_ledger"    -> (EventOps.changeLedger _),
     "evt_funnel"           -> (EventOps.funnel _),
@@ -1713,6 +1714,25 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |WHERE event_type <> 'error'
         |ORDER BY event_id""".stripMargin,
+
+    // B24: lag window per (user_id, event_type) ordered (ts, event_id),
+    // exact integer milli gaps, interpolated percentiles (the B11
+    // quantile_cont ≡ percentile device)
+    "evt_interarrival" ->
+      """WITH m AS (SELECT user_id, event_type, event_id, ts,
+        |    epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT event_type,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_ms
+        |  FROM m)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+        |  quantile_cont(gap_ms, 0.5) AS p50_gap_ms,
+        |  quantile_cont(gap_ms, 0.9) AS p90_gap_ms,
+        |  CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "evt_percentiles" ->
       """SELECT event_type,

@@ -210,6 +210,32 @@ object EventOps {
   /** B11: exact percentiles of event values per type (sorted-exact
     * with linear interpolation — portable across engines).
     */
+  /** B24: inter-arrival profile — per event type, the distribution of
+    * gaps between a user's consecutive events of that type (the
+    * latency/heartbeat signal a collector alarms on: a p90 gap
+    * stretching means the source went quiet). Window lag per
+    * (user_id, event_type) keyed by a growing-cardinality pair — no
+    * constant-key window — then a |types|-group exact-percentile
+    * aggregate (the B11 device). Gaps are exact integer millis;
+    * percentiles interpolate identically on both engines.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        lcount.as("n_gaps"),
+        min(col("gap_ms")).as("min_gap_ms"),
+        expr("percentile(gap_ms, 0.5)").as("p50_gap_ms"),
+        expr("percentile(gap_ms, 0.9)").as("p90_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+      .orderBy("event_type")
+  }
+
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
