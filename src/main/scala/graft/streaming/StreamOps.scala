@@ -54,6 +54,8 @@ private case class LastTypeState(hasPrev: Boolean, t: String)
 /** Flagged day (streaming analog of B22's evt_daily_anomaly). */
 case class LineOcc(doc_id: Long, ts: Timestamp, line_no: Int,
   line: String, h: String)
+case class GapOut(user_id: Long, event_type: String, event_id: Long,
+  ts: Timestamp, gap_ms: Long)
 case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
     mean: Double, variance: Double)
 
@@ -407,6 +409,33 @@ object StreamOps {
             val changed = t != last
             last = t
             KeyedChange(user, e.event_id, e.ts, changed)
+          }
+          state.update(last)
+          out.iterator
+        })
+  }
+
+  /** E37: streaming inter-arrival gaps — B24's alerting face: each
+    * (user, event_type) timeline emits its gap as the next event
+    * lands (the heartbeat monitor shape — a downstream rule alarms
+    * when gaps stretch). State is O(1) per active key (the last
+    * event-time millis); within a micro-batch events sort by
+    * (ts, event_id) exactly like the batch lag window, so streamed
+    * gaps equal batch gaps independent of batch boundaries.
+    */
+  def interarrivalStream(events: Dataset[Ev]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (Long, String), it: Iterator[Ev], state: GroupState[Long]) => {
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val t = e.ts.getTime
+            val gap = if (last == Long.MinValue) None
+              else Some(GapOut(key._1, key._2, e.event_id, e.ts, t - last))
+            last = t
+            gap
           }
           state.update(last)
           out.iterator

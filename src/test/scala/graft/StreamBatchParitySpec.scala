@@ -159,6 +159,50 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("interarrivalStream gaps == batch lag window, split across micro-batches") {
+    // batch reference: the same lag the B24 aggregate consumes
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val expected = Tables.events(spark, Sf).filter(col("user_id") <= 3)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .select("user_id", "event_type", "event_id", "gap_ms")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    val d = Files.createTempDirectory("gap_par").toFile.getAbsolutePath
+    // split by a GLOBAL time cutoff and append the later half only
+    // after the first is processed: arrival order respects event
+    // order per key, so streamed gaps must equal the lag window
+    // EXACTLY — including the cross-batch gap, which only recovered
+    // per-key state can produce
+    val cutoff = evs.agg(expr("percentile(unix_millis(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    val early = evs.filter(unix_millis(col("ts")) < cutoff)
+    val late = evs.filter(unix_millis(col("ts")) >= cutoff)
+    assert(early.count() > 0 && late.count() > 0)
+    early.write.mode("append").parquet(d)
+    val q = StreamOps.interarrivalStream(
+        spark.readStream.schema(evs.schema).parquet(d).as[Ev])
+      .writeStream.format("memory").queryName("gap_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterEarly = spark.table("gap_par").count()
+      late.write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("gap_par")
+        .select("user_id", "event_type", "event_id", "gap_ms")
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      assert(got == expected,
+        s"streamed ${got.length} gaps vs batch ${expected.length}")
+      // the second batch added gaps that straddle the split — the
+      // cross-batch statefulness this test exists to prove
+      assert(got.length > afterEarly)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("imageDedupStream: pairs == plain-Scala bands+hamming vs the standing split") {
     import graft.multimodal.MultimodalOps
     def hash(id: Long): Long = MultimodalOps.dHash56(
