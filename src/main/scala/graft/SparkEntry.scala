@@ -94,6 +94,7 @@ object SparkEntry {
     "evt_asof_prior"       -> (EventOps.asofPriorError _),
     "evt_percentiles"      -> (EventOps.valuePercentiles _),
     "evt_interarrival"     -> (EventOps.interarrival _),
+    "evt_gap_anomaly"      -> (EventOps.gapAnomaly _),
     "evt_salted_stats"     -> (EventOps.saltedUserStats _),
     "evt_change_ledger"    -> (EventOps.changeLedger _),
     "evt_funnel"           -> (EventOps.funnel _),
@@ -1733,6 +1734,23 @@ object SparkEntry {
         |  CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms
         |FROM g WHERE gap_ms IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // B24b: the alerting rule — gaps joined to their type's p90, the
+    // 3x threshold compared in double exactly like the engine
+    "evt_gap_anomaly" ->
+      """WITH m AS (SELECT user_id, event_type, event_id, ts,
+        |    epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id, event_type, event_id,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_ms
+        |  FROM m),
+        |gg AS (SELECT * FROM g WHERE gap_ms IS NOT NULL),
+        |p AS (SELECT event_type, quantile_cont(gap_ms, 0.9) AS p90_gap_ms
+        |  FROM gg GROUP BY event_type)
+        |SELECT gg.event_type, user_id, event_id, gap_ms, p90_gap_ms
+        |FROM gg JOIN p ON gg.event_type = p.event_type
+        |WHERE CAST(gap_ms AS DOUBLE) > 3.0 * p90_gap_ms
+        |ORDER BY gg.event_type, user_id, event_id""".stripMargin,
 
     "evt_percentiles" ->
       """SELECT event_type,

@@ -210,6 +210,35 @@ object EventOps {
   /** B11: exact percentiles of event values per type (sorted-exact
     * with linear interpolation — portable across engines).
     */
+  /** Per-event gap rows — the shared core of B24 and B24b: lag window
+    * per (user_id, event_type) ordered (ts, event_id), exact integer
+    * milli gaps, first event of each key dropped.
+    */
+  private def gapFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+  }
+
+  /** B24b: gap anomalies — the alerting rule over B24: an event whose
+    * gap exceeds 3× its type's p90 flags a stalled source. The
+    * |types|-row percentile table broadcasts back onto the gap rows
+    * (the B17 shape); the 3× test is an exact comparison against the
+    * interpolated-double threshold, identical on both engines.
+    */
+  def gapAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val p90 = gapFrame(spark, dir).groupBy("event_type")
+      .agg(expr("percentile(gap_ms, 0.9)").as("p90_gap_ms"))
+    gapFrame(spark, dir)
+      .join(broadcast(p90), "event_type")
+      .filter(col("gap_ms").cast(DoubleType) > lit(3.0) * col("p90_gap_ms"))
+      .select("event_type", "user_id", "event_id", "gap_ms", "p90_gap_ms")
+      .orderBy("event_type", "user_id", "event_id")
+  }
+
   /** B24: inter-arrival profile — per event type, the distribution of
     * gaps between a user's consecutive events of that type (the
     * latency/heartbeat signal a collector alarms on: a p90 gap
@@ -219,13 +248,8 @@ object EventOps {
     * aggregate (the B11 device). Gaps are exact integer millis;
     * percentiles interpolate identically on both engines.
     */
-  def interarrival(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("ms", unix_millis(col("ts")))
-      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
-      .filter(col("gap_ms").isNotNull)
+  def interarrival(spark: SparkSession, dir: String): DataFrame =
+    gapFrame(spark, dir)
       .groupBy("event_type")
       .agg(
         lcount.as("n_gaps"),
@@ -234,7 +258,6 @@ object EventOps {
         expr("percentile(gap_ms, 0.9)").as("p90_gap_ms"),
         max(col("gap_ms")).as("max_gap_ms"))
       .orderBy("event_type")
-  }
 
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
