@@ -54,8 +54,11 @@ object ExplainAudit {
       "q8_market_share", "q9_product_profit", "q10_returned_customers",
       "q15_top_supplier", "evt_transitions",
       // r9 session 3: hard negatives broadcast the probe set, tiers
-      // the |langs|-row cutoffs, doc_similar the 1-row doc count
-      "emb_hard_negatives", "doc_lm_tiers", "doc_similar")
+      // the |langs|-row cutoffs, doc_similar the 1-row doc count,
+      // the tiered mixture its composed cutoffs, gap anomaly the
+      // |types|-row p90 table
+      "emb_hard_negatives", "doc_lm_tiers", "doc_similar",
+      "doc_mixture_tiered", "evt_gap_anomaly")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -67,7 +70,8 @@ object ExplainAudit {
       "text_inverted_postings", "evt_trending",
       "doc_importance_resample", "doc_sample_weighted",
       // r9 session 3: the new per-key rankers must keep their heaps
-      "doc_similar", "layout_doc_similar", "emb_hard_negatives")
+      "doc_similar", "layout_doc_similar", "emb_hard_negatives",
+      "doc_mixture_tiered")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

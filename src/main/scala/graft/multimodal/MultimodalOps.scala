@@ -515,14 +515,19 @@ object MultimodalOps {
   }
 
   /** dHash the payload bytes through the real codec — None when no
-    * installed reader recognises them or the payload is corrupt (the
-    * decodeImage fallback contract).
+    * installed reader recognises them or the payload is corrupt.
+    * This kernel is the first decode fed ARBITRARY incoming bytes
+    * (E36), so it catches every non-fatal throwable: JDK decoders
+    * raise RuntimeExceptions (IllegalArgument, CMM, index bounds) on
+    * recognized-but-malformed bodies, and a narrow IOException catch
+    * would turn one hostile payload into a streaming poison pill
+    * (crash → restart → re-read the same file → crash).
     */
   def dHashBytes(bytes: Array[Byte]): Option[Long] =
     try {
       Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))).map(dHash56)
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The 4 × 14-bit band explode shared by F9 and the E36 stream face
     * (one banding definition, no drift): appends (band_id, band_val)

@@ -207,9 +207,6 @@ object EventOps {
       .orderBy("user_id")
   }
 
-  /** B11: exact percentiles of event values per type (sorted-exact
-    * with linear interpolation — portable across engines).
-    */
   /** Per-event gap rows — the shared core of B24 and B24b: lag window
     * per (user_id, event_type) ordered (ts, event_id), exact integer
     * milli gaps, first event of each key dropped.
@@ -259,6 +256,9 @@ object EventOps {
         max(col("gap_ms")).as("max_gap_ms"))
       .orderBy("event_type")
 
+  /** B11: exact percentiles of event values per type (sorted-exact
+    * with linear interpolation — portable across engines).
+    */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))

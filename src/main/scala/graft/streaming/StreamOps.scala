@@ -430,13 +430,19 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: (Long, String), it: Iterator[Ev], state: GroupState[Long]) => {
           var last = state.getOption.getOrElse(Long.MinValue)
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
-            val t = e.ts.getTime
-            val gap = if (last == Long.MinValue) None
-              else Some(GapOut(key._1, key._2, e.event_id, e.ts, t - last))
-            last = t
-            gap
-          }
+          // order by FULL timestamp precision (getTime truncates to
+          // millis; getNanos carries the whole fractional second) so
+          // sub-millisecond siblings sort exactly like the batch lag
+          // window's (ts, event_id)
+          val out = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .flatMap { e =>
+              val t = e.ts.getTime
+              val gap = if (last == Long.MinValue) None
+                else Some(GapOut(key._1, key._2, e.event_id, e.ts, t - last))
+              last = t
+              gap
+            }
           state.update(last)
           out.iterator
         })
@@ -989,11 +995,15 @@ object StreamOps {
   def lmTierStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
     import graft.operators.TextOps
+    // LEFT join: a language the standing corpus has never seen has no
+    // cutoffs — those docs surface as tier "unknown" (for a manual
+    // queue / re-cut decision), never silently vanish from the stream
     lmScoreStream(spark, TextOps.lmUnigramFrame(spark, dir),
         TextOps.lmBigramFrame(spark, dir), incoming, carryCols = Seq("lang"))
-      .join(broadcast(TextOps.lmStandingCuts(spark, dir)), "lang")
-      .withColumn("tier", TextOps.tierCol(col("bits_per_trans"),
-        col("c_head"), col("c_mid")))
+      .join(broadcast(TextOps.lmStandingCuts(spark, dir)), Seq("lang"), "left")
+      .withColumn("tier", when(col("c_head").isNull, lit("unknown"))
+        .otherwise(TextOps.tierCol(col("bits_per_trans"),
+          col("c_head"), col("c_mid"))))
       .select("doc_id", "ts", "lang", "n_trans", "bits_per_trans", "tier")
   }
 

@@ -224,8 +224,13 @@ class StreamBatchParitySpec extends GraftSpec {
     assert(expected.nonEmpty, "fixture yields no cross-split image pairs")
 
     val d = Files.createTempDirectory("imgdedup_par").toFile.getAbsolutePath
-    incomingIds.map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
-        MultimodalOps.synthPng(i)))
+    // poison pill: a payload whose PNG header a reader RECOGNIZES but
+    // whose truncated body throws inside the decoder — must drop out,
+    // not kill the query (the dHashBytes NonFatal contract)
+    val corrupt = MultimodalOps.synthPng(incomingIds.head).take(40)
+    (incomingIds.map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        MultimodalOps.synthPng(i))) :+
+      ((999999L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), corrupt)))
       .toSeq.toDF("doc_id", "ts", "bytes")
       .write.mode("overwrite").parquet(d)
     val schema = spark.read.parquet(d).schema
