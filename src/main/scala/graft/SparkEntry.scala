@@ -656,7 +656,8 @@ object SparkEntry {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
       |      ORDER BY score DESC, b_id) AS BIGINT) AS rnk
       |  FROM p)
-      |SELECT a_id, b_id, n_shared, score, rnk FROM r
+      |SELECT a_id, b_id, n_shared, CAST(score AS DOUBLE) AS score, rnk
+      |FROM r
       |WHERE rnk <= ${operators.TextOps.SimilarK} ORDER BY a_id, rnk""".stripMargin
 
   private def TokFoldSql: String = strFold("tok")

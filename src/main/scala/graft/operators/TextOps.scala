@@ -522,7 +522,11 @@ object TextOps {
         sum(col("w").cast(DecimalType(38, 0))).as("score"))
     graft.plans.TopK.perKey(pairs, Seq(col("a_id")),
         Seq(col("score").desc, col("b_id").asc), k)
-      .select("a_id", "b_id", "n_shared", "score", "rnk")
+      // Rank on the exact decimal; EMIT double — decimal128 in the
+      // output parquet hashes differently from the oracle's DuckDB
+      // float path (the one emission-type rule every query follows).
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        col("score").cast("double").as("score"), col("rnk"))
       .orderBy("a_id", "rnk")
   }
 

@@ -16,9 +16,30 @@ class QueriesSpec extends GraftSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The driver's hasher reads the Spark parquet directly but the
+  // oracle result through DuckDB, so any type those two paths render
+  // differently (decimals become Python Decimal vs float64) hash-
+  // mismatches even when values are equal. Every oracled query must
+  // therefore EMIT only these leaf types; exact decimal arithmetic
+  // stays internal and narrows at the final projection.
+  private val HashStableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    // TimestampNTZ is naive on BOTH read paths (parquet isAdjusted=
+    // false, DuckDB naive) so it renders identically — allowed.
+    Set(StringType, LongType, IntegerType, ShortType, DoubleType,
+      FloatType, BooleanType, TimestampType, TimestampNTZType, DateType)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, Sf)
+      if (SparkEntry.oracleSql.contains(name)) {
+        val offending = df.schema.fields
+          .filterNot(f => HashStableTypes(f.dataType))
+        assert(offending.isEmpty,
+          s"$name emits non-hash-stable column types: " +
+            offending.map(f => s"${f.name}: ${f.dataType}").mkString(", "))
+      }
       val n = df.count()
       // near-dup / embedding-dup pair sets may be legitimately small at
       // the smallest sf, but must not error; all others must emit rows.
