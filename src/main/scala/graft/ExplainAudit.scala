@@ -58,7 +58,9 @@ object ExplainAudit {
       // the tiered mixture its composed cutoffs, gap anomaly the
       // |types|-row p90 table
       "emb_hard_negatives", "doc_lm_tiers", "doc_similar",
-      "doc_mixture_tiered", "evt_gap_anomaly")
+      "doc_mixture_tiered", "evt_gap_anomaly",
+      // r10: both filtered-ANN arms broadcast the query/probe set
+      "ann_filtered", "ann_filtered_ivf")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -71,7 +73,9 @@ object ExplainAudit {
       "doc_importance_resample", "doc_sample_weighted",
       // r9 session 3: the new per-key rankers must keep their heaps
       "doc_similar", "layout_doc_similar", "emb_hard_negatives",
-      "doc_mixture_tiered")
+      "doc_mixture_tiered",
+      // r10: filtered search ranks on the same bounded heaps
+      "ann_filtered", "ann_filtered_ivf")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

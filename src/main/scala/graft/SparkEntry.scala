@@ -167,6 +167,8 @@ object SparkEntry {
     "ann_cosine_topk"      -> (AnnOps.annCosineTopK _),
     "ann_lsh"              -> (AnnOps.annLsh _),
     "ann_ivf"              -> (AnnOps.annIvf _),
+    "ann_filtered"         -> (AnnOps.annFiltered _),
+    "ann_filtered_ivf"     -> (AnnOps.annFilteredIvf _),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
@@ -2551,6 +2553,65 @@ object SparkEntry {
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // D53: the planner's exact arm for the selective predicate
+    // (label = 3, ~10% ≤ threshold 0.2): brute-force cosine over only
+    // the matching slice.
+    "ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e WHERE label = 3),
+        |s AS (SELECT q_id, c_id, list_dot_product(qv, cv) / (qn * cn) AS sim
+        |  FROM c, q WHERE q_id <> c_id),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, c_id, sim, rnk, 'exact' AS path FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // D53b: the planner's IVF arm for the broad predicate (label ≠ 0,
+    // ~90% > threshold): the full ann_ivf chain with labels carried
+    // into the lists and the predicate applied inside the probe join.
+    "ann_filtered_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |s0 AS (SELECT e.vec_id, e.v, s.cid,
+        |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+        |  FROM e, seed s),
+        |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+        |  WHERE rn = 1),
+        |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+        |  FROM a1),
+        |cx AS (SELECT cid, pos,
+        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+        |  FROM cm GROUP BY cid, pos),
+        |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+        |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM ref),
+        |l0 AS (SELECT e.vec_id, e.label, e.v, e.nrm, r.cid,
+        |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+        |  FROM e, ref2 r),
+        |lists AS (SELECT cid AS c_cid, vec_id AS c_id, label AS c_label,
+        |    v AS cv2, nrm AS cn
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
+        |probes AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)
+        |  WHERE rn <= 4),
+        |sc AS (SELECT q_id, c_id, list_dot_product(qv, cv2) / (qn * cn) AS sim
+        |  FROM lists JOIN probes ON q_cid = c_cid AND q_id <> c_id
+        |    AND c_label <> 0),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT q_id, c_id, sim, rnk, 'ivf' AS path FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
 
     // D51: the ann_ivf chain with labels carried and a label-mismatch

@@ -321,6 +321,19 @@ object AnnOps {
       .select("q_id", (Seq("c_id", "sim", "rnk") ++ extraCols): _*)
   }
 
+  /** The IVF inverted lists with each member's label carried — the
+    * layout any label-predicated search (D51 negatives, D53 filtered
+    * search) probes. A one-time layout derivation (memoized), not
+    * per-query work; co-location by list is preserved.
+    */
+  private def ivfListsLabeled(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ivfListsLabeled:$dir") {
+      ivfLists(spark, dir, DefaultM)
+        .join(embDouble(spark, dir).select(col("vec_id").as("c_id"),
+          col("label").as("c_label")), "c_id")
+        .repartition(col("c_cid"))
+    }
+
   /** D51: hard-negative mining for embedding-model training — per
     * anchor (the % 50 query set), the top-k most SIMILAR corpus
     * vectors with a DIFFERENT label: the confusable negatives
@@ -334,15 +347,9 @@ object AnnOps {
   def hardNegatives(spark: SparkSession, dir: String, nprobe: Int = 4,
       k: Int = 5): DataFrame = {
     val labels = embDouble(spark, dir).select(col("vec_id"), col("label"))
-    val lists = graft.Memo.df(spark, s"ivfListsLabeled:$dir") {
-      ivfLists(spark, dir, DefaultM)
-        .join(labels.select(col("vec_id").as("c_id"),
-          col("label").as("c_label")), "c_id")
-        .repartition(col("c_cid"))
-    }
     // the ONE searchIvf chain, decorated: probes carry the anchor's
     // label, the list join adds the label-mismatch predicate
-    searchIvf(spark, dir, DefaultM, lists,
+    searchIvf(spark, dir, DefaultM, ivfListsLabeled(spark, dir),
         embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k,
         excludeSelf = true,
         decorateProbes = p => p.join(labels.select(
@@ -371,6 +378,96 @@ object AnnOps {
     searchIvf(spark, dir, m, ivfLists(spark, dir, m, rounds),
         embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k,
         excludeSelf = true, rounds)
+      .orderBy("q_id", "rnk")
+
+  // ---------------------------------------------------------------
+  // D53: metadata-filtered ANN — the production vector-search shape:
+  // real queries carry a tenant/lang/label predicate, and the right
+  // physical plan depends on how much of the corpus the predicate
+  // keeps. A selective predicate makes IVF probing collapse (the
+  // probed lists hold few matching candidates, so the heap fills with
+  // whatever remains — recall craters while cost stays flat) and
+  // simultaneously makes the exact scan cheap (it touches only the
+  // matching slice, which at 100 TB is the partition/row-group slice
+  // the predicate pushes down to). A broad predicate is the opposite.
+  // annFilteredAuto is the planner: one selectivity probe against the
+  // corpus stats, then the matching arm.
+
+  /** Matching-fraction threshold of the filtered-search planner: at
+    * or below it the filtered subset is scanned exactly; above it the
+    * IVF layout is probed with the predicate applied BEFORE the
+    * bounded heap (matching candidates only occupy slots).
+    */
+  val FilteredSelThreshold = 0.2
+
+  /** D53: the selective face — predicate `label = 3` keeps ~10% of
+    * the corpus, so the planner picks the exact filtered scan (and
+    * the result is EXACT top-k over the slice, which the oracle
+    * replicates directly).
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    annFilteredAuto(spark, dir, _ === 3)
+
+  /** D53b: the broad face — predicate `label ≠ 0` keeps ~90%, so the
+    * planner probes the IVF layout and post-filters inside the list
+    * join. Oracle = the ann_ivf chain with the label predicate.
+    */
+  def annFilteredIvf(spark: SparkSession, dir: String): DataFrame =
+    annFilteredAuto(spark, dir, _ =!= 0)
+
+  /** The filtered-search planner: measure the predicate's matching
+    * fraction (one tiny agg over the memoized corpus stats — a model
+    * artifact, like the quantizer seed), then run the arm it selects.
+    * `pred` receives the label column of whichever side evaluates it.
+    */
+  def annFilteredAuto(spark: SparkSession, dir: String,
+      pred: Column => Column, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val fracBoxed: java.lang.Double =
+      graft.Memo.value[java.lang.Double](spark,
+          s"filterSel:$dir:${pred(col("label"))}") {
+        val r = embDouble(spark, dir).agg(
+          sum(when(pred(col("label")), 1L).otherwise(0L)).as("m"),
+          count(lit(1)).as("n")).head()
+        java.lang.Double.valueOf(
+          r.getLong(0).toDouble / r.getLong(1).toDouble)
+      }
+    val frac = fracBoxed.doubleValue()
+    if (frac <= FilteredSelThreshold) filteredExact(spark, dir, pred, k)
+    else filteredIvf(spark, dir, pred, nprobe, k)
+  }
+
+  /** The exact arm: brute-force cosine over ONLY the matching slice.
+    * At scale the predicate reaches the parquet scan (pushed filter /
+    * partition pruning), so cost is O(matching), not O(corpus).
+    */
+  private[graft] def filteredExact(spark: SparkSession, dir: String,
+      pred: Column => Column, k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = emb.filter(pred(col("label")))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"),
+        lit("exact").as("path"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The IVF arm: probe assignment against the broadcast quantizer,
+    * predicate applied inside the co-located list join — matching
+    * candidates only ever reach the heap; the corpus never shuffles.
+    */
+  private[graft] def filteredIvf(spark: SparkSession, dir: String,
+      pred: Column => Column, nprobe: Int = 4, k: Int = 10): DataFrame =
+    searchIvf(spark, dir, DefaultM, ivfListsLabeled(spark, dir),
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe, k,
+        excludeSelf = true, extraCond = pred(col("c_label")))
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"),
+        lit("ivf").as("path"))
       .orderBy("q_id", "rnk")
 
   /** Incremental index maintenance: assign a batch of NEW vectors to

@@ -525,4 +525,38 @@ class DedupAnnSpec extends GraftSpec {
       assert(a == b, s"pair split across components $a vs $b")
     }
   }
+
+  test("filtered ANN planner: selective predicate → exact arm, broad → ivf arm") {
+    val sel = AnnOps.annFiltered(spark, Sf)
+    val broad = AnnOps.annFilteredIvf(spark, Sf)
+    assert(sel.select("path").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("exact"))
+    assert(broad.select("path").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("ivf"))
+    // every result satisfies its predicate
+    val labels = Tables.embeddings(spark, Sf)
+      .select(col("vec_id").as("c_id"), col("label"))
+    assert(sel.join(labels, "c_id").filter(col("label") =!= 3).count() == 0)
+    assert(broad.join(labels, "c_id").filter(col("label") === 0).count() == 0)
+  }
+
+  test("filtered ANN: forced IVF on the selective predicate loses recall the exact arm keeps") {
+    // ground truth = exact filtered top-10 (what the planner's exact
+    // arm computes by construction)
+    val truth = AnnOps.filteredExact(spark, Sf, _ === 3)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = truth.toSeq.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val forcedIvf = recall(AnnOps.filteredIvf(spark, Sf, _ === 3))
+    // the collapse that motivates the planner: probing 4/16 lists and
+    // keeping only ~10% of their members leaves the heap starved
+    assert(forcedIvf < 0.9, s"forced-ivf recall $forcedIvf unexpectedly high")
+    assert(recall(AnnOps.annFiltered(spark, Sf)) == 1.0)
+  }
 }
