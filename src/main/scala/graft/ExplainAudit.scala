@@ -59,8 +59,9 @@ object ExplainAudit {
       // |types|-row p90 table
       "emb_hard_negatives", "doc_lm_tiers", "doc_similar",
       "doc_mixture_tiered", "evt_gap_anomaly",
-      // r10: both filtered-ANN arms broadcast the query/probe set
-      "ann_filtered", "ann_filtered_ivf")
+      // r10: both filtered-ANN arms broadcast the query/probe set;
+      // the RRF fusion inherits doc_similar's 1-row count broadcast
+      "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -74,8 +75,8 @@ object ExplainAudit {
       // r9 session 3: the new per-key rankers must keep their heaps
       "doc_similar", "layout_doc_similar", "emb_hard_negatives",
       "doc_mixture_tiered",
-      // r10: filtered search ranks on the same bounded heaps
-      "ann_filtered", "ann_filtered_ivf")
+      // r10: filtered search and the RRF fusion rank on bounded heaps
+      "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -157,6 +157,7 @@ object SparkEntry {
     "doc_gopher_rules"     -> (TextOps.gopherRules _),
     "doc_similar"          -> ((s: SparkSession, d: String) =>
       TextOps.docSimilar(s, d)),
+    "doc_similar_rrf"      -> (TextOps.docSimilarRrf _),
     "doc_quality_report"   -> (CurationOps.qualityReport _),
     "doc_lm_tiers"         -> (TextOps.lmTiers _),
     "doc_mixture_tiered"   -> (CurationOps.mixtureTiered _),
@@ -2336,6 +2337,64 @@ object SparkEntry {
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_similar" -> docSimilarSql(anchorPred = ""),
+
+    // D54: reciprocal rank fusion of the D50 idf ranking and the
+    // capped-shingle jaccard ranking over the SAME candidate pairs
+    // (anchor set = doc_id % 20 = 3). Rank 0 = absent from that
+    // system's top-20 (never NULL — nullable ints render differently
+    // on the gate's two read paths).
+    "doc_similar_rrf" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT lang, shingle,
+        |    (${operators.TextOps.SimilarW} * n_docs) // COUNT(*) AS w
+        |  FROM e, n GROUP BY lang, shingle, n_docs
+        |  HAVING COUNT(*) BETWEEN 2 AND ${operators.TextOps.SimilarDfCap}),
+        |cnt AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |  FROM e JOIN w ON e.lang = w.lang AND e.shingle = w.shingle
+        |  GROUP BY e.doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |    CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS s_idf
+        |  FROM e a
+        |  JOIN w ON a.lang = w.lang AND a.shingle = w.shingle
+        |  JOIN e b ON b.lang = w.lang AND b.shingle = w.shingle
+        |    AND a.doc_id <> b.doc_id AND a.doc_id % 20 = 3
+        |  GROUP BY 1, 2),
+        |pj AS (SELECT p.*, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |    CAST(n_shared AS DOUBLE)
+        |      / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) AS jacc
+        |  FROM p JOIN cnt ca ON p.a_id = ca.doc_id
+        |    JOIN cnt cb ON p.b_id = cb.doc_id),
+        |ri AS (SELECT a_id, b_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+        |    ORDER BY s_idf DESC, b_id) AS BIGINT) AS r FROM pj
+        |  QUALIFY r <= ${operators.TextOps.RrfDepth}),
+        |rj AS (SELECT a_id, b_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+        |    ORDER BY jacc DESC, b_id) AS BIGINT) AS r FROM pj
+        |  QUALIFY r <= ${operators.TextOps.RrfDepth}),
+        |f AS (SELECT COALESCE(ri.a_id, rj.a_id) AS a_id,
+        |    COALESCE(ri.b_id, rj.b_id) AS b_id,
+        |    COALESCE(ri.r, 0) AS r_idf, COALESCE(rj.r, 0) AS r_jac
+        |  FROM ri FULL OUTER JOIN rj
+        |    ON ri.a_id = rj.a_id AND ri.b_id = rj.b_id),
+        |g AS (SELECT a_id, b_id, r_idf, r_jac,
+        |    (CASE WHEN r_idf > 0 THEN CAST(1 AS DOUBLE)
+        |      / CAST(${operators.TextOps.RrfC} + r_idf AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END)
+        |    + (CASE WHEN r_jac > 0 THEN CAST(1 AS DOUBLE)
+        |      / CAST(${operators.TextOps.RrfC} + r_jac AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END) AS rrf
+        |  FROM f),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+        |    ORDER BY rrf DESC, b_id) AS BIGINT) AS rnk FROM g)
+        |SELECT a_id, b_id, r_idf, r_jac, rrf, rnk FROM r
+        |WHERE rnk <= ${operators.TextOps.RrfTopK} ORDER BY a_id, rnk""".stripMargin,
 
     "doc_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks

@@ -530,6 +530,79 @@ object TextOps {
       .orderBy("a_id", "rnk")
   }
 
+  /** D54's knobs: the standard RRF constant, the per-system list
+    * depth fed into the fusion, and the fused top-k emitted.
+    */
+  val RrfC = 60L
+  val RrfDepth = 20
+  val RrfTopK = 10
+
+  /** D54 kernel: reciprocal rank fusion of per-key rankings — the
+    * standard ensemble device for combining retrieval systems whose
+    * scores are not comparable (Cormack et al.'s RRF): each system
+    * contributes 1/(C + rank) for items in its top-`depth`, items
+    * missing from a system contribute 0. Inputs are (key, item, rnk)
+    * frames; rank 0 is the documented "absent" sentinel in the output
+    * (never null — a nullable int would leave hash-unstable NaN/None
+    * renderings in the gate's two read paths).
+    *
+    * Scale shape: each input is already a bounded per-key top-k
+    * (O(keys·depth) rows), the fusion join keys on (key, item), and
+    * the final rank is the bounded heap — nothing here scales with
+    * the corpus, only with the shortlists.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = RrfTopK): DataFrame = {
+    def contrib(r: Column): Column =
+      when(r > 0, lit(1.0) / (lit(RrfC) + r).cast(DoubleType))
+        .otherwise(lit(0.0))
+    val fused = a.join(b, Seq("key", "item"), "full_outer")
+      .select(col("key"), col("item"),
+        coalesce(col("rnk_a"), lit(0L)).as("r_a"),
+        coalesce(col("rnk_b"), lit(0L)).as("r_b"))
+      .withColumn("rrf", contrib(col("r_a")) + contrib(col("r_b")))
+    graft.plans.TopK.perKey(fused, Seq(col("key")),
+      Seq(col("rrf").desc, col("item").asc), k)
+  }
+
+  /** D54: ensemble more-like-this — the D50 idf-weighted ranking
+    * fused with a capped-shingle Jaccard ranking via RRF, per anchor
+    * (the D36j anchor set). The two signals rank genuinely
+    * differently (total rare-phrase mass vs set overlap normalized by
+    * document size), and RRF promotes candidates both agree on
+    * without needing their scores on one scale. Both rankings derive
+    * from ONE candidate-pair frame off the df-capped postings, so
+    * candidate generation cost is paid once.
+    */
+  def docSimilarRrf(spark: SparkSession, dir: String): DataFrame = {
+    val p = similarPostingsFrame(spark, dir)
+    // per-doc capped-shingle set sizes (the jaccard denominators)
+    val counts = p.groupBy("doc_id")
+      .agg(graft.functions.Exact.lcount.as("n_sh"))
+    val pairs = p.filter(col("doc_id") % 20 === 3)
+      .select(col("lang"), col("shingle"), col("doc_id").as("a_id"))
+      .join(p.select(col("lang"), col("shingle"),
+        col("doc_id").as("b_id"), col("w")), Seq("lang", "shingle"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(graft.functions.Exact.lcount.as("n_shared"),
+        sum(col("w").cast(DecimalType(38, 0))).as("s_idf"))
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jacc", col("n_shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+    def ranked(order: Column, out: String): DataFrame =
+      graft.plans.TopK.perKey(pairs, Seq(col("a_id")),
+          Seq(order, col("b_id").asc), RrfDepth)
+        .select(col("a_id").as("key"), col("b_id").as("item"),
+          col("rnk").as(out))
+    rrfFuse(ranked(col("s_idf").desc, "rnk_a"),
+        ranked(col("jacc").desc, "rnk_b"))
+      .select(col("key").as("a_id"), col("item").as("b_id"),
+        col("r_a").as("r_idf"), col("r_b").as("r_jac"),
+        col("rrf"), col("rnk"))
+      .orderBy("a_id", "rnk")
+  }
+
   /** D26: per-source quality profile — the signal a mixture/curation
     * policy ranks sources by: doc count and min/median/max of the D6
     * quality score per source. Only order-independent aggregates

@@ -107,4 +107,56 @@ class TextAnalysisSpec extends GraftSpec {
       assert(rnks.toSeq == (1L to rnks.length).toSeq)
     }
   }
+
+  test("rrfFuse: fusing a ranking with itself preserves its order") {
+    import spark.implicits._
+    val r = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 10L, 1L), (2L, 13L, 2L))
+      .toDF("key", "item", "rnk")
+    val out = TextOps.rrfFuse(
+      r.withColumnRenamed("rnk", "rnk_a"),
+      r.withColumnRenamed("rnk", "rnk_b")).collect()
+    out.foreach { row =>
+      assert(row.getAs[Long]("r_a") == row.getAs[Long]("r_b"))
+      assert(row.getAs[Long]("rnk") == row.getAs[Long]("r_a"))
+      // rrf = 2/(C + r), recomputed
+      val expect = 2.0 / (TextOps.RrfC + row.getAs[Long]("r_a"))
+      assert(row.getAs[Double]("rrf") == expect)
+    }
+  }
+
+  test("rrfFuse: an item both systems rank beats single-system items at equal rank") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("key", "item", "rnk_a")
+    val b = Seq((1L, 10L, 1L), (1L, 12L, 2L)).toDF("key", "item", "rnk_b")
+    val out = TextOps.rrfFuse(a, b).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("rnk")).toMap
+    assert(out(10L) == 1L) // in both top lists at rank 1
+    // 11 and 12 each have one rank-2 contribution; tie broken by item
+    assert(out(11L) == 2L && out(12L) == 3L)
+  }
+
+  test("doc_similar_rrf: invariants and agreement with the component rankings") {
+    val out = TextOps.docSimilarRrf(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ri = r.getAs[Long]("r_idf"); val rj = r.getAs[Long]("r_jac")
+      assert(ri >= 0 && ri <= TextOps.RrfDepth)
+      assert(rj >= 0 && rj <= TextOps.RrfDepth)
+      assert(ri > 0 || rj > 0, "candidate in neither top list")
+      val expect =
+        (if (ri > 0) 1.0 / (TextOps.RrfC + ri) else 0.0) +
+        (if (rj > 0) 1.0 / (TextOps.RrfC + rj) else 0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+    // anchors only, ranks contiguous per anchor
+    out.groupBy(_.getAs[Long]("a_id")).foreach { case (a, rows) =>
+      assert(a % 20 == 3)
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // a candidate ranked 1 by BOTH systems must be the fused top-1
+    out.filter(r => r.getAs[Long]("r_idf") == 1 && r.getAs[Long]("r_jac") == 1)
+      .foreach(r => assert(r.getAs[Long]("rnk") == 1))
+  }
 }
