@@ -60,8 +60,10 @@ object ExplainAudit {
       "emb_hard_negatives", "doc_lm_tiers", "doc_similar",
       "doc_mixture_tiered", "evt_gap_anomaly",
       // r10: both filtered-ANN arms broadcast the query/probe set;
-      // the RRF fusion inherits doc_similar's 1-row count broadcast
-      "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf")
+      // the RRF fusion inherits doc_similar's 1-row count broadcast;
+      // the drift monitor broadcasts its |langs|-row totals
+      "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
+      "corpus_drift", "corpus_drift_summary")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -75,8 +77,10 @@ object ExplainAudit {
       // r9 session 3: the new per-key rankers must keep their heaps
       "doc_similar", "layout_doc_similar", "emb_hard_negatives",
       "doc_mixture_tiered",
-      // r10: filtered search and the RRF fusion rank on bounded heaps
-      "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf")
+      // r10: filtered search, the RRF fusion, and the drift ranking
+      // run on bounded heaps
+      "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
+      "corpus_drift")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

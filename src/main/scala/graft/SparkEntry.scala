@@ -54,6 +54,9 @@ object SparkEntry {
     "emb_profile"          -> (ProfileOps.embeddingsProfile _),
     "quality_gates"        -> (ProfileOps.qualityGates _),
     "source_overlap"       -> (ProfileOps.sourceOverlap _),
+    "corpus_drift"         -> ((s: SparkSession, d: String) =>
+      ProfileOps.corpusDrift(s, d)),
+    "corpus_drift_summary" -> (ProfileOps.corpusDriftSummary _),
     "graph_pagerank"       -> (GraphOps.pageRank _),
     "evt_attribution"      -> (EventOps.attribution _),
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
@@ -1182,6 +1185,61 @@ object SparkEntry {
         |FROM pr JOIN per pa ON pa.source = sa
         |JOIN per pb ON pb.source = sb
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // D55: top-k drifted tokens per lang, standing (% 10 ≠ 7) vs the
+    // crawl delta (= 7); probabilities are single divisions of exact
+    // longs, so the ranking is engine-exact
+    "corpus_drift" ->
+      """WITH bc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_base
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 <> 7) GROUP BY 1, 2),
+        |dc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_delta
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 = 7) GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(bc.lang, dc.lang) AS lang,
+        |    COALESCE(bc.tok, dc.tok) AS tok,
+        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_delta, 0) AS c_delta
+        |  FROM bc FULL OUTER JOIN dc
+        |    ON bc.lang = dc.lang AND bc.tok = dc.tok),
+        |t AS (SELECT lang, CAST(SUM(c_base) AS BIGINT) AS n_base,
+        |    CAST(SUM(c_delta) AS BIGINT) AS n_delta FROM j GROUP BY lang),
+        |s AS (SELECT j.lang, tok, c_base, c_delta,
+        |    CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS p_base,
+        |    CAST(c_delta AS DOUBLE) / CAST(n_delta AS DOUBLE) AS p_delta,
+        |    abs(CAST(c_delta AS DOUBLE) / CAST(n_delta AS DOUBLE)
+        |      - CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE)) AS drift
+        |  FROM j JOIN t ON j.lang = t.lang),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY drift DESC, tok) AS BIGINT) AS rnk FROM s)
+        |SELECT lang, tok, c_base, c_delta, p_base, p_delta, drift, rnk
+        |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // D55b: per-lang L1 drift — the sum runs in exact integer
+    // cross-product space (HUGEINT here, DECIMAL(38,0) in the engine),
+    // one double division at emission
+    "corpus_drift_summary" ->
+      """WITH bc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_base
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 <> 7) GROUP BY 1, 2),
+        |dc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_delta
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 = 7) GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(bc.lang, dc.lang) AS lang,
+        |    COALESCE(bc.tok, dc.tok) AS tok,
+        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_delta, 0) AS c_delta
+        |  FROM bc FULL OUTER JOIN dc
+        |    ON bc.lang = dc.lang AND bc.tok = dc.tok),
+        |t AS (SELECT lang, CAST(SUM(c_base) AS BIGINT) AS n_base,
+        |    CAST(SUM(c_delta) AS BIGINT) AS n_delta FROM j GROUP BY lang)
+        |SELECT j.lang AS lang, n_base, n_delta,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c_base = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_tokens,
+        |  CAST(SUM(abs(CAST(c_delta AS HUGEINT) * n_base
+        |      - CAST(c_base AS HUGEINT) * n_delta)) AS DOUBLE)
+        |    / (CAST(n_base AS DOUBLE) * CAST(n_delta AS DOUBLE)) AS l1
+        |FROM j JOIN t ON j.lang = t.lang
+        |GROUP BY j.lang, n_base, n_delta ORDER BY lang""".stripMargin,
 
     // D44: 5 unrolled integer-PageRank rounds (see PagerankSql builder)
     "graph_pagerank" -> PagerankSql,

@@ -244,4 +244,93 @@ object ProfileOps {
           .as("est_common"))
       .orderBy("src_a", "src_b")
   }
+
+  // ---------------------------------------------------------------
+  // D55: corpus drift monitor — the ingest-QA check a daily 100 TB
+  // crawl runs before merging: has the delta's token distribution
+  // moved away from the standing corpus (new spam campaign, encoding
+  // regression, topic shift)? Standing/delta = the house doc_id % 10
+  // split every incremental operator uses.
+
+  /** Per-(lang, tok) counts of one split plus the per-lang token
+    * totals — the drift input, one partial-agg shuffle each, both
+    * vocab-bounded (≪ corpus).
+    */
+  private def splitTokCounts(spark: SparkSession, dir: String,
+      delta: Boolean): DataFrame = {
+    val side = Tables.documents(spark, dir)
+      .filter(if (delta) col("doc_id") % 10 === 7 else col("doc_id") % 10 =!= 7)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+    side.groupBy("lang", "tok").agg(lcount.as("c"))
+  }
+
+  /** D55: top-k drifted tokens per language — |p_delta − p_base| with
+    * absent-side counts 0. The probabilities are single divisions of
+    * exact longs (each exactly rounded, identical on any engine), so
+    * the ranking needs no tolerance; ties break on the token. Scale
+    * shape: two vocab-bounded count tables, a vocab-keyed outer join,
+    * per-lang totals broadcast back, bounded-heap top-k — nothing
+    * scales with corpus size past the two token scans.
+    */
+  def corpusDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val base = splitTokCounts(spark, dir, delta = false)
+      .withColumnRenamed("c", "c_base")
+    val delta = splitTokCounts(spark, dir, delta = true)
+      .withColumnRenamed("c", "c_delta")
+    val joined = base.join(delta, Seq("lang", "tok"), "full_outer")
+      .select(col("lang"), col("tok"),
+        coalesce(col("c_base"), lit(0L)).as("c_base"),
+        coalesce(col("c_delta"), lit(0L)).as("c_delta"))
+    val totals = joined.groupBy("lang").agg(
+      sum(col("c_base")).cast(LongType).as("n_base"),
+      sum(col("c_delta")).cast(LongType).as("n_delta"))
+    val scored = joined.join(broadcast(totals), "lang")
+      .withColumn("p_base",
+        col("c_base").cast(DoubleType) / col("n_base").cast(DoubleType))
+      .withColumn("p_delta",
+        col("c_delta").cast(DoubleType) / col("n_delta").cast(DoubleType))
+      .withColumn("drift", abs(col("p_delta") - col("p_base")))
+    graft.plans.TopK.perKey(scored, Seq(col("lang")),
+        Seq(col("drift").desc, col("tok").asc), k)
+      .select("lang", "tok", "c_base", "c_delta", "p_base", "p_delta",
+        "drift", "rnk")
+      .orderBy("lang", "rnk")
+  }
+
+  /** D55b: the per-lang drift summary — total-variation-style L1
+    * distance between the two distributions. The sum runs in EXACT
+    * integer cross-product space (|c_delta·n_base − c_base·n_delta|
+    * accumulated as DECIMAL(38,0) — order-independent, overflow-safe
+    * at 10¹³-token splits), and divides by n_base·n_delta ONCE at
+    * emission; a double sum of per-token |Δp| would be
+    * order-dependent and hash-unstable.
+    */
+  def corpusDriftSummary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = splitTokCounts(spark, dir, delta = false)
+      .withColumnRenamed("c", "c_base")
+    val delta = splitTokCounts(spark, dir, delta = true)
+      .withColumnRenamed("c", "c_delta")
+    val joined = base.join(delta, Seq("lang", "tok"), "full_outer")
+      .select(col("lang"), col("tok"),
+        coalesce(col("c_base"), lit(0L)).as("c_base"),
+        coalesce(col("c_delta"), lit(0L)).as("c_delta"))
+    val totals = joined.groupBy("lang").agg(
+      sum(col("c_base")).cast(LongType).as("n_base"),
+      sum(col("c_delta")).cast(LongType).as("n_delta"))
+    joined.join(broadcast(totals), "lang")
+      .groupBy(col("lang"), col("n_base"), col("n_delta"))
+      .agg(lcount.as("vocab"),
+        sum(when(col("c_base") === 0, 1L).otherwise(0L)).cast(LongType)
+          .as("new_tokens"),
+        sum(abs(col("c_delta").cast(DecimalType(38, 0)) * col("n_base")
+          - col("c_base").cast(DecimalType(38, 0)) * col("n_delta")))
+          .as("l1_num"))
+      .select(col("lang"), col("n_base"), col("n_delta"), col("vocab"),
+        col("new_tokens"),
+        (col("l1_num").cast(DoubleType) /
+          (col("n_base").cast(DoubleType) * col("n_delta").cast(DoubleType)))
+          .as("l1"))
+      .orderBy("lang")
+  }
 }

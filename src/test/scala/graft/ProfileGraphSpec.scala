@@ -227,6 +227,60 @@ class ProfileGraphSpec extends GraftSpec {
     assert(nVal > 0 && nVal < n * 0.15, s"$nVal of $n in val")
   }
 
+  test("corpus_drift: ranks contiguous, drift recomputed from raw counts") {
+    val out = ProfileOps.corpusDrift(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // per-lang totals derived independently from the raw table
+    val toks = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok")).collect()
+    val nBase = toks.filter(_.getLong(0) % 10 != 7)
+      .groupBy(_.getString(1)).map { case (l, r) => l -> r.length.toLong }
+    val nDelta = toks.filter(_.getLong(0) % 10 == 7)
+      .groupBy(_.getString(1)).map { case (l, r) => l -> r.length.toLong }
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val pB = r.getAs[Long]("c_base").toDouble / nBase(lang)
+      val pD = r.getAs[Long]("c_delta").toDouble / nDelta(lang)
+      assert(r.getAs[Double]("p_base") == pB)
+      assert(r.getAs[Double]("p_delta") == pD)
+      assert(r.getAs[Double]("drift") == math.abs(pD - pB))
+    }
+    out.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+  }
+
+  test("corpus_drift_summary: identical split distributions give zero L1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift")
+      .toFile.getAbsolutePath
+    // delta docs (id % 10 = 7) carry exactly the standing docs' texts,
+    // so per-lang token distributions coincide and L1 must be 0
+    Seq(
+      (1L, "alpha beta beta", "en", "web", 15L),
+      (2L, "gamma alpha", "en", "web", 11L),
+      (7L, "alpha beta beta gamma alpha", "en", "web", 27L),
+      (3L, "uno dos", "es", "web", 7L),
+      (17L, "uno dos", "es", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = ProfileOps.corpusDriftSummary(spark, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("l1") == 0.0,
+        s"${r.getAs[String]("lang")} l1 ${r.getAs[Double]("l1")}")
+      assert(r.getAs[Long]("new_tokens") == 0L)
+    }
+    // the real corpus: l1 within [0, 2], new_tokens <= vocab
+    ProfileOps.corpusDriftSummary(spark, Sf).collect().foreach { r =>
+      val l1 = r.getAs[Double]("l1")
+      assert(l1 >= 0.0 && l1 <= 2.0)
+      assert(r.getAs[Long]("new_tokens") <= r.getAs[Long]("vocab"))
+    }
+  }
+
   test("evt_attribution pairs respect the band and user equality") {
     val rows = operators.EventOps.attribution(spark, Sf).collect()
     assert(rows.nonEmpty)
