@@ -173,6 +173,8 @@ object SparkEntry {
     "ann_ivf"              -> (AnnOps.annIvf _),
     "ann_filtered"         -> (AnnOps.annFiltered _),
     "ann_filtered_ivf"     -> (AnnOps.annFilteredIvf _),
+    "ann_mmr"              -> ((s: SparkSession, d: String) =>
+      AnnOps.annMmr(s, d)),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
@@ -665,6 +667,58 @@ object SparkEntry {
       |SELECT a_id, b_id, n_shared, CAST(score AS DOUBLE) AS score, rnk
       |FROM r
       |WHERE rnk <= ${operators.TextOps.SimilarK} ORDER BY a_id, rnk""".stripMargin
+
+  /** D56's oracle: the SAME k greedy MMR steps the engine unrolls,
+    * unrolled here as CTE chains — step i computes each remaining
+    * candidate's max-similarity penalty against sel_{i−1}, applies
+    * λ·rel − (1−λ)·pen, and picks the argmax (ties → c_id). Built
+    * programmatically so engine k/R/λ changes move both sides.
+    */
+  private def annMmrSql: String = {
+    val r = operators.AnnOps.MmrShort
+    val k = operators.AnnOps.MmrK
+    val lam = operators.AnnOps.MmrLambda
+    val lamS = s"CAST($lam AS DOUBLE)"
+    val lampS = s"CAST(${1.0 - lam} AS DOUBLE)"
+    val steps = (2 to k).map { i =>
+      s"""pen$i AS (SELECT ps.q_id, ps.a_id, MAX(ps.s) AS pen
+         |  FROM ps JOIN sel${i - 1} sl ON ps.q_id = sl.q_id AND ps.b_id = sl.c_id
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT c.q_id, c.c_id, c.rel,
+         |    $lamS * c.rel - $lampS * pen.pen AS mmr,
+         |    CAST($i AS BIGINT) AS pick
+         |  FROM cand c JOIN pen$i pen ON c.q_id = pen.q_id AND c.c_id = pen.a_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |    WHERE s2.q_id = c.q_id AND s2.c_id = c.c_id)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |    ORDER BY mmr DESC, c.c_id) = 1),
+         |sel$i AS (SELECT q_id, c_id, rel, mmr, pick FROM sel${i - 1}
+         |  UNION ALL SELECT q_id, c_id, rel, mmr, pick FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+       |  WHERE vec_id % 50 = 0),
+       |s0 AS (SELECT q_id, e.vec_id AS c_id,
+       |    list_dot_product(qv, e.v) / (qn * e.nrm) AS rel
+       |  FROM e, q WHERE q_id <> e.vec_id),
+       |cand AS (SELECT q_id, c_id, rel FROM s0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rel DESC, c_id) <= $r),
+       |ce AS (SELECT cand.q_id, cand.c_id, cand.rel, e.v, e.nrm
+       |  FROM cand JOIN e ON cand.c_id = e.vec_id),
+       |ps AS (SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+       |  FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |sel1 AS (SELECT q_id, c_id, rel, $lamS * rel AS mmr,
+       |    CAST(1 AS BIGINT) AS pick FROM cand
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rel DESC, c_id) = 1),
+       |$steps
+       |SELECT q_id, c_id, rel, mmr, pick FROM sel$k
+       |ORDER BY q_id, pick""".stripMargin
+  }
 
   private def TokFoldSql: String = strFold("tok")
 
@@ -2671,6 +2725,9 @@ object SparkEntry {
         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+
+    // D56: the k-step MMR unroll (builder above)
+    "ann_mmr" -> annMmrSql,
 
     // D53: the planner's exact arm for the selective predicate
     // (label = 3, ~10% ≤ threshold 0.2): brute-force cosine over only

@@ -381,7 +381,79 @@ object AnnOps {
       .orderBy("q_id", "rnk")
 
   // ---------------------------------------------------------------
-  // D53: metadata-filtered ANN — the production vector-search shape:
+  // D56: MMR diversification — re-rank a relevance shortlist so the
+  // emitted k are RELEVANT AND MUTUALLY DISSIMILAR (Carbonell &
+  // Goldstein's maximal marginal relevance): pick_i = argmax over
+  // remaining candidates of λ·rel − (1−λ)·max sim to the already-
+  // picked set. The greedy loop is inherently sequential but k is a
+  // small constant, so it UNROLLS into k declarative steps (anti-join
+  // remaining → penalty = max sim vs picked → bounded-heap argmax) —
+  // no collect, no driver loop over data; everything stays Catalyst.
+  // Scale shape: the only corpus-sized work is the shortlist build
+  // (the D9 scan); the unrolled steps touch O(queries · R) rows.
+
+  /** MMR geometry: shortlist depth R, emitted picks k, trade-off λ. */
+  val MmrShort = 20
+  val MmrK = 5
+  val MmrLambda = 0.5
+
+  /** D56: MMR over the exact cosine shortlist for the % 50 query set.
+    * Deterministic end to end: rel and pairwise sims are the house
+    * cosine (every op exactly rounded), the penalty is an
+    * order-independent MAX, the argmax breaks ties on c_id — so the
+    * pick sequence is engine-exact and the oracle unrolls the same k
+    * steps in SQL.
+    */
+  def annMmr(spark: SparkSession, dir: String, r: Int = MmrShort,
+      k: Int = MmrK, lam: Double = MmrLambda): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("rel",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val shortlist = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("rel").desc, col("c_id").asc), r)
+      .select("q_id", "c_id", "rel")
+    // the shortlist is tiny (|queries|·R rows) — pin it so the k
+    // unrolled steps share one build instead of re-scanning the corpus
+    val sl = shortlist.persist()
+    val slv = sl.join(emb.select(col("vec_id").as("c_id"),
+      col("v"), col("nrm")), "c_id")
+    val pairs = slv.select(col("q_id"), col("c_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
+      .join(slv.select(col("q_id"), col("c_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        VectorFns.cosine(col("av"), col("bv"), col("an"), col("bn")).as("s"))
+      .persist()
+    val lamC = lit(lam)
+    val lamP = lit(1.0 - lam)
+    var picked = TopK.perKey(sl, Seq(col("q_id")),
+        Seq(col("rel").desc, col("c_id").asc), 1)
+      .select(col("q_id"), col("c_id"), col("rel"),
+        (lamC * col("rel")).as("mmr"), lit(1L).as("pick"))
+    for (i <- 2 to k) {
+      val pen = pairs
+        .join(picked.select(col("q_id"), col("c_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("s")).as("pen"))
+      val step = sl
+        .join(picked.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
+        .join(pen.withColumnRenamed("a_id", "c_id"), Seq("q_id", "c_id"))
+        .withColumn("mmr", lamC * col("rel") - lamP * col("pen"))
+      picked = picked.unionByName(
+        TopK.perKey(step, Seq(col("q_id")),
+            Seq(col("mmr").desc, col("c_id").asc), 1)
+          .select(col("q_id"), col("c_id"), col("rel"), col("mmr"),
+            lit(i.toLong).as("pick")))
+    }
+    picked.orderBy("q_id", "pick")
+  }
   // real queries carry a tenant/lang/label predicate, and the right
   // physical plan depends on how much of the corpus the predicate
   // keeps. A selective predicate makes IVF probing collapse (the

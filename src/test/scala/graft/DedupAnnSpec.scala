@@ -526,6 +526,49 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("ann_mmr: the emitted sequence IS the greedy MMR order (Scala re-derivation)") {
+    import graft.operators.AnnOps.{MmrShort, MmrK, MmrLambda}
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val out = graft.operators.AnnOps.annMmr(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(out.nonEmpty)
+    val queries = vecs.keys.filter(_ % 50 == 0)
+    assert(out.keySet == queries.toSet)
+    queries.foreach { q =>
+      // shortlist: top-R by (rel desc, id asc), self excluded
+      val sl = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (c, r) => (-r, c) }.take(MmrShort)
+      var selected = Vector(sl.head)
+      var expected = Vector((sl.head._1, sl.head._2, MmrLambda * sl.head._2, 1L))
+      for (i <- 2 to MmrK) {
+        val remaining = sl.filterNot(c => selected.exists(_._1 == c._1))
+        val scored = remaining.map { case (c, rel) =>
+          val pen = selected.map(s => cos(c, s._1)).max
+          (c, rel, MmrLambda * rel - (1 - MmrLambda) * pen)
+        }
+        val best = scored.minBy { case (c, _, m) => (-m, c) }
+        selected :+= ((best._1, best._2))
+        expected :+= ((best._1, best._2, best._3, i.toLong))
+      }
+      val got = out(q).sortBy(_.getAs[Long]("pick")).map(r =>
+        (r.getAs[Long]("c_id"), r.getAs[Double]("rel"),
+          r.getAs[Double]("mmr"), r.getAs[Long]("pick")))
+      assert(got.toVector == expected,
+        s"query $q: got ${got.toVector}, expected $expected")
+    }
+  }
+
   test("filtered ANN planner: selective predicate → exact arm, broad → ivf arm") {
     val sel = AnnOps.annFiltered(spark, Sf)
     val broad = AnnOps.annFilteredIvf(spark, Sf)
