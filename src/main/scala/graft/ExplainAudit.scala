@@ -63,7 +63,8 @@ object ExplainAudit {
       // the RRF fusion inherits doc_similar's 1-row count broadcast;
       // the drift monitor broadcasts its |langs|-row totals
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
-      "corpus_drift", "corpus_drift_summary", "ann_mmr")
+      "corpus_drift", "corpus_drift_summary", "ann_mmr",
+      "layout_corpus_drift")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -80,7 +81,7 @@ object ExplainAudit {
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
-      "corpus_drift", "ann_mmr")
+      "corpus_drift", "ann_mmr", "layout_corpus_drift")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

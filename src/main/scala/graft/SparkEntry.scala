@@ -247,7 +247,9 @@ object SparkEntry {
     "layout_graph_rank"    -> (LayoutOps.pagerankServed _),
     // D36i: phrase search from the persisted positional postings
     "layout_phrase_search" -> (LayoutOps.phraseServed _),
-    "layout_doc_similar"   -> (LayoutOps.docSimilarServed _)
+    "layout_doc_similar"   -> (LayoutOps.docSimilarServed _),
+    // D55c: the drift monitor from the persisted standing counts
+    "layout_corpus_drift"  -> (LayoutOps.corpusDriftServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -719,6 +721,35 @@ object SparkEntry {
        |SELECT q_id, c_id, rel, mmr, pick FROM sel$k
        |ORDER BY q_id, pick""".stripMargin
   }
+
+  /** D55/D55c's shared oracle — the session query and the served face
+    * (which reads the persisted standing counts) must hash-match the
+    * same definition.
+    */
+  private def CorpusDriftSql: String =
+    """WITH bc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_base
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 10 <> 7) GROUP BY 1, 2),
+      |dc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_delta
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 10 = 7) GROUP BY 1, 2),
+      |j AS (SELECT COALESCE(bc.lang, dc.lang) AS lang,
+      |    COALESCE(bc.tok, dc.tok) AS tok,
+      |    COALESCE(c_base, 0) AS c_base, COALESCE(c_delta, 0) AS c_delta
+      |  FROM bc FULL OUTER JOIN dc
+      |    ON bc.lang = dc.lang AND bc.tok = dc.tok),
+      |t AS (SELECT lang, CAST(SUM(c_base) AS BIGINT) AS n_base,
+      |    CAST(SUM(c_delta) AS BIGINT) AS n_delta FROM j GROUP BY lang),
+      |s AS (SELECT j.lang, tok, c_base, c_delta,
+      |    CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS p_base,
+      |    CAST(c_delta AS DOUBLE) / CAST(n_delta AS DOUBLE) AS p_delta,
+      |    abs(CAST(c_delta AS DOUBLE) / CAST(n_delta AS DOUBLE)
+      |      - CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE)) AS drift
+      |  FROM j JOIN t ON j.lang = t.lang),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY drift DESC, tok) AS BIGINT) AS rnk FROM s)
+      |SELECT lang, tok, c_base, c_delta, p_base, p_delta, drift, rnk
+      |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
 
   private def TokFoldSql: String = strFold("tok")
 
@@ -1243,30 +1274,12 @@ object SparkEntry {
     // D55: top-k drifted tokens per lang, standing (% 10 ≠ 7) vs the
     // crawl delta (= 7); probabilities are single divisions of exact
     // longs, so the ranking is engine-exact
-    "corpus_drift" ->
-      """WITH bc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_base
-        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents WHERE doc_id % 10 <> 7) GROUP BY 1, 2),
-        |dc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_delta
-        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents WHERE doc_id % 10 = 7) GROUP BY 1, 2),
-        |j AS (SELECT COALESCE(bc.lang, dc.lang) AS lang,
-        |    COALESCE(bc.tok, dc.tok) AS tok,
-        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_delta, 0) AS c_delta
-        |  FROM bc FULL OUTER JOIN dc
-        |    ON bc.lang = dc.lang AND bc.tok = dc.tok),
-        |t AS (SELECT lang, CAST(SUM(c_base) AS BIGINT) AS n_base,
-        |    CAST(SUM(c_delta) AS BIGINT) AS n_delta FROM j GROUP BY lang),
-        |s AS (SELECT j.lang, tok, c_base, c_delta,
-        |    CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS p_base,
-        |    CAST(c_delta AS DOUBLE) / CAST(n_delta AS DOUBLE) AS p_delta,
-        |    abs(CAST(c_delta AS DOUBLE) / CAST(n_delta AS DOUBLE)
-        |      - CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE)) AS drift
-        |  FROM j JOIN t ON j.lang = t.lang),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
-        |    ORDER BY drift DESC, tok) AS BIGINT) AS rnk FROM s)
-        |SELECT lang, tok, c_base, c_delta, p_base, p_delta, drift, rnk
-        |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "corpus_drift" -> CorpusDriftSql,
+
+    // D55c: the served face reads the PERSISTED standing counts —
+    // hash parity against the same definition proves the layout
+    // round-trip is lossless
+    "layout_corpus_drift" -> CorpusDriftSql,
 
     // D55b: per-lang L1 drift — the sum runs in exact integer
     // cross-product space (HUGEINT here, DECIMAL(38,0) in the engine),

@@ -137,7 +137,13 @@ object LayoutOps {
     // table instead of re-lining the corpus; bucketed on the digest
     // so the stream-static anti-join reuses the persisted clustering
     Family("line_digests", s"lt${DedupOps.LineTok}", "h", 16,
-      (s, d) => DedupOps.corpusLineDigests(s, d)))
+      (s, d) => DedupOps.corpusLineDigests(s, d)),
+    // D55c: the standing token distribution (the drift monitor's
+    // frozen reference) — a daily delta is scored against the table
+    // alone, never re-counting the standing corpus; bucketed on tok
+    // so the vocab join reuses the persisted clustering
+    Family("drift_base", "std10", "tok", 8,
+      (s, d) => ProfileOps.driftBaseFrame(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -293,6 +299,16 @@ object LayoutOps {
         explode(graft.functions.TextFns.shingles3(col("toks"))).as("shingle"))
     TextOps.docSimilarOn(table(spark, dir, "shingle_postings"), anchors)
   }
+
+  /** D55c: the drift monitor served from the persisted standing
+    * distribution — the daily-crawl probe shape: only the delta is
+    * counted; the reference side comes from the drift_base table.
+    * Shares corpus_drift's oracle (hash parity proves the persisted
+    * reference is lossless).
+    */
+  def corpusDriftServed(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.corpusDriftAgainst(spark, dir,
+      table(spark, dir, "drift_base"), 10)
 
   /** D44c: the persisted rank served — same face and oracle as the
     * session's graph_pagerank (a restarted session must rank

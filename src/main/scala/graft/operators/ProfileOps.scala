@@ -252,9 +252,8 @@ object ProfileOps {
   // regression, topic shift)? Standing/delta = the house doc_id % 10
   // split every incremental operator uses.
 
-  /** Per-(lang, tok) counts of one split plus the per-lang token
-    * totals — the drift input, one partial-agg shuffle each, both
-    * vocab-bounded (≪ corpus).
+  /** Per-(lang, tok) counts of one split — the drift input, one
+    * partial-agg shuffle, vocab-bounded (≪ corpus).
     */
   private def splitTokCounts(spark: SparkSession, dir: String,
       delta: Boolean): DataFrame = {
@@ -264,6 +263,14 @@ object ProfileOps {
     side.groupBy("lang", "tok").agg(lcount.as("c"))
   }
 
+  /** The STANDING distribution (lang, tok, c_base) — the frozen
+    * reference artifact the drift family scores deltas against; the
+    * D36-family persists it bucketed on tok.
+    */
+  private[graft] def driftBaseFrame(spark: SparkSession, dir: String): DataFrame =
+    splitTokCounts(spark, dir, delta = false)
+      .withColumnRenamed("c", "c_base")
+
   /** D55: top-k drifted tokens per language — |p_delta − p_base| with
     * absent-side counts 0. The probabilities are single divisions of
     * exact longs (each exactly rounded, identical on any engine), so
@@ -272,9 +279,15 @@ object ProfileOps {
     * per-lang totals broadcast back, bounded-heap top-k — nothing
     * scales with corpus size past the two token scans.
     */
-  def corpusDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val base = splitTokCounts(spark, dir, delta = false)
-      .withColumnRenamed("c", "c_base")
+  def corpusDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    corpusDriftAgainst(spark, dir, driftBaseFrame(spark, dir), k)
+
+  /** [[corpusDrift]] against any standing-counts source (session
+    * frame or the persisted drift_base table) — the serving face; the
+    * layout path cannot drift because this IS the session code.
+    */
+  private[graft] def corpusDriftAgainst(spark: SparkSession, dir: String,
+      base: DataFrame, k: Int): DataFrame = {
     val delta = splitTokCounts(spark, dir, delta = true)
       .withColumnRenamed("c", "c_delta")
     val joined = base.join(delta, Seq("lang", "tok"), "full_outer")

@@ -53,6 +53,18 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("drift served from the reloaded standing counts == session corpus_drift, across a restart") {
+    withCleanLayouts {
+      val session = rows(graft.operators.ProfileOps.corpusDrift(spark, Sf))
+      assert(LayoutOps.ensure(spark, Sf, "drift_base") == "written")
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "drift_base") == "reregistered")
+      assert(rows(LayoutOps.corpusDriftServed(spark, Sf)) == session)
+    }
+  }
+
   test("ivfpq serving from reloaded tables matches session ann_ivfpq bit-for-bit") {
     withCleanLayouts {
       val sessionBuilt = rows(AnnOps.annIvfPq(spark, Sf))
