@@ -126,7 +126,14 @@ object ScaleBench {
     // neighbor join (df-capped postings self-join; the cap is
     // absolute, per-shard df constant under amplification — expect
     // ~linear, the D2b capped-join contract measured)
-    "dedup_lines", "doc_similar")
+    "dedup_lines", "doc_similar",
+    // r10 additions: the drift monitor (vocab-keyed full-outer join +
+    // |langs|-row broadcast — the ~k tagging grows the vocab F× at
+    // constant per-shard counts, expect ~linear in the token scans)
+    // and the RRF fusion (the D50 capped pair join paid once, two
+    // bounded heaps, shortlist-sized fusion join — expect ~linear,
+    // tracking doc_similar)
+    "corpus_drift", "doc_similar_rrf")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

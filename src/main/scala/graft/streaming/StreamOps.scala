@@ -588,6 +588,40 @@ object StreamOps {
     dedupLinesStream(incoming,
       graft.operators.LayoutOps.table(spark, dir, "line_digests"), watermark)
 
+  /** E37: streaming vocabulary novelty — the drift monitor's (D55)
+    * ingest face: arriving documents' (lang, tok) pairs deduplicate
+    * against the vocabulary the stream has already admitted
+    * (dropDuplicates state = the delta vocabulary, exactly the set
+    * the batch monitor enumerates) and LEFT ANTI join the STANDING
+    * distribution (memoized frame or the persisted drift_base table —
+    * stream-static, never reshuffled per batch). What survives is a
+    * token the standing corpus has NEVER seen — the leading indicator
+    * of a spam campaign or encoding regression — emitted as a
+    * reviewable (lang, tok) feed in append mode. Per-lang row counts
+    * equal corpus_drift_summary's new_tokens (parity-pinned); state
+    * is vocab-bounded, independent of document volume.
+    */
+  def vocabNoveltyStream(incoming: DataFrame, base: DataFrame): DataFrame =
+    incoming
+      .select(col("lang"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      .dropDuplicates("lang", "tok")
+      .join(base.select("lang", "tok"), Seq("lang", "tok"), "left_anti")
+
+  /** [[vocabNoveltyStream]] against the session's standing counts. */
+  def vocabNoveltyStreamFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame): DataFrame =
+    vocabNoveltyStream(incoming,
+      graft.operators.ProfileOps.driftBaseFrame(spark, dir))
+
+  /** E37 from the PERSISTED drift_base layout — a restarted monitor
+    * never recounts the standing corpus.
+    */
+  def vocabNoveltyStreamFromLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame): DataFrame =
+    vocabNoveltyStream(incoming,
+      graft.operators.LayoutOps.table(spark, dir, "drift_base"))
+
   /** E34: the D49 Gopher battery at ingest time — a stateless
     * map-only plan (the E16 shape): per-document rule verdicts emit
     * with the arriving micro-batch, no stream state beyond source

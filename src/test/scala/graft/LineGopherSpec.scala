@@ -81,10 +81,11 @@ class LineGopherSpec extends GraftSpec {
         (1L to sorted.length).toSeq)
       sorted.sliding(2).foreach {
         case Array(x, y) =>
-          val sx = x.getAs[java.math.BigDecimal]("score")
-          val sy = y.getAs[java.math.BigDecimal]("score")
-          val c = sx.compareTo(sy)
-          assert(c > 0 || (c == 0 &&
+          // score emits as double (the hash-stable projection); the
+          // exact-decimal ordering happened inside the heap
+          val sx = x.getAs[Double]("score")
+          val sy = y.getAs[Double]("score")
+          assert(sx > sy || (sx == sy &&
             x.getAs[Long]("b_id") < y.getAs[Long]("b_id")))
         case _ =>
       }
@@ -93,11 +94,11 @@ class LineGopherSpec extends GraftSpec {
     // the pair score is symmetric: whenever both orientations survive
     // their respective top-k cuts they carry the identical score
     val score = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
-      r.getAs[java.math.BigDecimal]("score")).toMap
+      r.getAs[Double]("score")).toMap
     var checked = 0
     score.foreach { case ((a, b), s) =>
       score.get((b, a)).foreach { s2 =>
-        assert(s.compareTo(s2) == 0, s"asymmetric $a<->$b"); checked += 1
+        assert(s == s2, s"asymmetric $a<->$b"); checked += 1
       }
     }
     assert(checked > 0, "no mutual pairs to check symmetry on")

@@ -108,6 +108,57 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("vocabNoveltyStream: novel tokens == corpus_drift_summary new_tokens, re-arrival suppressed") {
+    // plain-Scala expectation: delta vocab minus standing vocab
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val baseVocab = docs.filter(_._1 % 10 != 7)
+      .flatMap(d => d._3.split(" ", -1).map(t => (d._2, t))).toSet
+    val organic = docs.filter(_._1 % 10 == 7)
+      .flatMap(d => d._3.split(" ", -1).map(t => (d._2, t)))
+      .distinct.filterNot(baseVocab.contains).toSet
+    // batch-side consistency: new_tokens IS the organic novel-vocab
+    // count per lang (plain-Scala re-derivation)
+    val batchNew = graft.operators.ProfileOps.corpusDriftSummary(spark, Sf)
+      .select("lang", "new_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    batchNew.foreach { case (l, n) =>
+      assert(n == organic.count(_._1 == l).toLong,
+        s"$l: batch new_tokens $n vs re-derived ${organic.count(_._1 == l)}")
+    }
+    // the tiny sf has no organic novelty — inject a crawl doc whose
+    // tokens the standing corpus has never seen (and one it has)
+    val known = baseVocab.find(_._1 == "en").get
+    val synthTokens = Set(("en", "zzqnovel1"), ("en", "zzqnovel2"))
+    synthTokens.foreach(t => assert(!baseVocab.contains(t)))
+    val expected = organic ++ synthTokens
+    assert(expected.nonEmpty)
+
+    val d = Files.createTempDirectory("vocab_nov").toFile.getAbsolutePath
+    val incoming = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 7).select("doc_id", "lang", "text")
+      .unionByName(Seq((999999901L, "en",
+        s"zzqnovel1 zzqnovel2 zzqnovel1 ${known._2}"))
+        .toDF("doc_id", "lang", "text"))
+    incoming.write.mode("overwrite").parquet(d)
+    val q = StreamOps.vocabNoveltyStreamFor(spark, Sf,
+        spark.readStream.schema(incoming.schema).parquet(d))
+      .writeStream.format("memory").queryName("vocab_nov")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vocab_nov").select("lang", "tok")
+        .as[(String, String)].collect()
+      assert(got.length == got.distinct.length, "novel token emitted twice")
+      assert(got.toSet == expected)
+      // the same shard re-arriving adds nothing (vocab state holds)
+      incoming.write.mode("append").parquet(d)
+      q.processAllAvailable()
+      assert(spark.table("vocab_nov").count() == got.length.toLong)
+    } finally q.stop()
+  }
+
   test("dedupLinesStream: within-batch survivor is the batch-pinned min(doc_id, line_no)") {
     val lineL = (1 to 10).map(i => s"l$i").mkString(" ")
     val filler = (1 to 10).map(i => s"f$i").mkString(" ")
