@@ -64,7 +64,8 @@ object ExplainAudit {
       // the drift monitor broadcasts its |langs|-row totals
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "corpus_drift_summary", "ann_mmr",
-      "layout_corpus_drift")
+      "layout_corpus_drift", "layout_ann_filtered",
+      "layout_doc_similar_rrf")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -81,7 +82,8 @@ object ExplainAudit {
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
-      "corpus_drift", "ann_mmr", "layout_corpus_drift")
+      "corpus_drift", "ann_mmr", "layout_corpus_drift",
+      "layout_ann_filtered", "layout_doc_similar_rrf")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -249,7 +249,11 @@ object SparkEntry {
     "layout_phrase_search" -> (LayoutOps.phraseServed _),
     "layout_doc_similar"   -> (LayoutOps.docSimilarServed _),
     // D55c: the drift monitor from the persisted standing counts
-    "layout_corpus_drift"  -> (LayoutOps.corpusDriftServed _)
+    "layout_corpus_drift"  -> (LayoutOps.corpusDriftServed _),
+    // D53c: filtered ANN from the persisted labeled lists
+    "layout_ann_filtered"  -> (LayoutOps.annFilteredServed _),
+    // D54b: the RRF ensemble from the persisted shingle postings
+    "layout_doc_similar_rrf" -> (LayoutOps.docSimilarRrfServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -721,6 +725,106 @@ object SparkEntry {
        |SELECT q_id, c_id, rel, mmr, pick FROM sel$k
        |ORDER BY q_id, pick""".stripMargin
   }
+
+  /** D53b/D53c's shared oracle (the ann_ivf Lloyd chain + the label
+    * predicate) — the session IVF arm and the layout-served face must
+    * hash-match the same definition.
+    */
+  private def AnnFilteredIvfSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |s0 AS (SELECT e.vec_id, e.v, s.cid,
+      |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+      |  FROM e, seed s),
+      |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+      |  WHERE rn = 1),
+      |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM a1),
+      |cx AS (SELECT cid, pos,
+      |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+      |  FROM cm GROUP BY cid, pos),
+      |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+      |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+      |  FROM ref),
+      |l0 AS (SELECT e.vec_id, e.label, e.v, e.nrm, r.cid,
+      |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+      |  FROM e, ref2 r),
+      |lists AS (SELECT cid AS c_cid, vec_id AS c_id, label AS c_label,
+      |    v AS cv2, nrm AS cn
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
+      |probes AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)
+      |  WHERE rn <= 4),
+      |sc AS (SELECT q_id, c_id, list_dot_product(qv, cv2) / (qn * cn) AS sim
+      |  FROM lists JOIN probes ON q_cid = c_cid AND q_id <> c_id
+      |    AND c_label <> 0),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
+      |SELECT q_id, c_id, sim, rnk, 'ivf' AS path FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** D54/D54b's shared oracle — session fusion and the layout-served
+    * face hash-match the same definition.
+    */
+  private def DocSimilarRrfSqlShared: String =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM d),
+      |e AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (SELECT lang, shingle,
+      |    (${operators.TextOps.SimilarW} * n_docs) // COUNT(*) AS w
+      |  FROM e, n GROUP BY lang, shingle, n_docs
+      |  HAVING COUNT(*) BETWEEN 2 AND ${operators.TextOps.SimilarDfCap}),
+      |cnt AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+      |  FROM e JOIN w ON e.lang = w.lang AND e.shingle = w.shingle
+      |  GROUP BY e.doc_id),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |    CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS s_idf
+      |  FROM e a
+      |  JOIN w ON a.lang = w.lang AND a.shingle = w.shingle
+      |  JOIN e b ON b.lang = w.lang AND b.shingle = w.shingle
+      |    AND a.doc_id <> b.doc_id AND a.doc_id % 20 = 3
+      |  GROUP BY 1, 2),
+      |pj AS (SELECT p.*, ca.n_sh AS n_a, cb.n_sh AS n_b,
+      |    CAST(n_shared AS DOUBLE)
+      |      / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) AS jacc
+      |  FROM p JOIN cnt ca ON p.a_id = ca.doc_id
+      |    JOIN cnt cb ON p.b_id = cb.doc_id),
+      |ri AS (SELECT a_id, b_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+      |    ORDER BY s_idf DESC, b_id) AS BIGINT) AS r FROM pj
+      |  QUALIFY r <= ${operators.TextOps.RrfDepth}),
+      |rj AS (SELECT a_id, b_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+      |    ORDER BY jacc DESC, b_id) AS BIGINT) AS r FROM pj
+      |  QUALIFY r <= ${operators.TextOps.RrfDepth}),
+      |f AS (SELECT COALESCE(ri.a_id, rj.a_id) AS a_id,
+      |    COALESCE(ri.b_id, rj.b_id) AS b_id,
+      |    COALESCE(ri.r, 0) AS r_idf, COALESCE(rj.r, 0) AS r_jac
+      |  FROM ri FULL OUTER JOIN rj
+      |    ON ri.a_id = rj.a_id AND ri.b_id = rj.b_id),
+      |g AS (SELECT a_id, b_id, r_idf, r_jac,
+      |    (CASE WHEN r_idf > 0 THEN CAST(1 AS DOUBLE)
+      |      / CAST(${operators.TextOps.RrfC} + r_idf AS DOUBLE)
+      |      ELSE CAST(0 AS DOUBLE) END)
+      |    + (CASE WHEN r_jac > 0 THEN CAST(1 AS DOUBLE)
+      |      / CAST(${operators.TextOps.RrfC} + r_jac AS DOUBLE)
+      |      ELSE CAST(0 AS DOUBLE) END) AS rrf
+      |  FROM f),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+      |    ORDER BY rrf DESC, b_id) AS BIGINT) AS rnk FROM g)
+      |SELECT a_id, b_id, r_idf, r_jac, rrf, rnk FROM r
+      |WHERE rnk <= ${operators.TextOps.RrfTopK} ORDER BY a_id, rnk""".stripMargin
 
   /** D55/D55c's shared oracle — the session query and the served face
     * (which reads the persisted standing counts) must hash-match the
@@ -2468,58 +2572,7 @@ object SparkEntry {
     // (anchor set = doc_id % 20 = 3). Rank 0 = absent from that
     // system's top-20 (never NULL — nullable ints render differently
     // on the gate's two read paths).
-    "doc_similar_rrf" ->
-      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM d),
-        |e AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM s),
-        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        |w AS (SELECT lang, shingle,
-        |    (${operators.TextOps.SimilarW} * n_docs) // COUNT(*) AS w
-        |  FROM e, n GROUP BY lang, shingle, n_docs
-        |  HAVING COUNT(*) BETWEEN 2 AND ${operators.TextOps.SimilarDfCap}),
-        |cnt AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
-        |  FROM e JOIN w ON e.lang = w.lang AND e.shingle = w.shingle
-        |  GROUP BY e.doc_id),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    CAST(COUNT(*) AS BIGINT) AS n_shared,
-        |    CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS s_idf
-        |  FROM e a
-        |  JOIN w ON a.lang = w.lang AND a.shingle = w.shingle
-        |  JOIN e b ON b.lang = w.lang AND b.shingle = w.shingle
-        |    AND a.doc_id <> b.doc_id AND a.doc_id % 20 = 3
-        |  GROUP BY 1, 2),
-        |pj AS (SELECT p.*, ca.n_sh AS n_a, cb.n_sh AS n_b,
-        |    CAST(n_shared AS DOUBLE)
-        |      / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) AS jacc
-        |  FROM p JOIN cnt ca ON p.a_id = ca.doc_id
-        |    JOIN cnt cb ON p.b_id = cb.doc_id),
-        |ri AS (SELECT a_id, b_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
-        |    ORDER BY s_idf DESC, b_id) AS BIGINT) AS r FROM pj
-        |  QUALIFY r <= ${operators.TextOps.RrfDepth}),
-        |rj AS (SELECT a_id, b_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
-        |    ORDER BY jacc DESC, b_id) AS BIGINT) AS r FROM pj
-        |  QUALIFY r <= ${operators.TextOps.RrfDepth}),
-        |f AS (SELECT COALESCE(ri.a_id, rj.a_id) AS a_id,
-        |    COALESCE(ri.b_id, rj.b_id) AS b_id,
-        |    COALESCE(ri.r, 0) AS r_idf, COALESCE(rj.r, 0) AS r_jac
-        |  FROM ri FULL OUTER JOIN rj
-        |    ON ri.a_id = rj.a_id AND ri.b_id = rj.b_id),
-        |g AS (SELECT a_id, b_id, r_idf, r_jac,
-        |    (CASE WHEN r_idf > 0 THEN CAST(1 AS DOUBLE)
-        |      / CAST(${operators.TextOps.RrfC} + r_idf AS DOUBLE)
-        |      ELSE CAST(0 AS DOUBLE) END)
-        |    + (CASE WHEN r_jac > 0 THEN CAST(1 AS DOUBLE)
-        |      / CAST(${operators.TextOps.RrfC} + r_jac AS DOUBLE)
-        |      ELSE CAST(0 AS DOUBLE) END) AS rrf
-        |  FROM f),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
-        |    ORDER BY rrf DESC, b_id) AS BIGINT) AS rnk FROM g)
-        |SELECT a_id, b_id, r_idf, r_jac, rrf, rnk FROM r
-        |WHERE rnk <= ${operators.TextOps.RrfTopK} ORDER BY a_id, rnk""".stripMargin,
+    "doc_similar_rrf" -> DocSimilarRrfSqlShared,
 
     "doc_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
@@ -2761,45 +2814,15 @@ object SparkEntry {
     // D53b: the planner's IVF arm for the broad predicate (label ≠ 0,
     // ~90% > threshold): the full ann_ivf chain with labels carried
     // into the lists and the predicate applied inside the probe join.
-    "ann_filtered_ivf" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings),
-        |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM e ORDER BY vec_id LIMIT 16),
-        |s0 AS (SELECT e.vec_id, e.v, s.cid,
-        |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
-        |  FROM e, seed s),
-        |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
-        |  WHERE rn = 1),
-        |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
-        |  FROM a1),
-        |cx AS (SELECT cid, pos,
-        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
-        |  FROM cm GROUP BY cid, pos),
-        |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
-        |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
-        |  FROM ref),
-        |l0 AS (SELECT e.vec_id, e.label, e.v, e.nrm, r.cid,
-        |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
-        |  FROM e, ref2 r),
-        |lists AS (SELECT cid AS c_cid, vec_id AS c_id, label AS c_label,
-        |    v AS cv2, nrm AS cn
-        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
-        |probes AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn
-        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)
-        |  WHERE rn <= 4),
-        |sc AS (SELECT q_id, c_id, list_dot_product(qv, cv2) / (qn * cn) AS sim
-        |  FROM lists JOIN probes ON q_cid = c_cid AND q_id <> c_id
-        |    AND c_label <> 0),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
-        |SELECT q_id, c_id, sim, rnk, 'ivf' AS path FROM r WHERE rnk <= 10
-        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_filtered_ivf" -> AnnFilteredIvfSql,
+
+    // D53c: the served face reads the persisted labeled lists +
+    // quantizer — hash parity proves the layout round-trip lossless
+    "layout_ann_filtered" -> AnnFilteredIvfSql,
+
+    // D54b: the RRF ensemble served from the persisted shingle
+    // postings — same definition, hash parity
+    "layout_doc_similar_rrf" -> DocSimilarRrfSqlShared,
 
     // D51: the ann_ivf chain with labels carried and a label-mismatch
     // filter before the per-anchor top-5 — hard negatives for

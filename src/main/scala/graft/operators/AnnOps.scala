@@ -542,6 +542,48 @@ object AnnOps {
         lit("ivf").as("path"))
       .orderBy("q_id", "rnk")
 
+  /** The labeled IVF lists as a frame — the D53c layout family's
+    * write side (bucketed on c_cid by the store).
+    */
+  private[graft] def ivfListsLabeledFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfListsLabeled(spark, dir)
+
+  /** D53c: the IVF arm served ENTIRELY from persisted tables — the
+    * quantizer collected from its m-row table (the O(1) model object
+    * every serving node holds), probe cids resolved driver-side into
+    * a literal IN filter so the labeled-lists scan prunes to the
+    * probed buckets, the predicate applied inside the list join
+    * before the heap. Shares ann_filtered_ivf's oracle: a FRESH
+    * session must return the identical filtered result with zero
+    * rebuild.
+    */
+  def filteredIvfFromTables(spark: SparkSession, dir: String,
+      cents: DataFrame, lists: DataFrame, pred: Column => Column,
+      nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val model = toModel(cents.select("cid", "cv", "cnrm").collect())
+    var bc: Broadcast[IvfModel] = null
+    val assigned = assignWith(
+      embDouble(spark, dir).filter(col("vec_id") % 50 === 0), model, nprobe, {
+        bc = spark.sparkContext.broadcast(model); bc
+      })
+    val probes = assigned.select(col("cid").as("q_cid"),
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probedCids = assigned.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val sims = lists.filter(col("c_cid").isin(probedCids: _*))
+      .join(broadcast(probes),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id") &&
+          pred(col("c_label")))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"),
+        lit("ivf").as("path"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Incremental index maintenance: assign a batch of NEW vectors to
     * the EXISTING quantizer and append them to the inverted lists —
     * the streaming story of the layout artifact. The corpus is never

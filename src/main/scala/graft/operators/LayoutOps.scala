@@ -143,7 +143,12 @@ object LayoutOps {
     // alone, never re-counting the standing corpus; bucketed on tok
     // so the vocab join reuses the persisted clustering
     Family("drift_base", "std10", "tok", 8,
-      (s, d) => ProfileOps.driftBaseFrame(s, d)))
+      (s, d) => ProfileOps.driftBaseFrame(s, d)),
+    // D53c: the LABELED IVF-Flat lists — the filtered-search serving
+    // layout: bucketed on the list id so a probe's IN filter prunes
+    // to its lists' buckets, labels ride in-row for the predicate
+    Family("ivf_labeled_lists", s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}",
+      "c_cid", 16, (s, d) => AnnOps.ivfListsLabeledFrame(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -299,6 +304,22 @@ object LayoutOps {
         explode(graft.functions.TextFns.shingles3(col("toks"))).as("shingle"))
     TextOps.docSimilarOn(table(spark, dir, "shingle_postings"), anchors)
   }
+
+  /** D53c: filtered ANN served from the persisted labeled lists +
+    * quantizer — a restarted serving tier answers predicated searches
+    * with zero rebuild. Shares ann_filtered_ivf's oracle.
+    */
+  def annFilteredServed(spark: SparkSession, dir: String): DataFrame =
+    AnnOps.filteredIvfFromTables(spark, dir,
+      table(spark, dir, "ivf_quantizer"),
+      table(spark, dir, "ivf_labeled_lists"), _ =!= 0)
+
+  /** D54b: the RRF ensemble served from the persisted shingle
+    * postings — both component rankings and the fusion derive from
+    * the table alone. Shares doc_similar_rrf's oracle.
+    */
+  def docSimilarRrfServed(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docSimilarRrfOn(table(spark, dir, "shingle_postings"))
 
   /** D55c: the drift monitor served from the persisted standing
     * distribution — the daily-crawl probe shape: only the delta is

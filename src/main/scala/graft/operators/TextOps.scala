@@ -573,8 +573,14 @@ object TextOps {
     * from ONE candidate-pair frame off the df-capped postings, so
     * candidate generation cost is paid once.
     */
-  def docSimilarRrf(spark: SparkSession, dir: String): DataFrame = {
-    val p = similarPostingsFrame(spark, dir)
+  def docSimilarRrf(spark: SparkSession, dir: String): DataFrame =
+    docSimilarRrfOn(similarPostingsFrame(spark, dir))
+
+  /** [[docSimilarRrf]] over any postings source (session-built or the
+    * persisted shingle_postings table) — the serving face; per-doc
+    * set sizes and both rankings derive from the postings alone.
+    */
+  private[graft] def docSimilarRrfOn(p: DataFrame): DataFrame = {
     // per-doc capped-shingle set sizes (the jaccard denominators)
     val counts = p.groupBy("doc_id")
       .agg(graft.functions.Exact.lcount.as("n_sh"))

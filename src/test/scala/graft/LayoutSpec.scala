@@ -65,6 +65,32 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("filtered ANN served from reloaded labeled lists == session filteredIvf, across a restart") {
+    withCleanLayouts {
+      val session = rows(AnnOps.filteredIvf(spark, Sf, _ =!= 0))
+      Seq("ivf_quantizer", "ivf_labeled_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("ivf_quantizer", "ivf_labeled_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      assert(rows(LayoutOps.annFilteredServed(spark, Sf)) == session)
+    }
+  }
+
+  test("RRF ensemble served from reloaded shingle postings == session doc_similar_rrf") {
+    withCleanLayouts {
+      val session = rows(TextOps.docSimilarRrf(spark, Sf))
+      assert(LayoutOps.ensure(spark, Sf, "shingle_postings") == "written")
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "shingle_postings") == "reregistered")
+      assert(rows(LayoutOps.docSimilarRrfServed(spark, Sf)) == session)
+    }
+  }
+
   test("ivfpq serving from reloaded tables matches session ann_ivfpq bit-for-bit") {
     withCleanLayouts {
       val sessionBuilt = rows(AnnOps.annIvfPq(spark, Sf))
