@@ -269,6 +269,27 @@ object EventOps {
         lcount.as("n"))
       .orderBy("event_type")
 
+  /** B11b: the SKETCHED percentile twin — approx_percentile (Spark's
+    * mergeable quantile summary) beside B11's exact sort-based
+    * percentile, the same pairing as B18's HLL twin: at 100 TB the
+    * exact percentile shuffles every value to its type's reducer,
+    * while the sketch partial-aggregates to a bounded summary per
+    * partition and merges — shuffle bytes are |types|·sketch-size
+    * regardless of event volume. Accuracy tolerance-pinned against
+    * the exact face in spec (not oracled — the summary is
+    * engine-specific by nature).
+    */
+  def valuePercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"),
+        lcount.as("n"))
+      .orderBy("event_type")
+
   /** B17: per-type value anomaly flags — each event z-scored against
     * its own event type's mean/std, |z| ≥ 3 flagged (the monitoring
     * rule a collector raises alerts on). The mean and E[x²] sums go

@@ -75,6 +75,36 @@ class QueriesSpec extends GraftSpec {
     }
   }
 
+  test("evt_percentiles_approx lands inside the exact bracketing percentiles") {
+    // the summary returns an OBSERVED value near the quantile; exact
+    // interpolates — so the right envelope is not a relative
+    // tolerance (tail order-statistic gaps dwarf any fixed pct at
+    // small n) but the exact distribution's neighboring percentiles
+    val brackets = Tables.events(spark, Sf)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.85)").as("lo90"),
+        expr("percentile(value, 0.95)").as("hi90"),
+        expr("percentile(value, 0.97)").as("lo99"),
+        max(col("value")).as("hi99"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.operators.EventOps.valuePercentilesApprox(spark, Sf)
+      .collect()
+    assert(approx.map(_.getString(0)).toSet == brackets.keySet)
+    approx.foreach { r =>
+      val b = brackets(r.getString(0))
+      def in(a: Double, lo: Double, hi: Double): Boolean = a >= lo && a <= hi
+      assert(in(r.getDouble(1), b.getDouble(1), b.getDouble(2)),
+        s"${r.getString(0)} p50 ${r.getDouble(1)}")
+      assert(in(r.getDouble(2), b.getDouble(3), b.getDouble(4)),
+        s"${r.getString(0)} p90 ${r.getDouble(2)}")
+      assert(in(r.getDouble(3), b.getDouble(5), b.getDouble(6)),
+        s"${r.getString(0)} p99 ${r.getDouble(3)}")
+    }
+  }
+
   test("evt_latest_per_key has one row per user") {
     val df = SparkEntry.queries("evt_latest_per_key")(spark, Sf)
     val users = Tables.events(spark, Sf).select("user_id").distinct().count()
