@@ -405,7 +405,13 @@ object AnnOps {
     * steps in SQL.
     */
   def annMmr(spark: SparkSession, dir: String, r: Int = MmrShort,
-      k: Int = MmrK, lam: Double = MmrLambda): DataFrame = {
+      k: Int = MmrK, lam: Double = MmrLambda): DataFrame =
+    graft.Memo.df(spark, s"annMmr:$dir:$r:$k:$lam") {
+      annMmrBuild(spark, dir, r, k, lam)
+    }.orderBy("q_id", "pick")
+
+  private def annMmrBuild(spark: SparkSession, dir: String, r: Int,
+      k: Int, lam: Double): DataFrame = {
     val emb = embDouble(spark, dir)
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -432,10 +438,24 @@ object AnnOps {
       .persist()
     val lamC = lit(lam)
     val lamP = lit(1.0 - lam)
-    var picked = TopK.perKey(sl, Seq(col("q_id")),
+    // each step references the picked-so-far set TWICE (penalty join +
+    // anti-join) and every later step references it again through the
+    // union — leaving the full logical tree in place makes CATALYST the
+    // bottleneck (the corpus_build_incremental finding: planning, not
+    // stages — measured 14 s → ~4 s at sf0.1). Pin-and-re-root each
+    // step: persist the ≤ |queries|·k-row frame and re-root on the
+    // materialized RDD (LogicalRDD leaf keeps downstream trees shallow;
+    // lineage survives, so executor loss degrades to recomputation).
+    def pinStep(d: DataFrame): DataFrame = {
+      val rdd = d.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      spark.createDataFrame(rdd, d.schema)
+    }
+    var picked = pinStep(TopK.perKey(sl, Seq(col("q_id")),
         Seq(col("rel").desc, col("c_id").asc), 1)
       .select(col("q_id"), col("c_id"), col("rel"),
-        (lamC * col("rel")).as("mmr"), lit(1L).as("pick"))
+        (lamC * col("rel")).as("mmr"), lit(1L).as("pick")))
     for (i <- 2 to k) {
       val pen = pairs
         .join(picked.select(col("q_id"), col("c_id").as("b_id")),
@@ -446,13 +466,13 @@ object AnnOps {
         .join(picked.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
         .join(pen.withColumnRenamed("a_id", "c_id"), Seq("q_id", "c_id"))
         .withColumn("mmr", lamC * col("rel") - lamP * col("pen"))
-      picked = picked.unionByName(
+      picked = pinStep(picked.unionByName(
         TopK.perKey(step, Seq(col("q_id")),
             Seq(col("mmr").desc, col("c_id").asc), 1)
           .select(col("q_id"), col("c_id"), col("rel"), col("mmr"),
-            lit(i.toLong).as("pick")))
+            lit(i.toLong).as("pick"))))
     }
-    picked.orderBy("q_id", "pick")
+    picked
   }
   // real queries carry a tenant/lang/label predicate, and the right
   // physical plan depends on how much of the corpus the predicate
