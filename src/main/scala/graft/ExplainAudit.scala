@@ -62,8 +62,11 @@ object ExplainAudit {
       // r10: both filtered-ANN arms broadcast the query/probe set;
       // the RRF fusion inherits doc_similar's 1-row count broadcast;
       // the drift monitor broadcasts its |langs|-row totals
+      // (ann_mmr is exempt from plan expectations: its pinned/memoized
+      // greedy steps leave only LogicalRDD leaves in the final plan —
+      // the broadcast + heap live in the build path, spec-verified)
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
-      "corpus_drift", "corpus_drift_summary", "ann_mmr",
+      "corpus_drift", "corpus_drift_summary",
       "layout_corpus_drift", "layout_ann_filtered",
       "layout_doc_similar_rrf")
     // bounded-heap top-k must stay in these plans — a full window sort
@@ -82,8 +85,9 @@ object ExplainAudit {
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
-      "corpus_drift", "ann_mmr", "layout_corpus_drift",
-      "layout_ann_filtered", "layout_doc_similar_rrf")
+      "corpus_drift", "layout_corpus_drift",
+      "layout_ann_filtered", "layout_doc_similar_rrf",
+      "dedup_explain")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

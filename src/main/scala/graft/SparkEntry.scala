@@ -62,6 +62,8 @@ object SparkEntry {
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
     "graph_source_rank"    -> (GraphOps.sourceRank _),
     "evt_transitions"      -> (EventOps.transitions _),
+    "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
+      EventOps.patternMatch(s, d)),
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
     "evt_sessionize_native" -> (EventOps.sessionizeNative _),
@@ -119,6 +121,8 @@ object SparkEntry {
     "dedup_winnow"         -> ((s: SparkSession, d: String) =>
       DedupOps.dedupWinnow(s, d)),
     "dedup_ngram_jaccard"  -> (DedupOps.dedupNgramJaccard _),
+    "dedup_explain"        -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupExplain(s, d)),
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
@@ -724,6 +728,30 @@ object SparkEntry {
        |$steps
        |SELECT q_id, c_id, rel, mmr, pick FROM sel$k
        |ORDER BY q_id, pick""".stripMargin
+  }
+
+  /** B25's oracle — the same lead() windows and in-row predicate,
+    * built programmatically so pattern/span changes move both sides.
+    */
+  private def PatternMatchSql: String = {
+    val p = operators.EventOps.PatternSeq
+    val spanMs = operators.EventOps.PatternMaxSpanMin.toLong * 60000L
+    val last = p.length - 1
+    val leads = (1 until p.length).map { i =>
+      s"lead(event_type, $i) OVER w AS type_$i, " +
+        s"lead(event_id, $i) OVER w AS id_$i, lead(ts, $i) OVER w AS ts_$i"
+    }.mkString(",\n    ")
+    val conds = (1 until p.length).map(i => s"type_$i = '${p(i)}'")
+      .mkString(" AND ")
+    val idCols = (1 until p.length).map(i => s"id_$i").mkString(", ")
+    s"""WITH t AS (SELECT user_id, ts, event_id, event_type,
+       |    $leads
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id AS id_0, ts AS ts_0, $idCols,
+       |  epoch_us(ts_$last) // 1000 - epoch_us(ts) // 1000 AS span_ms
+       |FROM t WHERE event_type = '${p.head}' AND $conds
+       |  AND epoch_us(ts_$last) // 1000 - epoch_us(ts) // 1000 <= $spanMs
+       |ORDER BY user_id, id_0""".stripMargin
   }
 
   /** D53b/D53c's shared oracle (the ann_ivf Lloyd chain + the label
@@ -1543,6 +1571,9 @@ object SparkEntry {
         s"FROM ($PagerankSql) p JOIN documents ON p.doc_id = documents.doc_id " +
         "GROUP BY 1 ORDER BY mean_pr DESC, source"),
 
+    // B25: strict-consecutive pattern detection (builder above)
+    "evt_pattern_match" -> PatternMatchSql,
+
     // B21: Markov transition counts + row-normalized probabilities
     "evt_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
@@ -2072,6 +2103,37 @@ object SparkEntry {
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // D57: the review face — k rarest shared shingles per flagged pair
+    "dedup_explain" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING COUNT(*) >= 2 AND CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE)
+        |    >= ${operators.DedupOps.ExplainTau}),
+        |dfp AS (SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM e GROUP BY 1, 2),
+        |sh AS (SELECT p.a_id, p.b_id, a.lang, a.shingle
+        |  FROM p JOIN e a ON a.doc_id = p.a_id
+        |  JOIN e b ON b.doc_id = p.b_id AND b.lang = a.lang
+        |    AND b.shingle = a.shingle),
+        |r AS (SELECT sh.a_id, sh.b_id, sh.shingle, dfp.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY sh.a_id, sh.b_id
+        |      ORDER BY dfp.df, sh.shingle) AS BIGINT) AS rnk
+        |  FROM sh JOIN dfp ON sh.lang = dfp.lang AND sh.shingle = dfp.shingle)
+        |SELECT a_id, b_id, shingle, df, rnk FROM r
+        |WHERE rnk <= ${operators.DedupOps.ExplainK}
+        |ORDER BY a_id, b_id, rnk""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

@@ -125,6 +125,38 @@ object DedupOps {
       .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
       .orderBy("a_id", "b_id")
 
+  /** D57's knobs (shared with the oracle builder). */
+  val ExplainTau = 0.5
+  val ExplainK = 5
+
+  /** D57: dedup explanation — the review face a curation UI needs
+    * when a pair is flagged: the k RAREST shared shingles per
+    * near-dup pair (global df ascending — the most diagnostic shared
+    * phrasing first; ubiquitous boilerplate ranks last). A verdict a
+    * human can check beats a bare score. Scale shape: flagged pairs ≪
+    * candidate pairs, the shared-shingle derivation joins the
+    * memoized exploded table on doc/shingle keys, the df table is
+    * vocab-bounded, ranking is the bounded heap.
+    */
+  def dedupExplain(spark: SparkSession, dir: String,
+      tau: Double = ExplainTau, k: Int = ExplainK): DataFrame = {
+    val flagged = dedupNgramJaccard(spark, dir)
+      .filter(col("jacc") >= tau).select("a_id", "b_id")
+    val ex = shinglesByKey(spark, dir).select("doc_id", "lang", "shingle")
+    val dfTab = ex.groupBy("lang", "shingle")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val aSide = flagged
+      .join(ex.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+    val shared = aSide
+      .join(ex.select(col("doc_id").as("b_id"), col("lang"), col("shingle")),
+        Seq("b_id", "lang", "shingle"), "left_semi")
+      .join(dfTab, Seq("lang", "shingle"))
+    graft.plans.TopK.perKey(shared, Seq(col("a_id"), col("b_id")),
+        Seq(col("df").asc, col("shingle").asc), k)
+      .select("a_id", "b_id", "shingle", "df", "rnk")
+      .orderBy("a_id", "b_id", "rnk")
+  }
+
   /** D2 at 100 TB: the blocked self-join's output grows with the
     * SQUARE of each shingle's posting list, so one viral boilerplate
     * shingle (df in the millions) dominates the whole job. The guard

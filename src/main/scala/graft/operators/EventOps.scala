@@ -678,6 +678,55 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** B25's pattern + time bound (shared with the oracle builder).
+    * The generator's user timelines run sparse (consecutive-event
+    * gaps of hours), so the conversion bound is 48 h; the span
+    * semantics themselves are spec-pinned with a tight bound on a
+    * fixture.
+    */
+  val PatternSeq: Seq[String] = Seq("view", "click", "purchase")
+  val PatternMaxSpanMin = 48 * 60
+
+  /** B25: CEP-style strict-sequence detection — every STRICTLY
+    * CONSECUTIVE run of the pattern's event types on a user timeline
+    * (no intervening events — the MATCH_RECOGNIZE shape, and the dual
+    * of B14's funnel, which allows gaps and takes first completion),
+    * bounded by a total time span. lead() windows materialize each
+    * event's next |pattern|−1 successors in ONE user-keyed window
+    * sort; the match is then a pure in-row predicate, so cost is the
+    * timeline sort the B-family already pays — no self-joins, no
+    * per-pattern scans. Deterministic ordering: (ts, event_id), the
+    * house timeline key.
+    */
+  def patternMatch(spark: SparkSession, dir: String,
+      pattern: Seq[String] = PatternSeq,
+      maxSpanMin: Int = PatternMaxSpanMin): DataFrame = {
+    require(pattern.length >= 2, "pattern needs at least 2 steps")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withLeads = pattern.indices.tail.foldLeft(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))) { (d, i) =>
+      d.withColumn(s"type_$i", lead(col("event_type"), i).over(w))
+        .withColumn(s"id_$i", lead(col("event_id"), i).over(w))
+        .withColumn(s"ts_$i", lead(col("ts"), i).over(w))
+    }
+    val last = pattern.length - 1
+    val matches = withLeads
+      .filter(col("event_type") === pattern.head)
+      .filter(pattern.indices.tail
+        .map(i => col(s"type_$i") === pattern(i)).reduce(_ && _))
+      .withColumn("span_ms",
+        unix_millis(col(s"ts_$last")) - unix_millis(col("ts")))
+      .filter(col("span_ms") <= maxSpanMin.toLong * 60000L)
+    matches.select(
+      Seq(col("user_id"), col("event_id").as("id_0"), col("ts").as("ts_0")) ++
+      pattern.indices.tail.flatMap(i => Seq(col(s"id_$i"))) :+
+      col("span_ms"): _*)
+      .orderBy("user_id", "id_0")
+  }
+
   /** B20: click→purchase attribution — every (purchase, click) pair
     * where the same user clicked within the 24 h BEFORE the purchase
     * (all qualifying touches, not just the latest — the dual of

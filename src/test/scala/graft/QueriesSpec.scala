@@ -167,6 +167,86 @@ class QueriesSpec extends GraftSpec {
     assert(u2.length == 5) // 00:00..01:00 every 15 min, no cap
   }
 
+  test("evt_pattern_match: strict consecutiveness, span bound, fixture-exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cep")
+      .toFile.getAbsolutePath
+    def t(m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    Seq(
+      // user 1: clean view→click→purchase inside the span → ONE match
+      (10L, t(0), 1L, "view", 1.0), (11L, t(1), 1L, "click", 1.0),
+      (12L, t(2), 1L, "purchase", 1.0),
+      // user 2: an intervening error breaks strict consecutiveness
+      (20L, t(0), 2L, "view", 1.0), (21L, t(1), 2L, "error", 1.0),
+      (22L, t(2), 2L, "click", 1.0), (23L, t(3), 2L, "purchase", 1.0),
+      // user 3: right order but the span exceeds the bound
+      (30L, t(0), 3L, "view", 1.0), (31L, t(20), 3L, "click", 1.0),
+      (32L, t(51), 3L, "purchase", 1.0),
+      // user 4: two overlapping completions chain (v c p) (c p) — only
+      // the first starts with 'view', so one match
+      (40L, t(0), 4L, "view", 1.0), (41L, t(1), 4L, "click", 1.0),
+      (42L, t(2), 4L, "purchase", 1.0), (43L, t(3), 4L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventOps.patternMatch(spark, dir,
+      maxSpanMin = 30).collect()
+    val got = out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+      r.getAs[Long]("id_1"), r.getAs[Long]("id_2"),
+      r.getAs[Long]("span_ms"))).toSet
+    assert(got == Set((1L, 10L, 11L, 12L, 120000L),
+      (4L, 40L, 41L, 42L, 120000L)), s"got $got")
+    // real data: every match's ids are strictly increasing on the
+    // user timeline and typed correctly
+    val real = graft.operators.EventOps.patternMatch(spark, Sf).collect()
+    val types = Tables.events(spark, Sf)
+      .select("event_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    real.foreach { r =>
+      assert(types(r.getAs[Long]("id_0")) == "view")
+      assert(types(r.getAs[Long]("id_1")) == "click")
+      assert(types(r.getAs[Long]("id_2")) == "purchase")
+      assert(r.getAs[Long]("span_ms") >= 0 &&
+        r.getAs[Long]("span_ms") <=
+          graft.operators.EventOps.PatternMaxSpanMin.toLong * 60000L)
+    }
+  }
+
+  test("dedup_explain: pairs are the flagged set, shingles shared, df-ranked") {
+    import graft.operators.{DedupOps, TextOps}
+    val out = DedupOps.dedupExplain(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val flagged = DedupOps.dedupNgramJaccard(spark, Sf)
+      .filter(col("jacc") >= DedupOps.ExplainTau)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet == flagged, "explained pairs != flagged pairs")
+    // each listed shingle appears in BOTH documents
+    val texts = Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shinglesOf(id: Long): Set[String] = {
+      val toks = texts(id).split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    out.foreach { r =>
+      val sh = r.getAs[String]("shingle")
+      assert(shinglesOf(r.getAs[Long]("a_id")).contains(sh))
+      assert(shinglesOf(r.getAs[Long]("b_id")).contains(sh))
+    }
+    // per pair: rnk contiguous, df non-decreasing with rnk
+    out.groupBy(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .values.foreach { rows =>
+        val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+        assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+          (1L to sorted.length).toSeq)
+        assert(sorted.map(_.getAs[Long]("df")).toSeq ==
+          sorted.map(_.getAs[Long]("df")).sorted.toSeq)
+      }
+  }
+
   test("evt_value_zscore: a constant series is never anomalous (std=0 guard)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zscore")
