@@ -54,6 +54,15 @@ private case class LastTypeState(hasPrev: Boolean, t: String)
 /** Flagged day (streaming analog of B22's evt_daily_anomaly). */
 case class LineOcc(doc_id: Long, ts: Timestamp, line_no: Int,
   line: String, h: String)
+/** E38's per-user state: one slot of the last |pattern|−1 timeline
+  * events.
+  */
+case class PatternTail(event_id: Long, ts: Timestamp, event_type: String)
+
+/** E38 match emission — the batch query's 3-step schema. */
+case class PatternOut(user_id: Long, id_0: Long, ts_0: Timestamp,
+    id_1: Long, id_2: Long, span_ms: Long)
+
 case class GapOut(user_id: Long, event_type: String, event_id: Long,
   ts: Timestamp, gap_ms: Long)
 case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
@@ -444,6 +453,51 @@ object StreamOps {
               gap
             }
           state.update(last)
+          out.iterator
+        })
+  }
+
+  /** E38: streaming strict-sequence detection — B25's CEP face: per
+    * user, the state is the last |pattern|−1 timeline events (a fixed
+    * ring — O(pattern) state per user, independent of history); each
+    * arrival slides the window, and a window whose types equal the
+    * pattern within the span bound emits immediately. Arrivals inside
+    * a micro-batch sort by the batch operator's exact timeline key
+    * (full-precision ts, event_id) so cross-batch splits cannot
+    * reorder a run — exact batch parity is spec'd with the real
+    * events split mid-timeline.
+    */
+  def patternMatchStream(events: Dataset[Ev],
+      pattern: Seq[String] = graft.operators.EventOps.PatternSeq,
+      maxSpanMin: Int = graft.operators.EventOps.PatternMaxSpanMin)
+      : Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    require(pattern.length == 3,
+      "the streaming face emits the batch 3-step schema (id_0..id_2)")
+    val n = pattern.length
+    val spanMs = maxSpanMin.toLong * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[Ev], state: GroupState[Seq[PatternTail]]) => {
+          var tail = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatternOut]
+          it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val cur = PatternTail(e.event_id, e.ts, e.event_type)
+              val window = tail :+ cur
+              if (window.length == n &&
+                  window.iterator.zip(pattern.iterator)
+                    .forall { case (w, p) => w.event_type == p } &&
+                  cur.ts.getTime - window.head.ts.getTime <= spanMs) {
+                out += PatternOut(user, window.head.event_id, window.head.ts,
+                  window(1).event_id, window(2).event_id,
+                  cur.ts.getTime - window.head.ts.getTime)
+              }
+              tail = window.takeRight(n - 1)
+            }
+          state.update(tail)
           out.iterator
         })
   }

@@ -254,6 +254,53 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("patternMatchStream == batch evt_pattern_match, run straddling the batch split") {
+    import graft.operators.EventOps
+    // widen the corpus with a synthetic user whose run STRADDLES the
+    // split cutoff — organic matches are sparse, so cross-batch state
+    // recovery must be forced to be provable
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val synth = Seq(
+      (999001L, t("2024-06-01 10:00:00"), 9990L, "view", 1.0),
+      (999002L, t("2024-06-01 11:00:00"), 9990L, "click", 1.0),
+      (999003L, t("2024-06-01 12:00:00"), 9990L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .unionByName(synth)
+    val d = Files.createTempDirectory("cep_par").toFile.getAbsolutePath
+    val widened = s"$d/widened"
+    all.write.parquet(s"$widened/events.parquet")
+    val expected = EventOps.patternMatch(spark, widened)
+      .select("user_id", "id_0", "id_1", "id_2", "span_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(expected.nonEmpty)
+    assert(expected.exists(_._1 == 9990L), "synthetic run not matched")
+
+    // split between the synthetic click and purchase
+    val src = s"$d/src"
+    val cutoff = t("2024-06-01 11:30:00").getTime
+    all.filter(unix_millis(col("ts")) < cutoff).write.mode("append").parquet(src)
+    val q = StreamOps.patternMatchStream(
+        spark.readStream.schema(all.schema).parquet(src).as[Ev])
+      .writeStream.format("memory").queryName("cep_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterEarly = spark.table("cep_par").count()
+      all.filter(unix_millis(col("ts")) >= cutoff).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("cep_par")
+        .select("user_id", "id_0", "id_1", "id_2", "span_ms")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == expected,
+        s"streamed ${got.length} matches vs batch ${expected.length}")
+      // the synthetic run completed in batch 2 from recovered state
+      assert(got.length > afterEarly)
+    } finally q.stop()
+  }
+
   test("imageDedupStream: pairs == plain-Scala bands+hamming vs the standing split") {
     import graft.multimodal.MultimodalOps
     def hash(id: Long): Long = MultimodalOps.dHash56(
