@@ -64,6 +64,8 @@ object SparkEntry {
     "evt_transitions"      -> (EventOps.transitions _),
     "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
       EventOps.patternMatch(s, d)),
+    "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
+      EventOps.patternAbandoned(s, d)),
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
     "evt_sessionize_native" -> (EventOps.sessionizeNative _),
@@ -751,6 +753,42 @@ object SparkEntry {
        |  epoch_us(ts_$last) // 1000 - epoch_us(ts) // 1000 AS span_ms
        |FROM t WHERE event_type = '${p.head}' AND $conds
        |  AND epoch_us(ts_$last) // 1000 - epoch_us(ts) // 1000 <= $spanMs
+       |ORDER BY user_id, id_0""".stripMargin
+  }
+
+  /** B25b's oracle — the same lead() windows with the negation CASE,
+    * built from the same pattern constants.
+    */
+  private def PatternAbandonedSql: String = {
+    val p = operators.EventOps.PatternSeq
+    val prefix = p.init
+    val next = p.last
+    val spanMs = operators.EventOps.PatternMaxSpanMin.toLong * 60000L
+    val nIdx = prefix.length
+    val last = prefix.length - 1
+    val leads = (1 to nIdx).map { i =>
+      s"lead(event_type, $i) OVER w AS type_$i, " +
+        s"lead(event_id, $i) OVER w AS id_$i, lead(ts, $i) OVER w AS ts_$i"
+    }.mkString(",\n    ")
+    val prefixConds = (1 to last).map(i => s"type_$i = '${prefix(i)}'")
+    val prefixSpan =
+      if (last == 0) "0"
+      else s"epoch_us(ts_$last) // 1000 - epoch_us(ts) // 1000"
+    val nextGap = s"epoch_us(ts_$nIdx) // 1000 - epoch_us(ts) // 1000"
+    val whereConds = (s"event_type = '${prefix.head}'" +: prefixConds)
+      .mkString(" AND ")
+    s"""WITH t AS (SELECT user_id, ts, event_id, event_type,
+       |    $leads
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |m AS (SELECT user_id, event_id AS id_0, ts AS ts_0,
+       |    id_$last AS id_last,
+       |    CASE WHEN type_$nIdx IS NULL THEN 'timeline_end'
+       |      WHEN type_$nIdx <> '$next' THEN 'diverted'
+       |      WHEN $nextGap > $spanMs THEN 'too_late'
+       |      ELSE 'converted' END AS abandon_reason
+       |  FROM t WHERE $whereConds AND $prefixSpan <= $spanMs)
+       |SELECT user_id, id_0, ts_0, id_last, abandon_reason FROM m
+       |WHERE abandon_reason <> 'converted'
        |ORDER BY user_id, id_0""".stripMargin
   }
 
@@ -1573,6 +1611,9 @@ object SparkEntry {
 
     // B25: strict-consecutive pattern detection (builder above)
     "evt_pattern_match" -> PatternMatchSql,
+
+    // B25b: the negation/abandonment complement (builder above)
+    "evt_pattern_abandoned" -> PatternAbandonedSql,
 
     // B21: Markov transition counts + row-normalized probabilities
     "evt_transitions" ->

@@ -727,6 +727,60 @@ object EventOps {
       .orderBy("user_id", "id_0")
   }
 
+  /** B25b: NEGATION pattern — the abandonment query (view→click with
+    * NO purchase following within the horizon): the complement CEP
+    * shape alerting/retargeting runs. A prefix match (strictly
+    * consecutive, like B25) is abandoned when the NEXT event after
+    * the prefix is missing, a different type, or beyond the horizon —
+    * absence is decided from the same lead() window, no second scan.
+    * The horizon is the B25 span bound, so "no conversion yet" and
+    * "conversion too late" coincide deliberately. NOTE the batch
+    * caveat a stream must handle differently: at the END of a
+    * timeline, absence-of-next is PROVEN absence only because the
+    * table is complete; the streaming dual would hold the verdict
+    * until the watermark passes the horizon (the E31 device).
+    */
+  def patternAbandoned(spark: SparkSession, dir: String,
+      prefix: Seq[String] = PatternSeq.init,
+      next: String = PatternSeq.last,
+      maxSpanMin: Int = PatternMaxSpanMin): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val nIdx = prefix.length // index of the would-be completion
+    val withLeads = (1 to nIdx).foldLeft(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))) { (d, i) =>
+      d.withColumn(s"type_$i", lead(col("event_type"), i).over(w))
+        .withColumn(s"id_$i", lead(col("event_id"), i).over(w))
+        .withColumn(s"ts_$i", lead(col("ts"), i).over(w))
+    }
+    val last = prefix.length - 1
+    val prefixSpan =
+      if (last == 0) lit(0L)
+      else unix_millis(col(s"ts_$last")) - unix_millis(col("ts"))
+    withLeads
+      .filter(col("event_type") === prefix.head)
+      .filter(if (last == 0) lit(true)
+        else (1 to last).map(i => col(s"type_$i") === prefix(i))
+          .reduce(_ && _))
+      .withColumn("prefix_span_ms", prefixSpan)
+      .filter(col("prefix_span_ms") <= maxSpanMin.toLong * 60000L)
+      .withColumn("next_gap_ms",
+        unix_millis(col(s"ts_$nIdx")) - unix_millis(col("ts")))
+      .withColumn("abandon_reason",
+        when(col(s"type_$nIdx").isNull, "timeline_end")
+          .when(col(s"type_$nIdx") =!= next, "diverted")
+          .when(col("next_gap_ms") > maxSpanMin.toLong * 60000L, "too_late")
+          .otherwise("converted"))
+      .filter(col("abandon_reason") =!= "converted")
+      .select(col("user_id"), col("event_id").as("id_0"),
+        col("ts").as("ts_0"), col(s"id_$last").as("id_last"),
+        col("abandon_reason"))
+      .orderBy("user_id", "id_0")
+  }
+
   /** B20: click→purchase attribution — every (purchase, click) pair
     * where the same user clicked within the 24 h BEFORE the purchase
     * (all qualifying touches, not just the latest — the dual of

@@ -212,6 +212,52 @@ class QueriesSpec extends GraftSpec {
     }
   }
 
+  test("evt_pattern_abandoned: reasons exact on fixture; partitions the prefix matches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cep2")
+      .toFile.getAbsolutePath
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      // user 1 converts → excluded from abandoned
+      (10L, t("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (11L, t("2024-01-01 10:01:00"), 1L, "click", 1.0),
+      (12L, t("2024-01-01 10:02:00"), 1L, "purchase", 1.0),
+      // user 2 diverts to error
+      (20L, t("2024-01-01 10:00:00"), 2L, "view", 1.0),
+      (21L, t("2024-01-01 10:01:00"), 2L, "click", 1.0),
+      (22L, t("2024-01-01 10:02:00"), 2L, "error", 1.0),
+      // user 3 purchases 3 days later → too_late
+      (30L, t("2024-01-01 10:00:00"), 3L, "view", 1.0),
+      (31L, t("2024-01-01 10:01:00"), 3L, "click", 1.0),
+      (32L, t("2024-01-04 10:02:00"), 3L, "purchase", 1.0),
+      // user 4's timeline ends after the click
+      (40L, t("2024-01-01 10:00:00"), 4L, "view", 1.0),
+      (41L, t("2024-01-01 10:01:00"), 4L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventOps.patternAbandoned(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("abandon_reason"))
+      .toMap
+    assert(out == Map(2L -> "diverted", 3L -> "too_late",
+      4L -> "timeline_end"), s"got $out")
+    // real data: abandoned + converted PARTITION the in-span prefix
+    // matches (same start event appears in exactly one of the two)
+    import graft.operators.EventOps
+    val prefix = EventOps.patternMatch(spark, Sf,
+        pattern = EventOps.PatternSeq.init)
+      .select("user_id", "id_0").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = EventOps.patternMatch(spark, Sf)
+      .select("user_id", "id_0").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val abandoned = EventOps.patternAbandoned(spark, Sf)
+      .select("user_id", "id_0").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((full intersect abandoned).isEmpty)
+    assert((full union abandoned) == prefix,
+      s"full ${full.size} + abandoned ${abandoned.size} != prefix ${prefix.size}")
+  }
+
   test("dedup_explain: pairs are the flagged set, shingles shared, df-ranked") {
     import graft.operators.{DedupOps, TextOps}
     val out = DedupOps.dedupExplain(spark, Sf).collect()
