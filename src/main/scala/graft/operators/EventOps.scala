@@ -823,4 +823,74 @@ object EventOps {
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), minsBefore)
       .orderBy("purchase_id", "click_id")
+
+  // ── B26: KEYLESS interval (range) join ──────────────────────────
+
+  /** Incident anchors: severe errors (value above this) open a
+    * system-wide window. Global — NOT keyed by user — so the join has
+    * no equi-key at all, the case Catalyst can only plan as a
+    * nested-loop theta join.
+    */
+  val IncidentValueMin  = 150.0
+  val IncidentWindowMin = 30
+  val IncidentWindowMicros: Long = IncidentWindowMin.toLong * 60L * 1000000L
+
+  /** The binned range-join kernel: rewrite `ev.ts ∈ [s, e)` — a pure
+    * range predicate with NO equality — into an EQUI-join on time
+    * buckets. Each interval explodes into the buckets it covers
+    * (⌈len/bucket⌉+1 rows, bounded when interval length is bounded);
+    * each probe row computes its single bucket in-row; the bucket
+    * equi-join then sees every true pair EXACTLY once (a probe's one
+    * bucket meets each interval's exploded set in at most one row),
+    * and the residual range filter removes same-bucket non-overlaps.
+    * B20's attribution band join doesn't need this (user_id is its
+    * equi-key); this is for GLOBAL windows, where the naive plan is a
+    * BroadcastNestedLoopJoin whose cost is |events|·|intervals| — at
+    * 100 TB, O(n·m) comparisons vs the binned plan's O(matches).
+    * Intervals here are the small derived side, so they broadcast and
+    * the probe table never shuffles for the join at all.
+    *
+    * `intervals` must carry (incident_id, s_us, e_us) with e_us > s_us
+    * end-exclusive; `events` must carry a `ts` timestamp.
+    */
+  def binnedIntervalJoin(events: DataFrame, intervals: DataFrame,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val binned = intervals.withColumn("bucket",
+      explode(sequence(
+        floor(col("s_us") / bucketMicros).cast(LongType),
+        floor((col("e_us") - 1) / bucketMicros).cast(LongType))))
+    val probe = events.withColumn("bucket",
+      floor(unix_micros(col("ts")) / bucketMicros).cast(LongType))
+    probe.join(broadcast(binned), Seq("bucket"))
+      .filter(unix_micros(col("ts")) >= col("s_us") &&
+        unix_micros(col("ts")) < col("e_us"))
+      .drop("bucket")
+  }
+
+  /** B26: per-incident activity profile — every event falling inside
+    * any severe-error window, grouped by incident and type. The
+    * interval side derives from the same table (severe errors open a
+    * 30-min global window, overlaps allowed, self-match kept — the
+    * anchor is itself activity during its incident); the probe is the
+    * whole event stream. Bucket width = window length, so each
+    * interval explodes into ≤ 2 bucket rows.
+    */
+  def incidentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val incidents = ev
+      .filter(col("event_type") === "error" &&
+        col("value") > IncidentValueMin)
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + IncidentWindowMicros).as("e_us"))
+    binnedIntervalJoin(
+      ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type")),
+      incidents, IncidentWindowMicros)
+      .groupBy(col("incident_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("incident_id", "event_type")
+  }
 }

@@ -1290,4 +1290,50 @@ object StreamOps {
       col("click_ts") > col("purchase_ts") -
         expr(s"INTERVAL $windowHours HOURS"), joinType)
   }
+
+  /** E39: B26's continuous face — the KEYLESS range join as a
+    * stream-stream join. The bucket rewrite matters MORE here than in
+    * batch: Structured Streaming keys its symmetric-hash join state on
+    * the equality columns, so a raw `ts ∈ [s, e)` condition (no
+    * equality at all) would funnel EVERY buffered row into a single
+    * state partition — a 1-task bottleneck at any scale. The synthetic
+    * time bucket IS the state key: incidents explode into their ≤ 2
+    * covered buckets (graft.operators.EventOps.binnedIntervalJoin's
+    * scheme, same constants), probe rows compute theirs in-row, and
+    * state shards across the cluster by bucket. Both sides carry
+    * watermarks and the range condition ties the two event-time
+    * columns, so incident state is evicted once the probe watermark
+    * passes `inc_ts + window` — bounded by incidents-in-flight, not
+    * history. Emits matched (incident_id, event) pairs append-mode;
+    * exactly-once pairing for straddling intervals holds for the same
+    * reason as batch: one probe bucket meets each incident's exploded
+    * set in at most one row.
+    */
+  def incidentJoinStream(incidents: DataFrame, events: DataFrame,
+      watermark: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.EventOps
+    val w = EventOps.IncidentWindowMicros
+    val inc = incidents
+      .filter(col("event_type") === "error" &&
+        col("value") > EventOps.IncidentValueMin)
+      .select(col("event_id").as("incident_id"), col("ts").as("inc_ts"))
+      .withWatermark("inc_ts", watermark)
+      .withColumn("i_bucket", explode(sequence(
+        floor(unix_micros(col("inc_ts")) / w).cast(LongType),
+        floor((unix_micros(col("inc_ts")) + w - 1) / w).cast(LongType))))
+    val ev = events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .withWatermark("ts", watermark)
+      .withColumn("bucket",
+        floor(unix_micros(col("ts")) / w).cast(LongType))
+    ev.join(inc,
+      col("bucket") === col("i_bucket") &&
+      col("ts") >= col("inc_ts") &&
+      col("ts") < col("inc_ts") +
+        expr(s"INTERVAL ${EventOps.IncidentWindowMin} MINUTES"))
+      .select(col("incident_id"), col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+  }
 }

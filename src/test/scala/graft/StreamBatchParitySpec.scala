@@ -898,4 +898,56 @@ class StreamBatchParitySpec extends GraftSpec {
       assert(expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("incidentJoinStream == batch B26 pairs with a window straddling the micro-batch split") {
+    import operators.EventOps
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val incidents = all
+      .filter(col("event_type") === "error" &&
+        col("value") > EventOps.IncidentValueMin)
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + EventOps.IncidentWindowMicros).as("e_us"))
+    val pairRows = EventOps.binnedIntervalJoin(
+        all.select("event_id", "ts"), incidents,
+        EventOps.IncidentWindowMicros)
+      .select(col("incident_id"), col("event_id"), col("s_us"),
+        unix_micros(col("ts")).as("ev_us"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expected = pairRows.map(p => (p._1, p._2)).sorted
+    assert(expected.nonEmpty, "no incidents at sf0.001")
+    // cut INSIDE the widest pair's window: that incident arrives in
+    // batch 1, its matching event in batch 2 — the pairing can only
+    // come from buffered join state surviving the micro-batch split
+    val widest = pairRows.maxBy(p => p._4 - p._3)
+    assert(widest._4 - widest._3 > 2000L, "no pair wide enough to cut")
+    val cutUs = (widest._3 + widest._4) / 2
+    val cut = new java.sql.Timestamp(cutUs / 1000L)
+    val straddlePair = (widest._1, widest._2)
+    val d = Files.createTempDirectory("inc_par").toFile.getAbsolutePath
+    all.filter(col("ts") <= cut).write.mode("overwrite").parquet(d)
+    val q = StreamOps.incidentJoinStream(
+        spark.readStream.schema(all.schema).parquet(d),
+        spark.readStream.schema(all.schema).parquet(d))
+      .writeStream.format("memory").queryName("inc_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.table("inc_par")
+        .select("incident_id", "event_id")
+        .as[(Long, Long)].collect().toSet
+      all.filter(col("ts") > cut).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("inc_par")
+        .select("incident_id", "event_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+      // the straddle genuinely happened: the widest pair was emitted
+      // only AFTER its event arrived in batch 2
+      assert(!batch1.contains(straddlePair),
+        "cut failed to split the straddle pair across batches")
+      assert(got.contains(straddlePair))
+    } finally q.stop()
+  }
 }
