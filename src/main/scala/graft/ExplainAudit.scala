@@ -68,7 +68,15 @@ object ExplainAudit {
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "corpus_drift_summary",
       "layout_corpus_drift", "layout_ann_filtered",
-      "layout_doc_similar_rrf")
+      "layout_doc_similar_rrf",
+      // r10: the keyless range join must stay an EQUI-join on time
+      // buckets with the exploded interval side broadcast — a
+      // BroadcastNestedLoopJoin reappearing here means the bucket
+      // rewrite regressed to the O(n·m) theta join
+      "evt_incident_join",
+      // r10: SQ8 — queries and the ADC shortlist broadcast; the coded
+      // corpus never shuffles
+      "ann_sq8_adc", "ann_sq8_rerank")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -84,6 +92,7 @@ object ExplainAudit {
       "doc_mixture_tiered",
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
+      "ann_sq8_adc", "ann_sq8_rerank",
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "layout_corpus_drift",
       "layout_ann_filtered", "layout_doc_similar_rrf",
@@ -111,6 +120,13 @@ object ExplainAudit {
       }
       if (name == "q22_idle_customers" && !plan.contains("LeftAnti")) {
         println(s"!! AUDIT $name: expected a LEFT ANTI join"); bad += 1
+      }
+      // B26: the range predicate must ride the bucket EQUI-join — a
+      // nested-loop theta join here is the exact plan the rewrite kills
+      if (name == "evt_incident_join" &&
+          plan.contains("BroadcastNestedLoopJoin")) {
+        println(s"!! AUDIT $name: range join planned as nested loop")
+        bad += 1
       }
       // every parquet scan should prune columns (never SELECT *)
       if ("ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined) {

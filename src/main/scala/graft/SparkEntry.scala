@@ -66,6 +66,7 @@ object SparkEntry {
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
       EventOps.patternAbandoned(s, d)),
+    "evt_incident_join"    -> (EventOps.incidentJoin _),
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
     "evt_sessionize_native" -> (EventOps.sessionizeNative _),
@@ -181,6 +182,10 @@ object SparkEntry {
     "ann_filtered_ivf"     -> (AnnOps.annFilteredIvf _),
     "ann_mmr"              -> ((s: SparkSession, d: String) =>
       AnnOps.annMmr(s, d)),
+    "ann_sq8_adc"          -> ((s: SparkSession, d: String) =>
+      AnnOps.annSq8Adc(s, d)),
+    "ann_sq8_rerank"       -> ((s: SparkSession, d: String) =>
+      AnnOps.annSq8Rerank(s, d)),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
@@ -791,6 +796,48 @@ object SparkEntry {
        |WHERE abandon_reason <> 'converted'
        |ORDER BY user_id, id_0""".stripMargin
   }
+
+  /** B26's oracle — the NAIVE theta join (no binning): DuckDB happily
+    * nested-loops the range predicate at oracle scale, so a hash match
+    * proves the bucket rewrite generates every true pair exactly once.
+    * Built from the same window/threshold constants as the operator.
+    */
+  private def IncidentJoinSql: String = {
+    val w = operators.EventOps.IncidentWindowMicros
+    val vmin = operators.EventOps.IncidentValueMin
+    s"""WITH inc AS (SELECT event_id AS incident_id, epoch_us(ts) AS s_us,
+       |    epoch_us(ts) + $w AS e_us
+       |  FROM events WHERE event_type = 'error' AND value > $vmin)
+       |SELECT inc.incident_id, ev.event_type,
+       |  count(*) AS n_events, count(DISTINCT ev.user_id) AS n_users
+       |FROM inc JOIN events ev
+       |  ON epoch_us(ev.ts) >= inc.s_us AND epoch_us(ev.ts) < inc.e_us
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** D58/D58b's shared CTE chain: embeddings → per-dim min/max model →
+    * SQ8 codes → ADC scores. Arithmetic shape pinned to the operator's
+    * (see AnnOps.sq8Codes/sq8Dequant) so doubles match bit-for-bit.
+    */
+  private def Sq8CommonSql: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS dl
+      |  FROM e, unnest(generate_series(1, len(v))) t(i) GROUP BY i),
+      |m AS (SELECT list(mn ORDER BY i) AS mn, list(dl ORDER BY i) AS dl
+      |  FROM dm),
+      |c AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
+      |    i -> CASE WHEN dl[i] = 0.0 THEN 0
+      |      ELSE CAST(least(255, floor((v[i] - mn[i]) * 256.0 / dl[i]))
+      |        AS BIGINT) END) AS codes
+      |  FROM e, m),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+      |  WHERE vec_id % 50 = 0),
+      |s AS (SELECT q_id, c.vec_id AS c_id,
+      |    list_dot_product(qv, list_transform(generate_series(1, len(codes)),
+      |      i -> mn[i] + (codes[i] + 0.5) * dl[i] / 256.0)) AS adc
+      |  FROM c, q, m WHERE q_id <> c.vec_id)""".stripMargin
 
   /** D53b/D53c's shared oracle (the ann_ivf Lloyd chain + the label
     * predicate) — the session IVF arm and the layout-served face must
@@ -1614,6 +1661,9 @@ object SparkEntry {
 
     // B25b: the negation/abandonment complement (builder above)
     "evt_pattern_abandoned" -> PatternAbandonedSql,
+
+    // B26: keyless interval join — oracle is the naive theta join
+    "evt_incident_join" -> IncidentJoinSql,
 
     // B21: Markov transition counts + row-normalized probabilities
     "evt_transitions" ->
@@ -2851,6 +2901,34 @@ object SparkEntry {
          |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
          |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
          |ORDER BY q_id, rnk""".stripMargin),
+
+    // D58: SQ8 ADC search — the oracle re-derives the per-dim affine
+    // model, the code map, and the midpoint-dequant dot product with
+    // the IDENTICAL operation shape and order (left-associated
+    // (x−mn)·256.0/dl, mn + (code+0.5)·dl/256.0, sequential-fold dot),
+    // so IEEE doubles match the engine bit-for-bit
+    "ann_sq8_adc" ->
+      s"""WITH $Sq8CommonSql,
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adc DESC, c_id) AS BIGINT) AS rnk FROM s)
+         |SELECT q_id, c_id, adc, rnk FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // D58b: exact-cosine re-rank of the ADC R=50 shortlist
+    "ann_sq8_rerank" ->
+      s"""WITH $Sq8CommonSql,
+         |short AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, c_id) AS arnk FROM s)
+         |  WHERE arnk <= ${operators.AnnOps.Sq8RerankR}),
+         |x AS (SELECT short.q_id, short.c_id,
+         |    list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS sim
+         |  FROM short JOIN q ON short.q_id = q.q_id
+         |  JOIN e ON short.c_id = e.vec_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM x)
+         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin,
 
     // Full IVF pipeline replicated: first-16 seed → one Lloyd round with
     // EXACT integer means (x·2^50 is integral for every component — the

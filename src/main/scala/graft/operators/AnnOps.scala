@@ -1745,4 +1745,85 @@ object AnnOps {
       Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding"),
       nprobe, r, k, excludeSelf = true)
+
+  // ── D58: scalar quantization (SQ8) ────────────────────────────────
+  // The FAISS index family's missing middle rung: between flat floats
+  // (8·D B/vector as doubles, 4·D as float32) and PQ (8 B/vector,
+  // lossy subspace codebooks) sits SQ8 — one byte PER DIMENSION under
+  // a per-dim affine map (4× vs float32, no codebook training, far
+  // tighter than PQ). The model is 2·D doubles (train = ONE min/max
+  // aggregation, no Lloyd), so it broadcasts as plan literals like the
+  // IVF quantizer; codes are computed in-row; ADC dequantizes in-row
+  // against the literal model, the corpus never shuffles.
+
+  val Sq8RerankR = 50
+
+  /** Per-dim affine model: (mn[d], delta[d]=mx−mn). O(D) artifact. */
+  private[graft] def sq8Model(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) =
+    graft.Memo.value(spark, s"sq8Model:$dir") {
+      val rows = embDouble(spark, dir)
+        .select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+        .collect().sortBy(_.getInt(0))
+      (rows.map(_.getDouble(1)).toSeq,
+        rows.map(r => r.getDouble(2) - r.getDouble(1)).toSeq)
+    }
+
+  /** SQ8 codes: code_d = min(255, ⌊(v_d − mn_d)·256 / delta_d⌋),
+    * 0 where the dimension is constant. The arithmetic SHAPE is pinned
+    * — (x−mn)·256.0/delta, left-associated — because the DuckDB oracle
+    * repeats it literally and IEEE doubles only match if the operation
+    * order does.
+    */
+  private[graft] def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"sq8Codes:$dir") {
+      val (mn, delta) = sq8Model(spark, dir)
+      val mnL = array(mn.map(lit): _*)
+      val dlL = array(delta.map(lit): _*)
+      embDouble(spark, dir).select(col("vec_id"),
+        transform(sequence(lit(0), lit(mn.size - 1)), i =>
+          when(element_at(dlL, i + 1) === 0.0, lit(0L)).otherwise(
+            least(lit(255L),
+              floor((element_at(col("v"), i + 1) - element_at(mnL, i + 1))
+                * 256.0 / element_at(dlL, i + 1))))).as("codes"))
+    }
+
+  /** Reconstruction column: deq_d = mn_d + (code_d + 0.5)·delta_d/256
+    * (midpoint dequantization), built against the literal model. */
+  private def sq8Dequant(codes: Column, mn: Seq[Double],
+      delta: Seq[Double]): Column = {
+    val mnL = array(mn.map(lit): _*)
+    val dlL = array(delta.map(lit): _*)
+    transform(sequence(lit(0), lit(mn.size - 1)), i =>
+      element_at(mnL, i + 1) +
+        (element_at(codes, i + 1).cast(DoubleType) + 0.5) *
+          element_at(dlL, i + 1) / 256.0)
+  }
+
+  /** D58: SQ8 ADC search — exact query vs dequantized corpus codes,
+    * top-10 per query by approximate dot product. The scan touches one
+    * byte per dimension; dequantization is in-row against the 2·D
+    * literal model; queries broadcast; bounded-heap top-k. */
+  def annSq8Adc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (mn, delta) = sq8Model(spark, dir)
+    val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sims = sq8Codes(spark, dir)
+      .withColumnRenamed("vec_id", "c_id")
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("adc",
+        VectorFns.dot(col("qv"), sq8Dequant(col("codes"), mn, delta)))
+    TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").desc, col("c_id").asc), k)
+      .select("q_id", "c_id", "adc", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** D58b: SQ8 two-stage search — ADC shortlist (R=50), exact-cosine
+    * re-rank via the shared broadcast-shortlist corpus scan. */
+  def annSq8Rerank(spark: SparkSession, dir: String,
+      r: Int = Sq8RerankR, k: Int = 10): DataFrame =
+    exactRerank(spark, dir,
+      annSq8Adc(spark, dir, r).select("q_id", "c_id"), k)
+      .orderBy("q_id", "rnk")
 }

@@ -152,6 +152,48 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("sq8: codes in [0,255], midpoint reconstruction within delta/512 per dim") {
+    val (mn, delta) = AnnOps.sq8Model(spark, Sf)
+    assert(mn.size == delta.size && delta.forall(_ >= 0.0))
+    val codes = AnnOps.sq8Codes(spark, Sf).collect()
+    val raw = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.size == mn.size)
+      assert(cs.forall(c => c >= 0L && c <= 255L))
+      val v = raw(r.getLong(0))
+      // midpoint dequant: the quantization cell is delta/256 wide, so
+      // |v − deq| ≤ delta/512 (+1 ulp slack for the clamped top cell)
+      cs.indices.foreach { d =>
+        val deq = mn(d) + (cs(d) + 0.5) * delta(d) / 256.0
+        assert(math.abs(v(d) - deq) <= delta(d) / 512.0 * (1 + 1e-9) + 1e-12,
+          s"dim $d: v=${v(d)} deq=$deq delta=${delta(d)}")
+      }
+    }
+  }
+
+  test("sq8 adc + rerank: recall@10 vs exact stays near-lossless; rerank sims exact") {
+    val bf = AnnOps.annCosineTopK(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
+    val nQueries = bf.select("q_id").distinct().count()
+    val adcHits = AnnOps.annSq8Adc(spark, Sf).select("q_id", "c_id")
+      .join(bf, Seq("q_id", "c_id")).count()
+    assert(adcHits.toDouble / (nQueries * 10.0) >= 0.95,
+      s"SQ8 ADC recall@10 dropped: ${adcHits.toDouble / (nQueries * 10)}")
+    val rr = AnnOps.annSq8Rerank(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .join(bf, Seq("q_id", "c_id")).collect()
+    // the re-rank stage must use EXACT cosine (same doubles as D9)
+    rr.foreach(r =>
+      assert(r.getAs[Double]("sim") == r.getAs[Double]("bf_sim")))
+    assert(rr.length.toDouble / (nQueries * 10.0) >= 0.98,
+      s"SQ8 rerank recall@10 dropped: ${rr.length.toDouble / (nQueries * 10)}")
+  }
+
   test("ivf probe assignment: broadcast kernel == literal path at m=16 and m=256") {
     for (m <- Seq(16, 256); nprobe <- Seq(1, 4)) {
       val lit = AnnOps.assignForTest(spark, Sf, m, nprobe, kernel = false)
