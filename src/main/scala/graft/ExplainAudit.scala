@@ -76,7 +76,13 @@ object ExplainAudit {
       "evt_incident_join",
       // r10: SQ8 — queries and the ADC shortlist broadcast; the coded
       // corpus never shuffles
-      "ann_sq8_adc", "ann_sq8_rerank")
+      "ann_sq8_adc", "ann_sq8_rerank",
+      // r10: the NB model (vocab-bounded weights + class constants)
+      // broadcasts into the corpus-side token join
+      "doc_classify_lang",
+      // r10: the served SQ8 face broadcasts queries + shortlist like
+      // its session twin
+      "layout_ann_sq8")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -92,7 +98,8 @@ object ExplainAudit {
       "doc_mixture_tiered",
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
-      "ann_sq8_adc", "ann_sq8_rerank",
+      "ann_sq8_adc", "ann_sq8_rerank", "doc_classify_lang",
+      "layout_ann_sq8",
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "layout_corpus_drift",
       "layout_ann_filtered", "layout_doc_similar_rrf",

@@ -186,6 +186,7 @@ object SparkEntry {
       AnnOps.annSq8Adc(s, d)),
     "ann_sq8_rerank"       -> ((s: SparkSession, d: String) =>
       AnnOps.annSq8Rerank(s, d)),
+    "doc_classify_lang"    -> (TextOps.classifyLang _),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
@@ -264,7 +265,9 @@ object SparkEntry {
     // D53c: filtered ANN from the persisted labeled lists
     "layout_ann_filtered"  -> (LayoutOps.annFilteredServed _),
     // D54b: the RRF ensemble from the persisted shingle postings
-    "layout_doc_similar_rrf" -> (LayoutOps.docSimilarRrfServed _)
+    "layout_doc_similar_rrf" -> (LayoutOps.docSimilarRrfServed _),
+    // D58c: SQ8 search from the persisted codes + model tables
+    "layout_ann_sq8"       -> (LayoutOps.annSq8Served _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -814,6 +817,62 @@ object SparkEntry {
        |  ON epoch_us(ev.ts) >= inc.s_us AND epoch_us(ev.ts) < inc.e_us
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** D59's oracle — the NB train/score algebra replicated with the
+    * ql() integer-log macro: per-class token counts, add-one smoothed
+    * Q10 weights, prior base, per-doc score fold, argmax by
+    * (score desc, cls asc).
+    */
+  private def ClassifyLangSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |    FROM documents),
+       |tr AS (SELECT * FROM d WHERE doc_id % 10 != 7),
+       |te AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+       |cc AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT lang AS cls, unnest(toks) AS tok FROM tr)
+       |  GROUP BY 1, 2),
+       |ns AS (SELECT cls, CAST(sum(c) AS BIGINT) AS n_s FROM cc GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cc),
+       |nd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nd
+       |  FROM tr GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS nd_tot FROM tr),
+       |cl AS (SELECT cls, ${ql("nd")} - ${ql("nd_tot")} AS base_q10,
+       |    ${ql("n_s + v")} AS pen_q10
+       |  FROM nd CROSS JOIN nt JOIN ns USING (cls) CROSS JOIN vv),
+       |w AS (SELECT cls, tok, ${ql("c + 1")} AS lc_q10 FROM cc),
+       |m AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS m
+       |  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM te)
+       |  GROUP BY 1, 2, 3),
+       |sc AS (SELECT m.doc_id, m.lang, cl.cls, cl.base_q10 +
+       |    CAST(sum(m.m * (coalesce(w.lc_q10, 0) - cl.pen_q10)) AS BIGINT)
+       |    AS score_q10
+       |  FROM m CROSS JOIN cl
+       |  LEFT JOIN w ON w.cls = cl.cls AND w.tok = m.tok
+       |  GROUP BY 1, 2, 3, cl.base_q10),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_q10 DESC, cls) AS rn FROM sc)
+       |SELECT doc_id, cls AS pred_lang, score_q10, lang AS true_lang,
+       |  cls = lang AS correct
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** D58b's oracle (also layout_ann_sq8's — the served face must
+    * hash-match the session index, proving the persisted codes
+    * lossless): ADC R-shortlist → exact-cosine re-rank.
+    */
+  private def Sq8RerankSql: String =
+    s"""WITH $Sq8CommonSql,
+       |short AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, c_id) AS arnk FROM s)
+       |  WHERE arnk <= ${operators.AnnOps.Sq8RerankR}),
+       |x AS (SELECT short.q_id, short.c_id,
+       |    list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS sim
+       |  FROM short JOIN q ON short.q_id = q.q_id
+       |  JOIN e ON short.c_id = e.vec_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM x)
+       |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
 
   /** D58/D58b's shared CTE chain: embeddings → per-dim min/max model →
     * SQ8 codes → ADC scores. Arithmetic shape pinned to the operator's
@@ -1664,6 +1723,13 @@ object SparkEntry {
 
     // B26: keyless interval join — oracle is the naive theta join
     "evt_incident_join" -> IncidentJoinSql,
+
+    // D59: Naive Bayes lang classifier (builder above)
+    "doc_classify_lang" -> ClassifyLangSql,
+
+    // D58c: the served SQ8 face shares D58b's oracle — hash parity
+    // proves the persisted codes/model lossless
+    "layout_ann_sq8" -> Sq8RerankSql,
 
     // B21: Markov transition counts + row-normalized probabilities
     "evt_transitions" ->
@@ -2915,20 +2981,7 @@ object SparkEntry {
          |ORDER BY q_id, rnk""".stripMargin,
 
     // D58b: exact-cosine re-rank of the ADC R=50 shortlist
-    "ann_sq8_rerank" ->
-      s"""WITH $Sq8CommonSql,
-         |short AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY adc DESC, c_id) AS arnk FROM s)
-         |  WHERE arnk <= ${operators.AnnOps.Sq8RerankR}),
-         |x AS (SELECT short.q_id, short.c_id,
-         |    list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS sim
-         |  FROM short JOIN q ON short.q_id = q.q_id
-         |  JOIN e ON short.c_id = e.vec_id),
-         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM x)
-         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
-         |ORDER BY q_id, rnk""".stripMargin,
+    "ann_sq8_rerank" -> Sq8RerankSql,
 
     // Full IVF pipeline replicated: first-16 seed → one Lloyd round with
     // EXACT integer means (x·2^50 is integral for every component — the

@@ -1800,15 +1800,29 @@ object AnnOps {
           element_at(dlL, i + 1) / 256.0)
   }
 
-  /** D58: SQ8 ADC search — exact query vs dequantized corpus codes,
-    * top-10 per query by approximate dot product. The scan touches one
-    * byte per dimension; dequantization is in-row against the 2·D
-    * literal model; queries broadcast; bounded-heap top-k. */
-  def annSq8Adc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The model as a persistable frame (d, mn, dl) — D rows, the
+    * layout-family artifact (cf. the IVF quantizer table). */
+  private[graft] def sq8ModelFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (mn, delta) = sq8Model(spark, dir)
+    mn.indices.map(d => (d, mn(d), delta(d))).toDF("d", "mn", "dl")
+  }
+
+  /** (mn, delta) rebuilt from a persisted model table — D rows
+    * collected, like the quantizer's table→literal path. */
+  private[graft] def sq8ModelOf(modelTable: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = modelTable.select("d", "mn", "dl").collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** The ADC scan against an EXPLICIT model + codes frame (session
+    * memo or reloaded layout table — same code either way). */
+  private[graft] def sq8AdcOn(spark: SparkSession, dir: String,
+      mn: Seq[Double], delta: Seq[Double], codes: DataFrame,
+      k: Int): DataFrame = {
     val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val sims = sq8Codes(spark, dir)
+    val sims = codes
       .withColumnRenamed("vec_id", "c_id")
       .join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("adc",
@@ -1816,14 +1830,32 @@ object AnnOps {
     TopK.perKey(sims, Seq(col("q_id")),
         Seq(col("adc").desc, col("c_id").asc), k)
       .select("q_id", "c_id", "adc", "rnk")
+  }
+
+  /** Two-stage search on explicit artifacts: ADC shortlist → exact
+    * re-rank (shared by D58b and the layout-served face). */
+  private[graft] def sq8RerankOn(spark: SparkSession, dir: String,
+      mn: Seq[Double], delta: Seq[Double], codes: DataFrame,
+      r: Int, k: Int): DataFrame =
+    exactRerank(spark, dir,
+      sq8AdcOn(spark, dir, mn, delta, codes, r).select("q_id", "c_id"), k)
+      .orderBy("q_id", "rnk")
+
+  /** D58: SQ8 ADC search — exact query vs dequantized corpus codes,
+    * top-10 per query by approximate dot product. The scan touches one
+    * byte per dimension; dequantization is in-row against the 2·D
+    * literal model; queries broadcast; bounded-heap top-k. */
+  def annSq8Adc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (mn, delta) = sq8Model(spark, dir)
+    sq8AdcOn(spark, dir, mn, delta, sq8Codes(spark, dir), k)
       .orderBy("q_id", "rnk")
   }
 
   /** D58b: SQ8 two-stage search — ADC shortlist (R=50), exact-cosine
     * re-rank via the shared broadcast-shortlist corpus scan. */
   def annSq8Rerank(spark: SparkSession, dir: String,
-      r: Int = Sq8RerankR, k: Int = 10): DataFrame =
-    exactRerank(spark, dir,
-      annSq8Adc(spark, dir, r).select("q_id", "c_id"), k)
-      .orderBy("q_id", "rnk")
+      r: Int = Sq8RerankR, k: Int = 10): DataFrame = {
+    val (mn, delta) = sq8Model(spark, dir)
+    sq8RerankOn(spark, dir, mn, delta, sq8Codes(spark, dir), r, k)
+  }
 }

@@ -148,7 +148,14 @@ object LayoutOps {
     // layout: bucketed on the list id so a probe's IN filter prunes
     // to its lists' buckets, labels ride in-row for the predicate
     Family("ivf_labeled_lists", s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}",
-      "c_cid", 16, (s, d) => AnnOps.ivfListsLabeledFrame(s, d)))
+      "c_cid", 16, (s, d) => AnnOps.ivfListsLabeledFrame(s, d)),
+    // D58c: the SQ8 index — byte codes bucketed on vec_id (the rerank
+    // join key), plus the 2·D-double affine model (the quantizer-table
+    // pattern: collected to plan literals at serve time)
+    Family("sq8_codes", "b256", "vec_id", 16,
+      (s, d) => AnnOps.sq8Codes(s, d)),
+    Family("sq8_model", "b256", "d", 1,
+      (s, d) => AnnOps.sq8ModelFrame(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -313,6 +320,18 @@ object LayoutOps {
     AnnOps.filteredIvfFromTables(spark, dir,
       table(spark, dir, "ivf_quantizer"),
       table(spark, dir, "ivf_labeled_lists"), _ =!= 0)
+
+  /** D58c: SQ8 two-stage search served ENTIRELY from the persisted
+    * index — the affine model collected from its D-row table, the
+    * byte codes read from the bucketed table (no re-quantization
+    * anywhere). Result ≡ ann_sq8_rerank (shared oracle — hash parity
+    * proves the persisted codes lossless).
+    */
+  def annSq8Served(spark: SparkSession, dir: String): DataFrame = {
+    val (mn, delta) = AnnOps.sq8ModelOf(table(spark, dir, "sq8_model"))
+    AnnOps.sq8RerankOn(spark, dir, mn, delta,
+      table(spark, dir, "sq8_codes"), AnnOps.Sq8RerankR, 10)
+  }
 
   /** D54b: the RRF ensemble served from the persisted shingle
     * postings — both component rankings and the fusion derive from

@@ -886,4 +886,71 @@ object TextOps {
       .agg(graft.functions.Exact.lcount.as("n_hits"))
       .orderBy("doc_id")
   }
+
+  // ── D59: supervised Naive Bayes classifier ───────────────────────
+
+  /** D59: multinomial Naive Bayes trained on the standing split
+    * (doc_id % 10 ≠ 7, labels = lang), classifying the crawl split —
+    * the fasttext-style supervised gate of a pretraining pipeline
+    * (quality/domain/language filters are all this shape), scored in
+    * engine-exact Q10 integer log-space (qlog2 kernel: no libm, no
+    * double drift, order-independent sums):
+    *
+    *   score(d, s) = [qlog2 nd_s − qlog2 ndTot]                (prior)
+    *     + Σ_t m_dt · (qlog2(c_st + 1) − qlog2(n_s + V))  (add-one
+    *       smoothed likelihood over the train vocabulary V)
+    *
+    * Scale shape: the MODEL is vocab-bounded — |V|·|classes| weight
+    * rows + |classes| constant rows — and broadcasts; the corpus
+    * explodes to (doc, tok, m) rows, meets the model in one broadcast
+    * hash join with a |classes|-row fanout, folds with ONE doc-keyed
+    * partial agg, and takes the argmax on a k=1 bounded heap. No
+    * corpus shuffle beyond the per-doc agg.
+    *
+    * Honesty note: THIS generator's lang label is independent of the
+    * text by construction, so held-out accuracy sits at the prior
+    * ceiling — the oracled contract is the exact distributed NB
+    * algebra (hash-parity with DuckDB), and the spec pins score
+    * parity against an independent in-memory NB, not accuracy.
+    */
+  def classifyLang(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntKernels.qlog2
+    import graft.functions.Exact.lcount
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val test  = docs.filter(col("doc_id") % 10 === 7)
+    val classCounts = train
+      .select(col("lang").as("cls"), explode(col("toks")).as("tok"))
+      .groupBy("cls", "tok").agg(lcount.as("c"))
+    val nS = classCounts.groupBy("cls")
+      .agg(sum(col("c")).cast(LongType).as("n_s"))
+    val vocab = classCounts.agg(countDistinct(col("tok")).as("v"))
+    val nd = train.groupBy(col("lang").as("cls")).agg(lcount.as("nd"))
+    val ndTot = train.agg(lcount.as("nd_tot"))
+    // |classes| rows: prior base + smoothing penalty per class
+    val classes = nd.join(broadcast(ndTot)).join(nS, "cls")
+      .join(broadcast(vocab))
+      .select(col("cls"),
+        (qlog2(col("nd")) - qlog2(col("nd_tot"))).as("base_q10"),
+        qlog2(col("n_s") + col("v")).as("pen_q10"))
+    val weights = classCounts
+      .select(col("cls"), col("tok"), qlog2(col("c") + 1).as("lc_q10"))
+    val m = test.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(lcount.as("m"))
+    val scores = m.join(broadcast(classes))
+      .join(broadcast(weights), Seq("cls", "tok"), "left")
+      .withColumn("w",
+        col("m") * (coalesce(col("lc_q10"), lit(0L)) - col("pen_q10")))
+      .groupBy(col("doc_id"), col("lang"), col("cls"), col("base_q10"))
+      .agg(sum(col("w")).cast(LongType).as("lw"))
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("base_q10") + col("lw")).as("score_q10"))
+    graft.plans.TopK.perKey(scores, Seq(col("doc_id")),
+        Seq(col("score_q10").desc, col("cls").asc), 1)
+      .select(col("doc_id"), col("cls").as("pred_lang"), col("score_q10"),
+        col("lang").as("true_lang"),
+        (col("cls") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
 }

@@ -65,6 +65,20 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("sq8 served from reloaded codes + model == session ann_sq8_rerank, across a restart") {
+    withCleanLayouts {
+      val session = rows(AnnOps.annSq8Rerank(spark, Sf))
+      Seq("sq8_codes", "sq8_model")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("sq8_codes", "sq8_model")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      assert(rows(LayoutOps.annSq8Served(spark, Sf)) == session)
+    }
+  }
+
   test("filtered ANN served from reloaded labeled lists == session filteredIvf, across a restart") {
     withCleanLayouts {
       val session = rows(AnnOps.filteredIvf(spark, Sf, _ =!= 0))

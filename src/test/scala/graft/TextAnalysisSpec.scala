@@ -159,4 +159,43 @@ class TextAnalysisSpec extends GraftSpec {
     out.filter(r => r.getAs[Long]("r_idf") == 1 && r.getAs[Long]("r_jac") == 1)
       .foreach(r => assert(r.getAs[Long]("rnk") == 1))
   }
+
+  test("doc_classify_lang: argmax + scores equal an independent in-memory NB") {
+    import graft.functions.IntMath.qlog2
+    // independent NB: plain Scala maps over the same split/tokens
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = docs.filter(_._1 % 10 != 7)
+    val test = docs.filter(_._1 % 10 == 7)
+    assert(train.nonEmpty && test.nonEmpty)
+    val cc = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, s, toks) =>
+      toks.foreach(t => cc((s, t)) = cc.getOrElse((s, t), 0L) + 1L) }
+    val nS = cc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = cc.keys.map(_._2).toSet.size.toLong
+    val nd = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ndTot = train.size.toLong
+    val classes = nd.keys.toSeq.sorted
+    def score(s: String, toks: Seq[String]): Long = {
+      val base = qlog2(nd(s)) - qlog2(ndTot)
+      val pen = qlog2(nS(s) + v)
+      base + toks.map(t =>
+        (if (cc.contains((s, t))) qlog2(cc((s, t)) + 1) else 0L) - pen).sum
+    }
+    val wantPred = test.map { case (id, actual, toks) =>
+      val best = classes.map(s => (s, score(s, toks)))
+        .minBy { case (s, sc) => (-sc, s) }
+      id -> (best._1, best._2, actual)
+    }.toMap
+    val got = operators.TextOps.classifyLang(spark, Sf).collect()
+    assert(got.length == test.length)
+    got.foreach { r =>
+      val (p, sc, actual) = wantPred(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("pred_lang") == p)
+      assert(r.getAs[Long]("score_q10") == sc)
+      assert(r.getAs[String]("true_lang") == actual)
+      assert(r.getAs[Boolean]("correct") == (p == actual))
+    }
+  }
 }
