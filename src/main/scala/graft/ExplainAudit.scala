@@ -81,8 +81,8 @@ object ExplainAudit {
       // broadcasts into the corpus-side token join
       "doc_classify_lang",
       // r10: the served SQ8 face broadcasts queries + shortlist like
-      // its session twin
-      "layout_ann_sq8")
+      // its session twin; the served NB face broadcasts the model
+      "layout_ann_sq8", "layout_doc_classify")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -99,7 +99,7 @@ object ExplainAudit {
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
       "ann_sq8_adc", "ann_sq8_rerank", "doc_classify_lang",
-      "layout_ann_sq8",
+      "layout_ann_sq8", "layout_doc_classify",
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "layout_corpus_drift",
       "layout_ann_filtered", "layout_doc_similar_rrf",

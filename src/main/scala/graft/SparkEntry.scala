@@ -27,6 +27,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       RelationalOps.q17SmallQtyRevenue(s, d)),
     "q22_idle_customers"   -> (RelationalOps.q22IdleCustomers _),
+    "q_rollup_revenue"     -> (RelationalOps.qRollupRevenue _),
     "q2_min_cost_supplier" -> (RelationalOps.q2MinCostSupplier _),
     "q11_value_share"      -> ((s: SparkSession, d: String) =>
       RelationalOps.q11ValueShare(s, d)),
@@ -267,7 +268,9 @@ object SparkEntry {
     // D54b: the RRF ensemble from the persisted shingle postings
     "layout_doc_similar_rrf" -> (LayoutOps.docSimilarRrfServed _),
     // D58c: SQ8 search from the persisted codes + model tables
-    "layout_ann_sq8"       -> (LayoutOps.annSq8Served _)
+    "layout_ann_sq8"       -> (LayoutOps.annSq8Served _),
+    // D59b: NB classification from the persisted model tables
+    "layout_doc_classify"  -> (LayoutOps.classifyLangServed _)
   )
 
   /** DuckDB fragment for the synthesized document path (= FileMetaOps.synthPath). */
@@ -1248,6 +1251,18 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // A23: rollup subtotals — GROUPING() bit order matches Spark's
+    // grouping_id (leftmost column = most significant bit)
+    "q_rollup_revenue" ->
+      s"""SELECT r_name, n_name, $drev AS revenue, COUNT(*) AS n_items,
+         |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${dsum("l_quantity")} AS sum_qty,
@@ -1730,6 +1745,9 @@ object SparkEntry {
     // D58c: the served SQ8 face shares D58b's oracle — hash parity
     // proves the persisted codes/model lossless
     "layout_ann_sq8" -> Sq8RerankSql,
+
+    // D59b: the served NB face shares D59's oracle
+    "layout_doc_classify" -> ClassifyLangSql,
 
     // B21: Markov transition counts + row-normalized probabilities
     "evt_transitions" ->

@@ -155,7 +155,16 @@ object LayoutOps {
     Family("sq8_codes", "b256", "vec_id", 16,
       (s, d) => AnnOps.sq8Codes(s, d)),
     Family("sq8_model", "b256", "d", 1,
-      (s, d) => AnnOps.sq8ModelFrame(s, d)))
+      (s, d) => AnnOps.sq8ModelFrame(s, d)),
+    // D59b: the NB model — vocab-bounded (class, token) counts
+    // bucketed on tok (the classify join key) + the |classes|-row
+    // prior table; persisting COUNTS (not derived weights) lets the
+    // serve path recompute weights with the same qlog2 code, so the
+    // persisted form cannot drift from the algebra
+    Family("nb_counts", "std10", "tok", 8,
+      (s, d) => TextOps.nbCountsFrame(s, d)),
+    Family("nb_classes", "std10", "cls", 1,
+      (s, d) => TextOps.nbClassDocsFrame(s, d)))
 
   private def familyOf(name: String): Family =
     families.find(_.name == name).getOrElse(
@@ -332,6 +341,16 @@ object LayoutOps {
     AnnOps.sq8RerankOn(spark, dir, mn, delta,
       table(spark, dir, "sq8_codes"), AnnOps.Sq8RerankR, 10)
   }
+
+  /** D59b: NB classification served from the persisted model tables
+    * alone — the production gate shape: the crawl split is scored
+    * against the frozen standing model without re-counting it. Shares
+    * doc_classify_lang's oracle (hash parity proves the persisted
+    * counts lossless).
+    */
+  def classifyLangServed(spark: SparkSession, dir: String): DataFrame =
+    TextOps.classifyAgainst(spark, dir,
+      table(spark, dir, "nb_counts"), table(spark, dir, "nb_classes"))
 
   /** D54b: the RRF ensemble served from the persisted shingle
     * postings — both component rankings and the fusion derive from

@@ -631,4 +631,32 @@ object RelationalOps {
       .agg(lcount.as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy("n_name")
   }
+
+  /** A23: ROLLUP revenue report — (region, nation) subtotals and the
+    * grand total in ONE aggregation: Catalyst expands the rollup into
+    * grouping sets via a single Expand + one shuffle (NOT |levels|
+    * scans of the fact table — the point of the operator at 100 TB).
+    * Dims broadcast as in A3; grouping_id disambiguates a real NULL
+    * key from a rolled-up level. Exact decimal sums per grouping set,
+    * the A-family money contract.
+    */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"),
+        lcount.as("n_items"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }
 }

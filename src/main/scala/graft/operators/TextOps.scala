@@ -913,21 +913,44 @@ object TextOps {
     * algebra (hash-parity with DuckDB), and the spec pins score
     * parity against an independent in-memory NB, not accuracy.
     */
-  def classifyLang(spark: SparkSession, dir: String): DataFrame = {
+  def classifyLang(spark: SparkSession, dir: String): DataFrame =
+    classifyAgainst(spark, dir,
+      nbCountsFrame(spark, dir), nbClassDocsFrame(spark, dir))
+
+  /** The trained model's larger half: per-(class, token) counts —
+    * vocab-bounded, the layout-family artifact. */
+  private[graft] def nbCountsFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"nbCounts:$dir") {
+      import graft.functions.Exact.lcount
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+        .select(col("lang").as("cls"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("cls", "tok").agg(lcount.as("c"))
+    }
+
+  /** The model's prior half: docs per class (|classes| rows — NOT
+    * derivable from the token counts, so it persists separately). */
+  private[graft] def nbClassDocsFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"nbClassDocs:$dir") {
+      import graft.functions.Exact.lcount
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
+        .groupBy(col("lang").as("cls")).agg(lcount.as("nd"))
+    }
+
+  /** Classification against EXPLICIT model frames (session memos or
+    * reloaded layout tables — same code either way). */
+  private[graft] def classifyAgainst(spark: SparkSession, dir: String,
+      classCounts: DataFrame, classDocs: DataFrame): DataFrame = {
     import graft.functions.IntKernels.qlog2
     import graft.functions.Exact.lcount
-    val docs = Tables.documents(spark, dir)
+    val test = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
-    val train = docs.filter(col("doc_id") % 10 =!= 7)
-    val test  = docs.filter(col("doc_id") % 10 === 7)
-    val classCounts = train
-      .select(col("lang").as("cls"), explode(col("toks")).as("tok"))
-      .groupBy("cls", "tok").agg(lcount.as("c"))
     val nS = classCounts.groupBy("cls")
       .agg(sum(col("c")).cast(LongType).as("n_s"))
     val vocab = classCounts.agg(countDistinct(col("tok")).as("v"))
-    val nd = train.groupBy(col("lang").as("cls")).agg(lcount.as("nd"))
-    val ndTot = train.agg(lcount.as("nd_tot"))
+    val nd = classDocs
+    val ndTot = classDocs.agg(sum(col("nd")).cast(LongType).as("nd_tot"))
     // |classes| rows: prior base + smoothing penalty per class
     val classes = nd.join(broadcast(ndTot)).join(nS, "cls")
       .join(broadcast(vocab))

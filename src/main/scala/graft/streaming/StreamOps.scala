@@ -1105,6 +1105,63 @@ object StreamOps {
       graft.operators.LayoutOps.table(spark, dir, "lm_unigrams"),
       graft.operators.LayoutOps.table(spark, dir, "lm_bigrams"), incoming)
 
+  /** E40: the NB gate's ingest face — arriving documents classified
+    * in-row against the FROZEN standing model (pass the memoized
+    * frames for a live session or the persisted nb_counts/nb_classes
+    * tables for a restarted one — same code either way), stateless
+    * map-only like E34/E35: the vocab-bounded count map collects to a
+    * broadcast once at stream build; each arrival folds its own
+    * tokens per class with the SAME qlog2 integer algebra as the
+    * batch operator, so parity is exact, not approximate.
+    */
+  def classifyStream(spark: org.apache.spark.sql.SparkSession,
+      classCounts: DataFrame, classDocs: DataFrame,
+      incoming: DataFrame): DataFrame = {
+    import graft.functions.IntMath
+    import org.apache.spark.sql.types.LongType
+    val rows = classCounts.collect().map(r =>
+      (r.getAs[String]("cls"), r.getAs[String]("tok"), r.getAs[Long]("c")))
+    val cc: Map[(String, String), Long] =
+      rows.map { case (s, t, c) => (s, t) -> c }.toMap
+    val nS: Map[String, Long] =
+      rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val v: Long = rows.map(_._2).distinct.length.toLong
+    val ndRows = classDocs.collect()
+      .map(r => r.getAs[String]("cls") -> r.getAs[Long]("nd"))
+    val nd = ndRows.toMap
+    val ndTot = ndRows.map(_._2).sum
+    val classes = nd.keys.toSeq.sorted
+    val bCc = spark.sparkContext.broadcast(cc)
+    val pick = udf { text: String =>
+      val ts = text.split(" ", -1) // exact batch-tokenizer parity
+      var bestS: String = null
+      var bestScore = Long.MinValue
+      classes.foreach { s =>
+        val pen = IntMath.qlog2(nS(s) + v)
+        var sc = IntMath.qlog2(nd(s)) - IntMath.qlog2(ndTot)
+        var i = 0
+        while (i < ts.length) {
+          sc += (bCc.value.get((s, ts(i))) match {
+            case Some(c) => IntMath.qlog2(c + 1) - pen
+            case None => -pen
+          })
+          i += 1
+        }
+        // argmax by (score desc, cls asc): classes iterate sorted, so
+        // strict > keeps the lexicographically-first max
+        if (bestS == null || sc > bestScore) { bestS = s; bestScore = sc }
+      }
+      (bestS, bestScore)
+    }
+    incoming
+      .withColumn("p", pick(col("text")))
+      .select(col("doc_id"),
+        col("p._1").as("pred_lang"),
+        col("p._2").cast(LongType).as("score_q10"),
+        col("lang").as("true_lang"),
+        (col("p._1") === col("lang")).as("correct"))
+  }
+
   /** E23: streaming DSIR importance scoring — arriving documents get
     * their hashed-n-gram importance weight in-row against the fitted
     * model (D40's two bucket-count tables, ≤256 rows each, collected

@@ -79,6 +79,20 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("NB classification served from reloaded model tables == session classifyLang, across a restart") {
+    withCleanLayouts {
+      val session = rows(graft.operators.TextOps.classifyLang(spark, Sf))
+      Seq("nb_counts", "nb_classes")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("nb_counts", "nb_classes")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      assert(rows(LayoutOps.classifyLangServed(spark, Sf)) == session)
+    }
+  }
+
   test("filtered ANN served from reloaded labeled lists == session filteredIvf, across a restart") {
     withCleanLayouts {
       val session = rows(AnnOps.filteredIvf(spark, Sf, _ =!= 0))

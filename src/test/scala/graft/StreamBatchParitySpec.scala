@@ -899,6 +899,49 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("classifyStream == batch doc_classify_lang exactly, from memo frames AND persisted tables") {
+    import operators.{TextOps, LayoutOps}
+    val expected = TextOps.classifyLang(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toSeq.sorted
+    assert(expected.nonEmpty)
+    val crawl = Tables.documents(spark, Sf).filter(col("doc_id") % 10 === 7)
+      .select("doc_id", "lang", "text")
+    val cut = crawl.agg(percentile_approx(col("doc_id"), lit(0.5), lit(100)))
+      .collect()(0).getLong(0)
+    val d = Files.createTempDirectory("nb_par").toFile.getAbsolutePath
+    crawl.filter(col("doc_id") <= cut).write.mode("overwrite").parquet(d)
+    val q = StreamOps.classifyStream(spark,
+        TextOps.nbCountsFrame(spark, Sf), TextOps.nbClassDocsFrame(spark, Sf),
+        spark.readStream.schema(crawl.schema).parquet(d))
+      .writeStream.format("memory").queryName("nb_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      crawl.filter(col("doc_id") > cut).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      val got = spark.table("nb_par").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).toSeq.sorted
+      assert(got == expected, s"streamed ${got.length} vs batch ${expected.length}")
+    } finally q.stop()
+    // the layout-served stream: same verdicts from the persisted model
+    Seq("nb_counts", "nb_classes").foreach(f => LayoutOps.ensure(spark, Sf, f))
+    val q2 = StreamOps.classifyStream(spark,
+        LayoutOps.table(spark, Sf, "nb_counts"),
+        LayoutOps.table(spark, Sf, "nb_classes"),
+        spark.readStream.schema(crawl.schema).parquet(d))
+      .writeStream.format("memory").queryName("nb_par2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got2 = spark.table("nb_par2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).toSeq.sorted
+      assert(got2 == expected)
+    } finally q2.stop()
+  }
+
   test("incidentJoinStream == batch B26 pairs with a window straddling the micro-batch split") {
     import operators.EventOps
     val all = Tables.events(spark, Sf)
