@@ -877,29 +877,36 @@ object SparkEntry {
        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
 
-  /** D58/D58b's shared CTE chain: embeddings → per-dim min/max model →
-    * SQ8 codes → ADC scores. Arithmetic shape pinned to the operator's
-    * (see AnnOps.sq8Codes/sq8Dequant) so doubles match bit-for-bit.
+  /** The SQ8 chain (model → codes → ADC scores) assuming CTE `e`
+    * (vec_id, v, nrm) exists; prefix-parameterized so ann_recall can
+    * splice it in without CTE-name collisions. Arithmetic shape pinned
+    * to the operator's (see AnnOps.sq8Codes/sq8Dequant) so doubles
+    * match bit-for-bit.
     */
+  private def sq8Ctes(p: String): String =
+    s"""${p}dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS dl
+       |  FROM e, unnest(generate_series(1, len(v))) t(i) GROUP BY i),
+       |${p}m AS (SELECT list(mn ORDER BY i) AS mn, list(dl ORDER BY i) AS dl
+       |  FROM ${p}dm),
+       |${p}c AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
+       |    i -> CASE WHEN dl[i] = 0.0 THEN 0
+       |      ELSE CAST(least(255, floor((v[i] - mn[i]) * 256.0 / dl[i]))
+       |        AS BIGINT) END) AS codes
+       |  FROM e, ${p}m),
+       |${p}q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+       |  WHERE vec_id % 50 = 0),
+       |${p}s AS (SELECT q_id, c.vec_id AS c_id,
+       |    list_dot_product(qv, list_transform(generate_series(1, len(codes)),
+       |      i -> mn[i] + (codes[i] + 0.5) * dl[i] / 256.0)) AS adc
+       |  FROM ${p}c c, ${p}q, ${p}m WHERE q_id <> c.vec_id)""".stripMargin
+
+  /** D58/D58b's shared CTE chain: embeddings → the SQ8 chain with the
+    * historical unprefixed names. */
   private def Sq8CommonSql: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
-      |dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS dl
-      |  FROM e, unnest(generate_series(1, len(v))) t(i) GROUP BY i),
-      |m AS (SELECT list(mn ORDER BY i) AS mn, list(dl ORDER BY i) AS dl
-      |  FROM dm),
-      |c AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
-      |    i -> CASE WHEN dl[i] = 0.0 THEN 0
-      |      ELSE CAST(least(255, floor((v[i] - mn[i]) * 256.0 / dl[i]))
-      |        AS BIGINT) END) AS codes
-      |  FROM e, m),
-      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
-      |  WHERE vec_id % 50 = 0),
-      |s AS (SELECT q_id, c.vec_id AS c_id,
-      |    list_dot_product(qv, list_transform(generate_series(1, len(codes)),
-      |      i -> mn[i] + (codes[i] + 0.5) * dl[i] / 256.0)) AS adc
-      |  FROM c, q, m WHERE q_id <> c.vec_id)""".stripMargin
+      |""".stripMargin + sq8Ctes("")
 
   /** D53b/D53c's shared oracle (the ann_ivf Lloyd chain + the label
     * predicate) — the session IVF arm and the layout-served face must
@@ -3184,6 +3191,22 @@ object SparkEntry {
            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
            |      AS arnk FROM v${ns}adcres) WHERE arnk <= 10)""".stripMargin
       }.mkString(",\n")
+      // SQ8 points: ADC-order top-10 (code fidelity, no re-rank
+      // slack) and the production two-stage R-shortlist re-rank
+      val sq8Points =
+        s"""${sq8Ctes("z")},
+           |zt AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY adc DESC, c_id) AS rnk FROM zs) WHERE rnk <= 10),
+           |zsl AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY adc DESC, c_id) AS arnk FROM zs)
+           |  WHERE arnk <= ${AnnOps.Sq8RerankR}),
+           |zrt AS (SELECT q_id, c_id FROM (SELECT s.q_id, s.c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+           |      ORDER BY x.sim DESC, s.c_id) AS rnk
+           |  FROM zsl s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id)
+           |  WHERE rnk <= 10)""".stripMargin
       val unions = (AnnOps.RecallLshProbes.map(p =>
         s"SELECT 'lsh' AS method, CAST($p AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM lt$p JOIN ex ON lt$p.q_id = ex.q_id " +
@@ -3203,7 +3226,14 @@ object SparkEntry {
        AnnOps.RecallResAdcSubs.map(ns =>
         s"SELECT 'res_adc' AS method, CAST($ns AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM vt$ns JOIN ex ON vt$ns.q_id = ex.q_id " +
-        s"AND vt$ns.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+        s"AND vt$ns.c_id = ex.c_id) AS hits") ++
+       Seq(
+        s"SELECT 'sq8_adc' AS method, CAST(10 AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM zt JOIN ex ON zt.q_id = ex.q_id " +
+        s"AND zt.c_id = ex.c_id) AS hits",
+        s"SELECT 'sq8' AS method, CAST(${AnnOps.Sq8RerankR} AS BIGINT) " +
+        s"AS param, (SELECT COUNT(*) FROM zrt JOIN ex ON zrt.q_id = ex.q_id " +
+        s"AND zrt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
@@ -3247,6 +3277,7 @@ object SparkEntry {
          |$pqCtes,
          |$ivfpqCtes,
          |$resCtes,
+         |$sq8Points,
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,

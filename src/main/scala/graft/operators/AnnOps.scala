@@ -882,7 +882,10 @@ object AnnOps {
         hitsOf("ivf", RecallIvfNprobes, ivfSims),
         pqHitsOf(RecallPqR),
         ivfpqHitsOf(RecallIvfPqNprobes)) ++
-       RecallResAdcSubs.map(ns => resAdcHitsOf(ns)))
+       RecallResAdcSubs.map(ns => resAdcHitsOf(ns)) ++
+       // SQ8: ADC-order code fidelity + the production two-stage path
+       Seq(countHits("sq8_adc", 10, annSq8Adc(spark, dir, 10)),
+         countHits("sq8", Sq8RerankR, annSq8Rerank(spark, dir))))
         .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
       .withColumn("recall",
