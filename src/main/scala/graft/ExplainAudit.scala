@@ -76,7 +76,7 @@ object ExplainAudit {
       "evt_incident_join",
       // r10: SQ8 — queries and the ADC shortlist broadcast; the coded
       // corpus never shuffles
-      "ann_sq8_adc", "ann_sq8_rerank",
+      "ann_sq8_adc", "ann_sq8_rerank", "ann_ivfsq",
       // r10: the NB model (vocab-bounded weights + class constants)
       // broadcasts into the corpus-side token join
       "doc_classify_lang",
@@ -98,7 +98,7 @@ object ExplainAudit {
       "doc_mixture_tiered",
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
-      "ann_sq8_adc", "ann_sq8_rerank", "doc_classify_lang",
+      "ann_sq8_adc", "ann_sq8_rerank", "ann_ivfsq", "doc_classify_lang",
       "layout_ann_sq8", "layout_doc_classify",
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "layout_corpus_drift",

@@ -187,6 +187,8 @@ object SparkEntry {
       AnnOps.annSq8Adc(s, d)),
     "ann_sq8_rerank"       -> ((s: SparkSession, d: String) =>
       AnnOps.annSq8Rerank(s, d)),
+    "ann_ivfsq"            -> ((s: SparkSession, d: String) =>
+      AnnOps.annIvfSq(s, d)),
     "doc_classify_lang"    -> (TextOps.classifyLang _),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
@@ -1755,6 +1757,61 @@ object SparkEntry {
 
     // D59b: the served NB face shares D59's oracle
     "layout_doc_classify" -> ClassifyLangSql,
+
+    // D58d: IVF-SQ8 — the sq8 ADC chain intersected with the IVF
+    // probe/list membership (the ann_ivfpq oracle device), shortlist
+    // by ADC DESC (dot product, not a distance), exact re-rank
+    "ann_ivfsq" -> {
+      val np = operators.AnnOps.IvfSqNprobe
+      val rr = operators.AnnOps.IvfSqR
+      val m = operators.AnnOps.DefaultM
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |${sq8Ctes("z")},
+        |iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        |  FROM e ORDER BY vec_id LIMIT $m),
+        |is0 AS (SELECT e.vec_id, e.v, s.cid,
+        |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+        |  FROM e, iseed s),
+        |ia1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM is0)
+        |  WHERE rn = 1),
+        |icm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+        |  FROM ia1),
+        |icx AS (SELECT cid, pos,
+        |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+        |  FROM icm GROUP BY cid, pos),
+        |iref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM icx GROUP BY cid),
+        |iref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM iref),
+        |il0 AS (SELECT e.vec_id, r.cid,
+        |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+        |  FROM e, iref2 r),
+        |ilists AS (SELECT cid AS c_cid, vec_id AS c_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM il0) WHERE rn = 1),
+        |iprobes AS (SELECT cid AS q_cid, vec_id AS q_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cid) AS rn FROM il0 WHERE vec_id % 50 = 0)
+        |  WHERE rn <= $np),
+        |icand AS (SELECT a.q_id, a.c_id, a.adc FROM zs a
+        |  JOIN iprobes p ON p.q_id = a.q_id
+        |  JOIN ilists l ON l.c_id = a.c_id AND l.c_cid = p.q_cid),
+        |ishort AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id)
+        |      AS arnk FROM icand) WHERE arnk <= $rr),
+        |iex AS (SELECT s.q_id, s.c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |  FROM ishort s
+        |  JOIN e q ON q.vec_id = s.q_id
+        |  JOIN e c ON c.vec_id = s.c_id),
+        |irr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM iex)
+        |SELECT q_id, c_id, sim, rnk FROM irr WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin
+    },
 
     // B21: Markov transition counts + row-normalized probabilities
     "evt_transitions" ->

@@ -1844,6 +1844,46 @@ object AnnOps {
       sq8AdcOn(spark, dir, mn, delta, codes, r).select("q_id", "c_id"), k)
       .orderBy("q_id", "rnk")
 
+  /** D58d: the composed production index — IVF-SQ8: byte codes stored
+    * inside the co-located inverted lists (FAISS's IVF-SQ8, the most
+    * widely deployed practical index: 4× compression with near-lossless
+    * code fidelity, vs IVF-PQ's 32× at real ADC loss — both points now
+    * measured in the oracled recall curve). Probe assignment in-row
+    * against the broadcast quantizer, ADC over the probed lists' byte
+    * codes (the corpus never shuffles at query time; stage-1 bytes =
+    * (nprobe/m)·corpus·D B), bounded-heap shortlist, exact re-rank of
+    * R floats per query.
+    */
+  val IvfSqNprobe = 8
+  val IvfSqR = 50
+
+  /** The coded inverted lists: (c_cid, c_id, codes) — the IVF layout
+    * carrying SQ8 codes instead of floats. */
+  private def ivfSqLists(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"ivfSqLists:$dir") {
+      ivfLists(spark, dir, DefaultM).select("c_cid", "c_id")
+        .join(sq8Codes(spark, dir).withColumnRenamed("vec_id", "c_id"),
+          "c_id")
+    }
+
+  def annIvfSq(spark: SparkSession, dir: String,
+      nprobe: Int = IvfSqNprobe, r: Int = IvfSqR, k: Int = 10): DataFrame = {
+    val (mn, delta) = sq8Model(spark, dir)
+    val probes = assignFor(spark, dir, DefaultM,
+        embDouble(spark, dir).filter(col("vec_id") % 50 === 0), nprobe)
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
+        col("v").as("qv"))
+    val cand = ivfSqLists(spark, dir)
+      .join(broadcast(probes),
+        col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id"))
+      .withColumn("adc",
+        VectorFns.dot(col("qv"), sq8Dequant(col("codes"), mn, delta)))
+    val short = TopK.perKey(cand, Seq(col("q_id")),
+        Seq(col("adc").desc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    exactRerank(spark, dir, short, k).orderBy("q_id", "rnk")
+  }
+
   /** D58: SQ8 ADC search — exact query vs dequantized corpus codes,
     * top-10 per query by approximate dot product. The scan touches one
     * byte per dimension; dequantization is in-row against the 2·D

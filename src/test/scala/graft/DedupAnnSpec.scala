@@ -194,6 +194,22 @@ class DedupAnnSpec extends GraftSpec {
       s"SQ8 rerank recall@10 dropped: ${rr.length.toDouble / (nQueries * 10)}")
   }
 
+  test("ivfsq: exact rerank sims, recall tracks IVF-Flat at the same nprobe") {
+    val bf = AnnOps.annCosineTopK(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
+    val nQueries = bf.select("q_id").distinct().count()
+    val isq = AnnOps.annIvfSq(spark, Sf).select("q_id", "c_id", "sim")
+    val j = isq.join(bf, Seq("q_id", "c_id")).collect()
+    j.foreach(r => assert(r.getAs[Double]("sim") == r.getAs[Double]("bf_sim")))
+    val ivfHits = AnnOps.annIvf(spark, Sf).select("q_id", "c_id")
+      .join(bf, Seq("q_id", "c_id")).count()
+    // the byte code's near-lossless fidelity (sq8_adc recall 1.0 in
+    // the curve) means the composed index may lose at most a whisker
+    // to IVF-Flat's exact scan of the same probed lists
+    assert(j.length >= ivfHits - 2,
+      s"IVF-SQ recall fell below IVF-Flat: ${j.length} vs $ivfHits of ${nQueries * 10}")
+  }
+
   test("ivf probe assignment: broadcast kernel == literal path at m=16 and m=256") {
     for (m <- Seq(16, 256); nprobe <- Seq(1, 4)) {
       val lit = AnnOps.assignForTest(spark, Sf, m, nprobe, kernel = false)
