@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "dedup_embedding_clusters" -> (DedupOps.dedupEmbeddingClusters _),
     "dedup_clusters"       -> (DedupOps.dedupClusters _),
+    "dedup_clusters_star"  -> (DedupOps.dedupClustersStar _),
     "dedup_substring"      -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSubstring(s, d)),
     "dedup_substring_scrub" -> ((s: SparkSession, d: String) =>
@@ -804,6 +805,38 @@ object SparkEntry {
        |WHERE abandon_reason <> 'converted'
        |ORDER BY user_id, id_0""".stripMargin
   }
+
+  /** D13's oracle (and D13b's — star CC converges to the SAME
+    * min-rooted components): recursive-CTE reachability closure,
+    * min label per vertex.
+    */
+  private lazy val DedupClustersSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM d),
+      |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+      |    unnest(shingles) AS shingle FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+      |  HAVING COUNT(*) >= 2),
+      |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(u, r) AS (
+      |  SELECT doc_id AS u, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
+      |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u)
+      |SELECT comp.doc_id, comp.component, sz.cluster_size
+      |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
+      |  FROM comp GROUP BY component) sz USING (component)
+      |ORDER BY doc_id""".stripMargin
 
   /** B26's oracle — the NAIVE theta join (no binning): DuckDB happily
     * nested-loops the range predicate at oracle scale, so a hash match
@@ -2542,33 +2575,11 @@ object SparkEntry {
          |FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
-    "dedup_clusters" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM d),
-        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
-        |    unnest(shingles) AS shingle FROM s),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-        |  HAVING COUNT(*) >= 2),
-        |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(u, r) AS (
-        |  SELECT doc_id AS u, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT und.dst AS u, reach.r FROM reach JOIN und ON reach.u = und.src),
-        |comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u)
-        |SELECT comp.doc_id, comp.component, sz.cluster_size
-        |FROM comp JOIN (SELECT component, COUNT(*) AS cluster_size
-        |  FROM comp GROUP BY component) sz USING (component)
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> DedupClustersSql,
+
+    // D13b: the star-CC twin — IDENTICAL fixpoint (components rooted
+    // at their min vertex), so the oracle is shared verbatim
+    "dedup_clusters_star" -> DedupClustersSql,
 
     // D13's recursive components + text_quality's score arithmetic,
     // ROW_NUMBER()=1 per component by (score desc, doc_id)

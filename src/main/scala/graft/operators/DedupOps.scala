@@ -411,6 +411,100 @@ object DedupOps {
       .select(col(idCol), col("component"), col("cluster_size"))
   }
 
+  /** D13b: connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log² n)-round dual of [[connectedComponents]]'s
+    * min-label propagation, whose round count is the graph DIAMETER:
+    * a long duplication chain (doc A near-dups B near-dups C …, the
+    * boilerplate-template shape real crawls produce) forces the
+    * propagation loop through one round per hop, while star rounds
+    * HALVE path lengths — the 400-hop chain in the spec converges in
+    * 7 rounds where propagation's 50-round cap would emit wrong
+    * labels. Same fixpoint: every component becomes a star rooted at
+    * its minimum vertex, so the labels are IDENTICAL to propagation's
+    * (parity-spec'd, and the query twin shares D13's DuckDB oracle).
+    *
+    * large-star: per node u, hook every LARGER neighbor to
+    * m = min(Γ⁺(u)); small-star: per node u over its smaller
+    * neighbors, hook Γ(u) ∪ {u} (minus m) to m. The Σ(u+v) edge
+    * potential strictly decreases until the fixpoint — the
+    * convergence probe, like propagation's label sum. Per-round cost:
+    * two groupBys over the edge list (the near-dup subgraph, a sliver
+    * of the corpus — isolated docs never enter the loop); degree is
+    * bounded by the same candidate caps that bound the edge list
+    * itself (df-capped shingles / banded LSH).
+    */
+  private[graft] def connectedComponentsStar(spark: SparkSession,
+      edgesDF: DataFrame, vertices: DataFrame, idCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    import spark.implicits._
+    val eds = edgesDF.as[(Long, Long)]
+    val raw = eds.rdd.filter { case (a, b) => a != b }.persist()
+    val nEdges = raw.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sessionState.conf.numShufflePartitions,
+        (nEdges / 65536L).toInt + 1)))
+
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      e.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          var m = u
+          nbrs.foreach(v => if (v < m) m = v)
+          nbrs.iterator.filter(_ > u).map(v => (v, m))
+        }.distinct(part.numPartitions)
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      e.map { case (a, b) => if (a > b) (a, b) else (b, a) }
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          var m = u
+          nbrs.foreach(v => if (v < m) m = v)
+          (nbrs.iterator ++ Iterator(u)).filter(_ != m).map(v => (v, m))
+        }.distinct(part.numPartitions)
+
+    def potential(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, BigInt) =
+      e.aggregate((0L, BigInt(0)))(
+        { case ((n, s), (a, b)) => (n + 1, s + a + b) },
+        { case ((n1, s1), (n2, s2)) => (n1 + n2, s1 + s2) })
+
+    var edges = raw
+    var prev = potential(edges)
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).persist()
+      val p = potential(next)
+      rounds += 1
+      if (edges ne raw) edges.unpersist(false)
+      edges = next
+      converged = p == prev
+      prev = p
+    }
+    // fixpoint: edges are (child, root-of-component) star arcs
+    val labels = edges.toDF(idCol, "component")
+      .unionByName(edges.values.distinct().map(r => (r, r))
+        .toDF(idCol, "component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    raw.unpersist(false); if (edges ne raw) edges.unpersist(false)
+    val singletons = vertices
+      .join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("component", col(idCol))
+    val all = labels.unionByName(singletons)
+    val sizes = all.groupBy("component").agg(lcount.as("cluster_size"))
+    all.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"))
+  }
+
+  /** D13b as a query: the star-CC labels over the SAME near-dup edge
+    * list as D13 — identical output, identical oracle (the algorithm
+    * swap is invisible to the contract, which is the point). */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(spark,
+      ngramPairs(spark, dir).select(col("a_id"), col("b_id")),
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id")
+      .orderBy("doc_id")
+
   /** D27: substring/span-level dedup — the suffix-array dedup family
     * ("Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022) re-expressed for Spark: instead of one global

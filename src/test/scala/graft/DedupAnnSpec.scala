@@ -152,6 +152,27 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("star CC == propagation CC on the real near-dup graph; converges on a 400-hop chain") {
+    import spark.implicits._
+    val rows = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows(operators.DedupOps.dedupClustersStar(spark, Sf)) ==
+      rows(operators.DedupOps.dedupClusters(spark, Sf)))
+    // the diameter case propagation cannot survive: a 401-vertex path
+    // needs 400 propagation rounds, star rounds HALVE path lengths —
+    // 15 rounds must fully converge it to component 0
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val verts = (0L to 400L).toDF("v")
+    val labs = operators.DedupOps.connectedComponentsStar(
+      spark, chain, verts, "v", maxRounds = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(labs.length == 401)
+    labs.foreach { case (_, comp, sz) =>
+      assert(comp == 0L, s"chain not fully merged: component $comp")
+      assert(sz == 401L)
+    }
+  }
+
   test("sq8: codes in [0,255], midpoint reconstruction within delta/512 per dim") {
     val (mn, delta) = AnnOps.sq8Model(spark, Sf)
     assert(mn.size == delta.size && delta.forall(_ >= 0.0))
