@@ -98,7 +98,8 @@ object ExplainAudit {
       "doc_mixture_tiered",
       // r10: filtered search, the RRF fusion, and the drift ranking
       // run on bounded heaps
-      "ann_sq8_adc", "ann_sq8_rerank", "ann_ivfsq", "doc_classify_lang",
+      "ann_sq8_adc", "ann_sq8_rerank", "ann_ivfsq", "ann_rp_prefilter",
+      "doc_classify_lang",
       "layout_ann_sq8", "layout_doc_classify",
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "layout_corpus_drift",

@@ -133,7 +133,20 @@ object ScaleBench {
     // and the RRF fusion (the D50 capped pair join paid once, two
     // bounded heaps, shortlist-sized fusion join — expect ~linear,
     // tracking doc_similar)
-    "corpus_drift", "doc_similar_rrf")
+    "corpus_drift", "doc_similar_rrf",
+    // r10 session-2 additions: the keyless range join — under
+    // amplification GLOBAL windows grow F× and in-window events F×,
+    // so TRUE matches grow F² by construction; the measurement pins
+    // that the bucket join's cost tracks O(inputs + matches), where
+    // the nested loop it replaces grows with n·m ≈ 1400× matches at
+    // ×30 — expect exponent ≈ 2 in the F² matches, not in n·m. Star
+    // CC (two groupBys per round over the near-dup subgraph, rounds
+    // ~log² — expect to track dedup_clusters), the NB classifier
+    // (vocab-bounded model join + per-doc agg — expect ~linear in
+    // scored tokens), and IVF-SQ8 (probed-list ADC at fixed m —
+    // per-list bytes grow F×, the same fixed-m regime as ann_ivfpq)
+    "evt_incident_join", "dedup_clusters_star", "doc_classify_lang",
+    "ann_ivfsq")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

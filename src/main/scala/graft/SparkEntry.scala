@@ -190,6 +190,8 @@ object SparkEntry {
       AnnOps.annSq8Rerank(s, d)),
     "ann_ivfsq"            -> ((s: SparkSession, d: String) =>
       AnnOps.annIvfSq(s, d)),
+    "ann_rp_prefilter"     -> ((s: SparkSession, d: String) =>
+      AnnOps.annRpPrefilter(s, d)),
     "doc_classify_lang"    -> (TextOps.classifyLang _),
     "ann_recall"           -> (AnnOps.annRecall _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
@@ -911,6 +913,42 @@ object SparkEntry {
        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM x)
        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
+
+  /** D60's oracle — the ±1 sign matrix generated from the SAME
+    * splitmix64 kernel at oracle-build time and baked in as 16
+    * literal arrays; projected cosine prefilter, exact re-rank.
+    */
+  private def RpPrefilterSql: String = {
+    val signs = operators.AnnOps.rpSigns()
+    val projList = signs.map(row =>
+      "list_dot_product(v, [" +
+        row.map(x => if (x < 0) "-1.0" else "1.0").mkString(", ") + "])")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT vec_id, $projList AS pv FROM e),
+       |pn AS (SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn FROM p),
+       |q AS (SELECT vec_id AS q_id, pv AS qpv, pn AS qn FROM pn
+       |  WHERE vec_id % 50 = 0),
+       |s AS (SELECT q_id, c.vec_id AS c_id,
+       |    list_dot_product(qpv, c.pv) / (qn * c.pn) AS psim
+       |  FROM pn c, q WHERE q_id <> c.vec_id),
+       |short AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY psim DESC, c_id) AS arnk FROM s)
+       |  WHERE arnk <= ${operators.AnnOps.RpRerankR}),
+       |qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn2 FROM e
+       |  WHERE vec_id % 50 = 0),
+       |x AS (SELECT short.q_id, short.c_id,
+       |    list_dot_product(qq.qv, e.v) / (qq.qn2 * e.nrm) AS sim
+       |  FROM short JOIN qq ON short.q_id = qq.q_id
+       |  JOIN e ON short.c_id = e.vec_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM x)
+       |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** The SQ8 chain (model → codes → ADC scores) assuming CTE `e`
     * (vec_id, v, nrm) exists; prefix-parameterized so ann_recall can
@@ -1783,6 +1821,9 @@ object SparkEntry {
 
     // D59: Naive Bayes lang classifier (builder above)
     "doc_classify_lang" -> ClassifyLangSql,
+
+    // D60: JL random-projection prefilter (builder above)
+    "ann_rp_prefilter" -> RpPrefilterSql,
 
     // D58c: the served SQ8 face shares D58b's oracle — hash parity
     // proves the persisted codes/model lossless

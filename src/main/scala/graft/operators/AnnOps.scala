@@ -1803,6 +1803,69 @@ object AnnOps {
           element_at(dlL, i + 1) / 256.0)
   }
 
+  // ── D60: Johnson–Lindenstrauss random projection ─────────────────
+  // Dense ±1 sign projection (Achlioptas 2003): K=32 pseudo-random
+  // hyperplane sums cut the per-candidate scan cost 4× (32 vs 64
+  // dims) while JL preserves angles well enough to PREFILTER — the
+  // cheap first stage of a two-stage exact search, complementary to
+  // quantization (SQ8 compresses storage, RP compresses the DISTANCE
+  // computation). Signs come from the house splitmix64 kernel, so the
+  // whole projection is deterministic and DuckDB-replicable as 16
+  // literal-array dot products.
+
+  val RpK = 32
+  val RpRerankR = 100
+
+  /** The embedding dimension the static oracle bakes its literal sign
+    * arrays for (the generator's fixed geometry; the operator
+    * require()s it so a silent mismatch cannot produce garbage). */
+  val RpDim = 64
+
+  /** The ±1 sign matrix (K rows of D signs), from mix64's top bit —
+    * shared by the operator and the oracle builder. */
+  private[graft] def rpSigns(dim: Int = RpDim, k: Int = RpK): Seq[Seq[Double]] =
+    (0 until k).map(j => (0 until dim).map(d =>
+      if (graft.functions.IntMath.mix64(d.toLong * k + j + 1) < 0) -1.0
+      else 1.0))
+
+  /** Projected corpus: (vec_id, pv[K], pn) — computed in-row as K
+    * literal-array dot products, session-memoized. */
+  private def rpProjected(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.df(spark, s"rpProj:$dir") {
+      val emb = embDouble(spark, dir)
+      val dim = emb.select(size(col("v"))).first().getInt(0)
+      require(dim == RpDim,
+        s"rp oracle is baked for dim=$RpDim, corpus has $dim")
+      val signs = rpSigns(dim)
+      emb.select(col("vec_id"),
+          array((0 until RpK).map(j =>
+            VectorFns.dot(col("v"), array(signs(j).map(lit): _*))): _*)
+            .as("pv"))
+        .withColumn("pn", VectorFns.norm(col("pv")))
+    }
+
+  /** D60: RP-prefiltered exact search — stage 1 ranks by 16-dim
+    * projected cosine (4× cheaper per candidate than the raw scan),
+    * stage 2 exact-reranks the R=50 shortlist via the shared
+    * broadcast-shortlist corpus scan. */
+  def annRpPrefilter(spark: SparkSession, dir: String,
+      r: Int = RpRerankR, k: Int = 10): DataFrame = {
+    val proj = rpProjected(spark, dir)
+    val q = proj.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+        col("pn").as("qn"))
+    val sims = proj
+      .select(col("vec_id").as("c_id"), col("pv").as("cpv"),
+        col("pn").as("cn"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("psim",
+        VectorFns.cosine(col("qpv"), col("cpv"), col("qn"), col("cn")))
+    val short = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("psim").desc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    exactRerank(spark, dir, short, k).orderBy("q_id", "rnk")
+  }
+
   /** The model as a persistable frame (d, mn, dl) — D rows, the
     * layout-family artifact (cf. the IVF quantizer table). */
   private[graft] def sq8ModelFrame(spark: SparkSession, dir: String): DataFrame = {

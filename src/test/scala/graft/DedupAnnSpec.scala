@@ -231,6 +231,23 @@ class DedupAnnSpec extends GraftSpec {
       s"IVF-SQ recall fell below IVF-Flat: ${j.length} vs $ivfHits of ${nQueries * 10}")
   }
 
+  test("rp prefilter: exact rerank sims, JL recall floor, deterministic signs") {
+    // the sign matrix is a pure function of the kernel — regenerating
+    // it must be bit-identical (the oracle bakes these as literals)
+    val s1 = AnnOps.rpSigns(); val s2 = AnnOps.rpSigns()
+    assert(s1 == s2 && s1.length == AnnOps.RpK &&
+      s1.head.length == AnnOps.RpDim)
+    assert(s1.flatten.forall(x => x == 1.0 || x == -1.0))
+    val bf = AnnOps.annCosineTopK(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("sim").as("bf_sim"))
+    val nQueries = bf.select("q_id").distinct().count()
+    val rp = AnnOps.annRpPrefilter(spark, Sf).select("q_id", "c_id", "sim")
+    val j = rp.join(bf, Seq("q_id", "c_id")).collect()
+    j.foreach(r => assert(r.getAs[Double]("sim") == r.getAs[Double]("bf_sim")))
+    val recall = j.length.toDouble / (nQueries * 10.0)
+    assert(recall >= 0.5, s"JL prefilter recall@10 collapsed: $recall")
+  }
+
   test("ivf probe assignment: broadcast kernel == literal path at m=16 and m=256") {
     for (m <- Seq(16, 256); nprobe <- Seq(1, 4)) {
       val lit = AnnOps.assignForTest(spark, Sf, m, nprobe, kernel = false)
