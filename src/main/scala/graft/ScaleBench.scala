@@ -146,7 +146,12 @@ object ScaleBench {
     // scored tokens), and IVF-SQ8 (probed-list ADC at fixed m —
     // per-list bytes grow F×, the same fixed-m regime as ann_ivfpq)
     "evt_incident_join", "dedup_clusters_star", "doc_classify_lang",
-    "ann_ivfsq")
+    "ann_ivfsq",
+    // D61: at constant out-degree the random graph's edge/wedge/
+    // triangle populations all grow ~F×, so the orientation chain
+    // should measure ~linear — a superlinear exponent here means the
+    // wedge join stopped tracking the O(m^1.5) bound's constant
+    "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

@@ -59,6 +59,7 @@ object SparkEntry {
       ProfileOps.corpusDrift(s, d)),
     "corpus_drift_summary" -> (ProfileOps.corpusDriftSummary _),
     "graph_pagerank"       -> (GraphOps.pageRank _),
+    "graph_triangles"      -> (GraphOps.triangles _),
     "evt_attribution"      -> (EventOps.attribution _),
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
     "graph_source_rank"    -> (GraphOps.sourceRank _),
@@ -355,6 +356,39 @@ object SparkEntry {
        |$rounds
        |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr FROM $last
        |ORDER BY pr DESC, doc_id""".stripMargin
+  }
+
+  /** D61 oracle: the same synthesized multigraph canonicalized to
+    * simple undirected edges, degree-(id)-oriented, wedges closed
+    * against the edge set — GraphOps.triangles' exact integer chain
+    * replicated (each triangle counted once at its min-rank corner,
+    * then exploded to its three vertices).
+    */
+  private lazy val TrianglesSql: String = {
+    val n = "(SELECT c FROM nn)"
+    val sig = signed64(mix(s"((CAST(doc_id AS HUGEINT) * 1000003 + j) % $M64)"))
+    s"""WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+       |e0 AS (SELECT doc_id AS src,
+       |    CAST(((($sig) % $n) + $n) % $n AS BIGINT) AS dst
+       |  FROM documents, range(0, ${operators.GraphOps.OutDegree}) t(j)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |deg AS (SELECT id, COUNT(*) AS dg FROM
+       |  (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+       |  GROUP BY 1),
+       |o AS (SELECT
+       |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+       |      THEN a ELSE b END AS u,
+       |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+       |      THEN b ELSE a END AS v
+       |  FROM und JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b),
+       |tri AS (SELECT w1.u AS u, w1.v AS x, w2.v AS y
+       |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+       |  JOIN und ON w1.v = und.a AND w2.v = und.b)
+       |SELECT id AS doc_id, COUNT(*) AS tri FROM
+       |  (SELECT u AS id FROM tri UNION ALL SELECT x AS id FROM tri
+       |   UNION ALL SELECT y AS id FROM tri)
+       |GROUP BY 1 ORDER BY tri DESC, doc_id""".stripMargin
   }
 
   /** Hyperplane-LSH coefficient/bucket replication (VecKernels
@@ -1681,6 +1715,9 @@ object SparkEntry {
 
     // D44: 5 unrolled integer-PageRank rounds (see PagerankSql builder)
     "graph_pagerank" -> PagerankSql,
+
+    // D61: degree-oriented triangle counting (see TrianglesSql builder)
+    "graph_triangles" -> TrianglesSql,
 
     // A21: Q6 shape — one filtered scan, no join
     "q6_forecast_revenue" ->

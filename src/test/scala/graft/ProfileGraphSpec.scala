@@ -67,6 +67,29 @@ class ProfileGraphSpec extends GraftSpec {
     assert(pr.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("graph_triangles equals the brute-force adjacency-set count") {
+    val n = Tables.documents(spark, Sf).count()
+    // rebuild the canonical simple graph from the kernel
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    def link(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+    for (src <- 0L until n; j <- 0 until GraphOps.OutDegree) {
+      val dst = java.lang.Math.floorMod(
+        graft.functions.WinnowFingerprints.mix(src * 1000003L + j.toLong), n)
+      if (dst != src) { link(src, dst); link(dst, src) }
+    }
+    // enumerate each triangle once (c > b > a), credit all 3 corners
+    val tri = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, na) <- adj; b <- na if b > a; c <- na.intersect(adj(b)) if c > b) {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    val got = GraphOps.triangles(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == tri.toMap, s"per-node triangle counts diverge")
+    assert(got.values.sum % 3 == 0) // each triangle credited exactly thrice
+    assert(got.values.sum > 0, "degenerate fixture: no triangles at all")
+  }
+
   test("graph_pagerank is deterministic across invocations") {
     val a = GraphOps.pageRank(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = GraphOps.pageRank(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
