@@ -64,6 +64,7 @@ object SparkEntry {
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
     "graph_source_rank"    -> (GraphOps.sourceRank _),
     "evt_transitions"      -> (EventOps.transitions _),
+    "evt_ewma"             -> (EventOps.ewmaSmooth _),
     "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
@@ -1939,6 +1940,18 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         |FROM c JOIN tt ON prev_type = p2
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // B27: the exact dyadic EWMA recurrence — list_reduce replays the
+    // fold on the identical (ts, event_id) order; α = 1/2 makes every
+    // step two exact power-of-two scalings plus one identically-
+    // rounded add, so the smoothed doubles hash-match bit-for-bit
+    "evt_ewma" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events,
+        |  (list(value ORDER BY ts, event_id))[-1] AS last_value,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> acc * 0.5::DOUBLE + x * 0.5::DOUBLE) AS ewma
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     // C9/C10: text-format roundtrips oracled against the ORIGINAL
     // rows — a hash match proves the writer/reader pair is lossless

@@ -653,6 +653,39 @@ object EventOps {
       .agg(lcount.as("n"))
       .orderBy("event_type", "bucket")
 
+  /** B27: exponentially-weighted moving average per (user, type) —
+    * the smoothing an EWMA control chart / drift detector consumes.
+    * α = 1/2 EXACTLY: both per-step products are power-of-two
+    * scalings (exact in IEEE 754), leaving ONE identically-rounded
+    * add per step, so on a pinned fold order ((ts, event_id), the
+    * house timeline key) the recurrence is bit-replicable in DuckDB's
+    * `list_reduce` — a smoothed value is hash-checkable like any
+    * exact aggregate, unlike a float sum whose order Spark doesn't
+    * pin.
+    *
+    * Scale design: ONE shuffle on the grouping key; per-key state is
+    * the user's own timeline (the funnel/timeline family's bound —
+    * events-per-user is set by the product, not the corpus); the fold
+    * is a codegen'd higher-order function over the sorted array — no
+    * UDF, no window re-sort, no driver loop. The streaming dual
+    * ([[graft.streaming.StreamOps.ewmaStream]]) carries the same
+    * recurrence as O(1) state per key.
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("ms", unix_millis(col("ts")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(lcount.as("n_events"),
+        sort_array(collect_list(struct(col("ms"), col("event_id"),
+          col("value")))).as("vals"))
+      .withColumn("last_value", element_at(col("vals"), -1)("value"))
+      .withColumn("ewma", expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0].value," +
+        " (acc, x) -> acc * 0.5D + x.value * 0.5D)"))
+      .select("user_id", "event_type", "n_events", "last_value", "ewma")
+      .orderBy("user_id", "event_type")
+
   /** B21: event-type transition matrix — every event paired with its
     * predecessor on the same user's timeline (lag window), then
     * counted per (prev, next) pair with row-normalized probabilities:

@@ -51,6 +51,12 @@ case class TransitionOut(user_id: Long, event_id: Long, ts: Timestamp,
 
 private case class LastTypeState(hasPrev: Boolean, t: String)
 
+/** Live EWMA row (streaming analog of B27's evt_ewma). */
+case class EwmaOut(user_id: Long, event_type: String, n_events: Long,
+    last_value: Double, ewma: Double)
+
+private case class EwmaState(n: Long, ewma: Double)
+
 /** Flagged day (streaming analog of B22's evt_daily_anomaly). */
 case class LineOcc(doc_id: Long, ts: Timestamp, line_no: Int,
   line: String, h: String)
@@ -1265,6 +1271,37 @@ object StreamOps {
     * aggregation as the batch operator; multiset parity with B21's
     * pairs on time-split feeds is pinned in StreamBatchParitySpec.
     */
+  /** E41: B27's continuous face — the EWMA recurrence as O(1) state
+    * per (user, type): {count, running ewma}. Within a micro-batch,
+    * arrivals fold in the batch operator's order key (ts, event_id);
+    * across batches the saved state seeds the next fold. Because
+    * every step is two exact power-of-two scalings plus one add, the
+    * final emission is BIT-identical to
+    * [[graft.operators.EventOps.ewmaSmooth]] no matter where the
+    * micro-batch boundaries fall (parity spec'd across a time-ordered
+    * split — exact double equality, not a tolerance). Emits the
+    * refreshed row once per key per micro-batch; the latest emission
+    * per key is the live smoothed value.
+    */
+  def ewmaStream(events: Dataset[Ev]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (Long, String), it: Iterator[Ev], state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          var last = 0.0
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(1L, e.value)
+              else EwmaState(st.n + 1, st.ewma * 0.5 + e.value * 0.5)
+            last = e.value
+          }
+          state.update(st)
+          Iterator.single(EwmaOut(key._1, key._2, st.n, last, st.ewma))
+        })
+  }
+
   def transitionsStream(events: Dataset[Ev]): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
     events

@@ -739,6 +739,38 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream == batch evt_ewma BIT-exactly across a time split") {
+    val expected = operators.EventOps.ewmaSmooth(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val all = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = all.agg(percentile_approx(col("ts"), lit(0.5), lit(100)))
+      .collect()(0).getTimestamp(0)
+    val d = Files.createTempDirectory("ewma_par").toFile.getAbsolutePath
+    all.filter(col("ts") <= cut).write.mode("overwrite").parquet(d)
+    val q = StreamOps.ewmaStream(
+        spark.readStream.schema(all.schema).parquet(d).as[Ev])
+      .writeStream.format("memory").queryName("ewma_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // recurrences straddling the split must continue from state
+      all.filter(col("ts") > cut).write.mode("append").parquet(d)
+      q.processAllAvailable()
+      // latest emission per key = highest n_events (monotone per key)
+      val got = spark.table("ewma_par").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(got == expected, s"streamed ${got.size} vs batch ${expected.size}")
+      // the split genuinely exercised cross-batch state: some key must
+      // have emitted twice
+      assert(spark.table("ewma_par").count() > expected.size)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("transitionsStream: a null-typed event replaces the chain head") {
     // timeline A, null, B split so the null-typed event ENDS batch 1:
     // batch semantics emit (A, null) and drop B's pair (its lag
