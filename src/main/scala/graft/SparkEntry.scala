@@ -65,6 +65,8 @@ object SparkEntry {
     "graph_source_rank"    -> (GraphOps.sourceRank _),
     "evt_transitions"      -> (EventOps.transitions _),
     "evt_ewma"             -> (EventOps.ewmaSmooth _),
+    "doc_split_assign"     -> (CurationOps.splitAssign _),
+    "privacy_k_anon"       -> (CurationOps.kAnonLadder _),
     "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
@@ -679,6 +681,9 @@ object SparkEntry {
     s"list_transform(range(1, length($c)+1), " +
     s"i -> CAST(ord(substr($c, i, 1)) AS HUGEINT))), " +
     s"(acc, b) -> (${mulmod("acc", "1000003")} + b) % $M64)"
+
+  /** D63's k threshold (shared with the operator). */
+  private val KA = operators.CurationOps.KAnon
 
   /** D38c's tier oracle, shared verbatim by the D21c composition. */
   private def lmTiersSql: String =
@@ -1952,6 +1957,39 @@ object SparkEntry {
         |    (acc, x) -> acc * 0.5::DOUBLE + x * 0.5::DOUBLE) AS ewma
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // D62: content-keyed split assignment — the StrHash64 chain
+    // (poly fold + splitmix64) replicated in HUGEINT, residue mod 100
+    "doc_split_assign" ->
+      s"""SELECT doc_id, h100,
+         |  CASE WHEN h100 < 98 THEN 'train' WHEN h100 = 98 THEN 'valid'
+         |    ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |    ((CAST(${signed64(mix(strFold("text")))} AS BIGINT) % 100)
+         |      + 100) % 100 AS h100
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    // D63: the k-anonymity generalization ladder — three class-size
+    // aggregates joined back, finest level reaching k wins
+    "privacy_k_anon" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balk
+         |  FROM customer),
+         |g0 AS (SELECT c_nationkey, c_mktsegment, balk,
+         |    COUNT(*) AS n0 FROM c GROUP BY 1, 2, 3),
+         |g1 AS (SELECT c_nationkey, c_mktsegment,
+         |    COUNT(*) AS n1 FROM c GROUP BY 1, 2),
+         |g2 AS (SELECT c_mktsegment, COUNT(*) AS n2 FROM c GROUP BY 1)
+         |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, c.balk,
+         |  CAST(CASE WHEN n0 >= $KA THEN 0 WHEN n1 >= $KA THEN 1
+         |    WHEN n2 >= $KA THEN 2 ELSE 3 END AS BIGINT) AS lvl,
+         |  CAST(CASE WHEN n0 >= $KA THEN n0 WHEN n1 >= $KA THEN n1
+         |    WHEN n2 >= $KA THEN n2 ELSE 0 END AS BIGINT) AS grp_n
+         |FROM c JOIN g0 USING (c_nationkey, c_mktsegment, balk)
+         |  JOIN g1 USING (c_nationkey, c_mktsegment)
+         |  JOIN g2 USING (c_mktsegment)
+         |ORDER BY c_custkey""".stripMargin,
 
     // C9/C10: text-format roundtrips oracled against the ORIGINAL
     // rows — a hash match proves the writer/reader pair is lossless

@@ -916,4 +916,68 @@ object CurationOps {
         "mean_tok", "total_lines", "dup_lines", "dup_line_rate")
       .orderBy("source")
   }
+
+  /** D62: deterministic content-keyed split assignment — the
+    * train/valid/test partition a training pipeline stamps before
+    * anything else. The key is the HOUSE 64-bit content hash
+    * (StrHash64: poly fold + splitmix64), NOT the row id, so
+    * (a) assignment is stable under corpus growth, renumbering, and
+    * reprocessing order, and (b) byte-identical duplicates land in
+    * the SAME split by construction — exact-dup train/test leakage is
+    * impossible before dedup even runs. 98/1/1 by hash residue;
+    * in-row map, no shuffle, no state.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** D62 on an arbitrary (doc_id, text) frame. */
+  def splitAssignOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        pmod(graft.functions.StrHash.strhash64(col("text")), lit(100L))
+          .as("h100"))
+      .withColumn("split",
+        when(col("h100") < 98, lit("train"))
+          .when(col("h100") === 98, lit("valid"))
+          .otherwise(lit("test")))
+
+  /** D63's anonymity threshold. */
+  val KAnon = 5L
+
+  /** D63: k-anonymity generalization ladder over the customer
+    * quasi-identifiers — the privacy gate a dataset release runs
+    * before shipping rows that join to real people. Global recoding:
+    * each row is released at the FINEST generalization level whose
+    * equivalence class reaches k — level 0 = (nation, segment,
+    * acctbal rounded to 1000s), level 1 drops the balance bucket,
+    * level 2 keeps only the segment, level 3 = suppress. The three
+    * class-size tables are tiny aggregates (≤ |nations|·|segments|·
+    * |buckets| rows) broadcast back onto the row set — one scan, one
+    * shuffle for the finest groupBy, map-side the rest.
+    */
+  def kAnonLadder(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast(LongType).as("balk"))
+    val g0 = cust.groupBy("c_nationkey", "c_mktsegment", "balk")
+      .agg(lcount.as("n0"))
+    val g1 = cust.groupBy("c_nationkey", "c_mktsegment")
+      .agg(lcount.as("n1"))
+    val g2 = cust.groupBy("c_mktsegment").agg(lcount.as("n2"))
+    val k = lit(KAnon)
+    cust
+      .join(broadcast(g0), Seq("c_nationkey", "c_mktsegment", "balk"))
+      .join(broadcast(g1), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(g2), Seq("c_mktsegment"))
+      .withColumn("lvl",
+        when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+          .when(col("n2") >= k, 2L).otherwise(3L))
+      .withColumn("grp_n",
+        when(col("lvl") === 0L, col("n0"))
+          .when(col("lvl") === 1L, col("n1"))
+          .when(col("lvl") === 2L, col("n2")).otherwise(lit(0L)))
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "balk",
+        "lvl", "grp_n")
+      .orderBy("c_custkey")
+  }
 }
