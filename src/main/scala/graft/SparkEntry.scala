@@ -67,6 +67,7 @@ object SparkEntry {
     "evt_ewma"             -> (EventOps.ewmaSmooth _),
     "doc_split_assign"     -> (CurationOps.splitAssign _),
     "privacy_k_anon"       -> (CurationOps.kAnonLadder _),
+    "layout_zorder_rect"   -> (ZOrderOps.rectProbe _),
     "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
@@ -1969,6 +1970,17 @@ object SparkEntry {
          |      + 100) % 100 AS h100
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // D64: the z-order rectangle probe — oracle is the PLAIN full-scan
+    // rectangle, so hash parity proves the cell cover + partition
+    // pruning lossless
+    "layout_zorder_rect" ->
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE ts >= TIMESTAMP '${operators.ZOrderOps.RectT1}'
+         |  AND ts < TIMESTAMP '${operators.ZOrderOps.RectT2}'
+         |  AND value >= ${operators.ZOrderOps.RectV1}
+         |  AND value < ${operators.ZOrderOps.RectV2}
+         |ORDER BY event_id""".stripMargin,
 
     // D63: the k-anonymity generalization ladder — three class-size
     // aggregates joined back, finest level reaching k wins

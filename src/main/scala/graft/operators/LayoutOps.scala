@@ -198,12 +198,17 @@ object LayoutOps {
   /** Drop every family's catalog entry for `dir` (the spec's
     * simulated JVM exit — files survive).
     */
-  def dropCatalogEntries(spark: SparkSession, dir: String): Unit =
+  def dropCatalogEntries(spark: SparkSession, dir: String): Unit = {
     families.foreach(f => LayoutStore.dropCatalogEntry(spark, tableName(f, dir)))
+    ZOrderOps.tableNames(dir)
+      .foreach(LayoutStore.dropCatalogEntry(spark, _))
+  }
 
   /** Remove every family for `dir`, catalog and files (test hygiene). */
-  def purgeAll(spark: SparkSession, dir: String): Unit =
+  def purgeAll(spark: SparkSession, dir: String): Unit = {
     families.foreach(f => LayoutStore.purge(spark, tableName(f, dir)))
+    ZOrderOps.tableNames(dir).foreach(LayoutStore.purge(spark, _))
+  }
 
   // ---------------------------------------------------------------
   // Read-side queries: the engine's probe/search operators served

@@ -250,6 +250,46 @@ object LayoutStore {
     * recovered per file from the bucketed file names, so the
     * re-registered table serves identically to the original.
     */
+  /** Partitioned-table variants — for layouts whose probe key is a
+    * coarse data-skipping cell (the Z-order prefix): one DIRECTORY
+    * per key value, so a literal-key probe prunes at the file-listing
+    * level (`PartitionFilters` in the scan) before any file is
+    * opened — the pruning unit a 100 TB rectangle query needs, since
+    * bucket pruning still lists every bucket file. Sorted within
+    * partitions by the given key so row-group min-max envelopes stay
+    * tight inside each cell too.
+    */
+  def ensurePartitioned(spark: SparkSession, table: String, partKey: String,
+      sortKey: String)(build: => DataFrame): String = synchronized {
+    if (exists(spark, table)) "catalog"
+    else {
+      val loc = location(spark, table)
+      if (Files.exists(Paths.get(loc))) {
+        // partition values are directory names: infer the full schema
+        // (incl. the partition column), register, recover partitions
+        val schema = spark.read.parquet(loc).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $table ($schema)
+             |USING PARQUET
+             |PARTITIONED BY ($partKey)
+             |LOCATION '$loc'""".stripMargin)
+        spark.catalog.recoverPartitions(table)
+        "reregistered"
+      } else {
+        // co-locate each cell in one task so every partition directory
+        // gets ONE file (not one per upstream task)
+        build.repartition(org.apache.spark.sql.functions.col(partKey))
+          .sortWithinPartitions(sortKey)
+          .write.mode("overwrite")
+          .format("parquet")
+          .option("path", loc)
+          .partitionBy(partKey)
+          .saveAsTable(table)
+        "written"
+      }
+    }
+  }
+
   private def register(spark: SparkSession, table: String, loc: String,
       bucketKeys: Seq[String], buckets: Int): Unit = {
     val schema = spark.read.parquet(loc).schema.toDDL

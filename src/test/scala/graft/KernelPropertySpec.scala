@@ -14,6 +14,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class KernelPropertySpec extends AnyFunSuite {
   private val rnd = new java.util.Random(42)
 
+  test("ZMath interleave: bit-reference equality, roundtrip, prefix law") {
+    import graft.functions.ZMath
+    def reference(x: Long, y: Long): Long =
+      (0 until 31).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    for (_ <- 1 to 200) {
+      val x = rnd.nextLong() & 0x7FFFFFFFL
+      val y = rnd.nextLong() & 0x7FFFFFFFL
+      val z = ZMath.interleave(x, y)
+      assert(z == reference(x, y))
+      assert(z >= 0L)
+      assert(ZMath.deinterleave(z) == ((x, y)))
+      // the property the zp partition key rests on: interleaving the
+      // coordinate PREFIXES equals the z-value's prefix
+      val s = 1 + rnd.nextInt(20)
+      assert(ZMath.interleave(x >> s, y >> s) == (z >> (2 * s)))
+    }
+    intercept[IllegalArgumentException](ZMath.interleave(1L << 31, 0L))
+    intercept[IllegalArgumentException](ZMath.interleave(0L, -1L))
+  }
+
   test("TopKHeaps.Heap equals sort-take-k on random data") {
     val ord = Ordering.by[InternalRow, Long](_.getLong(0))
     for (_ <- 1 to 50) {

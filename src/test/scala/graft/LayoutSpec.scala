@@ -40,6 +40,47 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("z-order rectangle probe: partition pruning, lossless cover, restart parity") {
+    import graft.operators.ZOrderOps
+    import org.apache.spark.sql.functions.col
+    withCleanLayouts {
+      assert(ZOrderOps.ensure(spark, Sf) == (("written", "written")))
+      val probe = ZOrderOps.rectProbe(spark, Sf)
+      // pruning is PARTITION-level (file listing), not a post-scan filter
+      val plan = probe.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(plan.contains("PartitionFilters") && plan.contains("zp"),
+        "rectangle probe lost its partition filter")
+      // ...and the cover genuinely skips cells on this fixture
+      val zTable = ZOrderOps.tableNames(Sf).last
+      val allZp = spark.table(zTable).select("zp").distinct().count()
+      val m = spark.table(ZOrderOps.tableNames(Sf).head).first()
+      val cover = ZOrderOps.coveringZp(m.getAs[Long]("tmin"),
+        m.getAs[Long]("tmax"), m.getAs[Double]("vmin"),
+        m.getAs[Double]("vmax"),
+        java.sql.Timestamp.valueOf(ZOrderOps.RectT1).getTime,
+        java.sql.Timestamp.valueOf(ZOrderOps.RectT2).getTime,
+        ZOrderOps.RectV1, ZOrderOps.RectV2)
+      assert(cover.size < allZp / 2,
+        s"cover ${cover.size} cells of $allZp — no skipping happening")
+      // lossless: the served rows == the plain full-scan rectangle
+      val direct = rows(Tables.events(spark, Sf)
+        .filter(col("ts") >= ZOrderOps.RectT1 && col("ts") < ZOrderOps.RectT2 &&
+          col("value") >= ZOrderOps.RectV1 && col("value") < ZOrderOps.RectV2)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id"))
+      val served = rows(probe)
+      assert(served == direct && direct.nonEmpty)
+      // restart: catalog death, files survive, probe unchanged
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(ZOrderOps.ensure(spark, Sf) ==
+        (("reregistered", "reregistered")))
+      assert(rows(ZOrderOps.rectProbe(spark, Sf)) == direct)
+    }
+  }
+
   test("served more-like-this over reloaded shingle postings == session doc_similar on anchors") {
     withCleanLayouts {
       val anchorSet = rows(TextOps.docSimilar(spark, Sf)
