@@ -68,6 +68,7 @@ object SparkEntry {
     "doc_split_assign"     -> (CurationOps.splitAssign _),
     "privacy_k_anon"       -> (CurationOps.kAnonLadder _),
     "layout_zorder_rect"   -> (ZOrderOps.rectProbe _),
+    "layout_zorder_purge"  -> (ZOrderOps.purgedProbe _),
     "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
@@ -1980,6 +1981,16 @@ object SparkEntry {
          |  AND ts < TIMESTAMP '${operators.ZOrderOps.RectT2}'
          |  AND value >= ${operators.ZOrderOps.RectV1}
          |  AND value < ${operators.ZOrderOps.RectV2}
+         |ORDER BY event_id""".stripMargin,
+
+    // D65: the post-purge audit rectangle — the purged day must be
+    // absent from the served clone, everything else bit-intact
+    "layout_zorder_purge" ->
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE ts >= TIMESTAMP '${operators.ZOrderOps.AuditT1}'
+         |  AND ts < TIMESTAMP '${operators.ZOrderOps.AuditT2}'
+         |  AND NOT (ts >= TIMESTAMP '${operators.ZOrderOps.PurgeT1}'
+         |    AND ts < TIMESTAMP '${operators.ZOrderOps.PurgeT2}')
          |ORDER BY event_id""".stripMargin,
 
     // D63: the k-anonymity generalization ladder — three class-size

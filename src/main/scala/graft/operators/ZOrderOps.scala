@@ -48,9 +48,9 @@ object ZOrderOps {
   private def eventsTable(dir: String) =
     LayoutStore.tableName(s"zorder_events_$Tag", dir)
 
-  /** Both tables, for the layout drop/purge hygiene in LayoutOps. */
+  /** All tables, for the layout drop/purge hygiene in LayoutOps. */
   def tableNames(dir: String): Seq[String] =
-    Seq(modelTable(dir), eventsTable(dir))
+    Seq(modelTable(dir), eventsTable(dir), purgedTable(dir))
 
   /** The 1-row affine model: time/value min-max envelope. */
   private[graft] def modelFrame(spark: SparkSession, dir: String): DataFrame =
@@ -127,25 +127,107 @@ object ZOrderOps {
       yield ZMath.interleave(px, py) // zp interleaves the PREFIX bits
   }
 
-  /** D64's probe: the oracled rectangle served from the persisted
-    * z-layout — literal zp IN (covering cells) prunes the partition
+  private[graft] def msOf(s: String): Long = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    java.time.Instant.from(fmt.parse(s)).toEpochMilli
+  }
+
+  /** The rectangle probe over an arbitrary z-layout table: covering
+    * cells from the model, literal zp IN prunes the partition
     * directories, the exact predicate trims inside them.
+    */
+  private def rectProbeOn(spark: SparkSession, dir: String, table: String,
+      t1: Long, t2: Long, v1: Double, v2: Double): DataFrame = {
+    val m = LayoutStore.read(spark, modelTable(dir)).first()
+    val zps = coveringZp(m.getAs[Long]("tmin"), m.getAs[Long]("tmax"),
+      m.getAs[Double]("vmin"), m.getAs[Double]("vmax"), t1, t2, v1, v2)
+    LayoutStore.read(spark, table)
+      .filter(col("zp").isin(zps: _*))
+      .filter(unix_millis(col("ts")) >= t1 && unix_millis(col("ts")) < t2 &&
+        col("value") >= v1 && col("value") < v2)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** D64's probe: the oracled rectangle served from the persisted
+    * z-layout.
     */
   def rectProbe(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir)
-    val m = LayoutStore.read(spark, modelTable(dir)).first()
-    val (tmin, tmax, vmin, vmax) = (m.getAs[Long]("tmin"),
-      m.getAs[Long]("tmax"), m.getAs[Double]("vmin"), m.getAs[Double]("vmax"))
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
-    def msOf(s: String) = java.time.Instant.from(fmt.parse(s)).toEpochMilli
-    val (t1, t2) = (msOf(RectT1), msOf(RectT2))
-    val zps = coveringZp(tmin, tmax, vmin, vmax, t1, t2, RectV1, RectV2)
-    LayoutStore.read(spark, eventsTable(dir))
-      .filter(col("zp").isin(zps: _*))
-      .filter(unix_millis(col("ts")) >= t1 && unix_millis(col("ts")) < t2 &&
-        col("value") >= RectV1 && col("value") < RectV2)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .orderBy("event_id")
+    rectProbeOn(spark, dir, eventsTable(dir), msOf(RectT1), msOf(RectT2),
+      RectV1, RectV2)
+  }
+
+  // ── D65: retention purge — partition-targeted deletes ───────────
+
+  /** The purge window (one day, all values) and the wider audit
+    * window the oracled post-purge probe reads.
+    */
+  val PurgeT1 = "2024-01-20 00:00:00"
+  val PurgeT2 = "2024-01-21 00:00:00"
+  val AuditT1 = "2024-01-18 00:00:00"
+  val AuditT2 = "2024-01-23 00:00:00"
+
+  private def purgedTable(dir: String) =
+    LayoutStore.tableName(s"zorder_purged_$Tag", dir)
+
+  /** D65: retention/right-to-be-forgotten purge on the z-layout —
+    * delete a time range by REWRITING ONLY the partition directories
+    * whose cells intersect it (a per-cell static `INSERT OVERWRITE
+    * PARTITION`, which also clears cells left empty — the dynamic-
+    * overwrite mode would silently skip those). Every other directory
+    * is never listed, read, or written: at 100 TB a one-day purge
+    * touches days/retention of the cells and the rest of the table
+    * is untouched bytes (spec-pinned via file checksums on the
+    * untouched cells). Operates on a CLONE of the base layout (the
+    * D33e appended-clone pattern) so the base table and every other
+    * query stay order-independent.
+    */
+  def retentionPurge(spark: SparkSession, dir: String): String = {
+    ensure(spark, dir)
+    val target = purgedTable(dir)
+    if (!LayoutStore.exists(spark, target)) {
+      // fresh copy, or a restart over the surviving (already-purged)
+      // clone — the purge below is idempotent either way
+      LayoutStore.cloneTable(spark, eventsTable(dir), target)
+      LayoutStore.ensurePartitioned(spark, target, "zp", "z")(
+        sys.error("clone must re-register, never rebuild"))
+      val m = LayoutStore.read(spark, modelTable(dir)).first()
+      val cells = coveringZp(m.getAs[Long]("tmin"), m.getAs[Long]("tmax"),
+        m.getAs[Double]("vmin"), m.getAs[Double]("vmax"),
+        msOf(PurgeT1), msOf(PurgeT2), Double.MinValue, Double.MaxValue)
+      val (p1, p2) = (msOf(PurgeT1), msOf(PurgeT2))
+      cells.foreach { c =>
+        // Spark (rightly) refuses to overwrite a table it is reading:
+        // stage the cell's survivors first — pin-and-re-root, the
+        // in-session analog of the staging-write-then-swap a
+        // production purge does; the staged set is ONE cell's rows
+        val survivors = LayoutStore.read(spark, target)
+          .filter(col("zp") === c &&
+            !(unix_millis(col("ts")) >= p1 && unix_millis(col("ts")) < p2))
+          .select("event_id", "ts", "user_id", "event_type", "value", "z")
+        val rdd = survivors.rdd.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        spark.createDataFrame(rdd, survivors.schema)
+          .createOrReplaceTempView("zorder_purge_stage")
+        spark.sql(
+          s"""INSERT OVERWRITE TABLE $target PARTITION (zp = $c)
+             |SELECT * FROM zorder_purge_stage""".stripMargin)
+        rdd.unpersist(blocking = false)
+      }
+    }
+    target
+  }
+
+  /** D65's oracled face: the audit rectangle served from the PURGED
+    * clone — the purged day must be absent, everything else intact
+    * (oracle = full-scan rectangle minus the purged range).
+    */
+  def purgedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val t = retentionPurge(spark, dir)
+    rectProbeOn(spark, dir, t, msOf(AuditT1), msOf(AuditT2),
+      Double.MinValue, Double.MaxValue)
   }
 }

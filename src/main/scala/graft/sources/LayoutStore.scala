@@ -45,7 +45,7 @@ object LayoutStore {
     spark.conf.get("spark.sql.warehouse.dir")
       .replaceFirst("^file:", "")
 
-  private def location(spark: SparkSession, table: String): String =
+  private[graft] def location(spark: SparkSession, table: String): String =
     s"${warehouse(spark)}/graft_layouts/$table"
 
   /** Serve a layout table (the read side — a plain catalog read; the
@@ -289,6 +289,29 @@ object LayoutStore {
       }
     }
   }
+
+  /** Copy a table's files to a new table location (the clone a
+    * mutating maintenance op works on, so the base layout and every
+    * query against it stay untouched — the appended-clone pattern).
+    * Returns false if the target files already exist (restart: the
+    * mutated clone survived; the caller must NOT redo its mutation
+    * blindly — though idempotent mutations may).
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Boolean =
+    synchronized {
+      val from = Paths.get(location(spark, src))
+      val to = Paths.get(location(spark, dst))
+      if (Files.exists(to)) false
+      else {
+        val it = Files.walk(from)
+        try it.forEach { p =>
+          val q = to.resolve(from.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(q)
+          else Files.copy(p, q)
+        } finally it.close()
+        true
+      }
+    }
 
   private def register(spark: SparkSession, table: String, loc: String,
       bucketKeys: Seq[String], buckets: Int): Unit = {

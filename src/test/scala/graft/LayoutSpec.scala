@@ -81,6 +81,57 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("retention purge rewrites ONLY the covering cells — the rest are untouched bytes") {
+    import graft.operators.ZOrderOps
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    withCleanLayouts {
+      ZOrderOps.ensure(spark, Sf)
+      val Seq(modelT, baseT, purgedT) = ZOrderOps.tableNames(Sf)
+      val m = spark.table(modelT).first()
+      val cover = ZOrderOps.coveringZp(m.getAs[Long]("tmin"),
+        m.getAs[Long]("tmax"), m.getAs[Double]("vmin"),
+        m.getAs[Double]("vmax"), ZOrderOps.msOf(ZOrderOps.PurgeT1),
+        ZOrderOps.msOf(ZOrderOps.PurgeT2),
+        Double.MinValue, Double.MaxValue).toSet
+      ZOrderOps.retentionPurge(spark, Sf)
+      def cellFiles(table: String): Map[Long, Seq[(String, String)]] = {
+        val root = Paths.get(LayoutStore.location(spark, table))
+        val it = Files.list(root)
+        try it.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("zp="))
+          .map { d =>
+            val c = d.getFileName.toString.stripPrefix("zp=").toLong
+            val fit = Files.list(d)
+            val fs = try fit.iterator().asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => f.getFileName.toString ->
+                java.util.Base64.getEncoder.encodeToString(
+                  java.security.MessageDigest.getInstance("MD5")
+                    .digest(Files.readAllBytes(f))))
+              .sortBy(_._1)
+            finally fit.close()
+            c -> fs
+          }.filter(_._2.nonEmpty).toMap // empty dirs hold no data
+        finally it.close()
+      }
+      val base = cellFiles(baseT)
+      val purged = cellFiles(purgedT)
+      // only cells inside the cover may vanish (fully-purged cells
+      // lose their directory — that IS the delete)
+      assert(purged.keySet.subsetOf(base.keySet))
+      assert((base.keySet -- purged.keySet).subsetOf(cover))
+      val untouched = base.keySet -- cover
+      assert(cover.intersect(base.keySet).nonEmpty && untouched.nonEmpty)
+      // untouched cells: identical file NAMES and identical BYTES —
+      // the purge never listed, read, or rewrote them
+      untouched.foreach(c => assert(purged(c) == base(c),
+        s"cell $c was rewritten though outside the purge cover"))
+      // covered cells holding purged rows really were rewritten
+      assert(cover.intersect(base.keySet).exists(c => purged(c) != base(c)))
+    }
+  }
+
   test("served more-like-this over reloaded shingle postings == session doc_similar on anchors") {
     withCleanLayouts {
       val anchorSet = rows(TextOps.docSimilar(spark, Sf)
