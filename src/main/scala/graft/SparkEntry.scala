@@ -960,25 +960,35 @@ object SparkEntry {
     * splitmix64 kernel at oracle-build time and baked in as 16
     * literal arrays; projected cosine prefilter, exact re-rank.
     */
-  private def RpPrefilterSql: String = {
+  /** The RP projection chain assuming CTE `e` (vec_id, v, nrm)
+    * exists: projected vectors → projected-cosine sims with an arnk
+    * rank column (`${p}s`) — prefix-parameterized so ann_recall can
+    * splice it in without CTE-name collisions.
+    */
+  private def rpChainCtes(p: String): String = {
     val signs = operators.AnnOps.rpSigns()
     val projList = signs.map(row =>
       "list_dot_product(v, [" +
         row.map(x => if (x < 0) "-1.0" else "1.0").mkString(", ") + "])")
       .mkString("[", ",\n    ", "]")
+    s"""${p}p AS (SELECT vec_id, $projList AS pv FROM e),
+       |${p}pn AS (SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn
+       |  FROM ${p}p),
+       |${p}q AS (SELECT vec_id AS q_id, pv AS qpv, pn AS qn FROM ${p}pn
+       |  WHERE vec_id % 50 = 0),
+       |${p}s AS (SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY psim DESC, c_id) AS arnk
+       |  FROM (SELECT q_id, c.vec_id AS c_id,
+       |      list_dot_product(qpv, c.pv) / (qn * c.pn) AS psim
+       |    FROM ${p}pn c, ${p}q WHERE q_id <> c.vec_id))""".stripMargin
+  }
+
+  private def RpPrefilterSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings),
-       |p AS (SELECT vec_id, $projList AS pv FROM e),
-       |pn AS (SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn FROM p),
-       |q AS (SELECT vec_id AS q_id, pv AS qpv, pn AS qn FROM pn
-       |  WHERE vec_id % 50 = 0),
-       |s AS (SELECT q_id, c.vec_id AS c_id,
-       |    list_dot_product(qpv, c.pv) / (qn * c.pn) AS psim
-       |  FROM pn c, q WHERE q_id <> c.vec_id),
-       |short AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id
-       |      ORDER BY psim DESC, c_id) AS arnk FROM s)
+       |${rpChainCtes("")},
+       |short AS (SELECT q_id, c_id FROM s
        |  WHERE arnk <= ${operators.AnnOps.RpRerankR}),
        |qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn2 FROM e
        |  WHERE vec_id % 50 = 0),
@@ -990,7 +1000,6 @@ object SparkEntry {
        |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM x)
        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
-  }
 
   /** The SQ8 chain (model → codes → ADC scores) assuming CTE `e`
     * (vec_id, v, nrm) exists; prefix-parameterized so ann_recall can
@@ -3411,6 +3420,16 @@ object SparkEntry {
            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
            |      AS arnk FROM v${ns}adcres) WHERE arnk <= 10)""".stripMargin
       }.mkString(",\n")
+      // RP re-rank curve: projected-cosine rank over all candidates
+      // once (ws), then per shortlist depth R an exact-cosine top-10
+      val rpCtes = rpChainCtes("w") + ",\n" +
+        operators.AnnOps.RecallRpR.map { rr =>
+          s"""wt$rr AS (SELECT q_id, c_id FROM (
+             |  SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY x.sim DESC, s.c_id) AS rnk
+             |  FROM ws s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id
+             |  WHERE s.arnk <= $rr) WHERE rnk <= 10)""".stripMargin
+        }.mkString(",\n")
       // SQ8 points: ADC-order top-10 (code fidelity, no re-rank
       // slack) and the production two-stage R-shortlist re-rank
       val sq8Points =
@@ -3447,6 +3466,10 @@ object SparkEntry {
         s"SELECT 'res_adc' AS method, CAST($ns AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM vt$ns JOIN ex ON vt$ns.q_id = ex.q_id " +
         s"AND vt$ns.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallRpR.map(rr =>
+        s"SELECT 'rp' AS method, CAST($rr AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM wt$rr JOIN ex ON wt$rr.q_id = ex.q_id " +
+        s"AND wt$rr.c_id = ex.c_id) AS hits") ++
        Seq(
         s"SELECT 'sq8_adc' AS method, CAST(10 AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM zt JOIN ex ON zt.q_id = ex.q_id " +
@@ -3497,6 +3520,7 @@ object SparkEntry {
          |$pqCtes,
          |$ivfpqCtes,
          |$resCtes,
+         |$rpCtes,
          |$sq8Points,
          |hu AS ($unions)
          |SELECT method, param, hits,

@@ -726,6 +726,7 @@ object AnnOps {
   val RecallLshProbes: Seq[Int] = Seq(1, 3, 5)
   val RecallIvfNprobes: Seq[Int] = Seq(1, 2, 4, 8)
   val RecallPqR: Seq[Int] = Seq(10, 50, 100)
+  val RecallRpR: Seq[Int] = Seq(50, 100)
   val RecallIvfPqNprobes: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** Residual ADC-ORDER recall points (method `res_adc`, param =
@@ -814,6 +815,34 @@ object AnnOps {
         .select(col("q_id"), col("c_id"), col("a_rnk"),
           VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     }
+    // RP curve: projected-cosine rank over ALL candidates once
+    // (bounded heap at max R), exact cosine attached to the max-R
+    // shortlist only — the pqSims device on the D60 prefilter
+    val rpSims = graft.Memo.df(spark, s"annRpRankSims:$dir") {
+      val proj = rpProjected(spark, dir)
+      val q = proj.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+          col("pn").as("qn"))
+      val psims = proj
+        .select(col("vec_id").as("c_id"), col("pv").as("cpv"),
+          col("pn").as("cn"))
+        .join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("psim",
+          VectorFns.cosine(col("qpv"), col("cpv"), col("qn"), col("cn")))
+      val ranked = TopK.perKey(psims, Seq(col("q_id")),
+          Seq(col("psim").desc, col("c_id").asc), RecallRpR.max)
+        .select(col("q_id"), col("c_id"), col("rnk").as("a_rnk"))
+      val emb = embDouble(spark, dir)
+      val qv = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        .join(broadcast(ranked), "c_id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("c_id"), col("a_rnk"),
+          VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn"))
+            .as("sim"))
+    }
     // ivfpq curve: the IVF candidate cache (which already carries the
     // exact sim as the harness ruler) + each candidate's ADC distance;
     // per nprobe: filter probes → ADC shortlist (R fixed) → exact
@@ -861,6 +890,9 @@ object AnnOps {
     def pqHitsOf(params: Seq[Int]): DataFrame =
       familyHits("pq", params, pqSims.withColumn("param", explode(filter(
         array(params.map(lit): _*), p => p >= col("a_rnk")))))
+    def rpHitsOf(params: Seq[Int]): DataFrame =
+      familyHits("rp", params, rpSims.withColumn("param", explode(filter(
+        array(params.map(lit): _*), p => p >= col("a_rnk")))))
     def ivfpqHitsOf(params: Seq[Int]): DataFrame = {
       // two chained heaps, both keyed by (param, q_id): ADC shortlist
       // at R, then exact top-10 — annIvfPq's two-stage path, all
@@ -881,6 +913,7 @@ object AnnOps {
       (Seq(hitsOf("lsh", RecallLshProbes, lshSims),
         hitsOf("ivf", RecallIvfNprobes, ivfSims),
         pqHitsOf(RecallPqR),
+        rpHitsOf(RecallRpR),
         ivfpqHitsOf(RecallIvfPqNprobes)) ++
        RecallResAdcSubs.map(ns => resAdcHitsOf(ns)) ++
        // SQ8: ADC-order code fidelity + the production two-stage path
