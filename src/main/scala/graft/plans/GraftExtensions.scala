@@ -99,6 +99,10 @@ object GraftExtensions {
       "monotone integer log2 in Q10 fixed point; arg n >= 1 as long") {
       case Seq(n) => QLog2(n)
     },
+    fn("graft_zinterleave",
+      "Morton z-order interleave of two 31-bit cell coordinates (longs)") {
+      case Seq(x, y) => ZInterleave(x, y)
+    },
     fn("graft_mg_sketch",
       "Misra-Gries frequent-items sketch of a string column; args (col, capacity)") {
       case Seq(c, IntegerLiteral(cap)) =>

@@ -140,6 +140,19 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(ex.getMessage.toLowerCase.contains("type"))
   }
 
+  test("graft_zinterleave: Morton kernel from SQL, range-guarded") {
+    assert(sparkReady)
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_zinterleave(5L, 3L), graft_zinterleave(0L, 0L)").head()
+    assert(r.getLong(0) == graft.functions.ZMath.interleave(5L, 3L))
+    assert(r.getLong(1) == 0L)
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT graft_zinterleave(${1L << 31}L, 0L)").collect()
+    }
+    assert(ex.getMessage.contains("31-bit"))
+  }
+
   test("score kernels survive 128-bit cross products (counts near 2^63)") {
     assert(sparkReady)
     graft.plans.GraftExtensions.registerFunctions(spark)
