@@ -69,6 +69,8 @@ object SparkEntry {
     "privacy_k_anon"       -> (CurationOps.kAnonLadder _),
     "layout_zorder_rect"   -> (ZOrderOps.rectProbe _),
     "layout_zorder_purge"  -> (ZOrderOps.purgedProbe _),
+    "layout_zorder_point"  -> ((s: SparkSession, d: String) =>
+      ZOrderOps.pointLookup(s, d)),
     "evt_pattern_match"    -> ((s: SparkSession, d: String) =>
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
@@ -2000,6 +2002,14 @@ object SparkEntry {
          |  AND ts < TIMESTAMP '${operators.ZOrderOps.AuditT2}'
          |  AND NOT (ts >= TIMESTAMP '${operators.ZOrderOps.PurgeT1}'
          |    AND ts < TIMESTAMP '${operators.ZOrderOps.PurgeT2}')
+         |ORDER BY event_id""".stripMargin,
+
+    // D66: the bloom-index point lookup — oracle is the plain
+    // full-scan point query; parity proves the sidecar never drops
+    // the true cell
+    "layout_zorder_point" ->
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE event_id = ${operators.ZOrderOps.LookupId}
          |ORDER BY event_id""".stripMargin,
 
     // D63: the k-anonymity generalization ladder — three class-size

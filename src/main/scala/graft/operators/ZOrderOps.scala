@@ -50,7 +50,8 @@ object ZOrderOps {
 
   /** All tables, for the layout drop/purge hygiene in LayoutOps. */
   def tableNames(dir: String): Seq[String] =
-    Seq(modelTable(dir), eventsTable(dir), purgedTable(dir))
+    Seq(modelTable(dir), eventsTable(dir), purgedTable(dir),
+      bloomTable(dir))
 
   /** The 1-row affine model: time/value min-max envelope. */
   private[graft] def modelFrame(spark: SparkSession, dir: String): DataFrame =
@@ -229,5 +230,86 @@ object ZOrderOps {
     val t = retentionPurge(spark, dir)
     rectProbeOn(spark, dir, t, msOf(AuditT1), msOf(AuditT2),
       Double.MinValue, Double.MaxValue)
+  }
+
+  // ── D66: bloom-index sidecar — point lookups on a NON-layout key ─
+
+  /** Bloom geometry: m bits as m/64 longs per cell, k kernel hashes.
+    * m is sized for rows-per-cell at the largest test SF (fill ≈ 0.3
+    * at sf0.1) — in production m scales with partition row counts and
+    * rides the layout tag like every other geometry constant.
+    */
+  val BloomBits = 16384
+  val BloomK = 4
+  val LookupId = 777L
+
+  private def bloomTable(dir: String) =
+    LayoutStore.tableName(s"zorder_bloom_${Tag}m${BloomBits}k$BloomK", dir)
+
+  /** The k bloom bit positions of an id (shared by build and probe). */
+  private[graft] def bloomPositions(id: Long): Seq[Int] =
+    (0 until BloomK).map(j => java.lang.Math.floorMod(
+      graft.functions.WinnowFingerprints.mix(id * 1000003L + j),
+      BloomBits.toLong).toInt)
+
+  /** The per-cell bloom sidecar: (zp, word, bits) — each event fans
+    * out to its k (word, mask) pairs in-row, one tiny groupBy with
+    * map-side partial `bit_or` folds them. ≤ cells · m/64 rows total
+    * (a metadata-scale table), rebuilt alongside the layout.
+    */
+  private[graft] def bloomFrame(spark: SparkSession, dir: String): DataFrame =
+    LayoutStore.read(spark, eventsTable(dir))
+      .select(col("zp"), col("event_id"),
+        explode(array((0 until BloomK).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("pos", pmod(graft.functions.IntKernels.mix64(
+        col("event_id") * lit(1000003L) + col("j")), lit(BloomBits.toLong)))
+      // the partition column comes back from directory names (int-
+      // inferred) — pin the sidecar's key to long
+      .select(col("zp").cast(LongType).as("zp"),
+        expr("pos div 64").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("mask"))
+      .groupBy(col("zp"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** D66: point lookup on a key the layout is NOT partitioned or
+    * sorted by — the per-cell bloom sidecar (the lakehouse bloom-index
+    * pattern: Parquet bloom filters / Delta bloom indexes, rebuilt
+    * here as a first-class queryable table). The probe reads the
+    * metadata-scale sidecar, keeps cells where ALL k bits are set
+    * (collecting the ≤|cells| survivors driver-side — a bounded model
+    * artifact, like the IVF quantizer), and scans ONLY those
+    * directories with the exact predicate. No false negatives by
+    * construction (every id's bits were OR'd into its own cell);
+    * false positives only cost extra pruned-scan cells at the
+    * measured fpp. Oracle = the plain full-scan point query.
+    */
+  def pointLookup(spark: SparkSession, dir: String,
+      id: Long = LookupId): DataFrame = {
+    ensure(spark, dir)
+    LayoutStore.ensure(spark, bloomTable(dir), Seq("zp"), 4)(
+      bloomFrame(spark, dir))
+    val cells = candidateCells(spark, dir, id)
+    LayoutStore.read(spark, eventsTable(dir))
+      .filter(col("zp").isin(cells: _*) && col("event_id") === id)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** Cells whose bloom admits `id` (driver-side over the sidecar). */
+  private[graft] def candidateCells(spark: SparkSession, dir: String,
+      id: Long): Seq[Long] = {
+    val wm = bloomPositions(id).map(p => (p / 64L, 1L << (p % 64)))
+      .groupBy(_._1).map { case (w, ms) => w -> ms.map(_._2).reduce(_ | _) }
+    val need = wm.size
+    LayoutStore.read(spark, bloomTable(dir))
+      .filter(col("word").isin(wm.keys.toSeq: _*))
+      .collect()
+      .filter { r =>
+        val m = wm(r.getAs[Long]("word"))
+        (r.getAs[Long]("bits") & m) == m
+      }
+      .groupBy(_.getAs[Long]("zp")).collect {
+        case (zp, rows) if rows.length == need => zp
+      }.toSeq.sorted
   }
 }

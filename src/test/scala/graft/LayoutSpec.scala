@@ -87,7 +87,9 @@ class LayoutSpec extends GraftSpec {
     import scala.jdk.CollectionConverters._
     withCleanLayouts {
       ZOrderOps.ensure(spark, Sf)
-      val Seq(modelT, baseT, purgedT) = ZOrderOps.tableNames(Sf)
+      val modelT = ZOrderOps.tableNames(Sf).head
+      val baseT = ZOrderOps.tableNames(Sf)(1)
+      val purgedT = ZOrderOps.tableNames(Sf)(2)
       val m = spark.table(modelT).first()
       val cover = ZOrderOps.coveringZp(m.getAs[Long]("tmin"),
         m.getAs[Long]("tmax"), m.getAs[Double]("vmin"),
@@ -129,6 +131,43 @@ class LayoutSpec extends GraftSpec {
         s"cell $c was rewritten though outside the purge cover"))
       // covered cells holding purged rows really were rewritten
       assert(cover.intersect(base.keySet).exists(c => purged(c) != base(c)))
+    }
+  }
+
+  test("bloom point lookup: no false negatives, real pruning, restart parity") {
+    import graft.operators.ZOrderOps
+    import org.apache.spark.sql.functions.col
+    withCleanLayouts {
+      val first = rows(ZOrderOps.pointLookup(spark, Sf)) // builds all tables
+      assert(first.nonEmpty)
+      val zTable = ZOrderOps.tableNames(Sf)(1)
+      val truth = spark.table(zTable)
+        .select(col("event_id"), col("zp").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val totalCells = truth.values.toSet.size
+      val bloom = spark.table(ZOrderOps.tableNames(Sf)(3)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def cands(id: Long): Seq[Long] = {
+        val wm = ZOrderOps.bloomPositions(id)
+          .map(p => (p / 64L, 1L << (p % 64)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toMap
+        truth.values.toSet.toSeq.filter(zp => wm.forall { case (w, m) =>
+          (bloom.getOrElse((zp, w), 0L) & m) == m })
+      }
+      val ids = truth.keys.toSeq.sorted.grouped(5).map(_.head).take(200).toSeq
+      ids.foreach { id =>
+        assert(cands(id).contains(truth(id)), s"bloom dropped id $id's cell")
+      }
+      val mean = ids.map(cands(_).size).sum.toDouble / ids.size
+      assert(mean < totalCells / 4.0,
+        s"mean candidate cells $mean of $totalCells — no pruning")
+      // the operator's own driver-side path agrees with the pure math
+      val opCands = ZOrderOps.candidateCells(spark, Sf, ids.head)
+      assert(opCands == cands(ids.head).sorted)
+      // restart: catalog death, files survive
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(rows(ZOrderOps.pointLookup(spark, Sf)) == first)
     }
   }
 
