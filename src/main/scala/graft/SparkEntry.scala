@@ -60,6 +60,7 @@ object SparkEntry {
     "corpus_drift_summary" -> (ProfileOps.corpusDriftSummary _),
     "graph_pagerank"       -> (GraphOps.pageRank _),
     "graph_triangles"      -> (GraphOps.triangles _),
+    "graph_link_predict"   -> (GraphOps.linkPredict _),
     "evt_attribution"      -> (EventOps.attribution _),
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
     "graph_source_rank"    -> (GraphOps.sourceRank _),
@@ -396,6 +397,41 @@ object SparkEntry {
        |  (SELECT u AS id FROM tri UNION ALL SELECT x AS id FROM tri
        |   UNION ALL SELECT y AS id FROM tri)
        |GROUP BY 1 ORDER BY tri DESC, doc_id""".stripMargin
+  }
+
+  /** D67 oracle: link prediction over the same replicated edge set —
+    * wedges pivoted only at degree-≤cap nodes, common-neighbor count
+    * plus the fixed-point resource-allocation sum Σ⌊10^12/deg⌋ (exact
+    * integers end to end), existing edges anti-joined away, global
+    * top-k with a total tie-break.
+    */
+  private lazy val LinkPredictSql: String = {
+    val n = "(SELECT c FROM nn)"
+    val sig = signed64(mix(s"((CAST(doc_id AS HUGEINT) * 1000003 + j) % $M64)"))
+    s"""WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+       |e0 AS (SELECT doc_id AS src,
+       |    CAST(((($sig) % $n) + $n) % $n AS BIGINT) AS dst
+       |  FROM documents, range(0, ${operators.GraphOps.OutDegree}) t(j)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |deg AS (SELECT id, COUNT(*) AS dg FROM
+       |  (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+       |  GROUP BY 1),
+       |adj AS (SELECT a AS z, b AS nbr FROM und
+       |  UNION ALL SELECT b AS z, a AS nbr FROM und),
+       |pv AS (SELECT adj.z, adj.nbr, deg.dg FROM adj
+       |  JOIN deg ON deg.id = adj.z
+       |  WHERE deg.dg <= ${operators.GraphOps.LinkDegCap}),
+       |wed AS (SELECT p1.nbr AS x, p2.nbr AS y, p1.dg AS dg
+       |  FROM pv p1 JOIN pv p2 ON p1.z = p2.z AND p1.nbr < p2.nbr),
+       |sc AS (SELECT x, y, COUNT(*) AS cn,
+       |    CAST(SUM(${operators.GraphOps.RaScale} // dg) AS BIGINT) AS ra
+       |  FROM wed GROUP BY 1, 2),
+       |ne AS (SELECT * FROM sc WHERE NOT EXISTS
+       |  (SELECT 1 FROM und WHERE und.a = sc.x AND und.b = sc.y))
+       |SELECT x, y, cn, ra FROM ne
+       |ORDER BY ra DESC, x, y LIMIT ${operators.GraphOps.LinkTopK}"""
+      .stripMargin
   }
 
   /** Hyperplane-LSH coefficient/bucket replication (VecKernels
@@ -1737,6 +1773,8 @@ object SparkEntry {
 
     // D61: degree-oriented triangle counting (see TrianglesSql builder)
     "graph_triangles" -> TrianglesSql,
+    // D67: degree-capped wedge link prediction (see LinkPredictSql)
+    "graph_link_predict" -> LinkPredictSql,
 
     // A21: Q6 shape — one filtered scan, no join
     "q6_forecast_revenue" ->

@@ -103,10 +103,14 @@ object GraphOps {
     * All counts are exact integers — order-independent, hash-stable.
     * Emits per-node triangle participation (nodes in ≥1 triangle).
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val n = nodeCount(spark, dir)
-    require(n > 0, s"graph_triangles: no documents under $dir")
-    val und = Memo.df(spark, s"graph_und:$dir") {
+  /** Canonical simple undirected edge set of the synthesized graph
+    * (self-loops dropped, multi-edges collapsed), memoized and
+    * co-partitioned on the canonical pair — shared by the triangle
+    * counter and the link predictor.
+    */
+  private[graft] def undirectedEdges(spark: SparkSession, dir: String,
+      n: Long): DataFrame =
+    Memo.df(spark, s"graph_und:$dir") {
       linkEdges(spark, dir, n)
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
@@ -114,6 +118,11 @@ object GraphOps {
         .distinct()
         .repartition(col("a"), col("b"))
     }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val n = nodeCount(spark, dir)
+    require(n > 0, s"graph_triangles: no documents under $dir")
+    val und = undirectedEdges(spark, dir, n)
     val deg = und
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(graft.functions.Exact.lcount.as("dg"))
@@ -134,6 +143,72 @@ object GraphOps {
       .groupBy(col("doc_id"))
       .agg(graft.functions.Exact.lcount.as("tri"))
       .orderBy(col("tri").desc, col("doc_id"))
+  }
+
+  /** Link-prediction pivot degree cap: a node whose degree exceeds
+    * this never pivots a wedge. C(deg,2) candidate pairs per pivot is
+    * quadratic in degree — one 10^6-degree hub in a 100 TB link graph
+    * would emit 5·10^11 wedges on its own, and (standard practice,
+    * cf. the winnow ubiquity cap) a near-universal connector carries
+    * ~no similarity signal anyway: 1/deg makes its additive weight
+    * vanish. The cap makes the per-pivot cost a CONSTANT C(cap,2),
+    * so the wedge set is ≤ C(cap,2)·|V| at any skew.
+    */
+  val LinkDegCap = 64
+  /** Fixed-point scale for the resource-allocation weight ⌊RaScale/deg⌋. */
+  val RaScale = 1000000000000L // 10^12
+  val LinkTopK = 1000
+
+  /** Core link-prediction kernel over an arbitrary canonical
+    * undirected edge set (a < b, simple): for every NON-edge pair
+    * sharing ≥1 common neighbor of degree ≤ cap, emit the
+    * common-neighbor count and the resource-allocation index
+    * (Zhou–Lü–Zhang 2009) Σ_z 1/deg(z) in exact fixed-point integers
+    * ⌊10^12/deg(z)⌋ — order-independent, hash-stable, and monotone-
+    * equivalent to the real-valued index at any realistic degree.
+    * (Adamic–Adar's 1/log deg weight is the same family but
+    * irrational; the RA form keeps the engine-exactness contract.)
+    *
+    * Scale design: the pivot self-join is co-partitioned on z with
+    * per-pivot fanout capped at C(cap,2); the scored pairs aggregate
+    * with map-side partial sums; the existing-edge anti-join is an
+    * equi-join on the canonical pair; global top-k is a bounded
+    * TakeOrdered, never a full sort. Max additive mass per pair is
+    * cap·10^12 ≈ 6.4·10^13 ≪ 2^63.
+    */
+  private[graft] def linkPredictFromEdges(und: DataFrame, cap: Int,
+      k: Int): DataFrame = {
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(graft.functions.Exact.lcount.as("dg"))
+    val adj = und.select(col("a").as("z"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("nbr")))
+    val pivots = adj
+      .join(deg.filter(col("dg") <= cap).withColumnRenamed("id", "z"), "z")
+    val wedges = pivots.select(col("z"), col("nbr").as("x"), col("dg"))
+      .join(pivots.select(col("z"), col("nbr").as("y")), "z")
+      .filter(col("x") < col("y"))
+    val scored = wedges.groupBy(col("x"), col("y"))
+      .agg(graft.functions.Exact.lcount.as("cn"),
+        sum(expr(s"$RaScale div dg")).cast(LongType).as("ra"))
+    scored
+      .join(und, scored("x") === und("a") && scored("y") === und("b"),
+        "left_anti")
+      .orderBy(col("ra").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** D67: link prediction over the synthesized graph — the
+    * missing-edge recommender (who-to-crawl-next / related-document
+    * suggestion) a link-aware curation pipeline runs beside its
+    * centrality and clustering metrics. Top-K candidate pairs by the
+    * exact-integer resource-allocation index, common-neighbor count
+    * beside it.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val n = nodeCount(spark, dir)
+    require(n > 0, s"graph_link_predict: no documents under $dir")
+    linkPredictFromEdges(undirectedEdges(spark, dir, n),
+      LinkDegCap, LinkTopK)
   }
 
   /** D44b: the rank consumed — per-source centrality prior: mean

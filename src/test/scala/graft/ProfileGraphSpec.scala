@@ -90,6 +90,56 @@ class ProfileGraphSpec extends GraftSpec {
     assert(got.values.sum > 0, "degenerate fixture: no triangles at all")
   }
 
+  test("graph_link_predict equals the brute-force wedge scoring") {
+    val n = Tables.documents(spark, Sf).count()
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    def link(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+    for (src <- 0L until n; j <- 0 until GraphOps.OutDegree) {
+      val dst = java.lang.Math.floorMod(
+        graft.functions.WinnowFingerprints.mix(src * 1000003L + j.toLong), n)
+      if (dst != src) { link(src, dst); link(dst, src) }
+    }
+    // brute force: score every non-edge pair through its capped pivots
+    val sc = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((z, nz) <- adj if nz.size <= GraphOps.LinkDegCap;
+         x <- nz; y <- nz if x < y) {
+      val (cn, ra) = sc.getOrElse((x, y), (0L, 0L))
+      sc((x, y)) = (cn + 1, ra + GraphOps.RaScale / nz.size)
+    }
+    val nonEdge = sc.filter { case ((x, y), _) => !adj(x).contains(y) }
+    val expTop = nonEdge.toSeq
+      .map { case ((x, y), (cn, ra)) => (x, y, cn, ra) }
+      .sortBy { case (x, y, _, ra) => (-ra, x, y) }
+      .take(GraphOps.LinkTopK)
+    val got = GraphOps.linkPredict(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expTop, "link-prediction rows diverge")
+    assert(got.nonEmpty, "degenerate fixture: no candidate pairs")
+    assert(got.forall(_._3 >= 1))
+  }
+
+  test("linkPredict degree cap: a super-connector never pivots a wedge") {
+    import spark.implicits._
+    // hub 0 linked to 1..100 (degree 100 > cap); a small wedge at
+    // pivot 1: 1-101, 1-102 (degree 3 <= cap)
+    val und = ((1L to 100L).map(b => (0L, b)) ++
+      Seq((1L, 101L), (1L, 102L)))
+      .toDF("a", "b")
+    val capped = GraphOps.linkPredictFromEdges(und, GraphOps.LinkDegCap, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the C(100,2) pairs whose only common neighbor is the hub are gone;
+    // pivot 1 (neighbors {0, 101, 102}, degree 3) still yields its
+    // candidate pairs (0,101),(0,102),(101,102) at weight ⌊scale/3⌋
+    val w = GraphOps.RaScale / 3
+    assert(capped.toSet == Set(
+      (0L, 101L, 1L, w), (0L, 102L, 1L, w), (101L, 102L, 1L, w)))
+    // with the cap lifted the hub contributes its quadratic candidate set
+    val uncapped = GraphOps.linkPredictFromEdges(und, 1000, 10000).collect()
+    assert(uncapped.length == 100 * 99 / 2 + 3,
+      "uncapped: C(100,2) hub-pivoted pairs plus the three pivot-1 rows")
+  }
+
   test("graph_pagerank is deterministic across invocations") {
     val a = GraphOps.pageRank(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = GraphOps.pageRank(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
