@@ -418,8 +418,9 @@ class DedupAnnSpec extends GraftSpec {
     val rows = AnnOps.annRecall(spark, Sf).collect()
     assert(rows.length ==
       AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size +
-      AnnOps.RecallPqR.size + AnnOps.RecallIvfPqNprobes.size +
-      AnnOps.RecallResAdcSubs.size)
+      AnnOps.RecallPqR.size + AnnOps.RecallRpR.size +
+      AnnOps.RecallIvfPqNprobes.size + AnnOps.RecallResAdcSubs.size +
+      2 /* sq8_adc + sq8 rerank, one pinned point each */)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0)
@@ -430,7 +431,7 @@ class DedupAnnSpec extends GraftSpec {
     // is NOT mathematically monotone in nprobe (its ADC shortlist is
     // FIXED at R, so widening probes can push a true neighbor out of
     // the top-R shortlist) — assert a tolerance bound there instead
-    for (m <- Seq("lsh", "ivf", "pq")) {
+    for (m <- Seq("lsh", "ivf", "pq", "rp")) {
       val curve = rows.filter(_.getAs[String]("method") == m)
         .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
       assert(curve.nonEmpty, s"$m curve missing")

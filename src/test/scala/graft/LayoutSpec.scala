@@ -53,7 +53,7 @@ class LayoutSpec extends GraftSpec {
       assert(plan.contains("PartitionFilters") && plan.contains("zp"),
         "rectangle probe lost its partition filter")
       // ...and the cover genuinely skips cells on this fixture
-      val zTable = ZOrderOps.tableNames(Sf).last
+      val zTable = ZOrderOps.tableNames(Sf)(1) // the partitioned events layout
       val allZp = spark.table(zTable).select("zp").distinct().count()
       val m = spark.table(ZOrderOps.tableNames(Sf).head).first()
       val cover = ZOrderOps.coveringZp(m.getAs[Long]("tmin"),
