@@ -72,6 +72,17 @@ object LayoutOps {
       (s, d) => AnnOps.pqBookResFrame(s, d)),
     Family("postings", "tok1", "tok", 16,
       (s, d) => TextOps.postingsFrame(s, d)),
+    // D70: the standing-corpus index (structured posting lists,
+    // crawl-split convention) — the base table postingsIncremental
+    // merges a delta into without re-tokenizing any corpus document
+    Family("postings_base", "std10", "tok", 16,
+      (s, d) => TextOps.postingsBaseFrame(s, d)),
+    // E42: the stream-OWNED granular delta rows (doc_id, tok, tf) —
+    // seeded empty (schema only); postingsUpkeepStream appends each
+    // micro-batch's fresh documents as bucketed files, and the served
+    // merge aggregates them against the immutable postings_base
+    Family("postings_delta", "std10", "tok", 16,
+      (s, d) => TextOps.tfOf(Tables.documents(s, d)).limit(0)),
     Family("minhash_sigs", "k64b8", "band_hash", 16,
       (s, d) => DedupOps.minhashBandSigs(s, d)),
     Family("corpus_ck", "md5", "ck", 16,

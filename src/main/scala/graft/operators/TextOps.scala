@@ -397,6 +397,99 @@ object TextOps {
       .select(col("tok"), col("df"), col("total_tf"), col("postings"), col("rnk"))
       .orderBy("rnk")
 
+  // ── D70: incremental postings maintenance ──────────────────────
+
+  /** Per-(doc, token) term frequencies of one side of the crawl
+    * split (doc_id % 10 = 7 is the incoming delta — the convention
+    * shared with D15/D28b/D36h).
+    */
+  private def tfRows(spark: SparkSession, dir: String,
+      deltaSide: Boolean): DataFrame =
+    tfOf(Tables.documents(spark, dir)
+      .filter(if (deltaSide) col("doc_id") % 10 === 7
+              else col("doc_id") % 10 =!= 7))
+
+  /** (doc_id, tok, tf) rows of any document frame — shared by the
+    * batch split and the E42 stream's per-micro-batch tokenization.
+    */
+  private[graft] def tfOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(graft.functions.Exact.lcount.as("tf"))
+
+  /** Aggregate (doc,tok,tf) rows into per-token postings with the
+    * list kept STRUCTURED (array of (doc_id, tf), sorted by doc_id)
+    * so a later merge is array concatenation, not string parsing.
+    */
+  private def aggPosts(tf: DataFrame): DataFrame =
+    tf.groupBy("tok").agg(
+      graft.functions.Exact.lcount.as("df"),
+      sum(col("tf")).cast(LongType).as("total_tf"),
+      sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("posts"))
+
+  /** The standing-corpus postings index (structured lists) — the
+    * persisted base table (LayoutOps family `postings_base`,
+    * bucketed on tok) a daily delta merges into.
+    */
+  private[graft] def postingsBaseFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    aggPosts(tfRows(spark, dir, deltaSide = false))
+
+  /** D70: incremental inverted-index maintenance — the index dual of
+    * D28b's incremental corpus build. The standing index is the
+    * persisted `postings_base` layout; the delta tokenizes and
+    * aggregates ALONE (never re-reading a corpus document), then
+    * merges per token: untouched tokens pass through as stored rows
+    * (anti-join against the broadcast delta vocabulary — at 100 TB
+    * the overwhelming majority of the index is never rewritten),
+    * touched tokens splice the delta's sorted entries into the stored
+    * list in-row (df/total_tf add exactly; doc ids are disjoint
+    * across the split, so one re-sort restores postings order). The
+    * merge join keys on tok, where the base side is bucketed — only
+    * the delta-sized aggregate crosses the wire. Oracle = the FULL
+    * rebuild's SQL (text_inverted_postings over all documents): hash
+    * parity proves the merge algebra lossless.
+    */
+  def postingsIncremental(spark: SparkSession, dir: String): DataFrame =
+    postingsMerged(spark, dir, tfRows(spark, dir, deltaSide = true))
+
+  /** The merge over ANY delta (doc_id, tok, tf) frame — the batch
+    * split (D70) and the stream-maintained delta table (E42) serve
+    * through this one code path.
+    */
+  private[graft] def postingsMerged(spark: SparkSession, dir: String,
+      deltaTf: DataFrame): DataFrame = {
+    val base = LayoutOps.table(spark, dir, "postings_base")
+    val delta = aggPosts(deltaTf)
+      .select(col("tok"), col("df").as("df_d"),
+        col("total_tf").as("tf_d"), col("posts").as("posts_d"))
+    // delta vocabulary ≤ delta token volume: broadcastable for any
+    // daily batch (a crawl delta's distinct tokens, not the corpus's)
+    val untouched = base
+      .join(broadcast(delta.select("tok")), Seq("tok"), "left_anti")
+    val emptyPosts = array().cast("array<struct<doc_id:bigint,tf:bigint>>")
+    val touched = base.join(delta, Seq("tok"), "right_outer")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + col("df_d")).as("df"),
+        (coalesce(col("total_tf"), lit(0L)) + col("tf_d")).as("total_tf"),
+        sort_array(concat(coalesce(col("posts"), emptyPosts),
+          col("posts_d"))).as("posts"))
+    val merged = untouched.unionByName(touched)
+      .select(col("tok"), col("df"), col("total_tf"),
+        array_join(transform(col("posts"),
+          p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+          " ").as("postings"))
+    postingsTopK(merged)
+  }
+
+  /** E42's serving face: the merged index from the stream-maintained
+    * delta table alone — no batch split, no session memo; a restarted
+    * session serves current postings from the two tables.
+    */
+  def postingsServedWithDelta(spark: SparkSession, dir: String): DataFrame =
+    postingsMerged(spark, dir, LayoutOps.table(spark, dir, "postings_delta"))
+
   /** D34's demo query terms (common corpus tokens). */
   val Bm25Terms: Seq[String] = Seq("scan", "window", "merge")
 

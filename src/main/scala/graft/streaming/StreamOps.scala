@@ -956,6 +956,53 @@ object StreamOps {
     * shuffles only ITSELF (batch-sized groupBy + anti-join against a
     * bucketed table), the corpus is never read.
     */
+  /** E42: streaming inverted-index upkeep — the continuous face of
+    * D70 (postings_incremental). Arriving documents tokenize inside
+    * their micro-batch; per-document (tok, tf) rows for documents not
+    * already indexed append to the stream-owned `postings_delta`
+    * layout (bucketed on tok, like every postings artifact), and the
+    * D70 merge (`postingsServedWithDelta`) serves current postings
+    * from the two tables at any moment — including from a restarted
+    * session.
+    *
+    * Re-arrival suppression anti-joins the batch's doc ids against
+    * the delta table's indexed ids: a replayed micro-batch (restart
+    * recovery) resolves to zero fresh documents, so the table
+    * converges exactly-once per document. At 100 TB the id probe
+    * rides a doc-keyed Bloom beside the table (the D15c gate); here
+    * the distinct-id scan keeps the test surface exact.
+    *
+    * Scale shape: each batch shuffles only ITSELF (its tokenize
+    * groupBy + the append's bucket exchange); the standing index is
+    * never read beyond the id probe and never rewritten — the same
+    * steady state as the E21 manifest upkeep.
+    */
+  def postingsUpkeepStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{LayoutOps, TextOps}
+    import graft.sources.LayoutStore
+    val fam = LayoutOps.families.find(_.name == "postings_delta").get
+    val t = LayoutOps.tableName(fam, dir)
+    LayoutOps.ensure(spark, dir, "postings_delta")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val indexed = LayoutStore.read(spark, t)
+          .select("doc_id").distinct()
+        // materialize the fresh rows BEFORE the append starts so the
+        // anti-join's table scan cannot race the table write
+        val fresh = TextOps.tfOf(batch)
+          .join(indexed, Seq("doc_id"), "left_anti")
+          .persist()
+        try {
+          if (fresh.count() > 0)
+            LayoutStore.append(spark, t, fresh, Seq(fam.bucketKey),
+              fam.buckets)
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+  }
+
   def manifestUpkeepStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, docs: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {

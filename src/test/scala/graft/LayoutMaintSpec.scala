@@ -239,4 +239,51 @@ class LayoutMaintSpec extends GraftSpec {
         .count() == 0)
     }
   }
+
+  test("E42 streaming postings upkeep: exactly-once appends, served merge == full rebuild, restart parity") {
+    withCleanLayouts {
+      import graft.operators.TextOps
+      val fam = LayoutOps.families.find(_.name == "postings_delta").get
+      val t = LayoutOps.tableName(fam, Sf)
+      val delta = Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 10 === 7)
+        .select("doc_id", "text")
+      val chunk1 = delta.filter(col("doc_id") % 20 === 7)
+      val chunk2 = delta.filter(col("doc_id") % 20 =!= 7)
+
+      val d = java.nio.file.Files.createTempDirectory("postings_upkeep")
+        .toFile.getAbsolutePath
+      chunk1.write.mode("overwrite").parquet(d)
+      val q = graft.streaming.StreamOps.postingsUpkeepStream(spark, Sf,
+        spark.readStream.schema(delta.schema).parquet(d))
+      try {
+        q.processAllAvailable()
+        val afterC1 = LayoutStore.read(spark, t).count()
+        assert(afterC1 > 0, "first chunk appended nothing")
+
+        // replayed micro-batch (restart re-delivery): its documents
+        // are already indexed, so the table must not change
+        chunk1.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(LayoutStore.read(spark, t).count() == afterC1,
+          "replayed batch must append nothing")
+
+        chunk2.write.mode("append").parquet(d)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // the stream-maintained merge serves EXACTLY the full rebuild —
+      // the same parity contract as the batch D70 path
+      val fullRebuild = rows(TextOps.invertedPostings(spark, Sf))
+      assert(rows(TextOps.postingsServedWithDelta(spark, Sf)) == fullRebuild,
+        "stream-maintained merge diverges from the full rebuild")
+
+      // restart: catalog death + memo wipe — both tables re-register
+      // over surviving files and the merge is unchanged
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(rows(TextOps.postingsServedWithDelta(spark, Sf)) == fullRebuild,
+        "restarted session must serve the identical merge")
+    }
+  }
 }

@@ -40,6 +40,23 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("postings_incremental: delta merge == full rebuild, restart parity, base untouched") {
+    withCleanLayouts {
+      val fullRebuild = rows(TextOps.invertedPostings(spark, Sf))
+      val merged = rows(TextOps.postingsIncremental(spark, Sf))
+      assert(merged == fullRebuild,
+        "incremental postings merge diverges from the full rebuild")
+      // the merge never rewrites the base layout: serving it again is
+      // a catalog hit, and a catalog death re-registers over the same
+      // surviving files — the daily-delta restart path
+      assert(LayoutOps.ensure(spark, Sf, "postings_base") == "catalog")
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "postings_base") == "reregistered")
+      assert(rows(TextOps.postingsIncremental(spark, Sf)) == fullRebuild)
+    }
+  }
+
   test("z-order rectangle probe: partition pruning, lossless cover, restart parity") {
     import graft.operators.ZOrderOps
     import org.apache.spark.sql.functions.col
