@@ -157,6 +157,92 @@ object DedupOps {
       .orderBy("a_id", "b_id", "rnk")
   }
 
+  /** D73 threshold (shared with the oracle builder). */
+  val ContainTau = 0.6
+
+  /** D73: containment near-dup join — the ASYMMETRIC complement of
+    * D2's Jaccard: containment = inter / min(|A|,|B|) flags a small
+    * document mostly contained in a larger one (quotation pages,
+    * excerpts, boilerplate-wrapped copies) that Jaccard structurally
+    * cannot reach — J ≤ min/max regardless of how complete the
+    * containment is, so a 50-shingle doc inside a 1000-shingle doc
+    * caps at J ≈ 0.05 while containment reads 1.0. Reuses the ONE
+    * memoized candidate frame (ngramPairs, inter ≥ 2 — mirrored in
+    * the oracle), so beside D2 this costs only the re-scoring.
+    */
+  def dedupContainment(spark: SparkSession, dir: String,
+      tau: Double = ContainTau): DataFrame =
+    ngramPairs(spark, dir)
+      .withColumn("cont", col("inter_cnt").cast(DoubleType) /
+        least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("cont") >= tau)
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "cont")
+      .orderBy("a_id", "b_id")
+
+  /** D71 threshold (shared with the oracle builder). */
+  val PrefixTau = 0.5
+
+  /** D71: prefix-filtered EXACT τ-Jaccard join (the AllPairs/PPJoin
+    * principle, Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06) —
+    * the lossless counterpart of the df-capped variant: candidates
+    * come ONLY from each document's prefix (its |x| − ⌈τ·|x|⌉ + 1
+    * rarest shingles under the global (df, shingle) order), yet no
+    * qualifying pair can be missed — two sets with Jaccard ≥ τ share
+    * ≥ ⌈τ·max(|x|,|y|)⌉ shingles, and by the prefix-filtering lemma
+    * any pair with that overlap shares at least one shingle inside
+    * both prefixes. Rarest-first ordering makes the blocking groups
+    * the SMALLEST ones in the corpus: boilerplate shingles (the skew
+    * that motivates the df cap) land in suffixes and never generate
+    * a candidate, with zero recall loss. Survivors re-verify against
+    * the full shingle sets, so emitted rows are bit-identical to the
+    * naive blocked join filtered at τ — which is exactly what the
+    * oracle states.
+    */
+  /** Each document's prefix under the global rarity order — the only
+    * shingles that may generate candidates (exposed for the spec's
+    * measured reduction claim).
+    */
+  private[graft] def prefixRows(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    val ex = shinglesByKey(spark, dir)
+    // global shingle rarity: derived from the (lang, shingle)-
+    // clustered artifact, so groupBy and join-back plan exchange-free
+    val dfTab = ex.groupBy("lang", "shingle")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    ex.join(dfTab, Seq("lang", "shingle"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("shingle").asc)))
+      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tau)) + lit(1))
+  }
+
+  def dedupPrefixFilter(spark: SparkSession, dir: String,
+      tau: Double = PrefixTau): DataFrame = {
+    val ex = shinglesByKey(spark, dir)
+    val prefix = prefixRows(spark, dir, tau)
+    val cand = prefix
+      .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+        col("doc_id").as("a_id"))
+      .join(prefix.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+        col("doc_id").as("b_id")),
+        col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val a = ex.select(col("doc_id").as("a_id"), col("lang"),
+      col("shingle"), col("nsh").as("n_a"))
+    val b = ex.select(col("doc_id").as("b_id"), col("lang"),
+      col("shingle"), col("nsh").as("n_b"))
+    cand.join(a, Seq("a_id"))
+      .join(b, Seq("b_id", "lang", "shingle"))
+      .groupBy("a_id", "b_id", "n_a", "n_b")
+      .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
+      .withColumn("jacc", col("inter_cnt").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter_cnt")).cast(DoubleType))
+      .filter(col("jacc") >= tau)
+      .select("a_id", "b_id", "n_a", "n_b", "inter_cnt", "jacc")
+      .orderBy("a_id", "b_id")
+  }
+
   /** D2 at 100 TB: the blocked self-join's output grows with the
     * SQUARE of each shingle's posting list, so one viral boilerplate
     * shingle (df in the millions) dominates the whole job. The guard

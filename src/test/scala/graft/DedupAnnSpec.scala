@@ -414,6 +414,73 @@ class DedupAnnSpec extends GraftSpec {
     assert(recall >= 0.9, s"LSH recall at tau=$tau too low: $recall")
   }
 
+  test("dedup_prefix_filter: lossless vs brute force, with measured candidate reduction") {
+    val tau = DedupOps.PrefixTau
+    // brute force: shingle sets per doc (the D2 derivation in plain
+    // Scala), ALL same-lang pairs scored, keep jacc >= tau
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+      .filter(_._3.length >= 3)
+      .map { case (id, lang, toks) =>
+        (id, lang, (0 to toks.length - 3)
+          .map(i => toks.slice(i, i + 3).mkString(" ")).toSet)
+      }
+    val exp = (for {
+      (a, la, sa) <- docs; (b, lb, sb) <- docs
+      if a < b && la == lb
+      inter = (sa & sb).size if inter >= 1
+      jacc = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if jacc >= tau
+    } yield (a, b, sa.size.toLong, sb.size.toLong, inter.toLong, jacc))
+      .sortBy(t => (t._1, t._2))
+    val got = DedupOps.dedupPrefixFilter(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == exp.toSeq,
+      "prefix-filtered join diverges from brute force")
+    assert(got.nonEmpty, "degenerate fixture: no qualifying pairs")
+    // the filter is not vacuous: candidates come from strictly fewer
+    // indexed rows than the full blocked join would use
+    val all = DedupOps.shinglesByKey(spark, Sf).count()
+    val pref = DedupOps.prefixRows(spark, Sf, tau).count()
+    assert(pref < all, s"prefix rows $pref not smaller than $all")
+    assert(pref <= (all * (1 - tau)).toLong + docs.length,
+      s"prefix rows $pref exceed the (1-tau) bound")
+  }
+
+  test("dedup_containment equals brute force; containment dominates jaccard") {
+    val tau = DedupOps.ContainTau
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+      .filter(_._3.length >= 3)
+      .map { case (id, lang, toks) =>
+        (id, lang, (0 to toks.length - 3)
+          .map(i => toks.slice(i, i + 3).mkString(" ")).toSet)
+      }
+    val exp = (for {
+      (a, la, sa) <- docs; (b, lb, sb) <- docs
+      if a < b && la == lb
+      inter = (sa & sb).size if inter >= 2
+      cont = inter.toDouble / math.min(sa.size, sb.size).toDouble
+      if cont >= tau
+    } yield (a, b, sa.size.toLong, sb.size.toLong, inter.toLong, cont))
+      .sortBy(t => (t._1, t._2))
+    val got = DedupOps.dedupContainment(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == exp.toSeq,
+      "containment join diverges from brute force")
+    assert(got.nonEmpty, "degenerate fixture: no contained pairs")
+    // containment >= jaccard on every pair (equality iff equal sizes):
+    // the asymmetric metric can only widen the detector
+    got.foreach { case (_, _, na, nb, inter, cont) =>
+      val jacc = inter.toDouble / (na + nb - inter).toDouble
+      assert(cont >= jacc && cont <= 1.0 + 1e-12)
+    }
+  }
+
   test("ann_recall: bounded, and non-decreasing in probes (candidate supersets)") {
     val rows = AnnOps.annRecall(spark, Sf).collect()
     assert(rows.length ==
