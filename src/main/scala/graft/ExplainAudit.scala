@@ -82,7 +82,11 @@ object ExplainAudit {
       "doc_classify_lang",
       // r10: the served SQ8 face broadcasts queries + shortlist like
       // its session twin; the served NB face broadcasts the model
-      "layout_ann_sq8", "layout_doc_classify")
+      "layout_ann_sq8", "layout_doc_classify",
+      // r10: the incremental index merge broadcasts the delta
+      // vocabulary (untouched rows must anti-join in place); the
+      // skyline broadcasts its per-length front pairs back
+      "postings_incremental", "doc_pareto_front")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
@@ -104,7 +108,9 @@ object ExplainAudit {
       "ann_filtered", "ann_filtered_ivf", "doc_similar_rrf",
       "corpus_drift", "layout_corpus_drift",
       "layout_ann_filtered", "layout_doc_similar_rrf",
-      "dedup_explain")
+      "dedup_explain",
+      // r10: the merged index serves through the same top-k face
+      "postings_incremental")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

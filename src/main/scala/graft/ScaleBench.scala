@@ -151,7 +151,20 @@ object ScaleBench {
     // triangle populations all grow ~F×, so the orientation chain
     // should measure ~linear — a superlinear exponent here means the
     // wedge join stopped tracking the O(m^1.5) bound's constant
-    "graph_triangles")
+    "graph_triangles",
+    // r10 session-3 additions. graph_link_predict: constant
+    // out-degree ⇒ per-pivot wedge fanout constant under the cap, so
+    // the scored-pair population grows ~F× — expect ~linear.
+    // dedup_prefix_filter: the ~k tagging keeps shard shingle sets
+    // disjoint, so prefix blocking groups stay constant-sized while
+    // doc count grows F× — expect ~linear. postings_incremental: the
+    // delta is LITERALLY the base delta (copies remap 7→3) while the
+    // standing index grows F× — the fold's shuffles are delta-keyed,
+    // so expect ~flat-to-sublinear (the F×-sized untouched side is a
+    // scan into a bounded heap, never an exchange). doc_pareto_front:
+    // one per-length aggregation over the corpus — expect ~linear
+    "graph_link_predict", "dedup_prefix_filter", "postings_incremental",
+    "doc_pareto_front")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
@@ -211,6 +224,10 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
         operators.AnnOps.warmShared(spark, dir)
         operators.CurationOps.warmStanding(spark, dir)
+        // the standing index the incremental fold merges into — like
+        // the manifest artifacts, a daily fold has yesterday's table
+        operators.LayoutOps.ensure(spark, dir, "postings_base")
+        ()
       }
       warms(f) = warmSec
       println(s"[scale] x$f: amplify ${ampSec}s, warm ${warmSec}s, " +

@@ -224,6 +224,18 @@ object SparkEntry {
       TextOps.docSearchBm25(s, d)),
     "text_inverted_postings" -> ((s: SparkSession, d: String) =>
       TextOps.invertedPostings(s, d)),
+    // D70: delta-merge index maintenance (≡ the full rebuild's oracle)
+    "postings_incremental" -> (TextOps.postingsIncremental _),
+    // D71: prefix-filtered exact τ-Jaccard join (lossless pruning)
+    "dedup_prefix_filter"  -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupPrefixFilter(s, d)),
+    // D73: asymmetric containment join (excerpt/quotation detector)
+    "dedup_containment"    -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupContainment(s, d)),
+    // D72: distributive Pareto front over (length, lexical diversity)
+    "doc_pareto_front"     -> (CurationOps.paretoFront _),
+    // A28: groupBy().pivot() conditional-aggregate matrix
+    "q_pivot_returns"      -> (RelationalOps.qPivotReturns _),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
       TextOps.collocations(s, d)),
     // D37–D39: export manifest, LM quality scoring, BPE tokenizer
@@ -433,6 +445,25 @@ object SparkEntry {
        |ORDER BY ra DESC, x, y LIMIT ${operators.GraphOps.LinkTopK}"""
       .stripMargin
   }
+
+  /** D35/D70 oracle: the full-corpus postings top-100 — D70's
+    * incremental merge is checked against the same full-rebuild SQL
+    * (the D28b hash-parity pattern: delta algebra proven lossless).
+    */
+  private lazy val InvertedPostingsSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2),
+      |inv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |    array_to_string(list(CAST(doc_id AS VARCHAR) || ':'
+      |      || CAST(tf AS VARCHAR) ORDER BY doc_id), ' ') AS postings
+      |  FROM tf GROUP BY tok),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, tok)
+      |    AS BIGINT) AS rnk FROM inv)
+      |SELECT tok, df, total_tf, postings, rnk FROM r WHERE rnk <= 100
+      |ORDER BY rnk""".stripMargin
 
   /** Hyperplane-LSH coefficient/bucket replication (VecKernels
     * .hyperplaneBucket): coef(p,d) = (splitmix64(p·131+d) mod 1000
@@ -2634,6 +2665,71 @@ object SparkEntry {
         |HAVING COUNT(*) >= 2
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // D71: the prefix filter is lossless, so its output is DEFINED as
+    // the naive blocked join at τ (no inter_cnt >= 2 floor: a
+    // single-shingle pair can clear τ for tiny documents)
+    "dedup_prefix_filter" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS n_a, b.nsh AS n_b,
+        |  COUNT(*) AS inter_cnt,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) AS jacc
+        |FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |HAVING CAST(COUNT(*) AS DOUBLE)
+        |  / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) >= ${operators.DedupOps.PrefixTau}
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // D73: asymmetric containment over the same candidate frame —
+    // inter >= 2 mirrors ngramPairs' candidate floor
+    "dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM d),
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS n_a, b.nsh AS n_b,
+        |  COUNT(*) AS inter_cnt,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(least(a.nsh, b.nsh) AS DOUBLE) AS cont
+        |FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |HAVING COUNT(*) >= 2 AND CAST(COUNT(*) AS DOUBLE)
+        |  / CAST(least(a.nsh, b.nsh) AS DOUBLE) >= ${operators.DedupOps.ContainTau}
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // D72: the oracle states the QUADRATIC domination definition; the
+    // operator computes it distributively — parity proves the rewrite
+    "doc_pareto_front" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_frac
+        |  FROM documents)
+        |SELECT doc_id, n_toks, uniq_frac FROM f q
+        |WHERE NOT EXISTS (SELECT 1 FROM f p
+        |  WHERE p.n_toks >= q.n_toks AND p.uniq_frac >= q.uniq_frac
+        |    AND (p.n_toks > q.n_toks OR p.uniq_frac > q.uniq_frac))
+        |ORDER BY n_toks DESC, doc_id""".stripMargin,
+
+    // A28: pivot as conditional aggregates (exact decimal, double out)
+    "q_pivot_returns" ->
+      s"""SELECT l_linestatus,
+        |  ${dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+        |  ${dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+        |  ${dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_minhash_lsh" -> (MinhashSigSql +
       """,
         |bands AS (SELECT doc_id, lang, b, list_slice(sig, b*8+1, b*8+8) AS bh,
@@ -3776,20 +3872,9 @@ object SparkEntry {
 
     // D35: posting lists doc-sorted, serialized "doc:tf ..." so the
     // layout hash-compares across engines
-    "text_inverted_postings" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents),
-        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM t GROUP BY 1, 2),
-        |inv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
-        |    CAST(SUM(tf) AS BIGINT) AS total_tf,
-        |    array_to_string(list(CAST(doc_id AS VARCHAR) || ':'
-        |      || CAST(tf AS VARCHAR) ORDER BY doc_id), ' ') AS postings
-        |  FROM tf GROUP BY tok),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, tok)
-        |    AS BIGINT) AS rnk FROM inv)
-        |SELECT tok, df, total_tf, postings, rnk FROM r WHERE rnk <= 100
-        |ORDER BY rnk""".stripMargin,
+    "text_inverted_postings" -> InvertedPostingsSql,
+    // D70: the incremental merge must equal the FULL rebuild — same SQL
+    "postings_incremental" -> InvertedPostingsSql,
 
     // D34: BM25 with rational idf = (N-df+0.5)/(df+0.5) — no libm log,
     // same bit-reproducibility contract as doc_keywords; expression

@@ -194,6 +194,39 @@ object CurationOps {
       .orderBy("lang", "rnk")
   }
 
+  /** D72: Pareto front (skyline) over (length, lexical diversity) —
+    * the data-selection question "which documents are not beaten on
+    * BOTH axes": maximize token count and distinct-token fraction.
+    * The naive skyline is a quadratic domination anti-join; this
+    * computes it distributively: (1) per-length maxima — one ordinary
+    * shuffle, the corpus's only exchange; (2) the strictly-longer
+    * cumulative max over that per-length table, which is bounded by
+    * the number of DISTINCT lengths (a few thousand at any corpus
+    * size — the bounded-model-artifact contract, like the quantizer),
+    * so its single-partition window is metadata-scale; (3) one
+    * broadcast join back tags the front rows, keeping all ties. The
+    * oracle states the quadratic NOT EXISTS definition, so hash
+    * parity proves the distributive rewrite.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val f = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_toks"),
+        size(array_distinct(toks)).cast(LongType).as("uniq"))
+      .withColumn("uniq_frac",
+        col("uniq").cast(DoubleType) / col("n_toks").cast(DoubleType))
+    val perLen = f.groupBy("n_toks").agg(max(col("uniq_frac")).as("uniq_frac"))
+    val longer = Window.orderBy(col("n_toks").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontPairs = perLen
+      .withColumn("m", max(col("uniq_frac")).over(longer))
+      .filter(col("m").isNull || col("m") < col("uniq_frac"))
+      .select("n_toks", "uniq_frac")
+    f.join(broadcast(frontPairs), Seq("n_toks", "uniq_frac"))
+      .select("doc_id", "n_toks", "uniq_frac")
+      .orderBy(col("n_toks").desc, col("doc_id"))
+  }
+
   /** D21: dataset-mixture construction — weighted per-source sampling
     * to a budget, the step that assembles a training mixture from
     * heterogeneous sources. Each source's quota is a deterministic

@@ -632,6 +632,23 @@ object RelationalOps {
       .orderBy("n_name")
   }
 
+  /** A28: PIVOT — the (shipmode × returnflag) quantity matrix via
+    * relational `groupBy().pivot()` with the pivot values enumerated,
+    * so Catalyst compiles it to conditional aggregates in ONE
+    * aggregation over ONE fact shuffle (never |values| scans), and
+    * the schema is static at plan time. Sums are exact decimal, cast
+    * to double only at emission (the hash-stable-type contract).
+    */
+  def qPivotReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_linestatus", "l_returnflag", "l_quantity")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r"))
+      .orderBy("l_linestatus")
+
   /** A23: ROLLUP revenue report — (region, nation) subtotals and the
     * grand total in ONE aggregation: Catalyst expands the rollup into
     * grouping sets via a single Expand + one shuffle (NOT |levels|

@@ -216,4 +216,27 @@ class CurationSpec extends GraftSpec {
         }
       }
   }
+
+  test("doc_pareto_front equals the quadratic skyline definition") {
+    val pts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.length.toDouble / toks.length.toDouble)
+      }
+    val exp = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, px, py) =>
+        px >= x && py >= y && (px > x || py > y)
+      }
+    }.sortBy { case (id, x, _) => (-x, id) }.toSeq
+    val got = CurationOps.paretoFront(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp, "distributive skyline diverges from the definition")
+    assert(got.nonEmpty && got.size < pts.length,
+      "degenerate fixture: front empty or everything on the front")
+    // the front is a true anti-chain: no member dominates another
+    for ((_, x1, y1) <- got; (_, x2, y2) <- got)
+      assert(!(x1 >= x2 && y1 >= y2 && (x1 > x2 || y1 > y2)) ||
+        (x1 == x2 && y1 == y2))
+  }
 }
