@@ -86,7 +86,8 @@ object ExplainAudit {
       // r10: the incremental index merge broadcasts the delta
       // vocabulary (untouched rows must anti-join in place); the
       // skyline broadcasts its per-length front pairs back
-      "postings_incremental", "doc_pareto_front")
+      "postings_incremental", "doc_pareto_front",
+      "doc_pareto_incremental")
     // bounded-heap top-k must stay in these plans — a full window sort
     // reappearing here is a scale regression, not a style choice
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",

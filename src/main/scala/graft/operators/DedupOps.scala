@@ -203,18 +203,23 @@ object DedupOps {
     * measured reduction claim).
     */
   private[graft] def prefixRows(spark: SparkSession, dir: String,
-      tau: Double): DataFrame = {
-    val ex = shinglesByKey(spark, dir)
-    // global shingle rarity: derived from the (lang, shingle)-
-    // clustered artifact, so groupBy and join-back plan exchange-free
-    val dfTab = ex.groupBy("lang", "shingle")
-      .agg(count(lit(1)).cast(LongType).as("df"))
-    ex.join(dfTab, Seq("lang", "shingle"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("df").asc, col("shingle").asc)))
-      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tau)) + lit(1))
-  }
+      tau: Double): DataFrame =
+    // memoized (lang, shingle)-clustered like shinglesByKey, so the
+    // candidate self-join reads ONE cached exchange on both sides
+    // (sorts only) instead of re-shuffling the ranked table twice
+    graft.Memo.df(spark, s"prefixRows:$dir:$tau") {
+      val ex = shinglesByKey(spark, dir)
+      // global shingle rarity: derived from the (lang, shingle)-
+      // clustered artifact, so groupBy and join-back plan exchange-free
+      val dfTab = ex.groupBy("lang", "shingle")
+        .agg(count(lit(1)).cast(LongType).as("df"))
+      ex.join(dfTab, Seq("lang", "shingle"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("df").asc, col("shingle").asc)))
+        .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tau)) + lit(1))
+        .repartition(col("lang"), col("shingle"))
+    }
 
   def dedupPrefixFilter(spark: SparkSession, dir: String,
       tau: Double = PrefixTau): DataFrame = {
@@ -228,12 +233,21 @@ object DedupOps {
         col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val a = ex.select(col("doc_id").as("a_id"), col("lang"),
-      col("shingle"), col("nsh").as("n_a"))
-    val b = ex.select(col("doc_id").as("b_id"), col("lang"),
-      col("shingle"), col("nsh").as("n_b"))
-    cand.join(a, Seq("a_id"))
-      .join(b, Seq("b_id", "lang", "shingle"))
+    // exact verify, the dedupExplain shape: candidates are NEAR-DUP
+    // pairs (rare by construction — rarest-first prefixes make the
+    // blocking groups the corpus's smallest), so broadcast them and
+    // STREAM the clustered shingle table through the a-side join (no
+    // corpus exchange); the b-side closure then joins on a superset
+    // of the table's (lang, shingle) clustering, which a serving
+    // session elides via subset-key co-partitioning
+    val aSide = ex
+      .join(broadcast(cand), ex("doc_id") === cand("a_id"))
+      .select(col("a_id"), col("b_id"), col("lang"), col("shingle"),
+        col("nsh").as("n_a"))
+    aSide
+      .join(ex.select(col("doc_id").as("b_id"), col("lang"),
+        col("shingle"), col("nsh").as("n_b")),
+        Seq("b_id", "lang", "shingle"))
       .groupBy("a_id", "b_id", "n_a", "n_b")
       .agg(count(lit(1)).cast(LongType).as("inter_cnt"))
       .withColumn("jacc", col("inter_cnt").cast(DoubleType) /

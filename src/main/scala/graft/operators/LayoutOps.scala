@@ -77,6 +77,12 @@ object LayoutOps {
     // merges a delta into without re-tokenizing any corpus document
     Family("postings_base", "std10", "tok", 16,
       (s, d) => TextOps.postingsBaseFrame(s, d)),
+    // D72b: the standing corpus's Pareto front — metadata-scale (the
+    // skyline of the crawl split), the only corpus contribution the
+    // incremental front maintenance ever reads
+    Family("pareto_front", "std10", "n_toks", 4,
+      (s, d) => CurationOps.paretoOn(CurationOps.paretoFeatures(
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)))),
     // E42: the stream-OWNED granular delta rows (doc_id, tok, tf) —
     // seeded empty (schema only); postingsUpkeepStream appends each
     // micro-batch's fresh documents as bucketed files, and the served

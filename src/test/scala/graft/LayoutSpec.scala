@@ -57,6 +57,21 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("doc_pareto_incremental: maintained front == full skyline, restart parity") {
+    import graft.operators.CurationOps
+    withCleanLayouts {
+      val full = rows(CurationOps.paretoFront(spark, Sf))
+      assert(rows(CurationOps.paretoIncremental(spark, Sf)) == full,
+        "maintained front diverges from the full skyline")
+      // the standing front is persisted, tiny, and restart-servable
+      assert(LayoutOps.ensure(spark, Sf, "pareto_front") == "catalog")
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      assert(LayoutOps.ensure(spark, Sf, "pareto_front") == "reregistered")
+      assert(rows(CurationOps.paretoIncremental(spark, Sf)) == full)
+    }
+  }
+
   test("z-order rectangle probe: partition pruning, lossless cover, restart parity") {
     import graft.operators.ZOrderOps
     import org.apache.spark.sql.functions.col
