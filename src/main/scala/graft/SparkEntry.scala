@@ -62,6 +62,8 @@ object SparkEntry {
     "graph_triangles"      -> (GraphOps.triangles _),
     "graph_link_predict"   -> (GraphOps.linkPredict _),
     "evt_attribution"      -> (EventOps.attribution _),
+    // B28: exact-moment least-squares trend + correlation per type
+    "evt_regression"       -> (EventOps.regression _),
     "bpe_coverage"         -> (BpeOps.coverageBpe _),
     "graph_source_rank"    -> (GraphOps.sourceRank _),
     "evt_transitions"      -> (EventOps.transitions _),
@@ -2344,6 +2346,36 @@ object SparkEntry {
     // mean/E[x²] over exact integers (value·2^59 / value²·2^66 are
     // integral on this domain, HUGEINT sums) → order-independent
     // stats, bit-identical z
+    // B28: the cross-moments accumulate exactly (longs + the B17
+    // fixed-point HUGEINT casts); the double formulas mirror the
+    // operator's operation order token for token
+    "evt_regression" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(hour(ts)) AS BIGINT) AS sx_l,
+        |    CAST(SUM(hour(ts) * hour(ts)) AS BIGINT) AS sxx_l,
+        |    SUM(CAST(value * 576460752303423488.0 AS HUGEINT)) AS sy_fp,
+        |    SUM(CAST(value * 576460752303423488.0 AS HUGEINT) * hour(ts)) AS sxy_fp,
+        |    SUM(CAST(value * value * 73786976294838206464.0 AS HUGEINT)) AS syy_fp
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx_l AS DOUBLE) AS sx, CAST(sxx_l AS DOUBLE) AS sxx,
+        |    CAST(sy_fp AS DOUBLE) / 576460752303423488.0 AS sy,
+        |    CAST(sxy_fp AS DOUBLE) / 576460752303423488.0 AS sxy,
+        |    CAST(syy_fp AS DOUBLE) / 73786976294838206464.0 AS syy
+        |  FROM a),
+        |f AS (SELECT event_type, n, nd, sx, sy,
+        |    nd * sxx - sx * sx AS dx,
+        |    nd * syy - sy * sy AS dy,
+        |    nd * sxy - sx * sy AS cov
+        |  FROM d)
+        |SELECT event_type, n,
+        |  CASE WHEN dx <= 0 THEN 0.0 ELSE cov / dx END AS slope,
+        |  CASE WHEN dx <= 0 THEN 0.0
+        |    ELSE (sy - (cov / dx) * sx) / nd END AS intercept,
+        |  CASE WHEN dx <= 0 OR dy <= 0 THEN 0.0
+        |    ELSE cov / sqrt(dx * dy) END AS corr
+        |FROM f ORDER BY event_type""".stripMargin,
+
     "evt_value_zscore" ->
       """WITH s AS (SELECT event_type,
         |    CAST(SUM(CAST(value * 576460752303423488.0 AS HUGEINT)) AS DOUBLE)

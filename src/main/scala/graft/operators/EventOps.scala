@@ -300,6 +300,53 @@ object EventOps {
     * oracle-replicable bit-for-bit. The per-type stats table is tiny →
     * broadcast back onto the scan; one pass + one broadcast join.
     */
+  /** B28: per-type least-squares trend of value on hour-of-day, with
+    * the Pearson correlation beside it — the seasonality screen a
+    * monitoring pipeline fits before alerting on raw deviations. All
+    * five cross-moments (n, Σx, Σx², Σy, Σxy, Σy²) accumulate EXACTLY
+    * in one map-side-combinable aggregation: the hour terms are plain
+    * longs, the value terms ride the B17 fixed-point contract
+    * (value·2⁵⁹ / value²·2⁶⁶ truncated into DECIMAL(38,0) — integral
+    * doubles, so both engines cast identically), and the hour factor
+    * multiplies AFTER the integer cast so it adds no rounding. The
+    * slope/intercept/corr formulas then run in double from the exact
+    * aggregates, replicated verbatim (same operation order) in the
+    * oracle. One shuffle of |types| groups; zero-variance guarded the
+    * zscore way (a constant axis has no trend — emit 0, not NaN).
+    */
+  def regression(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = lit(576460752303423488.0)    // 2^59
+    val s2 = lit(73786976294838206464.0)  // 2^66
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast(LongType).as("h"))
+    val agg = ev.groupBy("event_type").agg(
+      lcount.as("n"),
+      sum(col("h")).cast(LongType).as("sx_l"),
+      sum(col("h") * col("h")).cast(LongType).as("sxx_l"),
+      sum((col("value") * s1).cast(DecimalType(38, 0))).as("sy_fp"),
+      sum((col("value") * s1).cast(DecimalType(38, 0)) * col("h"))
+        .as("sxy_fp"),
+      sum((col("value") * col("value") * s2).cast(DecimalType(38, 0)))
+        .as("syy_fp"))
+    val n = col("n").cast(DoubleType)
+    val sx = col("sx_l").cast(DoubleType)
+    val sxx = col("sxx_l").cast(DoubleType)
+    val sy = col("sy_fp").cast(DoubleType) / s1
+    val sxy = col("sxy_fp").cast(DoubleType) / s1
+    val syy = col("syy_fp").cast(DoubleType) / s2
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    agg.select(col("event_type"), col("n"),
+        when(dx <= 0.0, 0.0).otherwise(cov / dx).as("slope"),
+        when(dx <= 0.0, 0.0)
+          .otherwise((sy - (cov / dx) * sx) / n).as("intercept"),
+        when(dx <= 0.0 || dy <= 0.0, 0.0)
+          .otherwise(cov / sqrt(dx * dy)).as("corr"))
+      .orderBy("event_type")
+  }
+
   def valueZscore(spark: SparkSession, dir: String): DataFrame = {
     val s1 = lit(576460752303423488.0)    // 2^59
     val s2 = lit(73786976294838206464.0)  // 2^66

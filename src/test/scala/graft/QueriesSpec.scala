@@ -105,6 +105,50 @@ class QueriesSpec extends GraftSpec {
     }
   }
 
+  test("evt_regression matches the plain-Scala exact-moment fit") {
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("event_type", "value", "CAST(hour(ts) AS LONG) AS h")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._3).sum.toDouble
+      val sxx = rows.map(r => r._3 * r._3).sum.toDouble
+      // the scaled products are integral doubles (>= 2^52), so the
+      // DECIMAL(38,0) cast is exact — keep them in BigDecimal (a Long
+      // intermediate would saturate at ~9.2e18)
+      def fp(x: Double): BigDecimal =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      val sy = rows.map(r => fp(r._2 * 576460752303423488.0))
+        .sum.toDouble / 576460752303423488.0
+      val sxy = rows.map(r => fp(r._2 * 576460752303423488.0)
+        * BigDecimal(r._3)).sum.toDouble / 576460752303423488.0
+      val syy = rows.map(r => fp(r._2 * r._2 * 73786976294838206464.0))
+        .sum.toDouble / 73786976294838206464.0
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      val cov = n * sxy - sx * sy
+      val slope = if (dx <= 0) 0.0 else cov / dx
+      val icept = if (dx <= 0) 0.0 else (sy - (cov / dx) * sx) / n
+      val corr = if (dx <= 0 || dy <= 0) 0.0 else cov / math.sqrt(dx * dy)
+      (t, rows.length.toLong, slope, icept, corr)
+    }
+    val got = graft.operators.EventOps.regression(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // the exact integer/fixed-point accumulators make the aggregates
+    // order-independent, so the doubles match to the last ulp or so
+    assert(got.map(_._1) == exp.map(_._1))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._2 == e._2)
+      Seq((g._3, e._3), (g._4, e._4), (g._5, e._5)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"${g._1}: $a vs $b")
+      }
+    }
+    // correlations are genuine (bounded, and not all exactly zero)
+    assert(got.forall(r => r._5 >= -1.0 && r._5 <= 1.0))
+  }
+
   test("evt_latest_per_key has one row per user") {
     val df = SparkEntry.queries("evt_latest_per_key")(spark, Sf)
     val users = Tables.events(spark, Sf).select("user_id").distinct().count()
