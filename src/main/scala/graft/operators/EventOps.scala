@@ -314,13 +314,26 @@ object EventOps {
     * oracle. One shuffle of |types| groups; zero-variance guarded the
     * zscore way (a constant axis has no trend — emit 0, not NaN).
     */
-  def regression(spark: SparkSession, dir: String): DataFrame = {
+  def regression(spark: SparkSession, dir: String): DataFrame =
+    regressionOver(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("value"),
+          hour(col("ts")).cast(LongType).as("h")),
+      Seq(col("event_type")))
+      .orderBy("event_type")
+
+  /** The B28 kernel over any frame carrying (value, h) and the given
+    * grouping keys — shared by the batch query and the windowed
+    * streaming face (E43): every accumulator is ALGEBRAIC (longs +
+    * exact decimals), so micro-batch partial aggregates merge
+    * losslessly inside windowed state and the stream equals the batch
+    * run of this same function bit-for-bit.
+    */
+  private[graft] def regressionOver(ev: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val s1 = lit(576460752303423488.0)    // 2^59
     val s2 = lit(73786976294838206464.0)  // 2^66
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("value"),
-        hour(col("ts")).cast(LongType).as("h"))
-    val agg = ev.groupBy("event_type").agg(
+    val aggs = Seq(
       lcount.as("n"),
       sum(col("h")).cast(LongType).as("sx_l"),
       sum(col("h") * col("h")).cast(LongType).as("sxx_l"),
@@ -329,6 +342,7 @@ object EventOps {
         .as("sxy_fp"),
       sum((col("value") * col("value") * s2).cast(DecimalType(38, 0)))
         .as("syy_fp"))
+    val agg = ev.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     val n = col("n").cast(DoubleType)
     val sx = col("sx_l").cast(DoubleType)
     val sxx = col("sxx_l").cast(DoubleType)
@@ -338,13 +352,14 @@ object EventOps {
     val dx = n * sxx - sx * sx
     val dy = n * syy - sy * sy
     val cov = n * sxy - sx * sy
-    agg.select(col("event_type"), col("n"),
-        when(dx <= 0.0, 0.0).otherwise(cov / dx).as("slope"),
-        when(dx <= 0.0, 0.0)
-          .otherwise((sy - (cov / dx) * sx) / n).as("intercept"),
-        when(dx <= 0.0 || dy <= 0.0, 0.0)
-          .otherwise(cov / sqrt(dx * dy)).as("corr"))
-      .orderBy("event_type")
+    // the grouped frame leads with its key columns — re-select them by
+    // name (a window(...) key can't be re-evaluated post-aggregation)
+    agg.select(agg.columns.take(keys.length).map(col) ++ Seq(col("n"),
+      when(dx <= 0.0, 0.0).otherwise(cov / dx).as("slope"),
+      when(dx <= 0.0, 0.0)
+        .otherwise((sy - (cov / dx) * sx) / n).as("intercept"),
+      when(dx <= 0.0 || dy <= 0.0, 0.0)
+        .otherwise(cov / sqrt(dx * dy)).as("corr")): _*)
   }
 
   def valueZscore(spark: SparkSession, dir: String): DataFrame = {

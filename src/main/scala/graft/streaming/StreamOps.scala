@@ -379,6 +379,25 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** E43: windowed streaming regression — the continuous face of B28:
+    * the same exact cross-moments per (event-time window, type), so a
+    * monitoring stream fits the hour-of-day trend as data arrives.
+    * Every accumulator is algebraic (longs + exact decimals): partial
+    * aggregates merge losslessly across micro-batches inside windowed
+    * state, and the watermark bounds it — so the stream's finalized
+    * windows equal a batch run of the SAME frame function bit-for-bit
+    * (the parity spec straddles a micro-batch split). Mode-agnostic
+    * like E12: `window()` + algebraic aggs run identically on a batch
+    * frame, which is the spec's oracle.
+    */
+  def regressionWindowed(events: DataFrame, window_ : String = "6 hours",
+      watermark: String = "12 hours"): DataFrame =
+    graft.operators.EventOps.regressionOver(
+      events
+        .withWatermark("ts", watermark)
+        .withColumn("h", hour(col("ts")).cast("long")),
+      Seq(window(col("ts"), window_), col("event_type")))
+
   /** E12: sliding-window error-rate monitor — the streaming dual of
     * B7's burst detector (EventOps.errorBurst): OVERLAPPING event-time
     * windows (`windowLen` long, advancing every `slide`), each counting
