@@ -218,6 +218,9 @@ object DedupOps {
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
             .orderBy(col("df").asc, col("shingle").asc)))
         .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tau)) + lit(1))
+        // only the join columns ride the clustered persist — rank and
+        // sizes are spent once the prefix membership is decided
+        .select("lang", "shingle", "doc_id")
         .repartition(col("lang"), col("shingle"))
     }
 
