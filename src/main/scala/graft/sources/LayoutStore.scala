@@ -72,13 +72,32 @@ object LayoutStore {
     else {
       val loc = location(spark, table)
       val tmp = Paths.get(loc + CompactSuffix)
-      if (Files.exists(Paths.get(loc))) {
+      // a surviving location must hold at least one data file to
+      // re-register from (schema recovery reads parquet footers) — a
+      // dataless directory (a table seeded EMPTY, e.g. the stream-
+      // owned postings_delta, or a crash before the first file) holds
+      // no information: fall through and rebuild it
+      val hasData = {
+        val fs = new java.io.File(loc).listFiles()
+        fs != null && fs.exists(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      }
+      if (hasData) {
         register(spark, table, loc, bucketKeys, buckets)
         "reregistered"
       } else if (Files.exists(tmp.resolve(CompleteMarker))) {
         // a compaction wrote its full replacement (data + markers +
         // completeness marker) but died mid-swap: finish the swap —
-        // nothing is lost, the tmp directory IS the table
+        // nothing is lost, the tmp directory IS the table. A dataless
+        // husk at the target (this branch's precondition) only blocks
+        // the move — clear it.
+        if (Files.exists(Paths.get(loc))) {
+          def rec(p: java.io.File): Unit = {
+            val cs = p.listFiles(); if (cs != null) cs.foreach(rec)
+            p.delete(); ()
+          }
+          rec(new java.io.File(loc))
+        }
         Files.move(tmp, Paths.get(loc))
         Files.deleteIfExists(Paths.get(loc, CompleteMarker))
         register(spark, table, loc, bucketKeys, buckets)
@@ -264,7 +283,14 @@ object LayoutStore {
     if (exists(spark, table)) "catalog"
     else {
       val loc = location(spark, table)
-      if (Files.exists(Paths.get(loc))) {
+      // same dataless-directory guard as [[ensure]]: nothing to
+      // recover a schema from → rebuild
+      val hasData = {
+        val fs = new java.io.File(loc).listFiles()
+        fs != null && fs.exists(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      }
+      if (hasData) {
         // partition values are directory names: infer the full schema
         // (incl. the partition column), register, recover partitions
         val schema = spark.read.parquet(loc).schema.toDDL
