@@ -192,6 +192,27 @@ object ExplainAudit {
         }
       }
     }
+    // D71's adaptive exact-verify arms: the clean-corpus default must
+    // carry the broadcast HINT on the candidate pairs (streaming the
+    // clustered shingle table, zero corpus exchange); the dup-heavy
+    // arm must carry NO hint — the planner stays free, but nothing may
+    // FORCE a corpus-sized pair set into a broadcast
+    locally {
+      val hintRe = "strategy=broadcast"
+      val bLog = operators.DedupOps.dedupPrefixFilter(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      if (!bLog.contains(hintRe)) {
+        println("!! AUDIT dedup_prefix_filter: default arm lost the " +
+          "candidate broadcast hint"); bad += 1
+      }
+      val sLog = operators.DedupOps
+        .dedupPrefixFilter(spark, sfDir, broadcastMax = 0)
+        .queryExecution.optimizedPlan.toString
+      if (sLog.contains(hintRe)) {
+        println("!! AUDIT dedup_prefix_filter: shuffle arm still forces " +
+          "a candidate broadcast"); bad += 1
+      }
+    }
     println(s"\nAUDIT ${if (bad == 0) "CLEAN" else s"$bad findings"}")
     spark.stop()
   }

@@ -217,34 +217,72 @@ object DedupOps {
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
             .orderBy(col("df").asc, col("shingle").asc)))
-        .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tau)) + lit(1))
+        // prefix length nsh − ⌈τ·nsh⌉ + 1: the ceil must be of the REAL
+        // product — an IEEE product that lands a hair ABOVE an integer
+        // (e.g. 10·0.3 = 3.0000000000000004) would otherwise round the
+        // required overlap UP and cut the prefix one element short of
+        // the lemma's bound, silently dropping qualifying pairs. A 1e-9
+        // epsilon absorbs that representation error (tau has ≤ a few
+        // meaningful digits; a deliberate τ within 1e-9 of an integer
+        // ratio is indistinguishable from it anyway) and only ever
+        // LENGTHENS the prefix — recall-safe by construction.
+        .filter(col("rn") <=
+          col("nsh") - ceil(col("nsh") * lit(tau) - lit(1e-9)) + lit(1))
         // only the join columns ride the clustered persist — rank and
         // sizes are spent once the prefix membership is decided
         .select("lang", "shingle", "doc_id")
         .repartition(col("lang"), col("shingle"))
     }
 
+  /** The deduplicated candidate pairs from the prefix self-join,
+    * memoized persisted: the verify's arm decision COUNTS this frame
+    * and then consumes it — one materialization serves both.
+    */
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String,
+      tau: Double): DataFrame =
+    graft.Memo.df(spark, s"prefixCand:$dir:$tau") {
+      val prefix = prefixRows(spark, dir, tau)
+      prefix
+        .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
+          col("doc_id").as("a_id"))
+        .join(prefix.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
+          col("doc_id").as("b_id")),
+          col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
+            col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+    }
+
+  /** Candidate-pair count above which the exact verify abandons the
+    * broadcast arm. Sized to the broadcast budget, not the corpus: two
+    * longs a row ⇒ ~64 MB of driver/executor copies at the cap —
+    * safely under a default 8 GB executor's headroom. On a clean
+    * corpus candidates are near-dup-rare and never approach this; a
+    * boilerplate-heavy crawl (30–50% near-dups) makes candidate pairs
+    * O(corpus) and MUST take the shuffle arm or kill the driver.
+    */
+  val CandBroadcastMax = 4000000L
+
   def dedupPrefixFilter(spark: SparkSession, dir: String,
-      tau: Double = PrefixTau): DataFrame = {
+      tau: Double = PrefixTau,
+      broadcastMax: Long = CandBroadcastMax): DataFrame = {
     val ex = shinglesByKey(spark, dir)
-    val prefix = prefixRows(spark, dir, tau)
-    val cand = prefix
-      .select(col("lang").as("l_a"), col("shingle").as("sh_a"),
-        col("doc_id").as("a_id"))
-      .join(prefix.select(col("lang").as("l_b"), col("shingle").as("sh_b"),
-        col("doc_id").as("b_id")),
-        col("l_a") === col("l_b") && col("sh_a") === col("sh_b") &&
-          col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // exact verify, the dedupExplain shape: candidates are NEAR-DUP
-    // pairs (rare by construction — rarest-first prefixes make the
-    // blocking groups the corpus's smallest), so broadcast them and
-    // STREAM the clustered shingle table through the a-side join (no
-    // corpus exchange); the b-side closure then joins on a superset
-    // of the table's (lang, shingle) clustering, which a serving
-    // session elides via subset-key co-partitioning
+    val cand = prefixCandidates(spark, dir, tau)
+    // exact verify, ADAPTIVE by measured candidate volume (the count
+    // reads the memoized frame the verify consumes — no extra pass):
+    //  - broadcast arm (candidates under the cap — the clean-corpus
+    //    norm): broadcast the pairs and STREAM the clustered shingle
+    //    table through the a-side join, zero corpus exchange; the
+    //    b-side closure then joins on a superset of the table's
+    //    (lang, shingle) clustering, which a serving session elides
+    //    via subset-key co-partitioning;
+    //  - shuffle arm (dup-heavy corpus): pairs are data-shaped, so
+    //    they exchange on the join keys like any fact-fact join —
+    //    the corpus-side doc_id shuffle is the honest cost of a
+    //    candidate set that no longer fits a broadcast. Both arms
+    //    emit bit-identical rows (spec-pinned).
+    val candSide = if (cand.count() <= broadcastMax) broadcast(cand) else cand
     val aSide = ex
-      .join(broadcast(cand), ex("doc_id") === cand("a_id"))
+      .join(candSide, ex("doc_id") === cand("a_id"))
       .select(col("a_id"), col("b_id"), col("lang"), col("shingle"),
         col("nsh").as("n_a"))
     aSide

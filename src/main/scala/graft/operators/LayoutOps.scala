@@ -89,6 +89,17 @@ object LayoutOps {
     // merge aggregates them against the immutable postings_base
     Family("postings_delta", "std10", "tok", 16,
       (s, d) => TextOps.tfOf(Tables.documents(s, d)).limit(0)),
+    // E42's re-arrival guard for documents ALREADY IN THE BASE index:
+    // the doc ids present in postings_base, derived from the table
+    // itself (explode the stored lists once at build time) rather
+    // than re-deriving the crawl-split convention — so the guard
+    // reflects what the index actually contains. Bucketed on doc_id:
+    // each micro-batch's id probe is a batch-sized anti-join against
+    // the persisted clustering, the basedocs side never reshuffles.
+    Family("postings_basedocs", "std10", "doc_id", 8,
+      (s, d) => table(s, d, "postings_base")
+        .select(explode(col("posts")).as("p"))
+        .select(col("p").getField("doc_id").as("doc_id")).distinct()),
     Family("minhash_sigs", "k64b8", "band_hash", 16,
       (s, d) => DedupOps.minhashBandSigs(s, d)),
     Family("corpus_ck", "md5", "ck", 16,

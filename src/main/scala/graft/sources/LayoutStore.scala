@@ -77,12 +77,7 @@ object LayoutStore {
       // dataless directory (a table seeded EMPTY, e.g. the stream-
       // owned postings_delta, or a crash before the first file) holds
       // no information: fall through and rebuild it
-      val hasData = {
-        val fs = new java.io.File(loc).listFiles()
-        fs != null && fs.exists(f => !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-      }
-      if (hasData) {
+      if (hasDataFile(new java.io.File(loc))) {
         register(spark, table, loc, bucketKeys, buckets)
         "reregistered"
       } else if (Files.exists(tmp.resolve(CompleteMarker))) {
@@ -171,6 +166,23 @@ object LayoutStore {
     * hidden files excluded) — the quantity compaction policy triggers
     * on.
     */
+  /** True iff at least one data FILE lives under `d` (recursing into
+    * subdirectories, markers/_SUCCESS/hidden names excluded at every
+    * level) — the re-registration guard. Top-level-entry existence is
+    * NOT enough: a partitioned table that crashed after creating its
+    * `key=value` partition directories but before the first parquet
+    * write presents non-underscore entries yet has nothing to infer a
+    * schema from, and would fail re-registration exactly the way the
+    * dataless-dir guard exists to prevent.
+    */
+  private def hasDataFile(d: java.io.File): Boolean = {
+    val fs = d.listFiles()
+    fs != null && fs.exists { f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        (if (f.isDirectory) hasDataFile(f) else true)
+    }
+  }
+
   def dataFileCount(spark: SparkSession, table: String): Int = {
     val fs = new java.io.File(location(spark, table)).listFiles()
     if (fs == null) 0
@@ -285,12 +297,7 @@ object LayoutStore {
       val loc = location(spark, table)
       // same dataless-directory guard as [[ensure]]: nothing to
       // recover a schema from → rebuild
-      val hasData = {
-        val fs = new java.io.File(loc).listFiles()
-        fs != null && fs.exists(f => !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-      }
-      if (hasData) {
+      if (hasDataFile(new java.io.File(loc))) {
         // partition values are directory names: infer the full schema
         // (incl. the partition column), register, recover partitions
         val schema = spark.read.parquet(loc).schema.toDDL

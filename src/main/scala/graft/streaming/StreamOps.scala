@@ -985,11 +985,17 @@ object StreamOps {
     * session.
     *
     * Re-arrival suppression anti-joins the batch's doc ids against
-    * the delta table's indexed ids: a replayed micro-batch (restart
-    * recovery) resolves to zero fresh documents, so the table
-    * converges exactly-once per document. At 100 TB the id probe
-    * rides a doc-keyed Bloom beside the table (the D15c gate); here
-    * the distinct-id scan keeps the test surface exact.
+    * BOTH id sets the served merge already covers: the delta table's
+    * indexed ids (replayed micro-batches — restart recovery — resolve
+    * to zero fresh documents) AND the base index's doc ids (the
+    * `postings_basedocs` sidecar, derived from postings_base itself),
+    * so a stream that re-delivers an already-indexed corpus document
+    * appends nothing instead of inflating df/total_tf and duplicating
+    * the doc in the merged list. The table converges exactly-once per
+    * document with NO disjointness precondition on what the stream
+    * carries. At 100 TB the id probes ride doc-keyed Blooms beside
+    * the tables (the D15c gate); here the distinct-id scan and the
+    * bucketed sidecar keep the test surface exact.
     *
     * Scale shape: each batch shuffles only ITSELF (its tokenize
     * groupBy + the append's bucket exchange); the standing index is
@@ -1004,6 +1010,9 @@ object StreamOps {
     val fam = LayoutOps.families.find(_.name == "postings_delta").get
     val t = LayoutOps.tableName(fam, dir)
     LayoutOps.ensure(spark, dir, "postings_delta")
+    // base-index membership, resolved once at stream start (the base
+    // is immutable — only the delta table grows)
+    val baseDocs = LayoutOps.table(spark, dir, "postings_basedocs")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val indexed = LayoutStore.read(spark, t)
@@ -1012,6 +1021,7 @@ object StreamOps {
         // anti-join's table scan cannot race the table write
         val fresh = TextOps.tfOf(batch)
           .join(indexed, Seq("doc_id"), "left_anti")
+          .join(baseDocs, Seq("doc_id"), "left_anti")
           .persist()
         try {
           if (fresh.count() > 0)

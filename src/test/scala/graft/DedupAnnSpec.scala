@@ -440,6 +440,14 @@ class DedupAnnSpec extends GraftSpec {
     assert(got.toSeq == exp.toSeq,
       "prefix-filtered join diverges from brute force")
     assert(got.nonEmpty, "degenerate fixture: no qualifying pairs")
+    // the SHUFFLE verify arm (broadcastMax = 0 forces it) emits the
+    // bit-identical rows — both arms satisfy the same oracle
+    val shuffled = DedupOps.dedupPrefixFilter(spark, Sf, tau, broadcastMax = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(shuffled.toSeq == got.toSeq,
+      "shuffle verify arm diverges from the broadcast arm")
     // the filter is not vacuous: candidates come from strictly fewer
     // indexed rows than the full blocked join would use
     val all = DedupOps.shinglesByKey(spark, Sf).count()
@@ -447,6 +455,46 @@ class DedupAnnSpec extends GraftSpec {
     assert(pref < all, s"prefix rows $pref not smaller than $all")
     assert(pref <= (all * (1 - tau)).toLong + docs.length,
       s"prefix rows $pref exceed the (1-tau) bound")
+  }
+
+  test("dedup_prefix_filter adaptive verify: dup-heavy corpus overflows a corpus-sized broadcast cap, arms stay bit-identical") {
+    // dup-heavy fixture (the boilerplate-crawl regime the adaptive arm
+    // exists for): 40 clusters × 4 docs differing only in their last
+    // token — every in-cluster pair is a real near-dup, so candidate
+    // PAIRS exceed the document count, the overload signature under
+    // which an unconditional broadcast would kill the driver at scale
+    val d = java.nio.file.Files.createTempDirectory("prefix_dupheavy")
+      .toFile.getAbsolutePath
+    val rows = for { c <- 0 until 40; j <- 0 until 4 } yield {
+      val toks = (0 until 12).map(t => s"w${c}x$t").updated(11, s"v${c}x$j")
+      val text = toks.mkString(" ")
+      (c * 4L + j, text, "en", "web", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    try {
+      val tau = DedupOps.PrefixTau
+      val nDocs = rows.size.toLong
+      val cand = DedupOps.prefixCandidates(spark, d, tau).count()
+      assert(cand > nDocs,
+        s"fixture not dup-heavy: $cand candidate pairs for $nDocs docs")
+      // a corpus-sized cap therefore routes to the shuffle arm; the
+      // default (clean-corpus) cap keeps the broadcast arm — and both
+      // emit the identical rows
+      def run(cap: Long) =
+        DedupOps.dedupPrefixFilter(spark, d, tau, broadcastMax = cap)
+          .collect().map(_.toString).toSeq
+      val viaShuffle = run(nDocs)
+      val viaBroadcast = run(DedupOps.CandBroadcastMax)
+      assert(viaShuffle.nonEmpty, "dup-heavy fixture flagged no pairs")
+      assert(viaShuffle == viaBroadcast,
+        "verify arms diverge on the dup-heavy corpus")
+      // every in-cluster pair qualifies (9 of 10 shingles shared,
+      // J = 9/11 at tau 0.5): 40·C(4,2)
+      assert(viaShuffle.size == 40 * 6,
+        s"expected 240 in-cluster pairs, got ${viaShuffle.size}")
+    } finally Memo.invalidate(spark, d)
   }
 
   test("dedup_containment equals brute force; containment dominates jaccard") {

@@ -268,6 +268,16 @@ class LayoutMaintSpec extends GraftSpec {
         assert(LayoutStore.read(spark, t).count() == afterC1,
           "replayed batch must append nothing")
 
+        // a re-delivered BASE-corpus document (already indexed in
+        // postings_base) must also append nothing — the basedocs
+        // sidecar guard, NOT a disjointness convention on the stream
+        Tables.documents(spark, Sf).filter(col("doc_id") % 10 =!= 7)
+          .limit(3).select("doc_id", "text")
+          .write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(LayoutStore.read(spark, t).count() == afterC1,
+          "base-corpus re-delivery must append nothing")
+
         chunk2.write.mode("append").parquet(d)
         q.processAllAvailable()
       } finally q.stop()
