@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Automated SCALE gate (r11): execute the scale-critical query set at
+  * ×1 and ×10 amplification and FAIL on super-linear growth of
+  * per-query SHUFFLE BYTES. Run: sbt "runMain graft.ScaleAudit"
+  * (SPARK_GRAFT_SF_DIR picks the base, default sf0.1;
+  * SPARK_GRAFT_SCALE_AUDIT_OUT the artifact, default
+  * SCALE_AUDIT.json). Final line: "SCALE AUDIT CLEAN" or
+  * "SCALE AUDIT n findings".
+  *
+  * Why shuffle bytes, not wall-clock: wall time at toy scale is
+  * constant-dominated and host-noise-bound (this box's I/O swings ~3×
+  * between runs — the reason ScaleBench needs min-of-repeats), but the
+  * quantity that decides whether a plan survives a 100× scale-up is
+  * how many bytes cross the exchange — and THAT is a property of the
+  * plan + data, deterministic run-to-run, so ONE pass per factor
+  * gates reliably. ExplainAudit pins plan SHAPES (broadcasts, joins,
+  * pruning); this gate pins plan VOLUME growth — the two r10 anomalies
+  * (dedup_prefix_filter's pre-fix 1.43 exponent from a re-shuffled
+  * corpus; the un-adjudicated ann_ivfsq jump) were invisible to shape
+  * checks and only surfaced in hand-run ScaleBench numbers.
+  *
+  * Gate: exponent = log(bytes₁₀/bytes₁)/log(10) must stay ≤ maxExp
+  * (default 1.1 — at-most-linear with slack for partial-aggregation
+  * constants), evaluated only when the ×10 volume exceeds a noise
+  * floor (8 MB): a query whose plan shuffles nothing at either factor
+  * (fully broadcast) trivially passes no matter the ratio of its
+  * kilobyte-scale residue.
+  *
+  * Per-query overrides carry the DOCUMENTED exceptions — paths whose
+  * true OUTPUT grows superlinearly under the symmetric amplifier (the
+  * measurement regime, not an engine defect), each with its
+  * engine-isolating twin in the audited set.
+  */
+object ScaleAudit {
+
+  /** Max allowed shuffle-byte growth exponent per query; entries here
+    * override the default for paths with a documented, adjudicated
+    * super-linear factor that is NOT a plan defect. Every override
+    * carries its reason — an undocumented exceedance is a failure.
+    */
+  private val MaxExpDefault = 1.1
+  private val MaxExpOverride: Map[String, Double] = Map(
+    // the symmetric amplifier scales BOTH join sides ×F, so true pairs
+    // (and the distinct-user expansion feeding the final aggregation)
+    // grow ×F² by construction; the engine-isolating row is
+    // evt_incident_join_fixedinc (intervals held at base cardinality),
+    // which sits under the default gate
+    "evt_incident_join" -> 2.1,
+    // CC label propagation: per-round shuffle is linear but the round
+    // count carries a log factor; measured 1.11 here ≈ one extra
+    // round's bytes at ×10, the O(n·log n) contract — the quadratic
+    // failure this gate exists for would read ≥ 1.9
+    "dedup_clusters" -> 1.3,
+    // the ~k amplifier grows the VOCABULARY ×F (every token tagged
+    // per copy), not just token volume: the distinct-token and
+    // piece-count derivations scale with vocab on top of volume;
+    // measured 1.14, bounded by the VocabCap contract
+    "text_tokenize_bpe" -> 1.3,
+    // pair-aggregation combiner regime: map-side combine collapses a
+    // smaller fraction at the larger factor (hash capacity), bounded
+    // above by the raw pair stream — which is linear under the
+    // self-similar amplifier (df caps constant per shard); measured
+    // 1.10 at the boundary
+    "doc_similar" -> 1.3)
+
+  private val NoiseFloorBytes = 8L * 1024 * 1024
+
+  /** Below this ×1 volume an exponent has no meaningful base: the toy
+    * factor's plan satisfied everything with broadcasts (zero-ish
+    * exchange). Such pairs are reported as a SHAPE TRANSITION —
+    * informational, not a failure — and the ×10 point becomes the
+    * base the next scale-up would be judged from.
+    */
+  private val MinBaseBytes = 512L * 1024
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_AUDIT_OUT",
+      "SCALE_AUDIT.json")
+    val factors = Seq(1, 10)
+    val spark = GraftSession.local(cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val sfName = base.replaceAll(".*/", "")
+    val meter = new ShuffleMeter(spark)
+
+    // the ScaleBench query set + the engine-isolating interval join
+    val audited = ScaleBench.Paths :+ "evt_incident_join_fixedinc"
+
+    val bytes = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Int, Long]]()
+    factors.foreach { f =>
+      val dir = s"/tmp/graft_scale/${sfName}_x$f"
+      ScaleBench.amplify(spark, base, f, dir)
+      // per-factor memo isolation + untimed shared warm-up, the
+      // ScaleBench methodology: the session-shared bases (shingle
+      // table, ANN layouts, standing manifest artifacts, the standing
+      // postings index) are warmed OUTSIDE the meter so each query's
+      // metered bytes are its own marginal exchanges at that factor —
+      // the same split at both factors, so exponents compare like
+      // with like
+      Memo.clear(spark)
+      operators.DedupOps.withShingles(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      operators.AnnOps.warmShared(spark, dir)
+      operators.AnnOps.warmSq8(spark, dir)
+      operators.CurationOps.warmStanding(spark, dir)
+      operators.LayoutOps.ensure(spark, dir, "postings_base")
+      audited.foreach { q =>
+        meter.reset()
+        val t0 = System.nanoTime()
+        if (q == "evt_incident_join_fixedinc")
+          operators.EventOps.incidentJoinOn(spark, dir, base)
+            .write.format("noop").mode("overwrite").save()
+        else
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (w, _) = meter.read()
+        bytes.getOrElseUpdate(q, scala.collection.mutable.Map())(f) = w
+        println(f"[scale-audit] x$f $q: ${w / 1e6}%.2f MB shuffled " +
+          f"($sec%.1f s)")
+      }
+    }
+
+    var badCount = 0
+    val rows = audited.map { q =>
+      val w1 = bytes(q)(1)
+      val w10 = bytes(q)(10)
+      val exp = math.log(w10.toDouble / math.max(w1, 1).toDouble) /
+        math.log(10.0)
+      val maxExp = MaxExpOverride.getOrElse(q, MaxExpDefault)
+      val transition = w1 < MinBaseBytes && w10 > NoiseFloorBytes
+      val flagged = !transition && w10 > NoiseFloorBytes && exp > maxExp
+      if (flagged) {
+        badCount += 1
+        println(f"!! SCALE AUDIT $q: shuffle bytes grew x${w10.toDouble /
+          math.max(w1, 1)}%.1f at x10 (exp $exp%.2f > $maxExp)")
+      }
+      if (transition)
+        println(f"[scale-audit] $q: SHAPE TRANSITION (x1 all-broadcast, " +
+          f"${w10 / 1e6}%.1f MB at x10) — exponent base undefined")
+      val e = math.rint(exp * 100) / 100
+      val m1 = math.rint(w1 / 1e4) / 100
+      val m10 = math.rint(w10 / 1e4) / 100
+      s""""$q":{"x1_mb":$m1,"x10_mb":$m10,"exp":$e,""" +
+        s""""max_exp":$maxExp,"flagged":$flagged,"transition":$transition}"""
+    }
+    val json = s"""{"base":"$base","factors":[1,10],""" +
+      s""""noise_floor_mb":${NoiseFloorBytes / 1024 / 1024},""" +
+      s""""flagged":$badCount,"queries":{${rows.mkString(",")}},""" +
+      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the exponent has no base - informational, the x10 point becomes the base a further scale-up would be judged from","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove three r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row)"]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    println(s"\nSCALE AUDIT ${if (badCount == 0) "CLEAN"
+      else s"$badCount findings"}")
+    spark.stop()
+  }
+}

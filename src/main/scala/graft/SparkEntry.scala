@@ -78,6 +78,9 @@ object SparkEntry {
       EventOps.patternMatch(s, d)),
     "evt_pattern_abandoned" -> ((s: SparkSession, d: String) =>
       EventOps.patternAbandoned(s, d)),
+    // B29: Kleene-quantified CEP (view click+ purchase, bounded run)
+    "evt_pattern_kleene"   -> ((s: SparkSession, d: String) =>
+      EventOps.patternKleene(s, d)),
     "evt_incident_join"    -> (EventOps.incidentJoin _),
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
@@ -140,6 +143,10 @@ object SparkEntry {
       DedupOps.dedupExplain(s, d)),
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
+    // D74: LSH candidate recall vs the exact tau-Jaccard truth, per
+    // band geometry — the dedup family's ann_recall
+    "dedup_recall"         -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupRecall(s, d)),
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "dedup_embedding_clusters" -> (DedupOps.dedupEmbeddingClusters _),
@@ -887,6 +894,44 @@ object SparkEntry {
        |ORDER BY user_id, id_0""".stripMargin
   }
 
+  /** B29's oracle — the same lead() windows with the Kleene run
+    * length as a chained CASE over the lead types and the terminator
+    * columns as list lookups by run length; built from the SAME
+    * pattern/bound constants as the operator.
+    */
+  private def PatternKleeneSql: String = {
+    val Seq(a, b, c) = operators.EventOps.PatternSeq
+    val maxRun = operators.EventOps.KleeneMaxRun
+    val n = maxRun + 1
+    val spanMs = operators.EventOps.PatternMaxSpanMin.toLong * 60000L
+    val leads = (1 to n).map { i =>
+      s"lead(event_type, $i) OVER w AS t$i, " +
+        s"lead(event_id, $i) OVER w AS i$i, " +
+        s"lead(epoch_us(ts) // 1000, $i) OVER w AS s$i"
+    }.mkString(",\n    ")
+    val runCase = (1 to n)
+      .map(i => s"WHEN t$i IS NULL OR t$i <> '$b' THEN ${i - 1}")
+      .mkString(" ")
+    val tList = (1 to n).map(i => s"t$i").mkString(", ")
+    val iList = (1 to n).map(i => s"i$i").mkString(", ")
+    val sList = (1 to n).map(i => s"s$i").mkString(", ")
+    s"""WITH t AS (SELECT user_id, ts, event_id, event_type,
+       |    $leads
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |m AS (SELECT *, CASE $runCase ELSE $n END AS n_mid
+       |  FROM t WHERE event_type = '$a'),
+       |f AS (SELECT user_id, event_id AS id_0, ts AS ts_0,
+       |    CAST(n_mid AS BIGINT) AS n_mid,
+       |    [$tList][n_mid + 1] AS term,
+       |    [$iList][n_mid + 1] AS id_last,
+       |    [$sList][n_mid + 1] - epoch_us(ts) // 1000 AS span_ms
+       |  FROM m WHERE n_mid BETWEEN 1 AND $maxRun)
+       |SELECT user_id, id_0, ts_0, n_mid, id_last,
+       |  CAST(span_ms AS BIGINT) AS span_ms
+       |FROM f WHERE term = '$c' AND span_ms <= $spanMs
+       |ORDER BY user_id, id_0""".stripMargin
+  }
+
   /** B25b's oracle — the same lead() windows with the negation CASE,
     * built from the same pattern constants.
     */
@@ -979,8 +1024,24 @@ object SparkEntry {
     * (score desc, cls asc).
     */
   private def ClassifyLangSql: String =
-    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+    // `lang` here is D59's TEXT-DERIVED weak label (the D7
+    // stopword-profile argmax), not the generator column — the r11
+    // label-honesty change; downstream CTEs are label-source-agnostic
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
        |    FROM documents),
+       |dc AS (SELECT doc_id, toks,
+       |    len(list_filter(toks, x -> x IN ('group','window','hash','merge'))) AS c_de,
+       |    len(list_filter(toks, x -> x IN ('the','fast','key','order'))) AS c_en,
+       |    len(list_filter(toks, x -> x IN ('sort','table','scan','row'))) AS c_es,
+       |    len(list_filter(toks, x -> x IN ('join','filter','stream','value'))) AS c_fr,
+       |    len(list_filter(toks, x -> x IN ('data','query','batch','line'))) AS c_zh
+       |  FROM d0),
+       |dm AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx FROM dc),
+       |d AS (SELECT doc_id,
+       |    CASE WHEN c_de = mx THEN 'de' WHEN c_en = mx THEN 'en'
+       |      WHEN c_es = mx THEN 'es' WHEN c_fr = mx THEN 'fr'
+       |      WHEN c_zh = mx THEN 'zh' ELSE 'und' END AS lang, toks
+       |  FROM dm),
        |tr AS (SELECT * FROM d WHERE doc_id % 10 != 7),
        |te AS (SELECT * FROM d WHERE doc_id % 10 = 7),
        |cc AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS c
@@ -1942,6 +2003,9 @@ object SparkEntry {
     // B25: strict-consecutive pattern detection (builder above)
     "evt_pattern_match" -> PatternMatchSql,
 
+    // B29: the Kleene-quantified pattern (builder above)
+    "evt_pattern_kleene" -> PatternKleeneSql,
+
     // B25b: the negation/abandonment complement (builder above)
     "evt_pattern_abandoned" -> PatternAbandonedSql,
 
@@ -2792,6 +2856,46 @@ object SparkEntry {
         |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0
         |    AS est_jaccard
         |FROM pairs ORDER BY a_id, b_id""".stripMargin),
+
+    // D74: candidate recall per band geometry vs the exact tau truth.
+    // Band values are slot-list slices (the dedup_minhash_lsh device:
+    // list equality ≡ the kernel's band-hash equality on this data);
+    // geometries nest (64 = 4·16), so recall is monotone in bands.
+    "dedup_recall" -> (MinhashSigSql +
+      s""",
+        |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+        |    unnest(shingles) AS shingle FROM s),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE)
+        |    >= ${operators.DedupOps.PrefixTau}),
+        |geoms(gb, gr) AS (VALUES ${operators.DedupOps.RecallGeoms
+           .map { case (b, r) => s"($b, $r)" }.mkString(", ")}),
+        |banded AS (SELECT g.gb, g.gr, doc_id, lang,
+        |    unnest(range(0, g.gb)) AS b, sig
+        |  FROM sig CROSS JOIN geoms g),
+        |bnd AS (SELECT gb, gr, doc_id, lang, b,
+        |    list_slice(sig, b*gr+1, b*gr+gr) AS bh FROM banded),
+        |cands AS (SELECT DISTINCT x.gb, x.gr, x.doc_id AS a_id,
+        |    y.doc_id AS b_id
+        |  FROM bnd x JOIN bnd y ON x.gb = y.gb AND x.gr = y.gr
+        |    AND x.lang = y.lang AND x.b = y.b AND x.bh = y.bh
+        |    AND x.doc_id < y.doc_id),
+        |hits AS (SELECT c.gb, c.gr, COUNT(*) AS hits
+        |  FROM cands c JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS n_true FROM truth)
+        |SELECT CAST(g.gb AS BIGINT) AS n_bands, CAST(g.gr AS BIGINT) AS n_rows,
+        |  CAST(t.n_true AS BIGINT) AS n_true,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+        |    AS recall
+        |FROM geoms g CROSS JOIN tot t
+        |LEFT JOIN hits h ON h.gb = g.gb AND h.gr = g.gr
+        |ORDER BY n_bands""".stripMargin),
 
     "dedup_minhash_verified" -> (MinhashSigSql +
       """,

@@ -38,6 +38,14 @@ object AnnOps {
     ivfLists(spark, dir, DefaultM).write.format("noop").mode("overwrite").save()
     pqCodesCore(spark, dir).write.format("noop").mode("overwrite").save()
     ivfPqResLists(spark, dir).write.format("noop").mode("overwrite").save()
+    // the SQ8-coded lists are a standing layout exactly like the
+    // PQ-coded ones above — left unwarmed, their one-time build join
+    // (corpus codes ⋈ list assignment) lands inside the first
+    // ann_ivfsq measurement and, worse, changes SHAPE across scale
+    // factors (codes broadcastable at toy scale, a full shuffle past
+    // the threshold): the r10 ×17 wall jump and the r11 ScaleAudit
+    // exp-1.54 finding were BOTH this missing warm, not the search
+    ivfSqLists(spark, dir).write.format("noop").mode("overwrite").save()
   }
 
   /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
@@ -1978,6 +1986,79 @@ object AnnOps {
         Seq(col("adc").desc, col("c_id").asc), r)
       .select("q_id", "c_id")
     exactRerank(spark, dir, short, k).orderBy("q_id", "rnk")
+  }
+
+  /** The m-independent SQ8 corpus artifacts (affine model + byte
+    * codes), warmed untimed by the scale harness: both the fixed-m and
+    * production regimes consume them, so neither measurement should
+    * carry their one-off derivation.
+    */
+  private[graft] def warmSq8(spark: SparkSession, dir: String): Unit = {
+    embDouble(spark, dir).write.format("noop").mode("overwrite").save()
+    sq8Model(spark, dir)
+    sq8Codes(spark, dir).write.format("noop").mode("overwrite").save()
+    ()
+  }
+
+  /** The SQ8-coded inverted lists at an EXPLICIT quantizer size — the
+    * ScaleBench production-regime build for IVF-SQ8 (m scales with the
+    * corpus so per-list bytes stay constant; the byte codes are
+    * m-independent, only the list assignment re-derives — the
+    * [[ivfPqListsFrameM]] twin for the SQ8 encoding).
+    */
+  private[graft] def ivfSqListsFrameM(spark: SparkSession, dir: String,
+      m: Int): DataFrame =
+    ivfLists(spark, dir, m).select("c_cid", "c_id")
+      .join(sq8Codes(spark, dir).withColumnRenamed("vec_id", "c_id"), "c_id")
+
+  /** IVF-SQ8 search over a PERSISTED coded-lists table for an
+    * arbitrary (vec_id, embedding) query frame: probe cids resolve
+    * driver-side into a literal IN filter so the bucketed scan prunes
+    * to the probed lists' buckets (nprobe/m of the index files at any
+    * corpus size), ADC over the probed byte codes against the literal
+    * affine model, bounded-heap shortlist, exact re-rank from the base
+    * corpus parquet — the [[ivfPqSearchTables]] serving shape with the
+    * SQ8 encoding.
+    */
+  private[graft] def ivfSqSearchTable(spark: SparkSession, dir: String,
+      m: Int, lists: DataFrame, queries: DataFrame,
+      nprobe: Int = IvfSqNprobe, r: Int = IvfSqR, k: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    val (mn, delta) = sq8Model(spark, dir)
+    val prepped = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select("vec_id", "v", "nrm")
+    val assigned = assignFor(spark, dir, m, prepped, nprobe)
+    val probes = assigned
+      .select(col("cid").as("q_cid"), col("vec_id").as("q_id"),
+        col("v").as("qv"))
+    val probedCids = assigned.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val joinCond =
+      if (excludeSelf) col("q_cid") === col("c_cid") && col("q_id") =!= col("c_id")
+      else col("q_cid") === col("c_cid")
+    val sims = lists.filter(col("c_cid").isin(probedCids: _*))
+      .join(broadcast(probes), joinCond)
+      .withColumn("adc",
+        VectorFns.dot(col("qv"), sq8Dequant(col("codes"), mn, delta)))
+    val short = TopK.perKey(sims, Seq(col("q_id")),
+        Seq(col("adc").desc, col("c_id").asc), r)
+      .select("q_id", "c_id")
+    // exact re-rank: shortlist broadcast into one corpus scan for the
+    // candidate floats; query floats from the batch itself
+    val qv = prepped
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = embDouble(spark, dir)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(short), "c_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(exact, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "c_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
   }
 
   /** D58: SQ8 ADC search — exact query vs dequantized corpus codes,

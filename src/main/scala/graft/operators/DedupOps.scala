@@ -373,6 +373,67 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** D74: the band geometries [[dedupRecall]] measures (bands × rows
+    * over the k=64 signature), shared with the oracle builder so the
+    * measured contract and its oracle cannot drift. The three points
+    * NEST (64 = 4·16; an 8×8 band is half of a 4×16 band), so the
+    * candidate sets are provably containment-ordered: a pair matching
+    * a 16-slot band matches both its 8-slot halves — recall is
+    * monotone non-decreasing in the band count by construction, and
+    * the spec asserts exactly that.
+    */
+  val RecallGeoms: Seq[(Int, Int)] = Seq((4, 16), (8, 8), (16, 4))
+
+  /** D74: the dedup-family recall contract — D10e's (ann_recall's)
+    * analog for the family's probabilistic member. MinHash-LSH
+    * CANDIDATE recall against the exact τ-Jaccard truth, per band
+    * geometry over the ONE k=64 signature: more bands of fewer rows
+    * trades candidate volume for recall (the LSH S-curve's knob), and
+    * this query pins where the default (8×8) sits on that curve. The
+    * truth comes from the D71 prefix filter — lossless by the
+    * prefix-filtering lemma, at a fraction of the blocked join's
+    * cost — so the contract stays cheap enough to re-measure per
+    * corpus. Every kernel is deterministic (poly+splitmix64 minhash,
+    * exact shingle sets), so the whole curve is DuckDB-replicable: a
+    * recall regression is an oracle HASH MISMATCH, not a drifting
+    * number in a doc.
+    *
+    * Scale shape: the signature is computed once (memoized); each
+    * geometry is a band-key self-join (volume bounded by bucket
+    * co-occupancy) semi-joined against the truth pairs; counts are
+    * single scalars per geometry.
+    */
+  def dedupRecall(spark: SparkSession, dir: String,
+      tau: Double = PrefixTau): DataFrame = {
+    import spark.implicits._
+    val truth = dedupPrefixFilter(spark, dir, tau).select("a_id", "b_id")
+    val sigs = graft.Memo.df(spark, s"minhashSigOnly:$dir") {
+      withShingles(spark, dir)
+        .withColumn("sig", VectorFns.minhashSignature(col("shingles"), 64))
+        .select("doc_id", "lang", "sig")
+    }
+    val nTrue = truth.count()
+    val rows = RecallGeoms.map { case (nb, nr) =>
+      val banded = sigs.select(col("doc_id"), col("lang"),
+        posexplode(VectorFns.bandHashes(col("sig"), nb, nr))
+          .as(Seq("band_id", "band_hash")))
+      val a = banded.select(col("lang").as("l_a"), col("band_id").as("bi_a"),
+        col("band_hash").as("bh_a"), col("doc_id").as("a_id"))
+      val b = banded.select(col("lang").as("l_b"), col("band_id").as("bi_b"),
+        col("band_hash").as("bh_b"), col("doc_id").as("b_id"))
+      val cand = a.join(b, col("l_a") === col("l_b") &&
+          col("bi_a") === col("bi_b") && col("bh_a") === col("bh_b") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val hits = cand.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      (nb.toLong, nr.toLong, nTrue, hits)
+    }
+    rows.toDF("n_bands", "n_rows", "n_true", "hits")
+      .withColumn("recall", col("hits").cast(DoubleType) /
+        col("n_true").cast(DoubleType))
+      .orderBy("n_bands")
+  }
+
   /** D3v: MinHash-LSH candidates + exact-Jaccard verify — the full
     * production pipeline that makes D3 a drop-in scale substitute for
     * D2: band-bucket join proposes pairs (recall bounded by the LSH

@@ -822,6 +822,73 @@ object EventOps {
       .orderBy("user_id", "id_0")
   }
 
+  /** B29's Kleene-run bound: the maximal middle-step repetition a
+    * match may consume (view click{1..4} purchase). The bound is the
+    * CONTRACT, not an approximation — it is what makes the streaming
+    * face's per-user state O(maxRun) (the funnel-family state-bound
+    * discipline), and a longer run is out of pattern by definition on
+    * both faces and in the oracle alike.
+    */
+  val KleeneMaxRun = 4
+
+  /** B29: Kleene-quantified CEP — `A B+ C` (view, one-or-more clicks,
+    * purchase), strictly consecutive in the user timeline, with the
+    * middle run bounded by [[KleeneMaxRun]] and the whole match inside
+    * the B25 span bound. GREEDY/deterministic semantics: for an anchor
+    * of type A, the run is the maximal consecutive block of B's
+    * immediately after it (well-defined — the block ends at the first
+    * non-B), and the match fires iff that block's length is in
+    * [1, maxRun] and the event ending it is C. Each anchor emits at
+    * most one row; each row's terminator is unique to its anchor.
+    *
+    * Same scale shape as B25: maxRun+1 lead() columns in ONE user-keyed
+    * window sort, then pure in-row arithmetic — the run length is a
+    * chained conditional over the lead types, the terminator columns
+    * are element_at lookups by run length. No self-joins, no
+    * per-repetition scans, cost independent of maxRun beyond the lead
+    * width.
+    */
+  def patternKleene(spark: SparkSession, dir: String,
+      maxRun: Int = KleeneMaxRun,
+      maxSpanMin: Int = PatternMaxSpanMin): DataFrame = {
+    require(maxRun >= 1, "maxRun must be at least 1")
+    val Seq(a, b, c) = PatternSeq
+    val n = maxRun + 1
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withLeads = (1 to n).foldLeft(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))) { (d, i) =>
+      d.withColumn(s"type_$i", lead(col("event_type"), i).over(w))
+        .withColumn(s"id_$i", lead(col("event_id"), i).over(w))
+        .withColumn(s"ts_$i", lead(col("ts"), i).over(w))
+    }
+    // maximal consecutive B-run length after the anchor, capped at
+    // n = maxRun+1 (a run that long is out of contract): the first
+    // lead that is missing or non-B ends the run
+    val runLen = (1 to n).foldRight(lit(n.toLong)) { (i, els) =>
+      when(col(s"type_$i").isNull || col(s"type_$i") =!= b,
+        lit((i - 1).toLong)).otherwise(els)
+    }
+    val types = array((1 to n).map(i => col(s"type_$i")): _*)
+    val ids = array((1 to n).map(i => col(s"id_$i")): _*)
+    val tsMs = array((1 to n).map(i => unix_millis(col(s"ts_$i"))): _*)
+    val term = (col("n_mid") + 1).cast("int")
+    withLeads
+      .filter(col("event_type") === a)
+      .withColumn("n_mid", runLen)
+      .filter(col("n_mid").between(1L, maxRun.toLong))
+      .filter(element_at(types, term) === c)
+      .withColumn("id_last", element_at(ids, term))
+      .withColumn("span_ms",
+        element_at(tsMs, term) - unix_millis(col("ts")))
+      .filter(col("span_ms") <= maxSpanMin.toLong * 60000L)
+      .select(col("user_id"), col("event_id").as("id_0"),
+        col("ts").as("ts_0"), col("n_mid"), col("id_last"), col("span_ms"))
+      .orderBy("user_id", "id_0")
+  }
+
   /** B25b: NEGATION pattern — the abandonment query (view→click with
     * NO purchase following within the horizon): the complement CEP
     * shape alerting/retargeting runs. A prefix match (strictly
@@ -971,9 +1038,23 @@ object EventOps {
     * whole event stream. Bucket width = window length, so each
     * interval explodes into ≤ 2 bucket rows.
     */
-  def incidentJoin(spark: SparkSession, dir: String): DataFrame = {
+  def incidentJoin(spark: SparkSession, dir: String): DataFrame =
+    incidentJoinOn(spark, dir, dir)
+
+  /** B26's scale-regime twin: the interval side derived from
+    * `incidentDir` while the probe stream reads `dir`. With both set
+    * to the same dir this IS B26; ScaleBench holds `incidentDir` at
+    * the BASE corpus while events amplify — the production shape
+    * (global severe-error windows don't grow with event volume), which
+    * isolates the ENGINE's growth from the F²-by-construction match
+    * growth the symmetric amplification creates (both sides ×F ⇒ true
+    * pairs ×F²; fixed intervals ⇒ pairs ×F, the regime a real deploy
+    * scales in).
+    */
+  private[graft] def incidentJoinOn(spark: SparkSession, dir: String,
+      incidentDir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val incidents = ev
+    val incidents = Tables.events(spark, incidentDir)
       .filter(col("event_type") === "error" &&
         col("value") > IncidentValueMin)
       .select(col("event_id").as("incident_id"),

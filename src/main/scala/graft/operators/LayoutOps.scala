@@ -157,8 +157,10 @@ object LayoutOps {
     // the shingle so served more-like-this joins reuse the persisted
     // clustering (the bucketed side never reshuffles; probes are the
     // small side)
+    // tag's n1 suffix: the rows carry the per-doc capped-set size
+    // (n_sh) since r11 — a schema change is a geometry change
     Family("shingle_postings",
-      s"df${TextOps.SimilarDfCap}w${TextOps.SimilarW}", "shingle", 16,
+      s"df${TextOps.SimilarDfCap}w${TextOps.SimilarW}n1", "shingle", 16,
       (s, d) => TextOps.similarPostingsFrame(s, d)),
     // D36k: the standing corpus's line-digest set (D48/E33) — a
     // restarted ingest pipeline anti-joins arrivals against the
@@ -189,9 +191,12 @@ object LayoutOps {
     // prior table; persisting COUNTS (not derived weights) lets the
     // serve path recompute weights with the same qlog2 code, so the
     // persisted form cannot drift from the algebra
-    Family("nb_counts", "std10", "tok", 8,
+    // tag carries the LABEL SOURCE (wl = the D7 weak label, r11): a
+    // model table trained against a different label is a different
+    // geometry — the tag discipline keeps a stale one unservable
+    Family("nb_counts", "std10wl", "tok", 8,
       (s, d) => TextOps.nbCountsFrame(s, d)),
-    Family("nb_classes", "std10", "cls", 1,
+    Family("nb_classes", "std10wl", "cls", 1,
       (s, d) => TextOps.nbClassDocsFrame(s, d)))
 
   private def familyOf(name: String): Family =

@@ -585,7 +585,16 @@ object TextOps {
     */
   private[graft] def similarPostingsFrame(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"similarPostings:$dir") {
-      val ex = DedupOps.shingleExploded(spark, dir)
+      // derive df AND join it back on the (lang, shingle)-CLUSTERED
+      // session artifact (the ngramPairs device): groupBy and join
+      // both plan exchange-free against the cached clustering, so the
+      // corpus-sized exploded table never reshuffles — at ANY corpus
+      // size. The first cut read the unclustered explosion and left
+      // the weight-table join to the planner: fine while wtab
+      // broadcast, but past the broadcast threshold (any real corpus)
+      // it silently flipped to a full corpus shuffle — the r11
+      // ScaleAudit's doc_similar finding (16.9 → 294 MB at ×10).
+      val ex = DedupOps.shinglesByKey(spark, dir)
         .select("doc_id", "lang", "shingle")
       val stats = Tables.documents(spark, dir)
         .agg(graft.functions.Exact.lcount.as("n_docs"))
@@ -595,7 +604,19 @@ object TextOps {
         .crossJoin(broadcast(stats))
         .withColumn("w", expr(s"($SimilarW * n_docs) div df"))
         .select("lang", "shingle", "w")
-      ex.join(wtab, Seq("lang", "shingle"))
+      val posts = ex.join(wtab, Seq("lang", "shingle"))
+      // each row also carries ITS DOC's capped-set size (n_sh): the
+      // jaccard denominators the D54 fusion needs then ride the pair
+      // stream in-row instead of via two per-doc joins — which the
+      // planner broadcasts at toy scale but flips to pair-stream
+      // re-shuffles past the threshold (the r11 ScaleAudit's
+      // doc_similar_rrf ×32 finding). The size derivation and the
+      // re-clustering are two LINEAR exchanges paid once at build
+      // (memoized, persisted by the D36j family)
+      val sizes = posts.groupBy("doc_id")
+        .agg(graft.functions.Exact.lcount.as("n_sh"))
+      posts.join(sizes, "doc_id")
+        .repartition(col("lang"), col("shingle"))
     }
 
   /** [[docSimilar]] over any postings source (session-built or
@@ -674,19 +695,22 @@ object TextOps {
     * set sizes and both rankings derive from the postings alone.
     */
   private[graft] def docSimilarRrfOn(p: DataFrame): DataFrame = {
-    // per-doc capped-shingle set sizes (the jaccard denominators)
-    val counts = p.groupBy("doc_id")
-      .agg(graft.functions.Exact.lcount.as("n_sh"))
+    // the jaccard denominators (per-doc capped-set sizes) ride the
+    // postings rows in-row (n_sh, attached once at layout build), so
+    // the pair stream is aggregated ONCE and never re-shuffled for a
+    // size lookup — the scale shape a billion-doc corpus needs, where
+    // a per-doc side is far past any broadcast threshold
     val pairs = p.filter(col("doc_id") % 20 === 3)
-      .select(col("lang"), col("shingle"), col("doc_id").as("a_id"))
+      .select(col("lang"), col("shingle"), col("doc_id").as("a_id"),
+        col("n_sh").as("na_row"))
       .join(p.select(col("lang"), col("shingle"),
-        col("doc_id").as("b_id"), col("w")), Seq("lang", "shingle"))
+        col("doc_id").as("b_id"), col("w"), col("n_sh").as("nb_row")),
+        Seq("lang", "shingle"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(graft.functions.Exact.lcount.as("n_shared"),
-        sum(col("w").cast(DecimalType(38, 0))).as("s_idf"))
-      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+        sum(col("w").cast(DecimalType(38, 0))).as("s_idf"),
+        max(col("na_row")).as("n_a"), max(col("nb_row")).as("n_b"))
       .withColumn("jacc", col("n_shared").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
     def ranked(order: Column, out: String): DataFrame =
@@ -1000,23 +1024,38 @@ object TextOps {
     * partial agg, and takes the argmax on a k=1 bounded heap. No
     * corpus shuffle beyond the per-doc agg.
     *
-    * Honesty note: THIS generator's lang label is independent of the
-    * text by construction, so held-out accuracy sits at the prior
-    * ceiling — the oracled contract is the exact distributed NB
-    * algebra (hash-parity with DuckDB), and the spec pins score
-    * parity against an independent in-memory NB, not accuracy.
+    * Label honesty (r11): the model trains and evaluates against a
+    * TEXT-DERIVED weak label — the D7 stopword-profile argmax
+    * ([[weakLabeled]]) — NOT the generator's `lang` column, which is
+    * independent of the text by construction (training against it put
+    * held-out accuracy at the prior ceiling, the r10 honesty note).
+    * With a label that is a genuine function of the tokens, a
+    * correctly-learned NB must beat the class prior on the held-out
+    * split, and the spec pins exactly that — on top of the oracled
+    * exact-algebra contract (hash-parity with DuckDB) and the
+    * independent in-memory score parity.
     */
   def classifyLang(spark: SparkSession, dir: String): DataFrame =
     classifyAgainst(spark, dir,
       nbCountsFrame(spark, dir), nbClassDocsFrame(spark, dir))
+
+  /** The documents table with D59's weak label attached: the D7
+    * stopword-profile argmax (`wl`), a deterministic pure function of
+    * the text — shared by the trainer, the evaluator, the streaming
+    * face's fixture, and (re-expressed in SQL) the DuckDB oracle.
+    */
+  private[graft] def weakLabeled(spark: SparkSession, dir: String): DataFrame =
+    withLangCounts(Tables.documents(spark, dir), TextFns.tokens(col("text")))
+      .withColumn("wl", predLangCol)
+      .select(col("doc_id"), col("wl"), col("text"))
 
   /** The trained model's larger half: per-(class, token) counts —
     * vocab-bounded, the layout-family artifact. */
   private[graft] def nbCountsFrame(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"nbCounts:$dir") {
       import graft.functions.Exact.lcount
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
-        .select(col("lang").as("cls"),
+      weakLabeled(spark, dir).filter(col("doc_id") % 10 =!= 7)
+        .select(col("wl").as("cls"),
           explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy("cls", "tok").agg(lcount.as("c"))
     }
@@ -1026,8 +1065,8 @@ object TextOps {
   private[graft] def nbClassDocsFrame(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"nbClassDocs:$dir") {
       import graft.functions.Exact.lcount
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)
-        .groupBy(col("lang").as("cls")).agg(lcount.as("nd"))
+      weakLabeled(spark, dir).filter(col("doc_id") % 10 =!= 7)
+        .groupBy(col("wl").as("cls")).agg(lcount.as("nd"))
     }
 
   /** Classification against EXPLICIT model frames (session memos or
@@ -1036,9 +1075,10 @@ object TextOps {
       classCounts: DataFrame, classDocs: DataFrame): DataFrame = {
     import graft.functions.IntKernels.qlog2
     import graft.functions.Exact.lcount
-    val test = Tables.documents(spark, dir)
+    val test = weakLabeled(spark, dir)
       .filter(col("doc_id") % 10 === 7)
-      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("wl").as("lang"),
+        TextFns.tokens(col("text")).as("toks"))
     val nS = classCounts.groupBy("cls")
       .agg(sum(col("c")).cast(LongType).as("n_s"))
     val vocab = classCounts.agg(countDistinct(col("tok")).as("v"))

@@ -69,6 +69,12 @@ case class PatternTail(event_id: Long, ts: Timestamp, event_type: String)
 case class PatternOut(user_id: Long, id_0: Long, ts_0: Timestamp,
     id_1: Long, id_2: Long, span_ms: Long)
 
+/** E45 Kleene match emission — the B29 schema (run length instead of
+  * fixed middle-step ids).
+  */
+case class KleeneOut(user_id: Long, id_0: Long, ts_0: Timestamp,
+    n_mid: Long, id_last: Long, span_ms: Long)
+
 case class GapOut(user_id: Long, event_type: String, event_id: Long,
   ts: Timestamp, gap_ms: Long)
 case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
@@ -521,6 +527,55 @@ object StreamOps {
                   cur.ts.getTime - window.head.ts.getTime)
               }
               tail = window.takeRight(n - 1)
+            }
+          state.update(tail)
+          out.iterator
+        })
+  }
+
+  /** E45: streaming Kleene CEP — B29's continuous face (`A B+ C`,
+    * run bounded by KleeneMaxRun): per user, the state is the last
+    * maxRun+1 timeline events (a fixed ring — O(maxRun) per user,
+    * the E38 discipline), and a match is DECIDED AT THE TERMINATOR:
+    * when a C arrives, the run is the block of consecutive B's at the
+    * ring's top and the anchor is the event just before it — emit iff
+    * the block length is in [1, maxRun], the anchor is an A, and the
+    * span fits. Greedy parity with the batch operator is structural:
+    * the batch's maximal forward run from the anchor IS the backward
+    * block from its terminator (the event before the block is the
+    * non-B anchor), and a ring full of B's (run > maxRun) rejects on
+    * both faces. Arrivals sort by the batch timeline key inside each
+    * micro-batch, so a run straddling a batch split replays exactly
+    * (parity spec).
+    */
+  def patternKleeneStream(events: Dataset[Ev],
+      maxRun: Int = graft.operators.EventOps.KleeneMaxRun,
+      maxSpanMin: Int = graft.operators.EventOps.PatternMaxSpanMin)
+      : Dataset[KleeneOut] = {
+    import events.sparkSession.implicits._
+    val Seq(a, b, c) = graft.operators.EventOps.PatternSeq
+    val spanMs = maxSpanMin.toLong * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[Ev], state: GroupState[Seq[PatternTail]]) => {
+          var tail = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KleeneOut]
+          it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (e.event_type == c && tail.nonEmpty) {
+                val k = tail.reverseIterator.takeWhile(_.event_type == b).size
+                if (k >= 1 && k <= maxRun && tail.length >= k + 1) {
+                  val anchor = tail(tail.length - k - 1)
+                  val span = e.ts.getTime - anchor.ts.getTime
+                  if (anchor.event_type == a && span <= spanMs)
+                    out += KleeneOut(user, anchor.event_id, anchor.ts,
+                      k.toLong, e.event_id, span)
+                }
+              }
+              tail = (tail :+ PatternTail(e.event_id, e.ts, e.event_type))
+                .takeRight(maxRun + 1)
             }
           state.update(tail)
           out.iterator

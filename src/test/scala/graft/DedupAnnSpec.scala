@@ -231,6 +231,25 @@ class DedupAnnSpec extends GraftSpec {
       s"IVF-SQ recall fell below IVF-Flat: ${j.length} vs $ivfHits of ${nQueries * 10}")
   }
 
+  test("ivfsq table serving: search over the persisted coded lists == session annIvfSq bit-for-bit") {
+    val m = AnnOps.DefaultM
+    val table = sources.LayoutStore.tableName(s"test_scale_ivfsq_m$m", Sf)
+    sources.LayoutStore.purge(spark, table)
+    try {
+      sources.LayoutStore.ensure(spark, table, Seq("c_cid"), m)(
+        AnnOps.ivfSqListsFrameM(spark, Sf, m))
+      val queries = Tables.embeddings(spark, Sf)
+        .filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      val served = AnnOps.ivfSqSearchTable(spark, Sf, m,
+          sources.LayoutStore.read(spark, table), queries)
+        .collect().map(_.toString).toSeq
+      val session = AnnOps.annIvfSq(spark, Sf).collect().map(_.toString).toSeq
+      assert(served == session,
+        "table-served IVF-SQ diverges from the session path")
+      assert(served.nonEmpty, "degenerate fixture: no search results")
+    } finally sources.LayoutStore.purge(spark, table)
+  }
+
   test("rp prefilter: exact rerank sims, JL recall floor, deterministic signs") {
     // the sign matrix is a pure function of the kernel — regenerating
     // it must be bit-identical (the oracle bakes these as literals)
@@ -495,6 +514,30 @@ class DedupAnnSpec extends GraftSpec {
       assert(viaShuffle.size == 40 * 6,
         s"expected 240 in-cluster pairs, got ${viaShuffle.size}")
     } finally Memo.invalidate(spark, d)
+  }
+
+  test("dedup_recall: truth matches the lossless join, recall monotone in bands, default geometry >= 0.9") {
+    val rows = DedupOps.dedupRecall(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(t => (t._1.toInt, t._2.toInt)).toSeq ==
+      DedupOps.RecallGeoms.sortBy(_._1),
+      "one row per geometry, ordered by band count")
+    val nTrue = DedupOps.dedupPrefixFilter(spark, Sf).count()
+    assert(rows.forall(_._3 == nTrue), "n_true must equal the D71 truth")
+    assert(nTrue > 0, "degenerate fixture: no true pairs")
+    rows.foreach { case (b, r, t, h, rec) =>
+      assert(h <= t, s"hits $h exceed truth $t at ${b}x$r")
+      assert(rec == h.toDouble / t.toDouble)
+    }
+    // geometries nest (64 = 4·16): candidates are containment-ordered,
+    // so recall must be monotone non-decreasing in the band count
+    val recalls = rows.sortBy(_._1).map(_._5)
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi },
+      s"recall not monotone in bands: ${recalls.mkString(", ")}")
+    // the default geometry (8×8) carries the D3 pipeline: pin its floor
+    val def88 = rows.find(t => t._1 == 8 && t._2 == 8).get._5
+    assert(def88 >= 0.9, s"default-geometry LSH recall fell to $def88")
   }
 
   test("dedup_containment equals brute force; containment dominates jaccard") {

@@ -302,6 +302,38 @@ class QueriesSpec extends GraftSpec {
       s"full ${full.size} + abandoned ${abandoned.size} != prefix ${prefix.size}")
   }
 
+  test("evt_pattern_kleene: brute-force parity on the real timeline; n_mid=1 rows coincide with B25") {
+    import graft.operators.EventOps
+    val maxRun = EventOps.KleeneMaxRun
+    val spanMs = EventOps.PatternMaxSpanMin.toLong * 60000L
+    val Seq(a, b, c) = EventOps.PatternSeq
+    // brute force: per user timeline scan for A B{1..maxRun} C in span
+    val timeline = Tables.events(spark, Sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2.getTime, e._3))).toMap
+    val exp = (for {
+      (u, evs) <- timeline.toSeq; i <- evs.indices
+      if evs(i)._4 == a
+      r = evs.drop(i + 1).takeWhile(_._4 == b).length
+      if r >= 1 && r <= maxRun && i + r + 1 < evs.length
+      term = evs(i + r + 1) if term._4 == c
+      span = term._2.getTime - evs(i)._2.getTime if span <= spanMs
+    } yield (u, evs(i)._3, r.toLong, term._3, span)).sorted
+    val got = EventOps.patternKleene(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("n_mid"), r.getAs[Long]("id_last"),
+        r.getAs[Long]("span_ms"))).toSeq.sorted
+    assert(got == exp, s"kleene ${got.length} vs brute force ${exp.length}")
+    assert(got.nonEmpty, "degenerate fixture: no kleene matches")
+    // the single-click slice IS B25: same anchors, same terminators
+    val one = got.filter(_._3 == 1L).map(t => (t._1, t._2, t._4, t._5)).toSet
+    val b25 = EventOps.patternMatch(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("id_2"), r.getAs[Long]("span_ms"))).toSet
+    assert(one == b25, s"n_mid=1 slice ${one.size} != B25 ${b25.size}")
+  }
+
   test("dedup_explain: pairs are the flagged set, shingles shared, df-ranked") {
     import graft.operators.{DedupOps, TextOps}
     val out = DedupOps.dedupExplain(spark, Sf).collect()

@@ -301,6 +301,63 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("patternKleeneStream == batch evt_pattern_kleene, multi-click run straddling the batch split") {
+    import graft.operators.EventOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val synth = Seq(
+      // a 3-click run that must match with n_mid = 3
+      (998001L, t("2024-06-02 10:00:00"), 9980L, "view", 1.0),
+      (998002L, t("2024-06-02 10:10:00"), 9980L, "click", 1.0),
+      (998003L, t("2024-06-02 10:20:00"), 9980L, "click", 1.0),
+      (998004L, t("2024-06-02 10:30:00"), 9980L, "click", 1.0),
+      (998005L, t("2024-06-02 10:40:00"), 9980L, "purchase", 1.0),
+      // a run past the bound (KleeneMaxRun+1 clicks) — must NOT match
+      (997001L, t("2024-06-02 10:00:00"), 9970L, "view", 1.0),
+      (997002L, t("2024-06-02 10:10:00"), 9970L, "click", 1.0),
+      (997003L, t("2024-06-02 10:11:00"), 9970L, "click", 1.0),
+      (997004L, t("2024-06-02 10:12:00"), 9970L, "click", 1.0),
+      (997005L, t("2024-06-02 10:13:00"), 9970L, "click", 1.0),
+      (997006L, t("2024-06-02 10:14:00"), 9970L, "click", 1.0),
+      (997007L, t("2024-06-02 10:15:00"), 9970L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .unionByName(synth)
+    val d = Files.createTempDirectory("kleene_par").toFile.getAbsolutePath
+    val widened = s"$d/widened"
+    all.write.parquet(s"$widened/events.parquet")
+    val expected = EventOps.patternKleene(spark, widened)
+      .select("user_id", "id_0", "n_mid", "id_last", "span_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(expected.exists(e => e._1 == 9980L && e._3 == 3L),
+      "synthetic 3-click run not matched")
+    assert(!expected.exists(_._1 == 9970L),
+      "over-bound run must not match")
+
+    // split INSIDE the click run (between clicks 2 and 3)
+    val src = s"$d/src"
+    val cutoff = t("2024-06-02 10:25:00").getTime
+    all.filter(unix_millis(col("ts")) < cutoff).write.mode("append").parquet(src)
+    val q = StreamOps.patternKleeneStream(
+        spark.readStream.schema(all.schema).parquet(src).as[Ev])
+      .writeStream.format("memory").queryName("kleene_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterEarly = spark.table("kleene_par").count()
+      all.filter(unix_millis(col("ts")) >= cutoff).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("kleene_par")
+        .select("user_id", "id_0", "n_mid", "id_last", "span_ms")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == expected,
+        s"streamed ${got.length} matches vs batch ${expected.length}")
+      // the synthetic run completed in batch 2 from recovered state
+      assert(got.length > afterEarly)
+    } finally q.stop()
+  }
+
   test("imageDedupStream: pairs == plain-Scala bands+hamming vs the standing split") {
     import graft.multimodal.MultimodalOps
     def hash(id: Long): Long = MultimodalOps.dHash56(
@@ -937,8 +994,11 @@ class StreamBatchParitySpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getString(3), r.getBoolean(4))).toSeq.sorted
     assert(expected.nonEmpty)
-    val crawl = Tables.documents(spark, Sf).filter(col("doc_id") % 10 === 7)
-      .select("doc_id", "lang", "text")
+    // arrivals carry the TEXT-DERIVED weak label as their true label
+    // (the r11 D59 contract) — the same frame the batch evaluator uses
+    val crawl = TextOps.weakLabeled(spark, Sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("wl").as("lang"), col("text"))
     val cut = crawl.agg(percentile_approx(col("doc_id"), lit(0.5), lit(100)))
       .collect()(0).getLong(0)
     val d = Files.createTempDirectory("nb_par").toFile.getAbsolutePath

@@ -160,12 +160,22 @@ class TextAnalysisSpec extends GraftSpec {
       .foreach(r => assert(r.getAs[Long]("rnk") == 1))
   }
 
-  test("doc_classify_lang: argmax + scores equal an independent in-memory NB") {
+  test("doc_classify_lang: argmax + scores equal an independent in-memory NB; held-out accuracy beats the prior") {
     import graft.functions.IntMath.qlog2
-    // independent NB: plain Scala maps over the same split/tokens
+    // the weak label in plain Scala: per-profile occurrence counts,
+    // argmax with the profile-order tie-break (predLangCol's contract)
+    def weakLabel(toks: Seq[String]): String = {
+      val counts = operators.TextOps.LangProfiles.map { case (l, ws) =>
+        l -> toks.count(ws.contains) }
+      val m = counts.map(_._2).max
+      counts.find(_._2 == m).get._1
+    }
+    // independent NB: plain Scala maps over the same split/tokens,
+    // labeled by the TEXT-DERIVED weak label (the r11 contract)
     val docs = Tables.documents(spark, Sf)
       .select("doc_id", "lang", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+      .map(r => (r.getLong(0), r.getString(2).split(" ", -1).toSeq))
+      .map { case (id, toks) => (id, weakLabel(toks), toks) }
     val train = docs.filter(_._1 % 10 != 7)
     val test = docs.filter(_._1 % 10 == 7)
     assert(train.nonEmpty && test.nonEmpty)
@@ -197,5 +207,12 @@ class TextAnalysisSpec extends GraftSpec {
       assert(r.getAs[String]("true_lang") == actual)
       assert(r.getAs[Boolean]("correct") == (p == actual))
     }
+    // the label is a genuine function of the text, so the learned
+    // model must beat the class prior on the held-out split — the
+    // assertion the generator's text-independent lang column could
+    // never support (r10 honesty note, closed in r11)
+    val prior = nd.values.max.toDouble / ndTot
+    val acc = got.count(_.getAs[Boolean]("correct")).toDouble / got.length
+    assert(acc > prior, s"held-out accuracy $acc not above prior $prior")
   }
 }
