@@ -152,7 +152,7 @@ object ScaleAudit {
     val json = s"""{"base":"$base","factors":[1,10],""" +
       s""""noise_floor_mb":${NoiseFloorBytes / 1024 / 1024},""" +
       s""""flagged":$badCount,"queries":{${rows.mkString(",")}},""" +
-      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the exponent has no base - informational, the x10 point becomes the base a further scale-up would be judged from","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove three r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row)"]}"""
+      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the exponent has no base - informational, the x10 point becomes the base a further scale-up would be judged from","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove FIVE r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row), and - written and caught within the same session - dedup_recall's first cut twice: an unpersisted truth frame re-executing the D71 verify per consuming action (exp 1.38), then its banded self-join flipping to a both-sides shuffle at x10 (exp 1.73); fixed with the memoized clustered-band device, final exp 0.99"]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -164,7 +164,13 @@ object ScaleBench {
     // scan into a bounded heap, never an exchange). doc_pareto_front:
     // one per-length aggregation over the corpus — expect ~linear
     "graph_link_predict", "dedup_prefix_filter", "postings_incremental",
-    "doc_pareto_front")
+    "doc_pareto_front",
+    // r11: the recall/tuner contract — ONE finest-banding self-join
+    // (coarser geometries derived in-row from matched band ids) + the
+    // prefix-filter truth + two scalar aggregations; under the
+    // self-similar amplifier band buckets stay constant-sized while
+    // docs grow F× — expect ~linear
+    "dedup_recall")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

@@ -2857,21 +2857,38 @@ object SparkEntry {
         |    AS est_jaccard
         |FROM pairs ORDER BY a_id, b_id""".stripMargin),
 
-    // D74: candidate recall per band geometry vs the exact tau truth.
-    // Band values are slot-list slices (the dedup_minhash_lsh device:
-    // list equality ≡ the kernel's band-hash equality on this data);
-    // geometries nest (64 = 4·16), so recall is monotone in bands.
-    "dedup_recall" -> (MinhashSigSql +
+    // D74: candidate recall per band geometry vs the exact tau truth,
+    // plus the analytic S-curve expectation over the same truth pairs
+    // and the tuner's chosen geometry. Band values are slot-list
+    // slices (the dedup_minhash_lsh device: list equality ≡ the
+    // kernel's band-hash equality on this data); geometries nest
+    // (64 = 4·16), so recall is monotone in bands. The S-curve
+    // P = 1 − (1 − s^r)^b repeats the operator's left-associated
+    // multiplication chains literally (no pow), per-pair values
+    // floored to Q40 so the sum is order-independent.
+    "dedup_recall" -> {
+      def chain(x: String, n: Int): String =
+        (2 to n).foldLeft(x)((a, _) => s"($a * $x)")
+      def sCurve(b: Int, r: Int): String = {
+        val inner = s"(CAST(1.0 AS DOUBLE) - ${chain("jacc", r)})"
+        s"(CAST(1.0 AS DOUBLE) - ${chain(inner, b)})"
+      }
+      val expArms = operators.DedupOps.RecallGeoms.map { case (b, r) =>
+        s"""SELECT $b AS gb, SUM(CAST(floor(${sCurve(b, r)} *
+           | 1099511627776.0) AS BIGINT)) AS e FROM truth""".stripMargin
+      }.mkString(" UNION ALL ")
+      MinhashSigSql +
       s""",
         |e AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
         |    unnest(shingles) AS shingle FROM s),
-        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |truth AS (SELECT a_id, b_id, jacc FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE) AS jacc
         |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
         |    AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-        |  HAVING CAST(COUNT(*) AS DOUBLE)
-        |    / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE)
-        |    >= ${operators.DedupOps.PrefixTau}),
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh)
+        |  WHERE jacc >= ${operators.DedupOps.PrefixTau}),
         |geoms(gb, gr) AS (VALUES ${operators.DedupOps.RecallGeoms
            .map { case (b, r) => s"($b, $r)" }.mkString(", ")}),
         |banded AS (SELECT g.gb, g.gr, doc_id, lang,
@@ -2887,15 +2904,25 @@ object SparkEntry {
         |hits AS (SELECT c.gb, c.gr, COUNT(*) AS hits
         |  FROM cands c JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id
         |  GROUP BY 1, 2),
-        |tot AS (SELECT COUNT(*) AS n_true FROM truth)
-        |SELECT CAST(g.gb AS BIGINT) AS n_bands, CAST(g.gr AS BIGINT) AS n_rows,
-        |  CAST(t.n_true AS BIGINT) AS n_true,
+        |tot AS (SELECT COUNT(*) AS n_true FROM truth),
+        |expv AS ($expArms),
+        |expj AS (SELECT g.gb, g.gr, t.n_true,
+        |    CAST(x.e AS DOUBLE) / (CAST(t.n_true AS DOUBLE)
+        |      * 1099511627776.0) AS expected_recall
+        |  FROM geoms g CROSS JOIN tot t JOIN expv x ON x.gb = g.gb),
+        |pick AS (SELECT MIN(gb) AS pick FROM expj
+        |  WHERE expected_recall >= ${operators.DedupOps.TuneTarget})
+        |SELECT CAST(j.gb AS BIGINT) AS n_bands, CAST(j.gr AS BIGINT) AS n_rows,
+        |  CAST(j.n_true AS BIGINT) AS n_true,
         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
-        |    AS recall
-        |FROM geoms g CROSS JOIN tot t
-        |LEFT JOIN hits h ON h.gb = g.gb AND h.gr = g.gr
-        |ORDER BY n_bands""".stripMargin),
+        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(j.n_true AS DOUBLE)
+        |    AS recall,
+        |  j.expected_recall,
+        |  p.pick IS NOT NULL AND j.gb = p.pick AS chosen
+        |FROM expj j CROSS JOIN pick p
+        |LEFT JOIN hits h ON h.gb = j.gb AND h.gr = j.gr
+        |ORDER BY n_bands""".stripMargin
+    },
 
     "dedup_minhash_verified" -> (MinhashSigSql +
       """,

@@ -516,28 +516,44 @@ class DedupAnnSpec extends GraftSpec {
     } finally Memo.invalidate(spark, d)
   }
 
-  test("dedup_recall: truth matches the lossless join, recall monotone in bands, default geometry >= 0.9") {
+  test("dedup_recall: truth matches the lossless join, measured+expected recall monotone, one chosen geometry") {
     val rows = DedupOps.dedupRecall(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4)))
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
     assert(rows.map(t => (t._1.toInt, t._2.toInt)).toSeq ==
       DedupOps.RecallGeoms.sortBy(_._1),
       "one row per geometry, ordered by band count")
     val nTrue = DedupOps.dedupPrefixFilter(spark, Sf).count()
     assert(rows.forall(_._3 == nTrue), "n_true must equal the D71 truth")
     assert(nTrue > 0, "degenerate fixture: no true pairs")
-    rows.foreach { case (b, r, t, h, rec) =>
+    rows.foreach { case (b, r, t, h, rec, exp, _) =>
       assert(h <= t, s"hits $h exceed truth $t at ${b}x$r")
       assert(rec == h.toDouble / t.toDouble)
+      assert(exp >= 0.0 && exp <= 1.0, s"S-curve expectation $exp off range")
     }
     // geometries nest (64 = 4·16): candidates are containment-ordered,
-    // so recall must be monotone non-decreasing in the band count
-    val recalls = rows.sortBy(_._1).map(_._5)
+    // so MEASURED recall must be monotone non-decreasing in the band
+    // count — and the ANALYTIC S-curve expectation must agree on the
+    // ordering (more bands of fewer rows always raises P(candidate))
+    val byBands = rows.sortBy(_._1)
+    val recalls = byBands.map(_._5)
     assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi },
       s"recall not monotone in bands: ${recalls.mkString(", ")}")
+    val expected = byBands.map(_._6)
+    assert(expected.zip(expected.tail).forall { case (lo, hi) => lo <= hi },
+      s"expected recall not monotone: ${expected.mkString(", ")}")
     // the default geometry (8×8) carries the D3 pipeline: pin its floor
     val def88 = rows.find(t => t._1 == 8 && t._2 == 8).get._5
     assert(def88 >= 0.9, s"default-geometry LSH recall fell to $def88")
+    // the tuner picks EXACTLY the fewest-bands geometry meeting the
+    // target (candidate volume grows with bands, so fewest wins)
+    val qualifying = byBands.filter(_._6 >= DedupOps.TuneTarget)
+    val chosen = rows.filter(_._7)
+    if (qualifying.nonEmpty) {
+      assert(chosen.length == 1, s"expected one chosen row, got ${chosen.length}")
+      assert(chosen.head._1 == qualifying.map(_._1).min,
+        "chosen geometry is not the fewest-bands qualifier")
+    } else assert(chosen.isEmpty, "nothing qualifies yet a row is chosen")
   }
 
   test("dedup_containment equals brute force; containment dominates jaccard") {
