@@ -476,6 +476,32 @@ class DedupAnnSpec extends GraftSpec {
       s"prefix rows $pref exceed the (1-tau) bound")
   }
 
+  test("prefix-length bound: the float-safe ceil never under-runs the rational lemma, overshoot at most one") {
+    // the lemma requires prefix length ≥ nsh − ⌈τ·nsh⌉_exact + 1 with
+    // the ceiling of the TRUE rational product; evaluate the
+    // operator's actual expression (epsilon'd double ceil) over a
+    // range of sizes and non-dyadic rationals and pin it against
+    // exact BigInt arithmetic: never shorter (recall-safe), and at
+    // most one element longer (the epsilon's only possible effect)
+    import spark.implicits._
+    val nshs = (1 to 400).toDF("nsh")
+    for ((num, den) <- Seq((1, 2), (3, 10), (7, 10), (2, 3), (9, 10),
+        (1, 3), (4, 5), (13, 20))) {
+      val tau = num.toDouble / den
+      val got = nshs.withColumn("len",
+          col("nsh") - ceil(col("nsh") * lit(tau) - lit(1e-9)) + lit(1))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 to 400).foreach { nsh =>
+        val ceilExact = ((BigInt(nsh) * num + den - 1) / den).toLong
+        val need = nsh - ceilExact + 1
+        assert(got(nsh) >= need,
+          s"nsh=$nsh tau=$num/$den: prefix ${got(nsh)} under-runs lemma $need")
+        assert(got(nsh) <= need + 1,
+          s"nsh=$nsh tau=$num/$den: epsilon overshoot beyond one element")
+      }
+    }
+  }
+
   test("dedup_prefix_filter adaptive verify: dup-heavy corpus overflows a corpus-sized broadcast cap, arms stay bit-identical") {
     // dup-heavy fixture (the boilerplate-crawl regime the adaptive arm
     // exists for): 40 clusters × 4 docs differing only in their last
