@@ -311,6 +311,14 @@ class StreamBatchParitySpec extends GraftSpec {
       (998003L, t("2024-06-02 10:20:00"), 9980L, "click", 1.0),
       (998004L, t("2024-06-02 10:30:00"), 9980L, "click", 1.0),
       (998005L, t("2024-06-02 10:40:00"), 9980L, "purchase", 1.0),
+      // a run EXACTLY at the bound (KleeneMaxRun clicks) — must match
+      // with n_mid = maxRun (the boundary the lead-width is sized for)
+      (996001L, t("2024-06-02 10:00:00"), 9960L, "view", 1.0),
+      (996002L, t("2024-06-02 10:01:00"), 9960L, "click", 1.0),
+      (996003L, t("2024-06-02 10:02:00"), 9960L, "click", 1.0),
+      (996004L, t("2024-06-02 10:03:00"), 9960L, "click", 1.0),
+      (996005L, t("2024-06-02 10:04:00"), 9960L, "click", 1.0),
+      (996006L, t("2024-06-02 10:05:00"), 9960L, "purchase", 1.0),
       // a run past the bound (KleeneMaxRun+1 clicks) — must NOT match
       (997001L, t("2024-06-02 10:00:00"), 9970L, "view", 1.0),
       (997002L, t("2024-06-02 10:10:00"), 9970L, "click", 1.0),
@@ -332,6 +340,9 @@ class StreamBatchParitySpec extends GraftSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(expected.exists(e => e._1 == 9980L && e._3 == 3L),
       "synthetic 3-click run not matched")
+    assert(expected.exists(e => e._1 == 9960L &&
+        e._3 == EventOps.KleeneMaxRun.toLong),
+      "at-bound run must match with n_mid = maxRun")
     assert(!expected.exists(_._1 == 9970L),
       "over-bound run must not match")
 
