@@ -144,9 +144,13 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (DedupOps.dedupMinhashLsh _),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashLshVerified(s, d)),
     // D74: LSH candidate recall vs the exact tau-Jaccard truth, per
-    // band geometry — the dedup family's ann_recall
+    // band geometry — the dedup family's ann_recall — with the
+    // analytic S-curve expectation and the tuner's chosen geometry
     "dedup_recall"         -> ((s: SparkSession, d: String) =>
       DedupOps.dedupRecall(s, d)),
+    // D75: the simhash pipeline's recall of the same truth
+    "dedup_recall_simhash" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupRecallSimhash(s, d)),
     "dedup_simhash"        -> (DedupOps.dedupSimhash _),
     "dedup_embedding"      -> (DedupOps.dedupEmbedding _),
     "dedup_embedding_clusters" -> (DedupOps.dedupEmbeddingClusters _),
@@ -1023,6 +1027,32 @@ object SparkEntry {
     * Q10 weights, prior base, per-doc score fold, argmax by
     * (score desc, cls asc).
     */
+  /** The simhash signature + band CTE chain (house kernel replicated
+    * in HUGEINT SQL) ending at `sbands(doc_id, sig, k, v)` — shared by
+    * D4's pair query and D75's recall row.
+    */
+  private def SimhashChainSql: String = {
+    val p2 = (0 until 64).map(b => s"($b, ${BigInt(1) << b})").mkString(", ")
+    val band = (0 until 4).map(k => s"($k, ${BigInt(1) << (k * 16)})").mkString(", ")
+    s"""st AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents),
+       |sh0 AS (SELECT doc_id, $TokFoldSql AS ph FROM st),
+       |shh AS (SELECT doc_id, ${mix("ph")} AS hu FROM sh0),
+       |sp2(b, p) AS (VALUES $p2),
+       |svotes AS (SELECT doc_id, b,
+       |    SUM(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM shh CROSS JOIN sp2 GROUP BY doc_id, b),
+       |ssigu AS (SELECT v.doc_id,
+       |    SUM(CASE WHEN v.cnt > 0 THEN sp2.p ELSE CAST(0 AS HUGEINT) END) AS su
+       |  FROM svotes v JOIN sp2 ON sp2.b = v.b GROUP BY v.doc_id),
+       |ssig AS (SELECT doc_id, CAST(${signed64("su")} AS BIGINT) AS sig, su
+       |  FROM ssigu),
+       |sbd(k, p) AS (VALUES $band),
+       |sbands AS (SELECT doc_id, sig, k,
+       |    CAST((su // sbd.p) % 65536 AS BIGINT) AS v
+       |  FROM ssig CROSS JOIN sbd)""".stripMargin
+  }
+
   private def ClassifyLangSql: String =
     // `lang` here is D59's TEXT-DERIVED weak label (the D7
     // stopword-profile argmax), not the generator column — the r11
@@ -2967,32 +2997,49 @@ object SparkEntry {
         |WHERE CAST(inter_cnt AS DOUBLE) / CAST(n_a + n_b - inter_cnt AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin),
 
-    "dedup_simhash" -> {
-      val p2 = (0 until 64).map(b => s"($b, ${BigInt(1) << b})").mkString(", ")
-      val band = (0 until 4).map(k => s"($k, ${BigInt(1) << (k * 16)})").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |    FROM documents),
-         |h0 AS (SELECT doc_id, $TokFoldSql AS ph FROM t),
-         |h AS (SELECT doc_id, ${mix("ph")} AS hu FROM h0),
-         |p2(b, p) AS (VALUES $p2),
-         |votes AS (SELECT doc_id, b,
-         |    SUM(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
-         |  FROM h CROSS JOIN p2 GROUP BY doc_id, b),
-         |sigu AS (SELECT v.doc_id,
-         |    SUM(CASE WHEN v.cnt > 0 THEN p2.p ELSE CAST(0 AS HUGEINT) END) AS su
-         |  FROM votes v JOIN p2 ON p2.b = v.b GROUP BY v.doc_id),
-         |sig AS (SELECT doc_id, CAST(${signed64("su")} AS BIGINT) AS sig, su
-         |  FROM sigu),
-         |bd(k, p) AS (VALUES $band),
-         |bands AS (SELECT doc_id, sig, k, CAST((su // bd.p) % 65536 AS BIGINT) AS v
-         |  FROM sig CROSS JOIN bd)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+    "dedup_simhash" ->
+      (s"WITH $SimhashChainSql " +
+       s"""SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         |FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v
+         |FROM sbands a JOIN sbands b ON a.k = b.k AND a.v = b.v
          |  AND a.doc_id < b.doc_id
-         |WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) <= 3
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT)
+         |  <= ${operators.DedupOps.SimhashMaxHamming}
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // D75: the simhash pipeline's recall of the exact tau-Jaccard
+    // truth — the simhash chain + the D71 truth chain + two counts
+    "dedup_recall_simhash" ->
+      (s"WITH $SimhashChainSql, " +
+       s"""sd AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |ss AS (SELECT doc_id, lang,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+         |  FROM sd),
+         |se AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS nsh,
+         |    unnest(shingles) AS shingle FROM ss),
+         |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM se a JOIN se b ON a.lang = b.lang AND a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE)
+         |    >= ${operators.DedupOps.PrefixTau}),
+         |scand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sbands a JOIN sbands b ON a.k = b.k AND a.v = b.v
+         |    AND a.doc_id < b.doc_id
+         |  WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT)
+         |    <= ${operators.DedupOps.SimhashMaxHamming}),
+         |tot AS (SELECT COUNT(*) AS n_true FROM truth),
+         |hh AS (SELECT COUNT(*) AS hits
+         |  FROM scand c JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id)
+         |SELECT CAST(${operators.DedupOps.SimhashMaxHamming} AS BIGINT)
+         |    AS max_hamming,
+         |  CAST(tot.n_true AS BIGINT) AS n_true,
+         |  CAST(hh.hits AS BIGINT) AS hits,
+         |  CAST(hh.hits AS DOUBLE) / CAST(tot.n_true AS DOUBLE) AS recall
+         |FROM tot CROSS JOIN hh""".stripMargin),
 
     // suffix-array-family span dedup: L=8 token windows fingerprinted
     // with the StrHash64 kernel (poly fold + splitmix64 — replicated

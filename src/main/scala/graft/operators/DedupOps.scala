@@ -429,16 +429,22 @@ object DedupOps {
     lit(1.0) - powChain(lit(1.0) - powChain(s, r), b)
   }
 
+  /** The exact τ-Jaccard truth pairs (with jacc), memoized: the D74
+    * recall query feeds it to three actions (count, hit flags,
+    * expected-recall sum) and D75 probes it again — unpersisted, each
+    * consumer would re-execute the whole D71 verify, which the r11
+    * ScaleAudit flagged as 3× the verify's bytes. Pair-sized.
+    */
+  private def prefixTruth(spark: SparkSession, dir: String,
+      tau: Double): DataFrame =
+    graft.Memo.df(spark, s"prefixTruth:$dir:$tau") {
+      dedupPrefixFilter(spark, dir, tau).select("a_id", "b_id", "jacc")
+    }
+
   def dedupRecall(spark: SparkSession, dir: String,
       tau: Double = PrefixTau): DataFrame = {
     import spark.implicits._
-    // memoized: the truth pairs feed THREE actions here (count, hit
-    // flags, expected-recall sum) — unpersisted, each would re-execute
-    // the whole D71 verify, which the r11 ScaleAudit flagged as 3×
-    // the verify's bytes. The frame is pair-sized (near-dup pairs).
-    val truth = graft.Memo.df(spark, s"prefixTruth:$dir:$tau") {
-      dedupPrefixFilter(spark, dir, tau).select("a_id", "b_id", "jacc")
-    }
+    val truth = prefixTruth(spark, dir, tau)
     val sigs = graft.Memo.df(spark, s"minhashSigOnly:$dir") {
       withShingles(spark, dir)
         .withColumn("sig", VectorFns.minhashSignature(col("shingles"), 64))
@@ -515,6 +521,34 @@ object DedupOps {
       .orderBy("n_bands")
   }
 
+  /** D4's hamming threshold (shared with D75 and the oracles). */
+  val SimhashMaxHamming = 3
+
+  /** D75: the SimHash pipeline's recall of the exact τ-Jaccard truth —
+    * the dedup family's SECOND probabilistic member measured on the
+    * same ruler as D74. The BLOCKING is lossless by pigeonhole (4
+    * bands over the 64-bit signature: hamming ≤ 3 flips at most 3
+    * bands, so at least one stays intact and proposes the pair), so
+    * what this row measures is the FINGERPRINT itself: how many
+    * τ-Jaccard pairs land within the deployed hamming threshold at
+    * all — the D4-vs-D2 fidelity number a pipeline consults when
+    * choosing between the two families. One row, deterministic
+    * end-to-end (house simhash kernel + the D71 lossless truth),
+    * DuckDB-oracled like D74.
+    */
+  def dedupRecallSimhash(spark: SparkSession, dir: String,
+      tau: Double = PrefixTau): DataFrame = {
+    import spark.implicits._
+    val truth = prefixTruth(spark, dir, tau)
+    val nTrue = truth.count()
+    val hits = dedupSimhash(spark, dir).select("a_id", "b_id")
+      .join(truth, Seq("a_id", "b_id"), "left_semi").count()
+    Seq((SimhashMaxHamming.toLong, nTrue, hits))
+      .toDF("max_hamming", "n_true", "hits")
+      .withColumn("recall", col("hits").cast(DoubleType) /
+        col("n_true").cast(DoubleType))
+  }
+
   /** D3v: MinHash-LSH candidates + exact-Jaccard verify — the full
     * production pipeline that makes D3 a drop-in scale substitute for
     * D2: band-bucket join proposes pairs (recall bounded by the LSH
@@ -577,7 +611,7 @@ object DedupOps {
       .select(col("a_id"), col("b_id"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= SimhashMaxHamming)
       .orderBy("a_id", "b_id")
   }
 

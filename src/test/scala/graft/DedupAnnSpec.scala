@@ -582,6 +582,36 @@ class DedupAnnSpec extends GraftSpec {
     } else assert(chosen.isEmpty, "nothing qualifies yet a row is chosen")
   }
 
+  test("dedup_recall_simhash: hits are exactly the simhash-pairs ∩ truth; blocking is pigeonhole-lossless") {
+    val row = DedupOps.dedupRecallSimhash(spark, Sf).collect()(0)
+    val truth = DedupOps.dedupPrefixFilter(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = DedupOps.dedupSimhash(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(row.getLong(0) == DedupOps.SimhashMaxHamming.toLong)
+    assert(row.getLong(1) == truth.size.toLong)
+    assert(row.getLong(2) == (sim intersect truth).size.toLong,
+      "hits must be the simhash-candidate ∩ truth intersection")
+    assert(row.getDouble(3) == row.getLong(2).toDouble / row.getLong(1))
+    // pigeonhole losslessness of the BLOCKING: every doc pair within
+    // the hamming threshold (computed brute-force over all signatures)
+    // is proposed by the band join — so the recall row measures the
+    // FINGERPRINT's fidelity, never a blocking miss
+    val sigs = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash64(
+          graft.functions.TextFns.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= DedupOps.SimhashMaxHamming
+    } yield (a, b)).toSet
+    assert(brute == sim,
+      s"banded candidates ${sim.size} != brute-force hamming pairs ${brute.size}")
+  }
+
   test("dedup_containment equals brute force; containment dominates jaccard") {
     val tau = DedupOps.ContainTau
     val docs = Tables.documents(spark, Sf)
