@@ -1053,6 +1053,30 @@ object SparkEntry {
        |  FROM ssig CROSS JOIN sbd)""".stripMargin
   }
 
+  /** The stopword-profile hit-count columns, argmax input list and
+    * tie-break CASE, all GENERATED from `TextOps.LangProfiles` (the
+    * deployed constants) — the same derive-from-shared-constants
+    * device as PatternKleeneSql, so editing a profile can never drift
+    * the oracle (ADVICE r11). The CASE order mirrors `predLangCol`'s
+    * first-profile-wins tie-break.
+    */
+  private def langCountColsSql(castBigint: Boolean): String =
+    operators.TextOps.LangProfiles.map { case (l, ws) =>
+      val e = s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+      (if (castBigint) s"CAST($e AS BIGINT)" else e) + s" AS c_$l"
+    }.mkString(",\n|    ")
+
+  private def langGreatestSql: String =
+    s"greatest($langCountNamesSql)"
+
+  private def langCountNamesSql: String =
+    operators.TextOps.LangProfiles.map(p => s"c_${p._1}").mkString(", ")
+
+  private def langArgmaxCaseSql(mx: String): String =
+    operators.TextOps.LangProfiles.map { case (l, _) =>
+      s"WHEN c_$l = $mx THEN '$l'"
+    }.mkString("CASE ", "\n|      ", " ELSE 'und' END")
+
   private def ClassifyLangSql: String =
     // `lang` here is D59's TEXT-DERIVED weak label (the D7
     // stopword-profile argmax), not the generator column — the r11
@@ -1060,17 +1084,11 @@ object SparkEntry {
     s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
        |    FROM documents),
        |dc AS (SELECT doc_id, toks,
-       |    len(list_filter(toks, x -> x IN ('group','window','hash','merge'))) AS c_de,
-       |    len(list_filter(toks, x -> x IN ('the','fast','key','order'))) AS c_en,
-       |    len(list_filter(toks, x -> x IN ('sort','table','scan','row'))) AS c_es,
-       |    len(list_filter(toks, x -> x IN ('join','filter','stream','value'))) AS c_fr,
-       |    len(list_filter(toks, x -> x IN ('data','query','batch','line'))) AS c_zh
+       |    ${langCountColsSql(castBigint = false)}
        |  FROM d0),
-       |dm AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx FROM dc),
+       |dm AS (SELECT *, $langGreatestSql AS mx FROM dc),
        |d AS (SELECT doc_id,
-       |    CASE WHEN c_de = mx THEN 'de' WHEN c_en = mx THEN 'en'
-       |      WHEN c_es = mx THEN 'es' WHEN c_fr = mx THEN 'fr'
-       |      WHEN c_zh = mx THEN 'zh' ELSE 'und' END AS lang, toks
+       |    ${langArgmaxCaseSql("mx")} AS lang, toks
        |  FROM dm),
        |tr AS (SELECT * FROM d WHERE doc_id % 10 != 7),
        |te AS (SELECT * FROM d WHERE doc_id % 10 = 7),
@@ -3184,7 +3202,7 @@ object SparkEntry {
     "dedup_incremental_bloom" -> IncrementalDedupSql,
 
     "doc_curation" ->
-      """WITH t AS (SELECT doc_id, lang, text, n_chars,
+      s"""WITH t AS (SELECT doc_id, lang, text, n_chars,
         |    string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, lang, text, n_chars,
         |    CAST(len(toks) AS BIGINT) AS n_tok,
@@ -3192,16 +3210,10 @@ object SparkEntry {
         |      ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt,
         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
         |      AS BIGINT) AS punct_cnt,
-        |    CAST(len(list_filter(toks, x -> x IN ('group','window','hash','merge'))) AS BIGINT) AS c_de,
-        |    CAST(len(list_filter(toks, x -> x IN ('the','fast','key','order'))) AS BIGINT) AS c_en,
-        |    CAST(len(list_filter(toks, x -> x IN ('sort','table','scan','row'))) AS BIGINT) AS c_es,
-        |    CAST(len(list_filter(toks, x -> x IN ('join','filter','stream','value'))) AS BIGINT) AS c_fr,
-        |    CAST(len(list_filter(toks, x -> x IN ('data','query','batch','line'))) AS BIGINT) AS c_zh
+        |    ${langCountColsSql(castBigint = true)}
         |  FROM t),
-        |p AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c),
-        |f AS (SELECT *, CASE WHEN c_de = m THEN 'de' WHEN c_en = m THEN 'en'
-        |    WHEN c_es = m THEN 'es' WHEN c_fr = m THEN 'fr'
-        |    WHEN c_zh = m THEN 'zh' ELSE 'und' END AS pred_lang
+        |p AS (SELECT *, $langGreatestSql AS m FROM c),
+        |f AS (SELECT *, ${langArgmaxCaseSql("m")} AS pred_lang
         |  FROM p),
         |r AS (SELECT doc_id, lang, text, pred_lang,
         |    CAST(0.5 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE))
@@ -3516,22 +3528,16 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
         |    FROM documents),
         |c AS (SELECT doc_id, lang,
-        |    CAST(len(list_filter(toks, x -> x IN ('group','window','hash','merge'))) AS BIGINT) AS c_de,
-        |    CAST(len(list_filter(toks, x -> x IN ('the','fast','key','order'))) AS BIGINT) AS c_en,
-        |    CAST(len(list_filter(toks, x -> x IN ('sort','table','scan','row'))) AS BIGINT) AS c_es,
-        |    CAST(len(list_filter(toks, x -> x IN ('join','filter','stream','value'))) AS BIGINT) AS c_fr,
-        |    CAST(len(list_filter(toks, x -> x IN ('data','query','batch','line'))) AS BIGINT) AS c_zh
+        |    ${langCountColsSql(castBigint = true)}
         |  FROM t),
-        |p AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c),
-        |f AS (SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh,
-        |    CASE WHEN c_de = m THEN 'de' WHEN c_en = m THEN 'en'
-        |      WHEN c_es = m THEN 'es' WHEN c_fr = m THEN 'fr'
-        |      WHEN c_zh = m THEN 'zh' ELSE 'und' END AS pred_lang
+        |p AS (SELECT *, $langGreatestSql AS m FROM c),
+        |f AS (SELECT doc_id, lang, $langCountNamesSql,
+        |    ${langArgmaxCaseSql("m")} AS pred_lang
         |  FROM p)
-        |SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh, pred_lang,
+        |SELECT doc_id, lang, $langCountNamesSql, pred_lang,
         |  pred_lang = lang AS is_match
         |FROM f ORDER BY doc_id""".stripMargin,
 

@@ -198,6 +198,38 @@ object DedupOps {
     * naive blocked join filtered at τ — which is exactly what the
     * oracle states.
     */
+  /** τ as an exact decimal ratio num/den (den = 10^scale, scale ≤ 6).
+    * `BigDecimal.decimal` recovers the shortest decimal literal of the
+    * double (0.3 → 3/10, not the 54-bit binary neighbour); a τ needing
+    * more than 6 decimal digits is truncated DOWN, which can only
+    * LENGTHEN the prefix — recall-safe. den ≤ 1e6 keeps every product
+    * in [[prefixKeep]] inside a Long for any per-document shingle
+    * count below ~9e12 (a physical impossibility).
+    */
+  private[graft] def tauRational(tau: Double): (Long, Long) = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val bd0 = BigDecimal.decimal(tau)
+    val bd = if (bd0.scale <= 6) bd0
+      else bd0.setScale(6, scala.math.BigDecimal.RoundingMode.FLOOR)
+    val den = BigDecimal(10).pow(math.max(bd.scale, 0)).toLongExact
+    ((bd * den).toLongExact, den)
+  }
+
+  /** The prefix-membership predicate rn ≤ nsh − ⌈τ·nsh⌉ + 1, computed
+    * EXACTLY: with τ = num/den, ⌈a/b⌉ ≤ K ⟺ a ≤ K·b for integers, so
+    * the whole bound is one integer comparison — nsh·num ≤
+    * (nsh − rn + 1)·den. No division, no float, no epsilon: an IEEE
+    * product that lands an ulp above the true integer (10·0.3 =
+    * 3.0000000000000004) can neither shorten the prefix (dropping
+    * qualifying pairs) nor lengthen it (wasted candidates). Shared by
+    * the operator and the lemma property test so the test pins the
+    * deployed expression itself.
+    */
+  private[graft] def prefixKeep(rn: Column, nsh: Column, tau: Double): Column = {
+    val (num, den) = tauRational(tau)
+    nsh * lit(num) <= (nsh - rn + lit(1L)) * lit(den)
+  }
+
   /** Each document's prefix under the global rarity order — the only
     * shingles that may generate candidates (exposed for the spec's
     * measured reduction claim).
@@ -217,17 +249,13 @@ object DedupOps {
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
             .orderBy(col("df").asc, col("shingle").asc)))
-        // prefix length nsh − ⌈τ·nsh⌉ + 1: the ceil must be of the REAL
-        // product — an IEEE product that lands a hair ABOVE an integer
-        // (e.g. 10·0.3 = 3.0000000000000004) would otherwise round the
-        // required overlap UP and cut the prefix one element short of
-        // the lemma's bound, silently dropping qualifying pairs. A 1e-9
-        // epsilon absorbs that representation error (tau has ≤ a few
-        // meaningful digits; a deliberate τ within 1e-9 of an integer
-        // ratio is indistinguishable from it anyway) and only ever
-        // LENGTHENS the prefix — recall-safe by construction.
-        .filter(col("rn") <=
-          col("nsh") - ceil(col("nsh") * lit(tau) - lit(1e-9)) + lit(1))
+        // prefix length nsh − ⌈τ·nsh⌉ + 1 with the ceiling of the TRUE
+        // rational product, evaluated in pure integer arithmetic (see
+        // prefixKeep) — no float epsilon, so no regime where the ulp of
+        // nsh·τ outgrows it (an absolute 1e-9 stops absorbing IEEE
+        // error once nsh·τ exceeds ~4e6 — exactly the multi-million-
+        // shingle documents a web crawl produces).
+        .filter(prefixKeep(col("rn"), col("nsh"), tau))
         // only the join columns ride the clustered persist — rank and
         // sizes are spent once the prefix membership is decided
         .select("lang", "shingle", "doc_id")
@@ -262,6 +290,19 @@ object DedupOps {
     */
   val CandBroadcastMax = 4000000L
 
+  /** D71: lossless prefix-filtered exact τ-Jaccard join.
+    *
+    * EAGER-EXECUTION CONTRACT: constructing this DataFrame runs the
+    * candidate-pair job (one `count()` over the memoized
+    * [[prefixCandidates]] frame) to pick the verify arm — the plan is
+    * not side-effect-free. This is deliberate: the arm decision needs
+    * the measured candidate volume, the counted frame is persisted and
+    * is exactly what the verify then consumes (no extra pass at
+    * execution), and freezing the arm at construction makes the plan
+    * deterministic for audit/explain. Callers that only want a plan
+    * string still pay one candidate materialization per (dir, τ) —
+    * amortized across the session by the memo.
+    */
   def dedupPrefixFilter(spark: SparkSession, dir: String,
       tau: Double = PrefixTau,
       broadcastMax: Long = CandBroadcastMax): DataFrame = {

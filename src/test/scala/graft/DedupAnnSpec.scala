@@ -476,28 +476,62 @@ class DedupAnnSpec extends GraftSpec {
       s"prefix rows $pref exceed the (1-tau) bound")
   }
 
-  test("prefix-length bound: the float-safe ceil never under-runs the rational lemma, overshoot at most one") {
-    // the lemma requires prefix length ≥ nsh − ⌈τ·nsh⌉_exact + 1 with
+  test("prefix-length bound: the exact integer predicate matches the rational lemma, including the multi-million-shingle regime") {
+    // the lemma requires prefix length nsh − ⌈τ·nsh⌉_exact + 1 with
     // the ceiling of the TRUE rational product; evaluate the
-    // operator's actual expression (epsilon'd double ceil) over a
-    // range of sizes and non-dyadic rationals and pin it against
-    // exact BigInt arithmetic: never shorter (recall-safe), and at
-    // most one element longer (the epsilon's only possible effect)
+    // operator's DEPLOYED predicate (DedupOps.prefixKeep — exact
+    // integer comparison, no float ceil, no epsilon) over small sizes
+    // exhaustively AND sizes in the 1e7 range, where an absolute-1e-9
+    // epsilon'd double ceil provably fails (the ulp of nsh·τ exceeds
+    // 1e-9 above ~4e6 — the ADVICE r11 finding), and pin it against
+    // exact BigInt arithmetic.
     import spark.implicits._
-    val nshs = (1 to 400).toDF("nsh")
-    for ((num, den) <- Seq((1, 2), (3, 10), (7, 10), (2, 3), (9, 10),
-        (1, 3), (4, 5), (13, 20))) {
+    val small = (1L to 400L)
+    val big = (9999990L to 10000010L) ++ Seq(3999999L, 4000001L,
+      6666667L, 7777777L, 12345679L)
+    val sizes = (small ++ big).toSeq
+    val nshs = sizes.toDF("nsh")
+    // exactly-representable taus (den | 10^6): the predicate must
+    // EQUAL the lemma — neither under-run (recall) nor overshoot
+    // (wasted candidates)
+    for ((num, den) <- Seq((1L, 2L), (3L, 10L), (7L, 10L), (9L, 10L),
+        (4L, 5L), (13L, 20L), (333333L, 1000000L), (999999L, 1000000L))) {
       val tau = num.toDouble / den
-      val got = nshs.withColumn("len",
-          col("nsh") - ceil(col("nsh") * lit(tau) - lit(1e-9)) + lit(1))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (1 to 400).foreach { nsh =>
+      val got = nshs
+        .withColumn("rn", explode(sequence(lit(1L), least(col("nsh"), lit(500L)))))
+        .filter(graft.operators.DedupOps.prefixKeep(col("rn"), col("nsh"), tau))
+        .groupBy("nsh").agg(max("rn").as("len"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sizes.foreach { nsh =>
         val ceilExact = ((BigInt(nsh) * num + den - 1) / den).toLong
-        val need = nsh - ceilExact + 1
-        assert(got(nsh) >= need,
-          s"nsh=$nsh tau=$num/$den: prefix ${got(nsh)} under-runs lemma $need")
-        assert(got(nsh) <= need + 1,
-          s"nsh=$nsh tau=$num/$den: epsilon overshoot beyond one element")
+        val need = math.min(nsh - ceilExact + 1, math.min(nsh, 500L))
+        if (need >= 1L)
+          assert(got.getOrElse(nsh, 0L) == need,
+            s"nsh=$nsh tau=$num/$den: prefix ${got.getOrElse(nsh, 0L)} != lemma $need")
+        else
+          assert(!got.contains(nsh),
+            s"nsh=$nsh tau=$num/$den: lemma admits no prefix but predicate kept rows")
+      }
+    }
+    // taus needing > 6 decimal digits (1/3, 2/3) truncate DOWN to
+    // num/1e6: never shorter than the true lemma (recall-safe), and
+    // longer by at most nsh·(τ − num/den) + 1 ≤ nsh·1e-6 + 1
+    for ((num, den) <- Seq((1L, 3L), (2L, 3L))) {
+      val tau = num.toDouble / den
+      val got = nshs
+        .withColumn("rn", explode(sequence(lit(1L), least(col("nsh"), lit(500L)))))
+        .filter(graft.operators.DedupOps.prefixKeep(col("rn"), col("nsh"), tau))
+        .groupBy("nsh").agg(max("rn").as("len"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sizes.foreach { nsh =>
+        val ceilExact = ((BigInt(nsh) * num + den - 1) / den).toLong
+        val cap = math.min(nsh, 500L)
+        val need = math.min(nsh - ceilExact + 1, cap)
+        val g = got.getOrElse(nsh, 0L)
+        assert(need < 1L || g >= need,
+          s"nsh=$nsh tau=$num/$den: prefix $g under-runs lemma $need")
+        assert(g <= math.min(need.max(0L) + nsh / 1000000L + 1L, cap),
+          s"nsh=$nsh tau=$num/$den: truncation overshoot $g beyond bound")
       }
     }
   }
