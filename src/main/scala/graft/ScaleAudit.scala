@@ -70,9 +70,13 @@ object ScaleAudit {
 
   /** Below this ×1 volume an exponent has no meaningful base: the toy
     * factor's plan satisfied everything with broadcasts (zero-ish
-    * exchange). Such pairs are reported as a SHAPE TRANSITION —
-    * informational, not a failure — and the ×10 point becomes the
-    * base the next scale-up would be judged from.
+    * exchange). Such pairs are a SHAPE TRANSITION — and because the
+    * broadcast→shuffle flip class this gate exists for looks EXACTLY
+    * like that when it first appears past the ×1 point, a transition
+    * is treated as a PROVISIONAL failure, not a free pass: the audit
+    * auto-extends with a ×30 measurement of the transitioned queries
+    * and gates log(b₃₀/b₁₀)/log(3) against the same max_exp, so the
+    * ×10 point becomes the base instead of the verdict (ADVICE r11).
     */
   private val MinBaseBytes = 512L * 1024
 
@@ -87,8 +91,18 @@ object ScaleAudit {
     val sfName = base.replaceAll(".*/", "")
     val meter = new ShuffleMeter(spark)
 
+    // smoke-only knobs (the driver/judge run unfiltered defaults):
+    // SPARK_GRAFT_SCALE_ONLY narrows the query set for local
+    // iteration; SPARK_GRAFT_SCALE_MINBASE overrides the transition
+    // threshold so the ×30 extension path can be exercised cheaply
+    val minBase = sys.env.get("SPARK_GRAFT_SCALE_MINBASE")
+      .map(_.toLong).getOrElse(MinBaseBytes)
+    val onlySet = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     // the ScaleBench query set + the engine-isolating interval join
-    val audited = ScaleBench.Paths :+ "evt_incident_join_fixedinc"
+    val audited = (ScaleBench.Paths :+ "evt_incident_join_fixedinc")
+      .filter(q => onlySet.forall(_.contains(q)))
 
     val bytes = scala.collection.mutable.Map[String,
       scala.collection.mutable.Map[Int, Long]]()
@@ -126,6 +140,41 @@ object ScaleAudit {
       }
     }
 
+    // auto-extension pass: a transitioned query (all-broadcast ×1 base,
+    // above-floor ×10) would otherwise escape the gate exactly when the
+    // broadcast→shuffle flip first appears past ×1 — measure it once
+    // more at ×30 and judge log(b₃₀/b₁₀)/log(3) from the ×10 base
+    val transitioned = audited.filter { q =>
+      bytes(q)(1) < minBase && bytes(q)(10) > NoiseFloorBytes
+    }
+    if (transitioned.nonEmpty) {
+      val f = 30
+      val dir = s"/tmp/graft_scale/${sfName}_x$f"
+      ScaleBench.amplify(spark, base, f, dir)
+      Memo.clear(spark)
+      operators.DedupOps.withShingles(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      operators.AnnOps.warmShared(spark, dir)
+      operators.AnnOps.warmSq8(spark, dir)
+      operators.CurationOps.warmStanding(spark, dir)
+      operators.LayoutOps.ensure(spark, dir, "postings_base")
+      transitioned.foreach { q =>
+        meter.reset()
+        val t0 = System.nanoTime()
+        if (q == "evt_incident_join_fixedinc")
+          operators.EventOps.incidentJoinOn(spark, dir, base)
+            .write.format("noop").mode("overwrite").save()
+        else
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (w, _) = meter.read()
+        bytes(q)(f) = w
+        println(f"[scale-audit] x$f $q (transition extension): " +
+          f"${w / 1e6}%.2f MB shuffled ($sec%.1f s)")
+      }
+    }
+
     var badCount = 0
     val rows = audited.map { q =>
       val w1 = bytes(q)(1)
@@ -133,26 +182,44 @@ object ScaleAudit {
       val exp = math.log(w10.toDouble / math.max(w1, 1).toDouble) /
         math.log(10.0)
       val maxExp = MaxExpOverride.getOrElse(q, MaxExpDefault)
-      val transition = w1 < MinBaseBytes && w10 > NoiseFloorBytes
-      val flagged = !transition && w10 > NoiseFloorBytes && exp > maxExp
+      val transition = w1 < minBase && w10 > NoiseFloorBytes
+      var flagged = !transition && w10 > NoiseFloorBytes && exp > maxExp
       if (flagged) {
         badCount += 1
         println(f"!! SCALE AUDIT $q: shuffle bytes grew x${w10.toDouble /
           math.max(w1, 1)}%.1f at x10 (exp $exp%.2f > $maxExp)")
       }
-      if (transition)
-        println(f"[scale-audit] $q: SHAPE TRANSITION (x1 all-broadcast, " +
-          f"${w10 / 1e6}%.1f MB at x10) — exponent base undefined")
+      // the extension verdict for a transitioned query: exponent from
+      // the ×10 base to ×30, same gate
+      val ext = if (transition) {
+        val w30 = bytes(q)(30)
+        val exp30 = math.log(w30.toDouble / math.max(w10, 1).toDouble) /
+          math.log(3.0)
+        val extFlag = exp30 > maxExp
+        if (extFlag) {
+          badCount += 1
+          flagged = true
+          println(f"!! SCALE AUDIT $q: TRANSITIONED at x10 and shuffle " +
+            f"bytes grew x${w30.toDouble / math.max(w10, 1)}%.1f at x30 " +
+            f"(exp $exp30%.2f > $maxExp from the x10 base)")
+        } else
+          println(f"[scale-audit] $q: SHAPE TRANSITION (x1 all-broadcast, " +
+            f"${w10 / 1e6}%.1f MB at x10) — extended: x30 exp $exp30%.2f " +
+            f"<= $maxExp from the x10 base, clean")
+        val m30 = math.rint(w30 / 1e4) / 100
+        val e30 = math.rint(exp30 * 100) / 100
+        s""","x30_mb":$m30,"exp_x10_x30":$e30"""
+      } else ""
       val e = math.rint(exp * 100) / 100
       val m1 = math.rint(w1 / 1e4) / 100
       val m10 = math.rint(w10 / 1e4) / 100
       s""""$q":{"x1_mb":$m1,"x10_mb":$m10,"exp":$e,""" +
-        s""""max_exp":$maxExp,"flagged":$flagged,"transition":$transition}"""
+        s""""max_exp":$maxExp,"flagged":$flagged,"transition":$transition$ext}"""
     }
     val json = s"""{"base":"$base","factors":[1,10],""" +
       s""""noise_floor_mb":${NoiseFloorBytes / 1024 / 1024},""" +
       s""""flagged":$badCount,"queries":{${rows.mkString(",")}},""" +
-      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the exponent has no base - informational, the x10 point becomes the base a further scale-up would be judged from","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove FIVE r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row), and - written and caught within the same session - dedup_recall's first cut twice: an unpersisted truth frame re-executing the D71 verify per consuming action (exp 1.38), then its banded self-join flipping to a both-sides shuffle at x10 (exp 1.73); fixed with the memoized clustered-band device, final exp 0.99"]}"""
+      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the x1->x10 exponent has no base; a transition is a PROVISIONAL failure, auto-extended with a x30 measurement - exp_x10_x30 = log(b30/b10)/log(3) is gated against the same max_exp so the broadcast->shuffle flip class cannot escape by first appearing past the x1 point","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove FIVE r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row), and - written and caught within the same session - dedup_recall's first cut twice: an unpersisted truth frame re-executing the D71 verify per consuming action (exp 1.38), then its banded self-join flipping to a both-sides shuffle at x10 (exp 1.73); fixed with the memoized clustered-band device, final exp 0.99"]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)

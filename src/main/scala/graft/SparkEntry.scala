@@ -216,6 +216,8 @@ object SparkEntry {
       AnnOps.annRpPrefilter(s, d)),
     "doc_classify_lang"    -> (TextOps.classifyLang _),
     "ann_recall"           -> (AnnOps.annRecall _),
+    "ann_probe_tuner"      -> ((s: SparkSession, d: String) =>
+      AnnOps.annProbeTuner(s, d)),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
       AnnOps.sampleClusterBalanced(s, d)),
@@ -1051,6 +1053,177 @@ object SparkEntry {
        |sbands AS (SELECT doc_id, sig, k,
        |    CAST((su // sbd.p) % 65536 AS BIGINT) AS v
        |  FROM ssig CROSS JOIN sbd)""".stripMargin
+  }
+
+  /** D10e's full oracle SQL, hoisted so D10f's tuner can wrap the
+    * SAME curve in one more CTE — the two rows cannot drift apart.
+    */
+  private def AnnRecallSql: String = {
+      val probesAll = Seq("bucket", "xor(bucket, 1)", "xor(bucket, 2)",
+        "xor(bucket, 4)", "xor(bucket, 8)")
+      val lshCtes = AnnOps.RecallLshProbes.map { p =>
+        val arr = probesAll.take(p).mkString("[", ", ", "]")
+        s"""lq$p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, probe
+           |  FROM b, unnest($arr) t(probe) WHERE vec_id % 50 = 0),
+           |ls$p AS (SELECT q_id, c.vec_id AS c_id,
+           |    list_dot_product(qv, c.v) / (qn * c.nrm) AS sim
+           |  FROM b c JOIN lq$p ON lq$p.probe = c.bucket AND lq$p.q_id <> c.vec_id),
+           |lt$p AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+           |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM ls$p)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
+      val ivfCtes = AnnOps.RecallIvfNprobes.map { np =>
+        s"""ip$np AS (SELECT q_cid, q_id, qv, qn FROM l0q WHERE rn <= $np),
+           |is$np AS (SELECT q_id, c_id,
+           |    list_dot_product(qv, cv2) / (qn * cn) AS sim
+           |  FROM lists JOIN ip$np ON q_cid = c_cid AND q_id <> c_id),
+           |it$np AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+           |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM is$np)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
+      // PQ re-rank curve: ADC rank over all candidates once (pq_sl),
+      // then per shortlist depth R an exact-cosine top-10 (exs is the
+      // all-pairs exact sim table already built for the baseline)
+      val pqCtes = "pq_sl AS (SELECT q_id, c_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY q_id ORDER BY adc, c_id) AS arnk FROM padc0),\n" +
+        AnnOps.RecallPqR.map { rr =>
+          s"""pt$rr AS (SELECT q_id, c_id FROM (
+             |  SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY x.sim DESC, s.c_id) AS rnk
+             |  FROM pq_sl s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id
+             |  WHERE s.arnk <= $rr) WHERE rnk <= 10)""".stripMargin
+        }.mkString(",\n")
+      // ivfpq curve: probed-list candidates ∩ padc0, ADC shortlist at
+      // fixed R, exact top-10 — annIvfPq's two stages per nprobe
+      val ivfpqCtes = AnnOps.RecallIvfPqNprobes.map { np =>
+        s"""ic$np AS (SELECT a.q_id, a.c_id, a.adc FROM padc0 a
+           |  JOIN l0q p ON p.q_id = a.q_id AND p.rn <= $np
+           |  JOIN lists l ON l.c_id = a.c_id AND l.c_cid = p.q_cid),
+           |ipq$np AS (SELECT q_id, c_id FROM (
+           |  SELECT c.q_id, c.c_id, ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |      ORDER BY x.sim DESC, c.c_id) AS rnk
+           |  FROM (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+           |        AS arnk FROM ic$np) WHERE arnk <= ${AnnOps.IvfPqR}) c
+           |  JOIN exs x ON x.q_id = c.q_id AND x.c_id = c.c_id)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
+      // residual ADC-order points: the ${p}adcres distances of the
+      // full residual chain (8- and 16-subspace books), top-10 by pure
+      // ADC order — no re-rank slack, code fidelity only
+      val resCtes = AnnOps.RecallResAdcSubs.map { ns =>
+        s"""${resChainCtes(s"v$ns", ns)},
+           |vt$ns AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+           |      AS arnk FROM v${ns}adcres) WHERE arnk <= 10)""".stripMargin
+      }.mkString(",\n")
+      // RP re-rank curve: projected-cosine rank over all candidates
+      // once (ws), then per shortlist depth R an exact-cosine top-10
+      val rpCtes = rpChainCtes("w") + ",\n" +
+        operators.AnnOps.RecallRpR.map { rr =>
+          s"""wt$rr AS (SELECT q_id, c_id FROM (
+             |  SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY x.sim DESC, s.c_id) AS rnk
+             |  FROM ws s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id
+             |  WHERE s.arnk <= $rr) WHERE rnk <= 10)""".stripMargin
+        }.mkString(",\n")
+      // SQ8 points: ADC-order top-10 (code fidelity, no re-rank
+      // slack) and the production two-stage R-shortlist re-rank
+      val sq8Points =
+        s"""${sq8Ctes("z")},
+           |zt AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY adc DESC, c_id) AS rnk FROM zs) WHERE rnk <= 10),
+           |zsl AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY adc DESC, c_id) AS arnk FROM zs)
+           |  WHERE arnk <= ${AnnOps.Sq8RerankR}),
+           |zrt AS (SELECT q_id, c_id FROM (SELECT s.q_id, s.c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+           |      ORDER BY x.sim DESC, s.c_id) AS rnk
+           |  FROM zsl s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id)
+           |  WHERE rnk <= 10)""".stripMargin
+      val unions = (AnnOps.RecallLshProbes.map(p =>
+        s"SELECT 'lsh' AS method, CAST($p AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM lt$p JOIN ex ON lt$p.q_id = ex.q_id " +
+        s"AND lt$p.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallIvfNprobes.map(np =>
+        s"SELECT 'ivf' AS method, CAST($np AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM it$np JOIN ex ON it$np.q_id = ex.q_id " +
+        s"AND it$np.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallPqR.map(rr =>
+        s"SELECT 'pq' AS method, CAST($rr AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM pt$rr JOIN ex ON pt$rr.q_id = ex.q_id " +
+        s"AND pt$rr.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallIvfPqNprobes.map(np =>
+        s"SELECT 'ivfpq' AS method, CAST($np AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM ipq$np JOIN ex ON ipq$np.q_id = ex.q_id " +
+        s"AND ipq$np.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallResAdcSubs.map(ns =>
+        s"SELECT 'res_adc' AS method, CAST($ns AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM vt$ns JOIN ex ON vt$ns.q_id = ex.q_id " +
+        s"AND vt$ns.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallRpR.map(rr =>
+        s"SELECT 'rp' AS method, CAST($rr AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM wt$rr JOIN ex ON wt$rr.q_id = ex.q_id " +
+        s"AND wt$rr.c_id = ex.c_id) AS hits") ++
+       Seq(
+        s"SELECT 'sq8_adc' AS method, CAST(10 AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM zt JOIN ex ON zt.q_id = ex.q_id " +
+        s"AND zt.c_id = ex.c_id) AS hits",
+        s"SELECT 'sq8' AS method, CAST(${AnnOps.Sq8RerankR} AS BIGINT) " +
+        s"AS param, (SELECT COUNT(*) FROM zrt JOIN ex ON zrt.q_id = ex.q_id " +
+        s"AND zrt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+         |$lshCtes,
+         |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+         |  FROM e ORDER BY vec_id LIMIT 16),
+         |s0 AS (SELECT e.vec_id, e.v, s.cid,
+         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+         |  FROM e, seed s),
+         |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+         |  WHERE rn = 1),
+         |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+         |  FROM a1),
+         |cx AS (SELECT cid, pos,
+         |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+         |  FROM cm GROUP BY cid, pos),
+         |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+         |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM ref),
+         |l0 AS (SELECT e.vec_id, e.v, e.nrm, r.cid,
+         |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+         |  FROM e, ref2 r),
+         |lists AS (SELECT cid AS c_cid, vec_id AS c_id, v AS cv2, nrm AS cn
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
+         |l0q AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn, rn
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)),
+         |$ivfCtes,
+         |exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+         |  FROM e c, e q WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ex AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM exs)
+         |  WHERE rnk <= 10),
+         |${pqChainCtes("p")},
+         |${pqAdcChainCtes("p")},
+         |$pqCtes,
+         |$ivfpqCtes,
+         |$resCtes,
+         |$rpCtes,
+         |$sq8Points,
+         |hu AS ($unions)
+         |SELECT method, param, hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+         |  CAST(hits AS DOUBLE) / (SELECT COUNT(*) FROM ex) AS recall
+         |FROM hu ORDER BY method, param""".stripMargin
   }
 
   /** The stopword-profile hit-count columns, argmax input list and
@@ -3737,173 +3910,24 @@ object SparkEntry {
     // chain), LSH top-10 per probe count, IVF top-10 per nprobe (the
     // ann_ivf chain), hits counted per configuration. Probe counts and
     // nprobe values come from AnnOps's own constants.
-    "ann_recall" -> {
-      val probesAll = Seq("bucket", "xor(bucket, 1)", "xor(bucket, 2)",
-        "xor(bucket, 4)", "xor(bucket, 8)")
-      val lshCtes = AnnOps.RecallLshProbes.map { p =>
-        val arr = probesAll.take(p).mkString("[", ", ", "]")
-        s"""lq$p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, probe
-           |  FROM b, unnest($arr) t(probe) WHERE vec_id % 50 = 0),
-           |ls$p AS (SELECT q_id, c.vec_id AS c_id,
-           |    list_dot_product(qv, c.v) / (qn * c.nrm) AS sim
-           |  FROM b c JOIN lq$p ON lq$p.probe = c.bucket AND lq$p.q_id <> c.vec_id),
-           |lt$p AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
-           |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM ls$p)
-           |  WHERE rnk <= 10)""".stripMargin
-      }.mkString(",\n")
-      val ivfCtes = AnnOps.RecallIvfNprobes.map { np =>
-        s"""ip$np AS (SELECT q_cid, q_id, qv, qn FROM l0q WHERE rn <= $np),
-           |is$np AS (SELECT q_id, c_id,
-           |    list_dot_product(qv, cv2) / (qn * cn) AS sim
-           |  FROM lists JOIN ip$np ON q_cid = c_cid AND q_id <> c_id),
-           |it$np AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
-           |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM is$np)
-           |  WHERE rnk <= 10)""".stripMargin
-      }.mkString(",\n")
-      // PQ re-rank curve: ADC rank over all candidates once (pq_sl),
-      // then per shortlist depth R an exact-cosine top-10 (exs is the
-      // all-pairs exact sim table already built for the baseline)
-      val pqCtes = "pq_sl AS (SELECT q_id, c_id, ROW_NUMBER() OVER " +
-        "(PARTITION BY q_id ORDER BY adc, c_id) AS arnk FROM padc0),\n" +
-        AnnOps.RecallPqR.map { rr =>
-          s"""pt$rr AS (SELECT q_id, c_id FROM (
-             |  SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id
-             |      ORDER BY x.sim DESC, s.c_id) AS rnk
-             |  FROM pq_sl s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id
-             |  WHERE s.arnk <= $rr) WHERE rnk <= 10)""".stripMargin
-        }.mkString(",\n")
-      // ivfpq curve: probed-list candidates ∩ padc0, ADC shortlist at
-      // fixed R, exact top-10 — annIvfPq's two stages per nprobe
-      val ivfpqCtes = AnnOps.RecallIvfPqNprobes.map { np =>
-        s"""ic$np AS (SELECT a.q_id, a.c_id, a.adc FROM padc0 a
-           |  JOIN l0q p ON p.q_id = a.q_id AND p.rn <= $np
-           |  JOIN lists l ON l.c_id = a.c_id AND l.c_cid = p.q_cid),
-           |ipq$np AS (SELECT q_id, c_id FROM (
-           |  SELECT c.q_id, c.c_id, ROW_NUMBER() OVER (PARTITION BY c.q_id
-           |      ORDER BY x.sim DESC, c.c_id) AS rnk
-           |  FROM (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
-           |        AS arnk FROM ic$np) WHERE arnk <= ${AnnOps.IvfPqR}) c
-           |  JOIN exs x ON x.q_id = c.q_id AND x.c_id = c.c_id)
-           |  WHERE rnk <= 10)""".stripMargin
-      }.mkString(",\n")
-      // residual ADC-order points: the ${p}adcres distances of the
-      // full residual chain (8- and 16-subspace books), top-10 by pure
-      // ADC order — no re-rank slack, code fidelity only
-      val resCtes = AnnOps.RecallResAdcSubs.map { ns =>
-        s"""${resChainCtes(s"v$ns", ns)},
-           |vt$ns AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
-           |      AS arnk FROM v${ns}adcres) WHERE arnk <= 10)""".stripMargin
-      }.mkString(",\n")
-      // RP re-rank curve: projected-cosine rank over all candidates
-      // once (ws), then per shortlist depth R an exact-cosine top-10
-      val rpCtes = rpChainCtes("w") + ",\n" +
-        operators.AnnOps.RecallRpR.map { rr =>
-          s"""wt$rr AS (SELECT q_id, c_id FROM (
-             |  SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id
-             |      ORDER BY x.sim DESC, s.c_id) AS rnk
-             |  FROM ws s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id
-             |  WHERE s.arnk <= $rr) WHERE rnk <= 10)""".stripMargin
-        }.mkString(",\n")
-      // SQ8 points: ADC-order top-10 (code fidelity, no re-rank
-      // slack) and the production two-stage R-shortlist re-rank
-      val sq8Points =
-        s"""${sq8Ctes("z")},
-           |zt AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-           |    ROW_NUMBER() OVER (PARTITION BY q_id
-           |      ORDER BY adc DESC, c_id) AS rnk FROM zs) WHERE rnk <= 10),
-           |zsl AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-           |    ROW_NUMBER() OVER (PARTITION BY q_id
-           |      ORDER BY adc DESC, c_id) AS arnk FROM zs)
-           |  WHERE arnk <= ${AnnOps.Sq8RerankR}),
-           |zrt AS (SELECT q_id, c_id FROM (SELECT s.q_id, s.c_id,
-           |    ROW_NUMBER() OVER (PARTITION BY s.q_id
-           |      ORDER BY x.sim DESC, s.c_id) AS rnk
-           |  FROM zsl s JOIN exs x ON x.q_id = s.q_id AND x.c_id = s.c_id)
-           |  WHERE rnk <= 10)""".stripMargin
-      val unions = (AnnOps.RecallLshProbes.map(p =>
-        s"SELECT 'lsh' AS method, CAST($p AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM lt$p JOIN ex ON lt$p.q_id = ex.q_id " +
-        s"AND lt$p.c_id = ex.c_id) AS hits") ++
-       AnnOps.RecallIvfNprobes.map(np =>
-        s"SELECT 'ivf' AS method, CAST($np AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM it$np JOIN ex ON it$np.q_id = ex.q_id " +
-        s"AND it$np.c_id = ex.c_id) AS hits") ++
-       AnnOps.RecallPqR.map(rr =>
-        s"SELECT 'pq' AS method, CAST($rr AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM pt$rr JOIN ex ON pt$rr.q_id = ex.q_id " +
-        s"AND pt$rr.c_id = ex.c_id) AS hits") ++
-       AnnOps.RecallIvfPqNprobes.map(np =>
-        s"SELECT 'ivfpq' AS method, CAST($np AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM ipq$np JOIN ex ON ipq$np.q_id = ex.q_id " +
-        s"AND ipq$np.c_id = ex.c_id) AS hits") ++
-       AnnOps.RecallResAdcSubs.map(ns =>
-        s"SELECT 'res_adc' AS method, CAST($ns AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM vt$ns JOIN ex ON vt$ns.q_id = ex.q_id " +
-        s"AND vt$ns.c_id = ex.c_id) AS hits") ++
-       AnnOps.RecallRpR.map(rr =>
-        s"SELECT 'rp' AS method, CAST($rr AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM wt$rr JOIN ex ON wt$rr.q_id = ex.q_id " +
-        s"AND wt$rr.c_id = ex.c_id) AS hits") ++
-       Seq(
-        s"SELECT 'sq8_adc' AS method, CAST(10 AS BIGINT) AS param, " +
-        s"(SELECT COUNT(*) FROM zt JOIN ex ON zt.q_id = ex.q_id " +
-        s"AND zt.c_id = ex.c_id) AS hits",
-        s"SELECT 'sq8' AS method, CAST(${AnnOps.Sq8RerankR} AS BIGINT) " +
-        s"AS param, (SELECT COUNT(*) FROM zrt JOIN ex ON zrt.q_id = ex.q_id " +
-        s"AND zrt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
-         |$lshCtes,
-         |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-         |  FROM e ORDER BY vec_id LIMIT 16),
-         |s0 AS (SELECT e.vec_id, e.v, s.cid,
-         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
-         |  FROM e, seed s),
-         |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
-         |  WHERE rn = 1),
-         |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
-         |  FROM a1),
-         |cx AS (SELECT cid, pos,
-         |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
-         |  FROM cm GROUP BY cid, pos),
-         |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
-         |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
-         |  FROM ref),
-         |l0 AS (SELECT e.vec_id, e.v, e.nrm, r.cid,
-         |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
-         |  FROM e, ref2 r),
-         |lists AS (SELECT cid AS c_cid, vec_id AS c_id, v AS cv2, nrm AS cn
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
-         |l0q AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn, rn
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)),
-         |$ivfCtes,
-         |exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
-         |  FROM e c, e q WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
-         |ex AS (SELECT q_id, c_id FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM exs)
-         |  WHERE rnk <= 10),
-         |${pqChainCtes("p")},
-         |${pqAdcChainCtes("p")},
-         |$pqCtes,
-         |$ivfpqCtes,
-         |$resCtes,
-         |$rpCtes,
-         |$sq8Points,
-         |hu AS ($unions)
-         |SELECT method, param, hits,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
-         |  CAST(hits AS DOUBLE) / (SELECT COUNT(*) FROM ex) AS recall
-         |FROM hu ORDER BY method, param""".stripMargin
-    },
+    "ann_recall" -> AnnRecallSql,
+
+    // D10f: the D74 tuner device on the D10e curve — per-nprobe recall
+    // for the IVF-backed serving families + chosen = smallest nprobe
+    // meeting the target; one CTE over the SAME generated curve SQL,
+    // so tuner and curve cannot drift
+    "ann_probe_tuner" ->
+      s"""WITH curve AS ($AnnRecallSql),
+         |cv AS (SELECT method, param, hits, n_exact, recall FROM curve
+         |  WHERE method IN (${operators.AnnOps.ProbeTuneMethods
+             .map(m => s"'$m'").mkString(", ")})),
+         |pk AS (SELECT method, MIN(param) AS pick FROM cv
+         |  WHERE recall >= ${operators.AnnOps.ProbeTuneTarget}
+         |  GROUP BY method)
+         |SELECT cv.method, cv.param, cv.hits, cv.n_exact, cv.recall,
+         |  (pk.pick IS NOT NULL AND cv.param = pk.pick) AS chosen
+         |FROM cv LEFT JOIN pk ON cv.method = pk.method
+         |ORDER BY cv.method, cv.param""".stripMargin,
 
     // the ann_ivf oracle's pipeline truncated at the nprobe=1
     // corpus assignment (the cluster-label step)

@@ -760,7 +760,15 @@ object AnnOps {
     * embedding table + tiny per-config hit counts; the recall join keys
     * on (q_id, c_id) pairs (≤ 10·|queries| rows per side).
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    // memoized as a whole (20 rows): D10f's tuner is a second consumer
+    // of the same curve — without the memo it would re-run every
+    // family's heap pass instead of re-reading a cached page
+    graft.Memo.df(spark, s"annRecallCurve:$dir") {
+      annRecallCompute(spark, dir)
+    }
+
+  private def annRecallCompute(spark: SparkSession, dir: String): DataFrame = {
     val exact = graft.Memo.df(spark, s"annExactPairs:$dir") {
       annCosineTopK(spark, dir).select("q_id", "c_id")
     }
@@ -933,6 +941,63 @@ object AnnOps {
         col("hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
       .select("method", "param", "hits", "n_exact", "recall")
       .orderBy("method", "param")
+  }
+
+  /** The serving recall target the probe tuner optimizes against, and
+    * the IVF-backed serving families it tunes (shared with the oracle
+    * SQL generator so the contract cannot drift).
+    */
+  val ProbeTuneTarget = 0.9
+  val ProbeTuneMethods: Seq[String] = Seq("ivf", "ivfpq")
+
+  /** The per-deployment nprobe candidates ScaleBench's prod regimes
+    * sweep when re-tuning against their own corpus (m = 16F, fixed
+    * queries) — the production analog of [[annProbeTuner]].
+    */
+  val ProdTuneNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** D10f: recall-aware probe tuning — the D74 band-geometry tuner
+    * device applied to ANN serving. Serving recall at a FIXED nprobe
+    * is fixture luck (the probed fraction nprobe/m shrinks as m grows
+    * with the corpus); this row turns the knob into a measured,
+    * oracle-checked contract: per-nprobe recall@10 over the D10e
+    * curve's IVF-backed families, `chosen` = the smallest nprobe whose
+    * measured recall meets the target (false everywhere if none
+    * qualifies — the caller falls back to the largest measured, see
+    * [[tunedNprobe]]). A recall regression now moves `chosen` and
+    * fails the hash gate instead of drifting silently.
+    *
+    * Scale shape: a filter + per-method min over the memoized 20-row
+    * D10e curve — the expensive part (the curve) is computed once and
+    * shared; the tuner itself touches no corpus-sized data.
+    */
+  def annProbeTuner(spark: SparkSession, dir: String,
+      target: Double = ProbeTuneTarget): DataFrame = {
+    val curve = annRecall(spark, dir)
+      .filter(col("method").isin(ProbeTuneMethods: _*))
+    val pick = curve.filter(col("recall") >= target)
+      .groupBy("method").agg(min(col("param")).as("pick"))
+    curve.join(pick, Seq("method"), "left")
+      .withColumn("chosen",
+        col("pick").isNotNull && col("param") === col("pick"))
+      .select("method", "param", "hits", "n_exact", "recall", "chosen")
+      .orderBy("method", "param")
+  }
+
+  /** Serving-facing accessor: the tuned nprobe for `method` — the
+    * smallest meeting the target, else the largest measured (serve
+    * SOMETHING; a target no geometry meets is a capacity-planning
+    * problem, not a reason to fail queries).
+    */
+  def tunedNprobe(spark: SparkSession, dir: String,
+      method: String = "ivfpq",
+      target: Double = ProbeTuneTarget): Int = {
+    val rows = annProbeTuner(spark, dir, target)
+      .filter(col("method") === method)
+      .select("param", "chosen").collect()
+    require(rows.nonEmpty, s"no tuner rows for method $method")
+    rows.find(_.getBoolean(1)).map(_.getLong(0).toInt)
+      .getOrElse(rows.map(_.getLong(0)).max.toInt)
   }
 
   /** D11: per-label embedding stats (exact: count/min/max of norms —

@@ -678,6 +678,45 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("ann_probe_tuner: rides the D10e curve, exactly one chosen per qualifying method, smallest qualifying nprobe") {
+    val curve = AnnOps.annRecall(spark, Sf).collect()
+      .filter(r => AnnOps.ProbeTuneMethods.contains(r.getAs[String]("method")))
+    val rows = AnnOps.annProbeTuner(spark, Sf).collect()
+    // the tuner is a VIEW over the curve: same rows, same recalls
+    assert(rows.length == curve.length)
+    rows.foreach { t =>
+      val c = curve.find(r => r.getAs[String]("method") == t.getAs[String]("method") &&
+        r.getAs[Long]("param") == t.getAs[Long]("param")).get
+      assert(t.getAs[Double]("recall") == c.getAs[Double]("recall"))
+    }
+    AnnOps.ProbeTuneMethods.foreach { m =>
+      val mr = rows.filter(_.getAs[String]("method") == m)
+        .sortBy(_.getAs[Long]("param"))
+      val qualifying = mr.filter(_.getAs[Double]("recall") >= AnnOps.ProbeTuneTarget)
+      val chosen = mr.filter(_.getAs[Boolean]("chosen"))
+      if (qualifying.nonEmpty) {
+        assert(chosen.length == 1, s"$m: expected exactly one chosen")
+        assert(chosen.head.getAs[Long]("param") ==
+          qualifying.map(_.getAs[Long]("param")).min,
+          s"$m: chosen is not the smallest qualifying nprobe")
+        assert(AnnOps.tunedNprobe(spark, Sf, m) ==
+          chosen.head.getAs[Long]("param").toInt)
+      } else {
+        assert(chosen.isEmpty, s"$m: chosen set despite no qualifier")
+        assert(AnnOps.tunedNprobe(spark, Sf, m) ==
+          mr.map(_.getAs[Long]("param")).max.toInt,
+          s"$m: fallback must serve the largest measured nprobe")
+      }
+    }
+    // an unreachable target: chosen false everywhere, accessor falls
+    // back to the deepest probe — serving never fails on an ambitious
+    // recall goal
+    val strict = AnnOps.annProbeTuner(spark, Sf, target = 2.0).collect()
+    assert(strict.forall(!_.getAs[Boolean]("chosen")))
+    assert(AnnOps.tunedNprobe(spark, Sf, "ivfpq", target = 2.0) ==
+      AnnOps.RecallIvfPqNprobes.max)
+  }
+
   test("ann_recall: bounded, and non-decreasing in probes (candidate supersets)") {
     val rows = AnnOps.annRecall(spark, Sf).collect()
     assert(rows.length ==
