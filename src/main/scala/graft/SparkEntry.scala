@@ -81,6 +81,9 @@ object SparkEntry {
     // B29: Kleene-quantified CEP (view click+ purchase, bounded run)
     "evt_pattern_kleene"   -> ((s: SparkSession, d: String) =>
       EventOps.patternKleene(s, d)),
+    // B30: pattern-spec compiler (view click? purchase - optional step)
+    "evt_pattern_spec"     -> ((s: SparkSession, d: String) =>
+      EventOps.patternSpec(s, d)),
     "evt_incident_join"    -> (EventOps.incidentJoin _),
     "evt_daily_anomaly"    -> ((s: SparkSession, d: String) =>
       EventOps.dailyAnomaly(s, d)),
@@ -935,6 +938,73 @@ object SparkEntry {
        |SELECT user_id, id_0, ts_0, n_mid, id_last,
        |  CAST(span_ms AS BIGINT) AS span_ms
        |FROM f WHERE term = '$c' AND span_ms <= $spanMs
+       |ORDER BY user_id, id_0""".stripMargin
+  }
+
+  /** B30's oracle — the pattern-spec compiler replicated by CONSUMPTION
+    * ENUMERATION: each quantified step's bounded range makes the set of
+    * consumption vectors finite, and the compiler's greedy-maximality
+    * conditions (Opt c=0 ⇒ next is NOT the type; Plus c ⇒ position
+    * pos+c is NOT the type, which encodes both maximality below the
+    * bound and the ≤bound contract at it) make the vectors MUTUALLY
+    * EXCLUSIVE — so the oracle is a plain UNION ALL over combos, each a
+    * constant-position predicate over the same lead() columns. Built
+    * from the SAME PatternSpecSteps/span constants as the operator.
+    */
+  private def PatternSpecSql: String = {
+    import operators.{PatternQuant, PatternStep}
+    val steps = operators.EventOps.PatternSpecSteps
+    val spanMs = operators.EventOps.PatternMaxSpanMin.toLong * 60000L
+    val nLeads = operators.EventOps.patternLeadWidth(steps)
+    val leads = (1 to nLeads).map { i =>
+      s"lead(event_type, $i) OVER w AS t$i, " +
+        s"lead(event_id, $i) OVER w AS i$i, " +
+        s"lead(epoch_us(ts) // 1000, $i) OVER w AS s$i"
+    }.mkString(",\n|    ")
+    // enumerate consumption vectors over the quantified tail steps
+    def ranges(st: PatternStep): Seq[Int] = st.quant match {
+      case PatternQuant.One => Seq(1)
+      case PatternQuant.Opt => Seq(0, 1)
+      case PatternQuant.Plus(k) => 1 to k
+    }
+    val combos = steps.tail.foldLeft(Seq(Seq.empty[Int])) { (acc, st) =>
+      acc.flatMap(v => ranges(st).map(c => v :+ c))
+    }
+    def tAt(p: Int): String = if (p <= nLeads) s"t$p" else "NULL"
+    val selects = combos.map { combo =>
+      var pos = 1
+      val conds = scala.collection.mutable.ArrayBuffer.empty[String]
+      val nCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      steps.zipWithIndex.tail.zip(combo).foreach { case ((st, idx), c) =>
+        st.quant match {
+          case PatternQuant.One =>
+            conds += s"${tAt(pos)} = '${st.tpe}'"
+            pos += 1
+          case PatternQuant.Opt =>
+            if (c == 1) { conds += s"${tAt(pos)} = '${st.tpe}'"; pos += 1 }
+            else conds += s"(${tAt(pos)} IS NULL OR ${tAt(pos)} <> '${st.tpe}')"
+            nCols += s"CAST($c AS BIGINT) AS n_$idx"
+          case PatternQuant.Plus(_) =>
+            (0 until c).foreach(i => conds += s"${tAt(pos + i)} = '${st.tpe}'")
+            conds += s"(${tAt(pos + c)} IS NULL OR ${tAt(pos + c)} <> '${st.tpe}')"
+            nCols += s"CAST($c AS BIGINT) AS n_$idx"
+            pos += c
+        }
+      }
+      val endPos = pos - 1
+      val cols = (Seq("user_id", "event_id AS id_0", "ts AS ts_0") ++
+        nCols.toSeq ++ Seq(s"i$endPos AS id_last",
+        s"CAST(s$endPos - epoch_us(ts) // 1000 AS BIGINT) AS span_ms"))
+        .mkString(", ")
+      s"""SELECT $cols FROM t
+         |  WHERE event_type = '${steps.head.tpe}'
+         |    AND ${conds.mkString("\n|    AND ")}
+         |    AND s$endPos - epoch_us(ts) // 1000 <= $spanMs""".stripMargin
+    }
+    s"""WITH t AS (SELECT user_id, ts, event_id, event_type,
+       |    $leads
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT * FROM (${selects.mkString("\n|UNION ALL\n|")})
        |ORDER BY user_id, id_0""".stripMargin
   }
 
@@ -2226,6 +2296,9 @@ object SparkEntry {
 
     // B29: the Kleene-quantified pattern (builder above)
     "evt_pattern_kleene" -> PatternKleeneSql,
+
+    // B30: consumption-enumeration oracle generated from PatternSpecSteps
+    "evt_pattern_spec" -> PatternSpecSql,
 
     // B25b: the negation/abandonment complement (builder above)
     "evt_pattern_abandoned" -> PatternAbandonedSql,

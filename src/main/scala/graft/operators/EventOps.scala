@@ -1,8 +1,26 @@
 package graft.operators
 
 import graft.Tables
+
+/** A pattern step's quantifier for the B30 pattern-spec compiler:
+  * exactly-one, optional (zero-or-one), or a bounded Kleene-plus
+  * (one..maxRun). Bounded by CONTRACT, not approximation — the bound
+  * is what keeps the lead-window width and the streaming face's
+  * per-user ring O(pattern), the funnel-family state discipline.
+  */
+sealed trait PatternQuant
+object PatternQuant {
+  case object One extends PatternQuant
+  case object Opt extends PatternQuant
+  final case class Plus(maxRun: Int) extends PatternQuant
+}
+
+/** One step of a MATCH_RECOGNIZE-class pattern: an event type with a
+  * quantifier.
+  */
+final case class PatternStep(tpe: String, quant: PatternQuant)
 import graft.functions.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -886,6 +904,153 @@ object EventOps {
       .filter(col("span_ms") <= maxSpanMin.toLong * 60000L)
       .select(col("user_id"), col("event_id").as("id_0"),
         col("ts").as("ts_0"), col("n_mid"), col("id_last"), col("span_ms"))
+      .orderBy("user_id", "id_0")
+  }
+
+  /** B30's pattern instance: `view click? purchase` — exercises the
+    * optional quantifier (shared with the oracle SQL generator, like
+    * PatternSeq/KleeneMaxRun, so operator and oracle cannot drift).
+    */
+  val PatternSpecSteps: Seq[PatternStep] = Seq(
+    PatternStep("view", PatternQuant.One),
+    PatternStep("click", PatternQuant.Opt),
+    PatternStep("purchase", PatternQuant.One))
+
+  private def maxConsume(s: PatternStep): Int = s.quant match {
+    case PatternQuant.One => 1
+    case PatternQuant.Opt => 1
+    case PatternQuant.Plus(k) => k
+  }
+
+  /** The lead-window width the compiled plan (and its oracle) needs:
+    * the deepest anchor-relative position any step's predicate can
+    * examine — a Plus step reaches one past its maximal run (the
+    * overrun check that makes run-exactly-at-bound decidable).
+    */
+  private[graft] def patternLeadWidth(steps: Seq[PatternStep]): Int = {
+    var startMax = 1 // anchor consumed position 0
+    var deepest = 1
+    steps.tail.foreach { st =>
+      val reach = st.quant match {
+        case PatternQuant.Plus(k) => k // examines pos .. pos+k
+        case _ => 0 // examines pos only
+      }
+      deepest = math.max(deepest, startMax + reach)
+      startMax += maxConsume(st)
+    }
+    deepest
+  }
+
+  /** The compiler's well-formedness contract. First step = exactly-one
+    * (a quantified head would anchor every event of its own run); last
+    * step = exactly-one (a trailing quantifier needs proof of absence,
+    * which batch gets from table completeness but a stream only gets
+    * from a watermark — the B25b/E31 device, out of this operator's
+    * contract); adjacent types distinct (greedy no-backtracking
+    * consumption is EXACT regex semantics only when a shortened run
+    * could never feed the next step — distinct adjacent types
+    * guarantee it, and make the oracle's consumption combos mutually
+    * exclusive).
+    */
+  private[graft] def validatePattern(steps: Seq[PatternStep]): Unit = {
+    require(steps.length >= 2, "pattern needs at least 2 steps")
+    require(steps.head.quant == PatternQuant.One,
+      "first step must be an exactly-one anchor")
+    require(steps.last.quant == PatternQuant.One,
+      "last step must be exactly-one (trailing quantifiers need " +
+        "watermark-held verdicts)")
+    steps.sliding(2).foreach { case Seq(x, y) =>
+      require(x.tpe != y.tpe,
+        s"adjacent steps share type '${x.tpe}': greedy consumption " +
+          "is exact only with distinct adjacent types")
+    }
+    steps.foreach(_.quant match {
+      case PatternQuant.Plus(k) => require(k >= 1, "Plus bound must be >= 1")
+      case _ => ()
+    })
+  }
+
+  /** B30: the pattern-spec COMPILER — arbitrary (type, quantifier)
+    * sequences (B25 = all-One, B29 = One·Plus·One are both instances,
+    * pinned equal in EventPatternSpec) compiled to the shared
+    * lead()-window plan: [[patternLeadWidth]] lead columns in ONE
+    * user-keyed window sort, then the whole match is a pure in-row
+    * fold — each step's predicate reads the type array at a
+    * data-dependent position (`get`, null-safe past the horizon),
+    * Optional consumes iff its type is next, Plus consumes the maximal
+    * consecutive run and rejects past its bound. Greedy without
+    * backtracking, which [[validatePattern]]'s distinct-adjacent-types
+    * rule makes EXACT. No self-joins, no per-combination scans; cost
+    * is the timeline sort the B-family already pays.
+    *
+    * Output: one row per anchor — (user_id, id_0, ts_0, n_<i> for each
+    * quantified step i, id_last, span_ms), ordered by (user_id, id_0).
+    */
+  def patternSpec(spark: SparkSession, dir: String,
+      steps: Seq[PatternStep] = PatternSpecSteps,
+      maxSpanMin: Int = PatternMaxSpanMin): DataFrame = {
+    validatePattern(steps)
+    val nLeads = patternLeadWidth(steps)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withLeads = (1 to nLeads).foldLeft(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))) { (d, i) =>
+      d.withColumn(s"type_$i", lead(col("event_type"), i).over(w))
+        .withColumn(s"id_$i", lead(col("event_id"), i).over(w))
+        .withColumn(s"ts_$i", lead(col("ts"), i).over(w))
+    }
+    // 0-based position arrays (position 0 = the anchor row itself);
+    // `get` returns null past the horizon, so every type test below
+    // null-safes to false via coalesce
+    val types = array(col("event_type") +:
+      (1 to nLeads).map(i => col(s"type_$i")): _*)
+    val ids = array(col("event_id") +:
+      (1 to nLeads).map(i => col(s"id_$i")): _*)
+    val tsMs = array(unix_millis(col("ts")) +:
+      (1 to nLeads).map(i => unix_millis(col(s"ts_$i"))): _*)
+    def typeAt(p: Column): Column = get(types, p.cast("int"))
+    def isType(p: Column, tpe: String): Column =
+      coalesce(typeAt(p) === lit(tpe), lit(false))
+    // the in-row greedy fold: ok accumulates the match predicate, pos
+    // the anchor-relative next-unconsumed position, counts the
+    // quantified steps' consumed lengths
+    var ok: Column = col("event_type") === lit(steps.head.tpe)
+    var pos: Column = lit(1)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, Column)]
+    steps.zipWithIndex.tail.foreach { case (st, idx) =>
+      st.quant match {
+        case PatternQuant.One =>
+          ok = ok && isType(pos, st.tpe)
+          pos = pos + lit(1)
+        case PatternQuant.Opt =>
+          val took = isType(pos, st.tpe)
+          counts += idx -> when(took, lit(1L)).otherwise(lit(0L))
+          pos = pos + when(took, lit(1)).otherwise(lit(0))
+        case PatternQuant.Plus(k) =>
+          // maximal consecutive run of st.tpe from pos, capped at k+1
+          // (k+1 = overrun = out of contract): first non-matching
+          // offset ends the run
+          val run = (0 to k).foldRight(lit(k + 1): Column) { (i, els) =>
+            when(!isType(pos + lit(i), st.tpe), lit(i)).otherwise(els)
+          }
+          counts += idx -> run.cast(LongType)
+          ok = ok && run.between(1, k)
+          pos = pos + run
+      }
+    }
+    val endPos = (pos - lit(1)).cast("int")
+    val countCols = counts.toSeq.map { case (i, c) => c.as(s"n_$i") }
+    withLeads
+      .filter(col("event_type") === lit(steps.head.tpe))
+      .select(Seq(col("user_id"), col("event_id").as("id_0"),
+        col("ts").as("ts_0"), ok.as("ok")) ++ countCols ++ Seq(
+        get(ids, endPos).as("id_last"),
+        (get(tsMs, endPos) - unix_millis(col("ts"))).as("span_ms")): _*)
+      .filter(col("ok") &&
+        col("span_ms") <= lit(maxSpanMin.toLong * 60000L))
+      .drop("ok")
       .orderBy("user_id", "id_0")
   }
 

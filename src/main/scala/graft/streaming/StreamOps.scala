@@ -75,6 +75,13 @@ case class PatternOut(user_id: Long, id_0: Long, ts_0: Timestamp,
 case class KleeneOut(user_id: Long, id_0: Long, ts_0: Timestamp,
     n_mid: Long, id_last: Long, span_ms: Long)
 
+/** E46 pattern-spec match emission — `counts` carries the quantified
+  * steps' consumed lengths in step order (the batch operator's n_<i>
+  * columns).
+  */
+case class SpecOut(user_id: Long, id_0: Long, ts_0: Timestamp,
+    counts: Seq[Long], id_last: Long, span_ms: Long)
+
 case class GapOut(user_id: Long, event_type: String, event_id: Long,
   ts: Timestamp, gap_ms: Long)
 case class AnomalyOut(event_type: String, day: Timestamp, cnt: Long,
@@ -578,6 +585,88 @@ object StreamOps {
                 .takeRight(maxRun + 1)
             }
           state.update(tail)
+          out.iterator
+        })
+  }
+
+  /** E46: the pattern-spec compiler's continuous face — B30 for an
+    * ARBITRARY well-formed spec (same [[graft.operators.EventOps
+    * .validatePattern]] contract: exactly-one head and tail, distinct
+    * adjacent types). Per user, the state is the last W timeline
+    * events where W = the spec's maximal consumption — a fixed ring,
+    * O(pattern) per user, the E38/E45 discipline. A match is DECIDED
+    * AT ITS TERMINATOR: each arrival appends to the ring, then every
+    * anchor-typed ring slot replays the batch operator's greedy
+    * no-backtracking fold over the ring; a fold whose last consumed
+    * event IS the arrival emits. The greedy fold's end event is unique
+    * per anchor, so each (anchor, match) emits exactly once — no
+    * cross-arrival dedup state needed. Arrivals sort by the batch
+    * timeline key inside each micro-batch, so runs and optional-step
+    * decisions straddling a batch split replay exactly (parity spec).
+    */
+  def patternSpecStream(events: Dataset[Ev],
+      steps: Seq[graft.operators.PatternStep] =
+        graft.operators.EventOps.PatternSpecSteps,
+      maxSpanMin: Int = graft.operators.EventOps.PatternMaxSpanMin)
+      : Dataset[SpecOut] = {
+    import events.sparkSession.implicits._
+    import graft.operators.PatternQuant
+    graft.operators.EventOps.validatePattern(steps)
+    val width = steps.map(_.quant match {
+      case PatternQuant.Plus(k) => k
+      case _ => 1
+    }).sum
+    val spanMs = maxSpanMin.toLong * 60000L
+    // the batch fold over the ring from anchor index i: Some((index of
+    // the last consumed event, quantified counts)) iff the whole
+    // pattern matched strictly consecutively inside the ring
+    def matchFrom(ring: Seq[PatternTail], i: Int): Option[(Int, Seq[Long])] = {
+      var pos = i + 1
+      var ok = true
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      steps.tail.foreach { st =>
+        if (ok) st.quant match {
+          case PatternQuant.One =>
+            if (pos < ring.length && ring(pos).event_type == st.tpe) pos += 1
+            else ok = false
+          case PatternQuant.Opt =>
+            val took = pos < ring.length && ring(pos).event_type == st.tpe
+            counts += (if (took) 1L else 0L)
+            if (took) pos += 1
+          case PatternQuant.Plus(k) =>
+            var r = 0
+            while (r <= k && pos + r < ring.length &&
+                ring(pos + r).event_type == st.tpe) r += 1
+            if (r < 1 || r > k) ok = false
+            else { counts += r.toLong; pos += r }
+        }
+      }
+      if (ok) Some((pos - 1, counts.toSeq)) else None
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[Ev], state: GroupState[Seq[PatternTail]]) => {
+          var ring = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpecOut]
+          it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              ring = (ring :+ PatternTail(e.event_id, e.ts, e.event_type))
+                .takeRight(width)
+              ring.indices.foreach { i =>
+                if (ring(i).event_type == steps.head.tpe)
+                  matchFrom(ring, i) match {
+                    case Some((end, counts)) if end == ring.length - 1 =>
+                      val span = e.ts.getTime - ring(i).ts.getTime
+                      if (span <= spanMs)
+                        out += SpecOut(user, ring(i).event_id, ring(i).ts,
+                          counts, e.event_id, span)
+                    case _ => ()
+                  }
+              }
+            }
+          state.update(ring)
           out.iterator
         })
   }

@@ -334,6 +334,67 @@ class QueriesSpec extends GraftSpec {
     assert(one == b25, s"n_mid=1 slice ${one.size} != B25 ${b25.size}")
   }
 
+  test("evt_pattern_spec: compiler subsumes B25 and B29, optional instance brute-forced, malformed specs rejected") {
+    import graft.operators.{EventOps, PatternQuant, PatternStep}
+    val spanMs = EventOps.PatternMaxSpanMin.toLong * 60000L
+    // all-One instance == B25 (projected to the shared columns)
+    val asB25 = EventOps.patternSpec(spark, Sf,
+        EventOps.PatternSeq.map(t => PatternStep(t, PatternQuant.One)))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("id_last"), r.getAs[Long]("span_ms"))).toSet
+    val b25 = EventOps.patternMatch(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("id_2"), r.getAs[Long]("span_ms"))).toSet
+    assert(asB25 == b25, s"all-One instance ${asB25.size} != B25 ${b25.size}")
+    // One·Plus·One instance == B29 bit-for-bit on its whole schema
+    val Seq(a, b, c) = EventOps.PatternSeq
+    val asB29 = EventOps.patternSpec(spark, Sf, Seq(
+        PatternStep(a, PatternQuant.One),
+        PatternStep(b, PatternQuant.Plus(EventOps.KleeneMaxRun)),
+        PatternStep(c, PatternQuant.One)))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("n_1"), r.getAs[Long]("id_last"),
+        r.getAs[Long]("span_ms"))).toSeq.sorted
+    val b29 = EventOps.patternKleene(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("n_mid"), r.getAs[Long]("id_last"),
+        r.getAs[Long]("span_ms"))).toSeq.sorted
+    assert(asB29 == b29, s"One·Plus·One ${asB29.length} != B29 ${b29.length}")
+    assert(asB29.nonEmpty)
+    // the optional instance (B30's deployed pattern) brute-forced on
+    // the real timeline: greedy — the click is consumed iff present
+    val timeline = Tables.events(spark, Sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2.getTime, e._3))).toMap
+    val exp = (for {
+      (u, evs) <- timeline.toSeq; i <- evs.indices
+      if evs(i)._4 == a
+      r = if (i + 1 < evs.length && evs(i + 1)._4 == b) 1 else 0
+      if i + r + 1 < evs.length
+      term = evs(i + r + 1) if term._4 == c
+      span = term._2.getTime - evs(i)._2.getTime if span <= spanMs
+    } yield (u, evs(i)._3, r.toLong, term._3, span)).sorted
+    val got = EventOps.patternSpec(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_0"),
+        r.getAs[Long]("n_1"), r.getAs[Long]("id_last"),
+        r.getAs[Long]("span_ms"))).toSeq.sorted
+    assert(got == exp, s"optional instance ${got.length} vs brute ${exp.length}")
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 == 1L),
+      "fixture must exercise both optional branches")
+    // well-formedness contract
+    def steps(q: PatternQuant*): Seq[PatternStep] =
+      q.zipWithIndex.map { case (qt, i) => PatternStep(s"t$i", qt) }
+    intercept[IllegalArgumentException](EventOps.validatePattern(
+      steps(PatternQuant.Opt, PatternQuant.One)))
+    intercept[IllegalArgumentException](EventOps.validatePattern(
+      steps(PatternQuant.One, PatternQuant.Plus(2))))
+    intercept[IllegalArgumentException](EventOps.validatePattern(Seq(
+      PatternStep("x", PatternQuant.One), PatternStep("x", PatternQuant.One))))
+    intercept[IllegalArgumentException](EventOps.validatePattern(
+      steps(PatternQuant.One, PatternQuant.Plus(0), PatternQuant.One)))
+  }
+
   test("dedup_explain: pairs are the flagged set, shingles shared, df-ranked") {
     import graft.operators.{DedupOps, TextOps}
     val out = DedupOps.dedupExplain(spark, Sf).collect()

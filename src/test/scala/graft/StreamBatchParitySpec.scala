@@ -369,6 +369,71 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("patternSpecStream == batch evt_pattern_spec, optional decision straddling the batch split") {
+    import graft.operators.EventOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val synth = Seq(
+      // optional TAKEN (view click purchase) — n_1 = 1, split lands
+      // between the click and the purchase so the taken decision
+      // replays from recovered state
+      (995001L, t("2024-06-02 10:00:00"), 9950L, "view", 1.0),
+      (995002L, t("2024-06-02 10:10:00"), 9950L, "click", 1.0),
+      (995003L, t("2024-06-02 10:30:00"), 9950L, "purchase", 1.0),
+      // optional SKIPPED (view purchase) — n_1 = 0, split between the
+      // view and the purchase: absence of the click is decided by the
+      // purchase ARRIVING (not by waiting), so the verdict must come
+      // out of batch 2 identically
+      (994001L, t("2024-06-02 10:00:00"), 9940L, "view", 1.0),
+      (994002L, t("2024-06-02 10:30:00"), 9940L, "purchase", 1.0),
+      // two clicks — the optional can consume only one, the second
+      // click blocks the purchase step: must NOT match on either face
+      (993001L, t("2024-06-02 10:00:00"), 9930L, "view", 1.0),
+      (993002L, t("2024-06-02 10:10:00"), 9930L, "click", 1.0),
+      (993003L, t("2024-06-02 10:20:00"), 9930L, "click", 1.0),
+      (993004L, t("2024-06-02 10:30:00"), 9930L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .unionByName(synth)
+    val d = Files.createTempDirectory("spec_par").toFile.getAbsolutePath
+    val widened = s"$d/widened"
+    all.write.parquet(s"$widened/events.parquet")
+    val expected = EventOps.patternSpec(spark, widened)
+      .select("user_id", "id_0", "n_1", "id_last", "span_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(expected.exists(e => e._1 == 9950L && e._3 == 1L),
+      "taken-optional run not matched")
+    assert(expected.exists(e => e._1 == 9940L && e._3 == 0L),
+      "skipped-optional run not matched")
+    assert(!expected.exists(_._1 == 9930L),
+      "double-click run must not match")
+
+    // split between 10:15 arrivals: user 9950's click sits in batch 1,
+    // its purchase in batch 2; user 9940's purchase also lands in
+    // batch 2 with the view in batch 1
+    val src = s"$d/src"
+    val cutoff = t("2024-06-02 10:15:00").getTime
+    all.filter(unix_millis(col("ts")) < cutoff).write.mode("append").parquet(src)
+    val q = StreamOps.patternSpecStream(
+        spark.readStream.schema(all.schema).parquet(src).as[Ev])
+      .writeStream.format("memory").queryName("spec_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterEarly = spark.table("spec_par").count()
+      all.filter(unix_millis(col("ts")) >= cutoff).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("spec_par")
+        .select(col("user_id"), col("id_0"), col("counts")(0).as("n_1"),
+          col("id_last"), col("span_ms"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == expected,
+        s"streamed ${got.length} matches vs batch ${expected.length}")
+      assert(got.length > afterEarly)
+    } finally q.stop()
+  }
+
   test("imageDedupStream: pairs == plain-Scala bands+hamming vs the standing split") {
     import graft.multimodal.MultimodalOps
     def hash(id: Long): Long = MultimodalOps.dHash56(
