@@ -1137,43 +1137,72 @@ object StreamOps {
     * appends nothing instead of inflating df/total_tf and duplicating
     * the doc in the merged list. The table converges exactly-once per
     * document with NO disjointness precondition on what the stream
-    * carries. At 100 TB the id probes ride doc-keyed Blooms beside
-    * the tables (the D15c gate); here the distinct-id scan and the
-    * bucketed sidecar keep the test surface exact.
+    * carries.
+    *
+    * The BASE probe is Bloom-gated (r12, the D15c device): the base
+    * index is immutable, so one BloomFilterAggregate over the
+    * basedocs sidecar at stream start (~1.2 B/doc at 3% FPP) turns
+    * the every-batch anti-join against a corpus-sized id table into
+    * an in-row filter — a Bloom miss is a DEFINITIVE non-member and
+    * skips the exact probe entirely; only the positives (true base
+    * docs + ~3% false positives) pay the anti-join, whose result
+    * corrects the FPs. Appends are bit-identical to the ungated
+    * plan (spec parity incl. replayed batches and base re-delivery);
+    * at 100 TB the per-batch exact-probe volume drops from the whole
+    * batch to ~the re-delivered fraction. The delta-side probe stays
+    * an exact distinct-id scan — that table is stream-owned and
+    * compaction-bounded.
     *
     * Scale shape: each batch shuffles only ITSELF (its tokenize
     * groupBy + the append's bucket exchange); the standing index is
-    * never read beyond the id probe and never rewritten — the same
-    * steady state as the E21 manifest upkeep.
+    * never read beyond the bloom-gated id probe and never rewritten —
+    * the same steady state as the E21 manifest upkeep.
     */
   def postingsUpkeepStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, docs: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.{LayoutOps, TextOps}
-    import graft.sources.LayoutStore
+    import graft.operators.LayoutOps
     val fam = LayoutOps.families.find(_.name == "postings_delta").get
     val t = LayoutOps.tableName(fam, dir)
     LayoutOps.ensure(spark, dir, "postings_delta")
     // base-index membership, resolved once at stream start (the base
-    // is immutable — only the delta table grows)
+    // is immutable — only the delta table grows); the Bloom build is
+    // one aggregation job over the sidecar
     val baseDocs = LayoutOps.table(spark, dir, "postings_basedocs")
+    val baseBloom = graft.functions.BloomFns.build(baseDocs,
+      col("doc_id"), math.max(baseDocs.count(), 1L))
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val indexed = LayoutStore.read(spark, t)
-          .select("doc_id").distinct()
         // materialize the fresh rows BEFORE the append starts so the
         // anti-join's table scan cannot race the table write
-        val fresh = TextOps.tfOf(batch)
-          .join(indexed, Seq("doc_id"), "left_anti")
-          .join(baseDocs, Seq("doc_id"), "left_anti")
+        val fresh = postingsFresh(spark, t, baseDocs, baseBloom, batch)
           .persist()
         try {
           if (fresh.count() > 0)
-            LayoutStore.append(spark, t, fresh, Seq(fam.bucketKey),
-              fam.buckets)
+            graft.sources.LayoutStore.append(spark, t, fresh,
+              Seq(fam.bucketKey), fam.buckets)
         } finally { fresh.unpersist(); () }
       }
       .start()
+  }
+
+  /** E42's per-batch fresh-row derivation, factored for the spec: the
+    * batch's (doc, tok, tf) rows minus already-indexed docs — delta
+    * ids by exact anti-join, base ids by the Bloom gate (miss ⇒ keep
+    * in-row; positive ⇒ exact anti-join catches the ~3% FPs).
+    */
+  private[graft] def postingsFresh(spark: org.apache.spark.sql.SparkSession,
+      t: String, baseDocs: DataFrame, baseBloom: Array[Byte],
+      batch: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val indexed = graft.sources.LayoutStore.read(spark, t)
+      .select("doc_id").distinct()
+    val tf = TextOps.tfOf(batch).join(indexed, Seq("doc_id"), "left_anti")
+    val mightBase = graft.functions.BloomFns.mightContain(baseBloom,
+      col("doc_id"))
+    tf.filter(!mightBase)
+      .unionByName(tf.filter(mightBase)
+        .join(baseDocs, Seq("doc_id"), "left_anti"))
   }
 
   def manifestUpkeepStream(spark: org.apache.spark.sql.SparkSession,

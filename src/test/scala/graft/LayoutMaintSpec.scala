@@ -240,6 +240,47 @@ class LayoutMaintSpec extends GraftSpec {
     }
   }
 
+  test("E42 bloom gate: zero false negatives on base ids, exact-probe volume smaller, gated fresh rows bit-equal to ungated") {
+    withCleanLayouts {
+      import graft.functions.BloomFns
+      import graft.operators.TextOps
+      val baseDocs = LayoutOps.table(spark, Sf, "postings_basedocs")
+      val bloom = BloomFns.build(baseDocs, col("doc_id"),
+        math.max(baseDocs.count(), 1L))
+      val might = BloomFns.mightContain(bloom, col("doc_id"))
+      // the contract that makes the gate lossless: a Bloom NEGATIVE is
+      // a definitive non-member — every base id must test positive
+      assert(baseDocs.filter(!might).count() == 0,
+        "bloom false negative on a base id")
+      // the gate's point (the metered-smaller claim): a mostly-fresh
+      // arrival stream is mostly bloom-negative, so only a fraction of
+      // the batch reaches the exact base anti-join
+      val arrivals = Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 10 === 7).select("doc_id").distinct()
+      val total = arrivals.count()
+      val positives = arrivals.filter(might).count()
+      assert(positives < total / 2,
+        s"bloom passes $positives of $total fresh arrivals to the exact probe")
+      // parity: the gated derivation emits bit-identically to the
+      // ungated one on a MIXED batch (fresh + re-delivered base docs)
+      val fam = LayoutOps.families.find(_.name == "postings_delta").get
+      val t = LayoutOps.tableName(fam, Sf)
+      LayoutOps.ensure(spark, Sf, "postings_delta")
+      val mixed = Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 10 === 7 || col("doc_id") % 20 === 4)
+        .select("doc_id", "text")
+      val gated = rows(graft.streaming.StreamOps.postingsFresh(
+        spark, t, baseDocs, bloom, mixed))
+      val indexed = LayoutStore.read(spark, t).select("doc_id").distinct()
+      val ungated = rows(TextOps.tfOf(mixed)
+        .join(indexed, Seq("doc_id"), "left_anti")
+        .join(baseDocs, Seq("doc_id"), "left_anti"))
+      assert(gated.sorted == ungated.sorted,
+        s"gated ${gated.length} rows != ungated ${ungated.length}")
+      assert(gated.nonEmpty)
+    }
+  }
+
   test("E42 streaming postings upkeep: exactly-once appends, served merge == full rebuild, restart parity") {
     withCleanLayouts {
       import graft.operators.TextOps
