@@ -170,7 +170,12 @@ object ScaleBench {
     // prefix-filter truth + two scalar aggregations; under the
     // self-similar amplifier band buckets stay constant-sized while
     // docs grow F× — expect ~linear
-    "dedup_recall")
+    "dedup_recall",
+    // r12: the explain path now rides the D71 lossless truth (memo
+    // shared with dedup_recall) + the shared-shingle semi-join off the
+    // clustered exploded table — flagged pairs grow ~F× under the
+    // amplifier, per-pair shingle work is doc-bounded ⇒ expect ~linear
+    "dedup_explain")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)

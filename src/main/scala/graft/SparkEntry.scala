@@ -3022,7 +3022,7 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.lang = b.lang AND a.shingle = b.shingle
         |    AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-        |  HAVING COUNT(*) >= 2 AND CAST(COUNT(*) AS DOUBLE)
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
         |    / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE)
         |    >= ${operators.DedupOps.ExplainTau}),
         |dfp AS (SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df

@@ -137,11 +137,18 @@ object DedupOps {
     * candidate pairs, the shared-shingle derivation joins the
     * memoized exploded table on doc/shingle keys, the df table is
     * vocab-bounded, ranking is the bounded heap.
+    *
+    * The flagged set is the D71 LOSSLESS truth at τ (r12): the prefix
+    * filter produces the exact τ-Jaccard pair set with the lossless
+    * scale shape (and its memo is already warm for D74/D75), where
+    * D2's blocked self-join — the previous source — carries both the
+    * quadratic-prone shape and a candidate floor that drops
+    * single-shingle pairs clearing τ. One less D2 dependency in the
+    * serving composition; the oracle defines the same truth.
     */
   def dedupExplain(spark: SparkSession, dir: String,
       tau: Double = ExplainTau, k: Int = ExplainK): DataFrame = {
-    val flagged = dedupNgramJaccard(spark, dir)
-      .filter(col("jacc") >= tau).select("a_id", "b_id")
+    val flagged = prefixTruth(spark, dir, tau).select("a_id", "b_id")
     val ex = shinglesByKey(spark, dir).select("doc_id", "lang", "shingle")
     val dfTab = ex.groupBy("lang", "shingle")
       .agg(count(lit(1)).cast(LongType).as("df"))

@@ -399,12 +399,20 @@ class QueriesSpec extends GraftSpec {
     import graft.operators.{DedupOps, TextOps}
     val out = DedupOps.dedupExplain(spark, Sf).collect()
     assert(out.nonEmpty)
-    val flagged = DedupOps.dedupNgramJaccard(spark, Sf)
-      .filter(col("jacc") >= DedupOps.ExplainTau)
+    // the flagged set is the D71 LOSSLESS truth at tau (r12) — the
+    // exact tau-Jaccard pair set, no candidate floor
+    val flagged = DedupOps.dedupPrefixFilter(spark, Sf, DedupOps.ExplainTau)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
       .toSet == flagged, "explained pairs != flagged pairs")
+    // and on this fixture the D2-derived set at the same tau coincides
+    // (the floor only matters for single-shingle documents) — the
+    // re-derivation changed the SOURCE's scale shape, not the rows
+    assert(flagged == DedupOps.dedupNgramJaccard(spark, Sf)
+      .filter(col("jacc") >= DedupOps.ExplainTau)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
     // each listed shingle appears in BOTH documents
     val texts = Tables.documents(spark, Sf)
       .select("doc_id", "text").collect()
