@@ -6,19 +6,51 @@ import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Archive expansion as a Catalyst expression (r12 — the repo's last
+  * two Scala UDFs replaced for kernel consistency with the gzip pair,
+  * ContentFns.scala:14): one static-call inflate per archive, result
+  * delivered in Catalyst internal format.
+  */
+case class ZipEntriesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ZipFns.EntrySchema
+  override protected def nullSafeEval(v: Any): Any =
+    ZipFns.zipEntriesCatalyst(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ZipFns.zipEntriesCatalyst($c)")
+  override protected def withNewChildInternal(c: Expression): ZipEntriesExpr =
+    copy(c)
+}
+
+/** (name, content) → deterministic single-entry zip + fixed manifest
+  * entry, as a codegen'd expression (see [[ZipEntriesExpr]]).
+  */
+case class ZipCreate2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(n: Any, c: Any): Any =
+    ZipFns.zipCreate2Kernel(n.asInstanceOf[UTF8String],
+      c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (n, c) => s"graft.functions.ZipFns.zipCreate2Kernel($n, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : ZipCreate2 = copy(l, r)
+}
 
 /** Zip-archive expansion (handler/kafka.go:210-270): one record per
   * non-directory entry; entry names that aren't valid UTF-8 are
   * decoded as GBK (handler/kafka.go:234-241 via handler.go:48-56
   * GBKToUTF8) — Windows tools write simplified-Chinese entry names in
   * GBK without the zip UTF-8 flag.
-  *
-  * Deliberately Scala UDFs, not Catalyst expressions: these run once
-  * per ARCHIVE (coarse-grained, the zip inflate dominates the row
-  * overhead) and feed a Generate/explode, which ends the codegen
-  * pipeline anyway — unlike the per-token kernels (MinHash/SimHash/
-  * Winnow) where expression codegen buys 5-50×.
   */
 object ZipFns {
 
@@ -179,16 +211,37 @@ object ZipFns {
     bos.toByteArray
   }
 
-  /** binary zip -> array<struct<name,content,size>> */
-  val zip_entries = udf((b: Array[Byte]) => if (b == null) Seq.empty[Entry] else zipEntries(b))
-
-  /** (name, content) -> single-entry zip (plus a fixed manifest entry
-    * so archives always have >1 entry like real test-log packs).
+  /** [[ZipEntriesExpr]]'s result type:
+    * array<struct<name:string,content:binary,size:long>>.
     */
-  val zip_create2 = udf((name: String, content: String) =>
-    zipCreate(Seq(
-      name -> content.getBytes(StandardCharsets.UTF_8),
-      "meta/manifest.txt" -> s"entry=$name".getBytes(StandardCharsets.UTF_8))))
+  val EntrySchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("size", LongType, nullable = false))),
+    containsNull = false)
 
-  def zipEntriesCol(c: Column): Column = zip_entries(c)
+  /** [[zipEntries]] delivered in Catalyst internal format — the static
+    * kernel the expression's codegen calls.
+    */
+  def zipEntriesCatalyst(b: Array[Byte]): ArrayData =
+    new GenericArrayData(zipEntries(b).map(e =>
+      InternalRow(UTF8String.fromString(e.name), e.content, e.size)))
+
+  /** (name, content) → single-entry zip (plus a fixed manifest entry
+    * so archives always have >1 entry like real test-log packs) — the
+    * static kernel behind [[ZipCreate2]].
+    */
+  def zipCreate2Kernel(name: UTF8String, content: UTF8String): Array[Byte] = {
+    val n = name.toString
+    zipCreate(Seq(
+      n -> content.toString.getBytes(StandardCharsets.UTF_8),
+      "meta/manifest.txt" -> s"entry=$n".getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** binary zip → array<struct<name,content,size>> column. */
+  def zipEntriesCol(c: Column): Column = columnOf(ZipEntriesExpr(expressionOf(c)))
+
+  /** (name, content) → archive-bytes column. */
+  def zipCreate2Col(name: Column, content: Column): Column =
+    columnOf(ZipCreate2(expressionOf(name), expressionOf(content)))
 }

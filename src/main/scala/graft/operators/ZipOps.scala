@@ -21,8 +21,8 @@ object ZipOps {
       .filter(col("doc_id") % 4 === 2) // the `.zip`-extension route
       .withColumn("pack", concat(lit("d"), col("doc_id"), lit(".zip")))
       .withColumn("zip_bytes",
-        ZipFns.zip_create2(concat(lit("inner/d"), col("doc_id"), lit(".txt")),
-          col("text")))
+        ZipFns.zipCreate2Col(
+          concat(lit("inner/d"), col("doc_id"), lit(".txt")), col("text")))
     docs
       .select(col("doc_id"), col("pack"),
         explode(ZipFns.zipEntriesCol(col("zip_bytes"))).as("entry"))
