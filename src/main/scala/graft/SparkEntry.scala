@@ -3290,20 +3290,29 @@ object SparkEntry {
          |  HAVING CAST(COUNT(*) AS DOUBLE)
          |    / CAST(a.nsh + b.nsh - COUNT(*) AS DOUBLE)
          |    >= ${operators.DedupOps.PrefixTau}),
-         |scand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sbands a JOIN sbands b ON a.k = b.k AND a.v = b.v
-         |    AND a.doc_id < b.doc_id
-         |  WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT)
-         |    <= ${operators.DedupOps.SimhashMaxHamming}),
          |tot AS (SELECT COUNT(*) AS n_true FROM truth),
-         |hh AS (SELECT COUNT(*) AS hits
-         |  FROM scand c JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id)
-         |SELECT CAST(${operators.DedupOps.SimhashMaxHamming} AS BIGINT)
-         |    AS max_hamming,
-         |  CAST(tot.n_true AS BIGINT) AS n_true,
-         |  CAST(hh.hits AS BIGINT) AS hits,
-         |  CAST(hh.hits AS DOUBLE) / CAST(tot.n_true AS DOUBLE) AS recall
-         |FROM tot CROSS JOIN hh""".stripMargin),
+         |hx AS (SELECT CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT)
+         |      AS hamming
+         |  FROM truth t JOIN ssig sa ON sa.doc_id = t.a_id
+         |  JOIN ssig sb ON sb.doc_id = t.b_id),
+         |hh AS (SELECT ${operators.DedupOps.SimhashSweepHammings.map(h =>
+              s"SUM(CASE WHEN hamming <= $h THEN 1 ELSE 0 END) AS h$h")
+              .mkString(", ")} FROM hx),
+         |base AS (${operators.DedupOps.SimhashSweepHammings.map(h =>
+              s"""SELECT CAST($h AS BIGINT) AS max_hamming,
+                 |    CAST(${h + 1} AS BIGINT) AS n_bands,
+                 |    CAST(tot.n_true AS BIGINT) AS n_true,
+                 |    CAST(hh.h$h AS BIGINT) AS hits,
+                 |    CAST(hh.h$h AS DOUBLE) / CAST(tot.n_true AS DOUBLE)
+                 |      AS recall
+                 |  FROM tot CROSS JOIN hh""".stripMargin)
+              .mkString("\n|UNION ALL\n|")}),
+         |pk AS (SELECT MIN(max_hamming) AS pick FROM base
+         |  WHERE recall >= ${operators.DedupOps.TuneTarget})
+         |SELECT b.max_hamming, b.n_bands, b.n_true, b.hits, b.recall,
+         |  (pk.pick IS NOT NULL AND b.max_hamming = pk.pick) AS chosen
+         |FROM base b CROSS JOIN pk
+         |ORDER BY b.max_hamming""".stripMargin),
 
     // suffix-array-family span dedup: L=8 token windows fingerprinted
     // with the StrHash64 kernel (poly fold + splitmix64 — replicated

@@ -572,29 +572,61 @@ object DedupOps {
   /** D4's hamming threshold (shared with D75 and the oracles). */
   val SimhashMaxHamming = 3
 
+  /** The hamming thresholds D75 sweeps (each with its pigeonhole band
+    * count h+1 — the geometry a deployment at that threshold would
+    * block with). Shared with the oracle generator.
+    */
+  val SimhashSweepHammings: Seq[Int] = 1 to 5
+
   /** D75: the SimHash pipeline's recall of the exact τ-Jaccard truth —
     * the dedup family's SECOND probabilistic member measured on the
-    * same ruler as D74. The BLOCKING is lossless by pigeonhole (4
-    * bands over the 64-bit signature: hamming ≤ 3 flips at most 3
-    * bands, so at least one stays intact and proposes the pair), so
-    * what this row measures is the FINGERPRINT itself: how many
-    * τ-Jaccard pairs land within the deployed hamming threshold at
-    * all — the D4-vs-D2 fidelity number a pipeline consults when
-    * choosing between the two families. One row, deterministic
-    * end-to-end (house simhash kernel + the D71 lossless truth),
-    * DuckDB-oracled like D74.
+    * same ruler as D74, as a THRESHOLD CURVE + TUNER (r12, completing
+    * the D74 device): per hamming threshold h in [[SimhashSweepHammings]],
+    * the fraction of truth pairs whose signatures land within h, with
+    * `n_bands` = h+1 (the pigeonhole band count that makes blocking at
+    * that threshold lossless — h flips leave ≥1 of h+1 bands intact)
+    * and `chosen` = the smallest threshold meeting the D74 target.
+    * Because blocking is lossless, per-threshold recall is a pure
+    * signature property — computed by attaching both signatures to the
+    * pair-sized truth frame and folding all thresholds in ONE
+    * aggregation pass (no per-threshold band joins); the deployed
+    * h=3 row is pinned equal to the full banded pipeline's hits in
+    * spec, so the shortcut is itself verified. The family-choice
+    * number (D4-vs-D2/D3) is now a curve like everything else,
+    * DuckDB-oracled — a fidelity regression moves `chosen` and fails
+    * the hash gate.
     */
   def dedupRecallSimhash(spark: SparkSession, dir: String,
-      tau: Double = PrefixTau): DataFrame = {
+      tau: Double = PrefixTau,
+      target: Double = TuneTarget): DataFrame = {
     import spark.implicits._
     val truth = prefixTruth(spark, dir, tau)
     val nTrue = truth.count()
-    val hits = dedupSimhash(spark, dir).select("a_id", "b_id")
-      .join(truth, Seq("a_id", "b_id"), "left_semi").count()
-    Seq((SimhashMaxHamming.toLong, nTrue, hits))
-      .toDF("max_hamming", "n_true", "hits")
+    // one row per doc off the band-exploded memo (band 0 slice — a
+    // cached-page read, no recompute)
+    val sigs = graft.Memo.df(spark, s"simhashSigs:$dir") {
+      simhashBandRows(spark, dir)
+    }.filter(col("band") === 0).select("doc_id", "sig")
+    val withH = truth.select("a_id", "b_id")
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+    val hitCols = SimhashSweepHammings.map(h =>
+      sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"h$h"))
+    val hitRow = withH.agg(hitCols.head, hitCols.tail: _*).collect()(0)
+    val base = SimhashSweepHammings.map { h =>
+      (h.toLong, (h + 1).toLong, nTrue, hitRow.getAs[Long](s"h$h"))
+    }.toDF("max_hamming", "n_bands", "n_true", "hits")
       .withColumn("recall", col("hits").cast(DoubleType) /
         col("n_true").cast(DoubleType))
+    val qualifying = base.filter(col("recall") >= target)
+      .agg(min(col("max_hamming")).as("pick"))
+    base.crossJoin(qualifying)
+      .withColumn("chosen", col("pick").isNotNull &&
+        col("max_hamming") === col("pick"))
+      .select("max_hamming", "n_bands", "n_true", "hits", "recall", "chosen")
+      .orderBy("max_hamming")
   }
 
   /** D3v: MinHash-LSH candidates + exact-Jaccard verify — the full
@@ -641,14 +673,18 @@ object DedupOps {
     * 4×16-bit bands guarantees recall for Hamming distance ≤ 3 (any
     * ≤3-bit difference leaves ≥1 band intact); verify with bit_count.
     */
+  /** The band-exploded signature table both D4 and D75 memoize. */
+  private def simhashBandRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sig", SimHash.simhash64(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("(sig >> (band * 16)) & 65535"))
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = graft.Memo.df(spark, s"simhashSigs:$dir") {
-      Tables.documents(spark, dir)
-        .withColumn("sig", SimHash.simhash64(TextFns.tokens(col("text"))))
-        .select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("band_val",
-          expr("(sig >> (band * 16)) & 65535"))
+      simhashBandRows(spark, dir)
     }
     val a = sigs.select(col("band").as("k_a"), col("band_val").as("v_a"),
       col("doc_id").as("a_id"), col("sig").as("sig_a"))

@@ -616,19 +616,43 @@ class DedupAnnSpec extends GraftSpec {
     } else assert(chosen.isEmpty, "nothing qualifies yet a row is chosen")
   }
 
-  test("dedup_recall_simhash: hits are exactly the simhash-pairs ∩ truth; blocking is pigeonhole-lossless") {
-    val row = DedupOps.dedupRecallSimhash(spark, Sf).collect()(0)
+  test("dedup_recall_simhash: threshold curve monotone, deployed row == pipeline ∩ truth, tuner picks smallest qualifier; blocking is pigeonhole-lossless") {
+    val rows = DedupOps.dedupRecallSimhash(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("max_hamming"), r.getAs[Long]("n_bands"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("hits"),
+        r.getAs[Double]("recall"), r.getAs[Boolean]("chosen")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      DedupOps.SimhashSweepHammings.map(_.toLong))
+    // pigeonhole geometry rides each row: h flips need h+1 bands
+    rows.foreach(r => assert(r._2 == r._1 + 1))
+    // recall is monotone non-decreasing in the threshold (hamming <= h
+    // sets are nested)
+    val recalls = rows.map(_._5)
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi },
+      s"recall not monotone in hamming: ${recalls.mkString(", ")}")
+    // tuner: exactly one chosen = the smallest qualifying threshold
+    val qualifying = rows.filter(_._5 >= DedupOps.TuneTarget)
+    val chosen = rows.filter(_._6)
+    if (qualifying.nonEmpty) {
+      assert(chosen.length == 1)
+      assert(chosen.head._1 == qualifying.map(_._1).min,
+        "chosen is not the smallest qualifying threshold")
+    } else assert(chosen.isEmpty)
     val truth = DedupOps.dedupPrefixFilter(spark, Sf)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = DedupOps.dedupSimhash(spark, Sf)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(row.getLong(0) == DedupOps.SimhashMaxHamming.toLong)
-    assert(row.getLong(1) == truth.size.toLong)
-    assert(row.getLong(2) == (sim intersect truth).size.toLong,
-      "hits must be the simhash-candidate ∩ truth intersection")
-    assert(row.getDouble(3) == row.getLong(2).toDouble / row.getLong(1))
+    // the deployed-threshold row equals the FULL banded pipeline's
+    // hits — verifying the curve's in-row hamming shortcut against the
+    // real candidate join it stands in for
+    val deployed = rows.find(_._1 == DedupOps.SimhashMaxHamming.toLong).get
+    assert(deployed._3 == truth.size.toLong)
+    assert(deployed._4 == (sim intersect truth).size.toLong,
+      "deployed-threshold hits must be the simhash-candidate ∩ truth intersection")
+    assert(deployed._5 == deployed._4.toDouble / deployed._3)
     // pigeonhole losslessness of the BLOCKING: every doc pair within
     // the hamming threshold (computed brute-force over all signatures)
     // is proposed by the band join — so the recall row measures the
