@@ -1178,6 +1178,23 @@ object SparkEntry {
            |  JOIN exs x ON x.q_id = c.q_id AND x.c_id = c.c_id)
            |  WHERE rnk <= 10)""".stripMargin
       }.mkString(",\n")
+      // ivfsq curve (r12): probed-list candidates ∩ zs (the SQ8 ADC
+      // table), ADC shortlist at fixed R (DESC — SQ8's ADC
+      // approximates the dot), exact top-10 — annIvfSq's two stages
+      // per nprobe
+      val ivfsqCtes = AnnOps.RecallIvfSqNprobes.map { np =>
+        s"""iq$np AS (SELECT a.q_id, a.c_id, a.adc FROM zs a
+           |  JOIN l0q p ON p.q_id = a.q_id AND p.rn <= $np
+           |  JOIN lists l ON l.c_id = a.c_id AND l.c_cid = p.q_cid),
+           |izt$np AS (SELECT q_id, c_id FROM (
+           |  SELECT c.q_id, c.c_id, ROW_NUMBER() OVER (PARTITION BY c.q_id
+           |      ORDER BY x.sim DESC, c.c_id) AS rnk
+           |  FROM (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id)
+           |        AS arnk FROM iq$np) WHERE arnk <= ${AnnOps.IvfSqR}) c
+           |  JOIN exs x ON x.q_id = c.q_id AND x.c_id = c.c_id)
+           |  WHERE rnk <= 10)""".stripMargin
+      }.mkString(",\n")
       // residual ADC-order points: the ${p}adcres distances of the
       // full residual chain (8- and 16-subspace books), top-10 by pure
       // ADC order — no re-rank slack, code fidelity only
@@ -1229,6 +1246,10 @@ object SparkEntry {
         s"SELECT 'ivfpq' AS method, CAST($np AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM ipq$np JOIN ex ON ipq$np.q_id = ex.q_id " +
         s"AND ipq$np.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallIvfSqNprobes.map(np =>
+        s"SELECT 'ivfsq' AS method, CAST($np AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM izt$np JOIN ex ON izt$np.q_id = ex.q_id " +
+        s"AND izt$np.c_id = ex.c_id) AS hits") ++
        AnnOps.RecallResAdcSubs.map(ns =>
         s"SELECT 'res_adc' AS method, CAST($ns AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM vt$ns JOIN ex ON vt$ns.q_id = ex.q_id " +
@@ -1289,6 +1310,7 @@ object SparkEntry {
          |$resCtes,
          |$rpCtes,
          |$sq8Points,
+         |$ivfsqCtes,
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,

@@ -736,6 +736,7 @@ object AnnOps {
   val RecallPqR: Seq[Int] = Seq(10, 50, 100)
   val RecallRpR: Seq[Int] = Seq(50, 100)
   val RecallIvfPqNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+  val RecallIvfSqNprobes: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** Residual ADC-ORDER recall points (method `res_adc`, param =
     * subspace count): shortlist R = 10 with k = 10 leaves NO re-rank
@@ -871,6 +872,22 @@ object AnnOps {
         .select(col("q_id"), col("c_id"), col("p_rnk"), col("sim"),
           adcCol().as("adc"))
     }
+    // ivfsq curve (r12 — the third serving family on the probe ruler,
+    // so D10f can tune it too): the IVF candidate cache + each
+    // candidate's SQ8 ADC; per nprobe: filter probes → ADC shortlist
+    // (R fixed, desc — SQ8's ADC approximates the dot, higher is
+    // closer) → exact top-10, reproducing annIvfSq's two-stage path
+    val ivfsqSims = graft.Memo.df(spark, s"annIvfSqRankSims:$dir") {
+      val (mn, delta) = sq8Model(spark, dir)
+      val qv = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      ivfSims.join(sq8Codes(spark, dir).withColumnRenamed("vec_id", "c_id"),
+          "c_id")
+        .join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("c_id"), col("p_rnk"), col("sim"),
+          VectorFns.dot(col("qv"), sq8Dequant(col("codes"), mn, delta))
+            .as("adc"))
+    }
     // All of a family's curve points in ONE pass: each cached
     // candidate row fans out to every configuration that admits it
     // (param > rank, i.e. the same filter the per-point formulation
@@ -919,6 +936,15 @@ object AnnOps {
         .select("param", "q_id", "c_id", "sim")
       familyHits("ivfpq", params, short)
     }
+    def ivfsqHitsOf(params: Seq[Int]): DataFrame = {
+      // annIvfSq's two stages: SQ8 ADC shortlist (desc) at R, exact
+      // top-10 — same chained-heap device as ivfpq
+      val short = TopK.perKey(probeFan(ivfsqSims, params),
+          Seq(col("param"), col("q_id")),
+          Seq(col("adc").desc, col("c_id").asc), IvfSqR)
+        .select("param", "q_id", "c_id", "sim")
+      familyHits("ivfsq", params, short)
+    }
     // residual ADC-order points: the r = k = 10 search's result SET is
     // exactly the ADC top-10 (re-ranking 10 candidates for top-10
     // permutes, never drops), so recall measures pure code fidelity
@@ -930,7 +956,8 @@ object AnnOps {
         hitsOf("ivf", RecallIvfNprobes, ivfSims),
         pqHitsOf(RecallPqR),
         rpHitsOf(RecallRpR),
-        ivfpqHitsOf(RecallIvfPqNprobes)) ++
+        ivfpqHitsOf(RecallIvfPqNprobes),
+        ivfsqHitsOf(RecallIvfSqNprobes)) ++
        RecallResAdcSubs.map(ns => resAdcHitsOf(ns)) ++
        // SQ8: ADC-order code fidelity + the production two-stage path
        Seq(countHits("sq8_adc", 10, annSq8Adc(spark, dir, 10)),
@@ -948,7 +975,7 @@ object AnnOps {
     * SQL generator so the contract cannot drift).
     */
   val ProbeTuneTarget = 0.9
-  val ProbeTuneMethods: Seq[String] = Seq("ivf", "ivfpq")
+  val ProbeTuneMethods: Seq[String] = Seq("ivf", "ivfpq", "ivfsq")
 
   /** The per-deployment nprobe candidates ScaleBench's prod regimes
     * sweep when re-tuning against their own corpus (m = 16F, fixed

@@ -746,7 +746,8 @@ class DedupAnnSpec extends GraftSpec {
     assert(rows.length ==
       AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size +
       AnnOps.RecallPqR.size + AnnOps.RecallRpR.size +
-      AnnOps.RecallIvfPqNprobes.size + AnnOps.RecallResAdcSubs.size +
+      AnnOps.RecallIvfPqNprobes.size + AnnOps.RecallIvfSqNprobes.size +
+      AnnOps.RecallResAdcSubs.size +
       2 /* sq8_adc + sq8 rerank, one pinned point each */)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
@@ -765,13 +766,26 @@ class DedupAnnSpec extends GraftSpec {
       assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
         s"$m recall curve not monotone: ${curve.toSeq}")
     }
-    val ivfpqCurve = rows.filter(_.getAs[String]("method") == "ivfpq")
-      .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
-    assert(ivfpqCurve.nonEmpty, "ivfpq curve missing")
-    assert(ivfpqCurve.zip(ivfpqCurve.tail).forall { case (a, b) => b >= a - 0.02 },
-      s"ivfpq recall dropped by more than shortlist noise: ${ivfpqCurve.toSeq}")
-    assert(ivfpqCurve.last >= ivfpqCurve.head,
-      s"ivfpq curve ends below its start: ${ivfpqCurve.toSeq}")
+    for (m <- Seq("ivfpq", "ivfsq")) {
+      val curve = rows.filter(_.getAs[String]("method") == m)
+        .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
+      assert(curve.nonEmpty, s"$m curve missing")
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 0.02 },
+        s"$m recall dropped by more than shortlist noise: ${curve.toSeq}")
+      assert(curve.last >= curve.head,
+        s"$m curve ends below its start: ${curve.toSeq}")
+    }
+    // the ivfsq curve at the deployed nprobe reproduces D58d's actual
+    // two-stage search — the curve is the operator, not a proxy
+    locally {
+      val exact = AnnOps.annCosineTopK(spark, Sf).select("q_id", "c_id")
+      val pipelineHits = AnnOps.annIvfSq(spark, Sf).select("q_id", "c_id")
+        .join(exact, Seq("q_id", "c_id")).count()
+      val curveRow = rows.find(r => r.getAs[String]("method") == "ivfsq" &&
+        r.getAs[Long]("param") == AnnOps.IvfSqNprobe.toLong).get
+      assert(curveRow.getAs[Long]("hits") == pipelineHits,
+        s"ivfsq curve hits ${curveRow.getAs[Long]("hits")} != pipeline $pipelineHits")
+    }
     def at(m: String, p: Long): Double =
       rows.find(r => r.getAs[String]("method") == m &&
         r.getAs[Long]("param") == p).get.getAs[Double]("recall")
