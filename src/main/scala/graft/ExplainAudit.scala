@@ -136,6 +136,13 @@ object ExplainAudit {
       if (name == "q22_idle_customers" && !plan.contains("LeftAnti")) {
         println(s"!! AUDIT $name: expected a LEFT ANTI join"); bad += 1
       }
+      // B25/B29/B30: the CEP family compiles to ONE user-keyed window
+      // pass and a pure in-row match predicate — any Join appearing
+      // here means the compiler regressed to self-join matching
+      if ((name == "evt_pattern_match" || name == "evt_pattern_kleene" ||
+          name == "evt_pattern_spec") && plan.contains("Join")) {
+        println(s"!! AUDIT $name: CEP plan contains a join"); bad += 1
+      }
       // B26: the range predicate must ride the bucket EQUI-join — a
       // nested-loop theta join here is the exact plan the rewrite kills
       if (name == "evt_incident_join" &&
