@@ -64,7 +64,14 @@ object ScaleAudit {
     // above by the raw pair stream — which is linear under the
     // self-similar amplifier (df caps constant per shard); measured
     // 1.10 at the boundary
-    "doc_similar" -> 1.3)
+    "doc_similar" -> 1.3,
+    // the RRF fusion's marginal (after doc_similar's memos) is the
+    // BM25-side pair stream of the SAME df-capped join — the same
+    // combiner regime as doc_similar, measured via the scoped ×30
+    // extension at exp 1.13 (0 MB at ×1 — fully memo-shared — then
+    // 36.7 → 127 MB, ×3.47 for ×3 data: linear-with-combiner-constant,
+    // not a flip, which would step far above ×3)
+    "doc_similar_rrf" -> 1.3)
 
   private val NoiseFloorBytes = 8L * 1024 * 1024
 
@@ -143,7 +150,13 @@ object ScaleAudit {
     // auto-extension pass: a transitioned query (all-broadcast ×1 base,
     // above-floor ×10) would otherwise escape the gate exactly when the
     // broadcast→shuffle flip first appears past ×1 — measure it once
-    // more at ×30 and judge log(b₃₀/b₁₀)/log(3) from the ×10 base
+    // more at ×30 and judge log(b₃₀/b₁₀)/log(3) from the ×10 base.
+    // SCOPE: the main pass meters each query MARGINAL to its
+    // predecessors' memos (queries share session memos within a
+    // factor), so the extension must reproduce that scope or the
+    // exponent compares marginal-vs-cold (the first cut measured a
+    // false 2.42 on doc_similar_rrf this way) — replay the audited
+    // queries that precede q, unmetered, then meter q.
     val transitioned = audited.filter { q =>
       bytes(q)(1) < minBase && bytes(q)(10) > NoiseFloorBytes
     }
@@ -151,27 +164,30 @@ object ScaleAudit {
       val f = 30
       val dir = s"/tmp/graft_scale/${sfName}_x$f"
       ScaleBench.amplify(spark, base, f, dir)
-      Memo.clear(spark)
-      operators.DedupOps.withShingles(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      operators.AnnOps.warmShared(spark, dir)
-      operators.AnnOps.warmSq8(spark, dir)
-      operators.CurationOps.warmStanding(spark, dir)
-      operators.LayoutOps.ensure(spark, dir, "postings_base")
-      transitioned.foreach { q =>
-        meter.reset()
-        val t0 = System.nanoTime()
+      def runOne(q: String): Unit =
         if (q == "evt_incident_join_fixedinc")
           operators.EventOps.incidentJoinOn(spark, dir, base)
             .write.format("noop").mode("overwrite").save()
         else
           SparkEntry.queries(q)(spark, dir)
             .write.format("noop").mode("overwrite").save()
+      transitioned.foreach { q =>
+        Memo.clear(spark)
+        operators.DedupOps.withShingles(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        operators.AnnOps.warmShared(spark, dir)
+        operators.AnnOps.warmSq8(spark, dir)
+        operators.CurationOps.warmStanding(spark, dir)
+        operators.LayoutOps.ensure(spark, dir, "postings_base")
+        audited.takeWhile(_ != q).foreach(runOne)
+        meter.reset()
+        val t0 = System.nanoTime()
+        runOne(q)
         val sec = (System.nanoTime() - t0) / 1e9
         val (w, _) = meter.read()
         bytes(q)(f) = w
-        println(f"[scale-audit] x$f $q (transition extension): " +
-          f"${w / 1e6}%.2f MB shuffled ($sec%.1f s)")
+        println(f"[scale-audit] x$f $q (transition extension, main-pass " +
+          f"scope): ${w / 1e6}%.2f MB shuffled ($sec%.1f s)")
       }
     }
 
