@@ -83,6 +83,17 @@ object Bench {
       operators.DedupOps.warmShared(spark, sfDir)
     if (selected.exists(t => t._1.startsWith("ann") || t._1.startsWith("emb")))
       operators.AnnOps.warmShared(spark, sfDir)
+    // r12 shared memos, same methodology: the D71 lossless truth
+    // (consumed by dedup_explain/dedup_recall/dedup_recall_simhash/
+    // dedup_prefix_filter) and the D10e recall curve (consumed by
+    // ann_recall + ann_probe_tuner) — otherwise whichever consumer
+    // runs first absorbs the whole build and reads as a regression
+    if (selected.exists(t => Set("dedup_explain", "dedup_recall",
+        "dedup_recall_simhash", "dedup_prefix_filter")(t._1)))
+      operators.DedupOps.warmTruth(spark, sfDir)
+    if (selected.exists(t => t._1 == "ann_recall" || t._1 == "ann_probe_tuner"))
+      operators.AnnOps.annRecall(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     if (selected.exists(_._1 == "corpus_build_incremental"))
       operators.CurationOps.warmStanding(spark, sfDir)
     val warmupSec = (System.nanoTime() - t0) / 1e9

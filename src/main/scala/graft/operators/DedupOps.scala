@@ -489,6 +489,18 @@ object DedupOps {
       dedupPrefixFilter(spark, dir, tau).select("a_id", "b_id", "jacc")
     }
 
+  /** Bench warm hook: materialize the D71 lossless-truth memo (shared
+    * by D57/D74/D75) untimed, so per-query bench numbers reflect each
+    * query's marginal work — the house warmup methodology. NOT used by
+    * ScaleAudit/ScaleBench warms: those deliberately meter the truth
+    * build inside whichever query first pays it.
+    */
+  def warmTruth(spark: SparkSession, dir: String): Unit = {
+    prefixTruth(spark, dir, PrefixTau)
+      .write.format("noop").mode("overwrite").save()
+    ()
+  }
+
   def dedupRecall(spark: SparkSession, dir: String,
       tau: Double = PrefixTau): DataFrame = {
     import spark.implicits._
