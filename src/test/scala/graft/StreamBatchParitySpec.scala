@@ -434,6 +434,76 @@ class StreamBatchParitySpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("patternSpecStream with a Plus instance == patternKleeneStream == batch, same fixture and split") {
+    import graft.operators.{EventOps, PatternQuant, PatternStep}
+    // the generic face run at B29's spec must replay the dedicated
+    // Kleene face bit-for-bit — same synthetic runs (at-bound and
+    // over-bound), same mid-run batch split as the E45 parity test
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val synth = Seq(
+      (992001L, t("2024-06-02 10:00:00"), 9920L, "view", 1.0),
+      (992002L, t("2024-06-02 10:10:00"), 9920L, "click", 1.0),
+      (992003L, t("2024-06-02 10:20:00"), 9920L, "click", 1.0),
+      (992004L, t("2024-06-02 10:30:00"), 9920L, "purchase", 1.0),
+      // over-bound run: KleeneMaxRun+1 clicks — must NOT match
+      (991001L, t("2024-06-02 10:00:00"), 9910L, "view", 1.0),
+      (991002L, t("2024-06-02 10:05:00"), 9910L, "click", 1.0),
+      (991003L, t("2024-06-02 10:10:00"), 9910L, "click", 1.0),
+      (991004L, t("2024-06-02 10:20:00"), 9910L, "click", 1.0),
+      (991005L, t("2024-06-02 10:25:00"), 9910L, "click", 1.0),
+      (991006L, t("2024-06-02 10:28:00"), 9910L, "click", 1.0),
+      (991007L, t("2024-06-02 10:31:00"), 9910L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val all = Tables.events(spark, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .unionByName(synth)
+    val d = Files.createTempDirectory("specplus_par").toFile.getAbsolutePath
+    val widened = s"$d/widened"
+    all.write.parquet(s"$widened/events.parquet")
+    val Seq(a, b, c) = EventOps.PatternSeq
+    val plusSpec = Seq(PatternStep(a, PatternQuant.One),
+      PatternStep(b, PatternQuant.Plus(EventOps.KleeneMaxRun)),
+      PatternStep(c, PatternQuant.One))
+    val expected = EventOps.patternSpec(spark, widened, plusSpec)
+      .select("user_id", "id_0", "n_1", "id_last", "span_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(expected.exists(e => e._1 == 9920L && e._3 == 2L))
+    assert(!expected.exists(_._1 == 9910L), "over-bound run must not match")
+    val src = s"$d/src"
+    val cutoff = t("2024-06-02 10:15:00").getTime
+    all.filter(unix_millis(col("ts")) < cutoff).write.mode("append").parquet(src)
+    val q = StreamOps.patternSpecStream(
+        spark.readStream.schema(all.schema).parquet(src).as[Ev], plusSpec)
+      .writeStream.format("memory").queryName("specplus_par")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      all.filter(unix_millis(col("ts")) >= cutoff).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("specplus_par")
+        .select(col("user_id"), col("id_0"), col("counts")(0).as("n_1"),
+          col("id_last"), col("span_ms"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == expected,
+        s"generic Plus face ${got.length} vs batch ${expected.length}")
+      // and the dedicated E45 face agrees row-for-row on the same data
+      val d2 = s"$d/src2"
+      all.write.parquet(d2)
+      val q2 = StreamOps.patternKleeneStream(
+          spark.readStream.schema(all.schema).parquet(d2).as[Ev])
+        .writeStream.format("memory").queryName("specplus_kleene")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val kle = spark.table("specplus_kleene")
+          .select("user_id", "id_0", "n_mid", "id_last", "span_ms")
+          .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+        assert(kle == got, "generic face diverges from the E45 Kleene face")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("imageDedupStream: pairs == plain-Scala bands+hamming vs the standing split") {
     import graft.multimodal.MultimodalOps
     def hash(id: Long): Long = MultimodalOps.dHash56(
