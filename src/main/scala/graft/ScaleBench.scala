@@ -175,7 +175,12 @@ object ScaleBench {
     // shared with dedup_recall) + the shared-shingle semi-join off the
     // clustered exploded table — flagged pairs grow ~F× under the
     // amplifier, per-pair shingle work is doc-bounded ⇒ expect ~linear
-    "dedup_explain")
+    "dedup_explain",
+    // r12: the CEP compiler — ONE user-keyed window sort + an in-row
+    // greedy fold; the amplifier grows users F× at constant per-user
+    // history, so the sort's exchange is the only volume ⇒ expect
+    // ~linear, and any join appearing would also trip ExplainAudit
+    "evt_pattern_spec")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
