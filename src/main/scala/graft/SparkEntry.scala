@@ -221,6 +221,9 @@ object SparkEntry {
     "ann_recall"           -> (AnnOps.annRecall _),
     "ann_probe_tuner"      -> ((s: SparkSession, d: String) =>
       AnnOps.annProbeTuner(s, d)),
+    "ann_graph_build"      -> (AnnOps.annGraphBuild _),
+    "ann_graph"            -> ((s: SparkSession, d: String) =>
+      AnnOps.annGraph(s, d)),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
       AnnOps.sampleClusterBalanced(s, d)),
@@ -315,6 +318,7 @@ object SparkEntry {
     "layout_doc_similar_rrf" -> (LayoutOps.docSimilarRrfServed _),
     // D58c: SQ8 search from the persisted codes + model tables
     "layout_ann_sq8"       -> (LayoutOps.annSq8Served _),
+    "layout_ann_graph"     -> (LayoutOps.annGraphServed _),
     // D59b: NB classification from the persisted model tables
     "layout_doc_classify"  -> (LayoutOps.classifyLangServed _)
   )
@@ -1128,6 +1132,129 @@ object SparkEntry {
   /** D10e's full oracle SQL, hoisted so D10f's tuner can wrap the
     * SAME curve in one more CTE — the two rows cannot drift apart.
     */
+  /** The IVF coarse-quantizer chain replicated in SQL — first-16 seed
+    * → one exact-integer Lloyd round → nprobe=1 inverted lists —
+    * shared by ann_recall and the graph-family oracles so the two
+    * cannot drift. Requires a CTE `e` (vec_id, v::DOUBLE[], nrm).
+    */
+  private def IvfListsCtes: String =
+    """seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |s0 AS (SELECT e.vec_id, e.v, s.cid,
+      |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
+      |  FROM e, seed s),
+      |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+      |  WHERE rn = 1),
+      |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM a1),
+      |cx AS (SELECT cid, pos,
+      |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
+      |  FROM cm GROUP BY cid, pos),
+      |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
+      |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+      |  FROM ref),
+      |l0 AS (SELECT e.vec_id, e.v, e.nrm, r.cid,
+      |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
+      |  FROM e, ref2 r),
+      |lists AS (SELECT cid AS c_cid, vec_id AS c_id, v AS cv2, nrm AS cn
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1)""".stripMargin
+
+  /** D76's whole chain as CTEs — deterministic NN-descent build
+    * (per-cell anchors, within-cell + anchor-edge init, GraphRounds
+    * unrolled neighbor-of-neighbor rounds) and the beam walk
+    * (bm0..bm_hops, plus per-hop top-10 CTEs gt_h for the recall
+    * curve). Requires `e` and `lists` in scope. Every constant comes
+    * from AnnOps so the oracle moves with the engine.
+    */
+  private def graphChainCtes: String = {
+    val k = operators.AnnOps.GraphK
+    val b = operators.AnnOps.GraphBeam
+    val rounds = (1 to operators.AnnOps.GraphRounds).map { r =>
+      val prev = s"g${r - 1}"
+      s"""grv$r AS (SELECT dst AS piv, src AS memb FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY sim DESC, src)
+         |      AS rn FROM $prev) WHERE rn <= $k),
+         |gu$r AS MATERIALIZED (SELECT src AS piv, dst AS memb FROM $prev
+         |  UNION SELECT piv, memb FROM grv$r),
+         |gpp$r AS (SELECT x.memb AS src, y.memb AS dst FROM gu$r x
+         |  JOIN gu$r y ON x.piv = y.piv AND x.memb <> y.memb
+         |  UNION SELECT src, dst FROM $prev),
+         |gsc$r AS (SELECT p.src, p.dst,
+         |    list_dot_product(es.v, ed.v) / (es.nrm * ed.nrm) AS sim
+         |  FROM gpp$r p JOIN e es ON es.vec_id = p.src
+         |  JOIN e ed ON ed.vec_id = p.dst),
+         |g$r AS MATERIALIZED (SELECT src, dst, sim, rn AS rnk FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+         |      AS rn FROM gsc$r) WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val hops = (1 to operators.AnnOps.GraphHops).map { h =>
+      val prev = s"bm${h - 1}"
+      s"""gbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
+         |  JOIN g${operators.AnnOps.GraphRounds} g ON g.src = bb.c_id
+         |  WHERE g.dst <> bb.q_id
+         |  UNION SELECT q_id, c_id FROM $prev),
+         |gbs$h AS (SELECT p.q_id, p.c_id,
+         |    list_dot_product(q.qv, ec.v) / (q.qn * ec.nrm) AS sim
+         |  FROM gbx$h p JOIN gq q ON q.q_id = p.q_id
+         |  JOIN e ec ON ec.vec_id = p.c_id),
+         |bm$h AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS rn FROM gbs$h) WHERE rn <= $b)""".stripMargin
+    }.mkString(",\n")
+    val tops = operators.AnnOps.RecallGraphHops.map { h =>
+      s"""gt$h AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS rn FROM bm$h) WHERE rn <= 10)""".stripMargin
+    }.mkString(",\n")
+    s"""ganch AS (SELECT c_cid, MIN(c_id) AS a_id FROM lists GROUP BY c_cid),
+       |ganchv AS MATERIALIZED (SELECT a.a_id, l.cv2 AS av, l.cn AS an
+       |  FROM ganch a JOIN lists l ON l.c_id = a.a_id),
+       |gc0 AS (SELECT a.c_id AS src, b2.c_id AS dst FROM lists a
+       |  JOIN lists b2 ON a.c_cid = b2.c_cid AND a.c_id <> b2.c_id
+       |  UNION SELECT x.vec_id AS src, y.vec_id AS dst FROM b x
+       |  JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+       |  UNION SELECT e.vec_id AS src, v.a_id AS dst FROM e, ganchv v
+       |  WHERE e.vec_id <> v.a_id),
+       |gsc0 AS (SELECT p.src, p.dst,
+       |    list_dot_product(es.v, ed.v) / (es.nrm * ed.nrm) AS sim
+       |  FROM gc0 p JOIN e es ON es.vec_id = p.src
+       |  JOIN e ed ON ed.vec_id = p.dst),
+       |g0 AS MATERIALIZED (SELECT src, dst, sim, rn AS rnk FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+       |      AS rn FROM gsc0) WHERE rn <= $k),
+       |$rounds,
+       |gq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+       |  WHERE vec_id % 50 = 0),
+       |gbs0 AS (SELECT q.q_id, v.a_id AS c_id,
+       |    list_dot_product(q.qv, v.av) / (q.qn * v.an) AS sim
+       |  FROM gq q, ganchv v WHERE q.q_id <> v.a_id),
+       |bm0 AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+       |      AS rn FROM gbs0) WHERE rn <= $b),
+       |$hops,
+       |$tops""".stripMargin
+  }
+
+  /** D76b's oracle (also layout_ann_graph's): the beam walk over the
+    * graph — anchors → GraphHops expansions → exact top-10 of the
+    * final beam.
+    */
+  private def AnnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+       |$IvfListsCtes,
+       |$graphChainCtes,
+       |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+       |  FROM bm${operators.AnnOps.GraphHops})
+       |SELECT q_id, c_id, sim, rnk FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
   private def AnnRecallSql: String = {
       val probesAll = Seq("bucket", "xor(bucket, 1)", "xor(bucket, 2)",
         "xor(bucket, 4)", "xor(bucket, 8)")
@@ -1258,6 +1385,10 @@ object SparkEntry {
         s"SELECT 'rp' AS method, CAST($rr AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM wt$rr JOIN ex ON wt$rr.q_id = ex.q_id " +
         s"AND wt$rr.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallGraphHops.map(h =>
+        s"SELECT 'graph' AS method, CAST($h AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM gt$h JOIN ex ON gt$h.q_id = ex.q_id " +
+        s"AND gt$h.c_id = ex.c_id) AS hits") ++
        Seq(
         s"SELECT 'sq8_adc' AS method, CAST(10 AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM zt JOIN ex ON zt.q_id = ex.q_id " +
@@ -1270,29 +1401,7 @@ object SparkEntry {
          |  FROM embeddings),
          |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
          |$lshCtes,
-         |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-         |  FROM e ORDER BY vec_id LIMIT 16),
-         |s0 AS (SELECT e.vec_id, e.v, s.cid,
-         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
-         |  FROM e, seed s),
-         |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
-         |  WHERE rn = 1),
-         |cm AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x
-         |  FROM a1),
-         |cx AS (SELECT cid, pos,
-         |    CAST(SUM(CAST(x * 1125899906842624.0 AS HUGEINT)) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) / 1125899906842624.0 AS x
-         |  FROM cm GROUP BY cid, pos),
-         |ref AS (SELECT cid, list(x ORDER BY pos) AS cv FROM cx GROUP BY cid),
-         |ref2 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
-         |  FROM ref),
-         |l0 AS (SELECT e.vec_id, e.v, e.nrm, r.cid,
-         |    list_dot_product(e.v, r.cv) / (e.nrm * r.cnrm) AS sim
-         |  FROM e, ref2 r),
-         |lists AS (SELECT cid AS c_cid, vec_id AS c_id, v AS cv2, nrm AS cn
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY sim DESC, cid) AS rn FROM l0) WHERE rn = 1),
+         |$IvfListsCtes,
          |l0q AS (SELECT cid AS q_cid, vec_id AS q_id, v AS qv, nrm AS qn, rn
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY sim DESC, cid) AS rn FROM l0 WHERE vec_id % 50 = 0)),
@@ -1311,6 +1420,7 @@ object SparkEntry {
          |$rpCtes,
          |$sq8Points,
          |$ivfsqCtes,
+         |$graphChainCtes,
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
@@ -4015,6 +4125,28 @@ object SparkEntry {
     // ann_ivf chain), hits counted per configuration. Probe counts and
     // nprobe values come from AnnOps's own constants.
     "ann_recall" -> AnnRecallSql,
+
+    // D76: the k-NN graph itself — the full deterministic NN-descent
+    // unrolled (init off the IVF cells + anchors, GraphRounds
+    // neighbor-of-neighbor rounds); a build regression is a hash
+    // mismatch, not a drifting recall number
+    "ann_graph_build" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+         |$IvfListsCtes,
+         |$graphChainCtes
+         |SELECT src, dst, sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM g${operators.AnnOps.GraphRounds} ORDER BY src, rnk""".stripMargin,
+
+    // D76b: the beam walk over the graph (anchors → GraphHops
+    // expansions → exact top-10 of the final beam)
+    "ann_graph" -> AnnGraphSql,
+
+    // D76c: the served graph face shares D76b's oracle — hash parity
+    // proves the persisted adjacency + anchors lossless
+    "layout_ann_graph" -> AnnGraphSql,
 
     // D10f: the D74 tuner device on the D10e curve — per-nprobe recall
     // for the IVF-backed serving families + chosen = smallest nprobe

@@ -100,6 +100,15 @@ object LayoutOps {
       (s, d) => table(s, d, "postings_base")
         .select(explode(col("posts")).as("p"))
         .select(col("p").getField("doc_id").as("doc_id")).distinct()),
+    // D76c: the k-NN graph as a standing layout — adjacency bucketed
+    // by source node (each beam hop is a bucket-pruned id probe, the
+    // corpus-sized side never reshuffles) + the 16 anchor vectors
+    Family("graph_adj",
+      s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}",
+      "src", 16, (s, d) => AnnOps.graphAdj(s, d)),
+    Family("graph_anchors",
+      s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}",
+      "a_id", 1, (s, d) => AnnOps.graphAnchors(s, d)),
     Family("minhash_sigs", "k64b8", "band_hash", 16,
       (s, d) => DedupOps.minhashBandSigs(s, d)),
     Family("corpus_ck", "md5", "ck", 16,
@@ -379,6 +388,16 @@ object LayoutOps {
     AnnOps.sq8RerankOn(spark, dir, mn, delta,
       table(spark, dir, "sq8_codes"), AnnOps.Sq8RerankR, 10)
   }
+
+  /** D76c: graph-ANN served from the persisted adjacency + anchors —
+    * a restarted serving tier walks the standing graph with zero
+    * rebuild (beam hops are bucket-pruned probes of the src-bucketed
+    * table). Shares ann_graph's oracle — hash parity proves the
+    * persisted graph lossless.
+    */
+  def annGraphServed(spark: SparkSession, dir: String): DataFrame =
+    AnnOps.annGraphFromTables(spark, dir,
+      table(spark, dir, "graph_adj"), table(spark, dir, "graph_anchors"))
 
   /** D59b: NB classification served from the persisted model tables
     * alone — the production gate shape: the crawl split is scored

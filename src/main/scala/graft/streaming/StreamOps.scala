@@ -1092,6 +1092,32 @@ object StreamOps {
       .start()
   }
 
+  /** E47: online graph-ANN serving from the PERSISTED k-NN graph —
+    * each micro-batch of arriving query vectors walks the standing
+    * adjacency (re-registered at stream start, bucketed by source
+    * node so every beam hop is a bucket-pruned id probe) through the
+    * same [[graft.operators.AnnOps.graphSearchOn]] path the batch API
+    * uses (foreachBatch — the bounded-heap TopK exec is a batch
+    * physical operator), so stream results are batch-identical by
+    * construction (parity-tested). Per-batch cost is
+    * |batch|·hops·beam·K sims — independent of corpus size, the
+    * graph family's serving contract; no rebuild, no corpus work.
+    */
+  def graphSearchStreamFromLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, sink: (DataFrame, Long) => Unit,
+      hops: Int = graft.operators.AnnOps.GraphHops,
+      beam: Int = graft.operators.AnnOps.GraphBeam, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val adj = graft.operators.LayoutOps.table(spark, dir, "graph_adj")
+    val anchors = graft.operators.LayoutOps.table(spark, dir, "graph_anchors")
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.AnnOps.graphSearchOn(spark, dir, adj, anchors,
+          batch, hops, beam, k), batchId)
+      }
+      .start()
+  }
+
   /** E21: streaming maintenance of the PERSISTED manifest — each
     * micro-batch of crawled documents folds its NEW checksums into the
     * stream-owned keeper map (the upkeep_ck layout table, seeded

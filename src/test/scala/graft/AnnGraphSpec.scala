@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AnnOps
+
+/** D76 graph ANN: build contracts, an independent plain-Scala replay
+  * of the whole build + beam-serve chain, and the recall floors.
+  */
+class AnnGraphSpec extends GraftSpec {
+
+  private def embMap(): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def cos(emb: Map[Long, Array[Double]], a: Long, b: Long): Double = {
+    val (va, vb) = (emb(a), emb(b))
+    dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+  }
+
+  test("graph build: degree/rank/self-loop contracts, sims exact") {
+    val adj = AnnOps.annGraphBuild(spark, Sf).collect()
+    val emb = embMap()
+    assert(adj.nonEmpty)
+    adj.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      val dsts = rows.map(_.getLong(1))
+      assert(dsts.length <= AnnOps.GraphK, s"degree overflow at $src")
+      assert(dsts.distinct.length === dsts.length, s"dup dst at $src")
+      assert(!dsts.contains(src), s"self-loop at $src")
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to rows.length).toSeq,
+        s"ranks not contiguous at $src")
+      // rank order == (sim desc, dst asc), sims bit-exact recomputed
+      val resorted = rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+      assert(resorted.map(_.getLong(1)).toSeq ===
+        byRank.map(_.getLong(1)).toSeq, s"rank order broken at $src")
+      rows.foreach { r =>
+        assert(r.getDouble(2) === cos(emb, src, r.getLong(1)),
+          s"sim drift at ($src, ${r.getLong(1)})")
+      }
+    }
+    // every corpus vector has out-edges (the anchor-edge guarantee)
+    assert(adj.map(_.getLong(0)).distinct.length === emb.size)
+  }
+
+  test("NN-descent rounds strictly improve edge recall vs true top-K") {
+    val emb = embMap()
+    val ids = emb.keys.toArray
+    val trueTop = ids.map { a =>
+      a -> ids.filter(_ != a)
+        .map(b => (b, cos(emb, a, b)))
+        .sortBy(p => (-p._2, p._1)).take(AnnOps.GraphK).map(_._1).toSet
+    }.toMap
+    def edgeRecall(rounds: Int): Double = {
+      val adj = AnnOps.graphAdjWith(spark, Sf, AnnOps.GraphK, rounds)
+        .collect().groupBy(_.getLong(0)).map { case (s, rs) =>
+          s -> rs.map(_.getLong(1)).toSet }
+      ids.map(a => (adj.getOrElse(a, Set.empty) & trueTop(a)).size).sum
+        .toDouble / (ids.length * AnnOps.GraphK)
+    }
+    val byRound = (0 to AnnOps.GraphRounds).map(edgeRecall)
+    info(s"edge recall@K by NN-descent round: " +
+      byRound.map(r => f"$r%.3f").mkString(", "))
+    byRound.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a, s"a descent round failed to improve edge recall: $byRound")
+    }
+    assert(byRound.last >= 0.7,
+      f"deployed edge recall ${byRound.last}%.3f below floor")
+  }
+
+  test("beam serve == plain-Scala replay of the greedy walk, bit-exact") {
+    val emb = embMap()
+    val adj = AnnOps.annGraphBuild(spark, Sf).collect()
+      .groupBy(_.getLong(0)).map { case (s, rs) =>
+        s -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    val anchors = AnnOps.graphAnchors(spark, Sf).collect()
+      .map(_.getLong(0)).sorted
+    val queries = emb.keys.filter(_ % 50 == 0).toSeq.sorted
+    def topB(cands: Set[Long], q: Long, b: Int): Seq[(Long, Double)] =
+      cands.toSeq.map(c => (c, cos(emb, q, c)))
+        .sortBy(p => (-p._2, p._1)).take(b)
+    val expected = queries.flatMap { q =>
+      var beam = topB(anchors.filter(_ != q).toSet, q, AnnOps.GraphBeam)
+      for (_ <- 1 to AnnOps.GraphHops) {
+        val expand = beam.map(_._1)
+          .flatMap(c => adj.getOrElse(c, Seq.empty)).filter(_ != q)
+        beam = topB(beam.map(_._1).toSet ++ expand, q, AnnOps.GraphBeam)
+      }
+      beam.take(10).zipWithIndex.map { case ((c, s), i) =>
+        (q, c, s, (i + 1).toLong) }
+    }
+    val got = AnnOps.annGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    assert(got === expected.sortBy(t => (t._1, t._4)))
+  }
+
+  test("serve recall@10 monotone in hops, deployed point above floor") {
+    val exact = AnnOps.annCosineTopK(spark, Sf)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = AnnOps.RecallGraphHops.map { h =>
+      val got = AnnOps.annGraph(spark, Sf, hops = h).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    info(s"graph recall@10 by hop: ${recalls.map(r => f"$r%.3f").mkString(", ")}")
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"beam recall regressed across a hop: $recalls")
+    }
+    assert(recalls.last >= 0.9,
+      f"deployed graph recall ${recalls.last}%.3f below floor")
+  }
+}

@@ -242,6 +242,20 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("graph ANN served from reloaded adjacency + anchors == session ann_graph, across a restart") {
+    withCleanLayouts {
+      val session = rows(AnnOps.annGraph(spark, Sf))
+      Seq("graph_adj", "graph_anchors")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("graph_adj", "graph_anchors")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      assert(rows(LayoutOps.annGraphServed(spark, Sf)) == session)
+    }
+  }
+
   test("NB classification served from reloaded model tables == session classifyLang, across a restart") {
     withCleanLayouts {
       val session = rows(graft.operators.TextOps.classifyLang(spark, Sf))
@@ -347,6 +361,42 @@ class LayoutSpec extends GraftSpec {
         q.processAllAvailable()
         assert(got.toSeq.sorted == expected,
           s"layout-served stream ${got.length} rows vs batch ${expected.length}")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming graph-ANN serving from the persisted layout == session batch search, across a restart") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.col
+      val qIds = Seq(0L, 100L, 250L)
+      val qVecs = Tables.embeddings(spark, Sf)
+        .filter(col("vec_id").isin(qIds: _*))
+        .select("vec_id", "embedding")
+      // the session-built batch serving path is the parity target
+      val expected = rows(AnnOps.graphSearch(spark, Sf, qVecs))
+
+      Seq("graph_adj", "graph_anchors")
+        .foreach(f => LayoutOps.ensure(spark, Sf, f))
+      // the restart: catalog death + memo wipe — the stream must serve
+      // from re-registered tables with no session state at all
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("graph_adj", "graph_anchors")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+
+      val d = java.nio.file.Files.createTempDirectory("graph_layout_stream")
+        .toFile.getAbsolutePath
+      qVecs.filter(col("vec_id") < 200).write.mode("overwrite").parquet(d)
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = graft.streaming.StreamOps.graphSearchStreamFromLayout(spark, Sf,
+        spark.readStream.schema(qVecs.schema).parquet(d),
+        (res, _) => got.synchronized { got ++= rows(res) })
+      try {
+        q.processAllAvailable()
+        qVecs.filter(col("vec_id") >= 200).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(got.toSeq.sorted == expected.sorted,
+          s"layout-served graph stream ${got.length} rows vs batch ${expected.length}")
       } finally q.stop()
     }
   }
