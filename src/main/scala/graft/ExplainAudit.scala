@@ -111,7 +111,11 @@ object ExplainAudit {
       "layout_ann_filtered", "layout_doc_similar_rrf",
       "dedup_explain",
       // r10: the merged index serves through the same top-k face
-      "postings_incremental")
+      "postings_incremental",
+      // r12: the graph serve's final top-10 runs on the bounded heap
+      // over the memoized final beam (the build rounds' heaps live
+      // behind pinned LogicalRDD leaves, like ann_mmr's steps)
+      "ann_graph", "layout_ann_graph")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

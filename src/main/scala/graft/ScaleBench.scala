@@ -180,7 +180,13 @@ object ScaleBench {
     // greedy fold; the amplifier grows users F× at constant per-user
     // history, so the sort's exchange is the only volume ⇒ expect
     // ~linear, and any join appearing would also trip ExplainAudit
-    "evt_pattern_spec")
+    "evt_pattern_spec",
+    // r12: graph-ANN serve off the warmed adjacency — the toy regime
+    // (fixed m=16 graph, corpus AND queries grow F×): beam frames are
+    // queries-shaped, each hop probes the F×-sized vector-carrying
+    // adjacency ⇒ expect ~linear in queries; ann_graph_prod is the
+    // scale verdict (m=16F, fixed queries, ~flat)
+    "ann_graph")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
@@ -217,6 +223,11 @@ object ScaleBench {
     val sqTune = scala.collection.mutable.Map[Int, Seq[(Int, Double)]]()
     val prodChosen = scala.collection.mutable.Map[Int, Int]()
     val sqChosen = scala.collection.mutable.Map[Int, Int]()
+    // r12 graph family: per-deployment HOP tuning (the same tuner
+    // device — the knob is walk depth instead of probe depth)
+    val graphTune = scala.collection.mutable.Map[Int, Seq[(Int, Double)]]()
+    val graphChosen = scala.collection.mutable.Map[Int, Int]()
+    val graphRecall = scala.collection.mutable.Map[Int, Double]()
     val maintFiles = scala.collection.mutable.Map[Int, (Int, Int)]()
     def keepMin(q: String, f: Int, s: Double): Unit = {
       val m = times.getOrElseUpdate(q, scala.collection.mutable.Map())
@@ -416,6 +427,67 @@ object ScaleBench {
           s"search ${searchSec}s")
       }
 
+      // PRODUCTION GRAPH regime (r12): the serving contract of the
+      // graph family. m = 16F bounds the within-cell init (the same
+      // geometry scaling as the IVF prod twins); the vector-carrying
+      // adjacency persists as a src-bucketed table; the query set is
+      // FIXED at the base 100. Serve cost is hops·beam·K sims + a
+      // bucket-pruned id probe per hop — independent of the corpus by
+      // construction, so the timed serve row should stay ~flat while
+      // the build (init + NN-descent rounds + bucketed write) grows
+      // ~linearly. Walk depth is TUNED per deployment: recall@10
+      // measured at hops 1..4 against the exact baseline, chosen =
+      // smallest meeting the target (fallback: deepest measured).
+      locally {
+        val m = operators.AnnOps.DefaultM * f
+        val table = graft.sources.LayoutStore.tableName(s"scale_graph_m$m", dir)
+        graft.sources.LayoutStore.purge(spark, table)
+        Memo.clear(spark)
+        val buildSec = time {
+          graft.sources.LayoutStore.ensure(spark, table, Seq("src"), m)(
+            operators.AnnOps.graphAdjVM(spark, dir, m))
+        }
+        val adjV = graft.sources.LayoutStore.read(spark, table)
+        val anchors = operators.AnnOps.graphAnchors(spark, dir, m)
+        val queries = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % f === 0 && (col("vec_id") / f) % 50 === 0)
+          .select("vec_id", "embedding")
+        val hopCands = Seq(1, 2, 3, 4)
+        if (rep == 1) {
+          val exact = operators.AnnOps.exactTopKFor(spark, dir, queries)
+            .persist()
+          val nEx = exact.count().toDouble
+          val curve = hopCands.map { h =>
+            val got = operators.AnnOps.graphSearchOn(spark, dir, adjV,
+                anchors, queries, hops = h, excludeSelf = true)
+              .select("q_id", "c_id")
+            val r = got.join(exact, Seq("q_id", "c_id")).count() / nEx
+            h -> math.rint(r * 1000) / 1000
+          }
+          exact.unpersist()
+          graphTune(f) = curve
+          graphChosen(f) = curve
+            .find(_._2 >= operators.AnnOps.ProbeTuneTarget)
+            .map(_._1).getOrElse(curve.map(_._1).max)
+          graphRecall(f) = curve.toMap.apply(graphChosen(f))
+          println(s"[scale] x$f ann_graph_prod tune: " +
+            curve.map { case (h, r) => s"h$h=$r" }.mkString(" ") +
+            s" -> chosen hops ${graphChosen(f)} " +
+            s"(recall@10 ${graphRecall(f)})")
+        }
+        def searchOnce = time {
+          operators.AnnOps.graphSearchOn(spark, dir, adjV, anchors,
+            queries, hops = graphChosen(f), excludeSelf = true)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val searchSec = math.min(searchOnce, searchOnce)
+        keepMin("ann_graph_prod", f, searchSec)
+        keepMin("ann_graph_prod_build", f, buildSec)
+        println(s"[scale] rep$rep x$f ann_graph_prod (m=$m, " +
+          s"hops=${graphChosen(f)}): build ${buildSec}s, " +
+          s"search ${searchSec}s")
+      }
+
       // Layout MAINTENANCE cycle at scale (r10 verdict #8): the
       // append → compactIfNeeded → serve loop. Base split written
       // once, the delta split appended in 8 batches (8 bucketed files
@@ -532,7 +604,8 @@ object ScaleBench {
     val fs = factors.sorted
     val pairs = fs.zip(fs.tail)
     val allSeries = Paths ++ Seq("ann_ivfpq_prod", "ann_ivfpq_prod_build",
-      "ann_ivfsq_prod", "ann_ivfsq_prod_build", "evt_incident_join_fixedinc",
+      "ann_ivfsq_prod", "ann_ivfsq_prod_build",
+      "ann_graph_prod", "ann_graph_prod_build", "evt_incident_join_fixedinc",
       "layout_maint_append_total", "layout_maint_serve_grown",
       "layout_maint_compact", "layout_maint_serve_compacted")
     // self-explaining regime tags (r12): rows whose superlinear
@@ -549,6 +622,9 @@ object ScaleBench {
         """"toy_why":"symmetric amplifier grows BOTH join sides Fx so true pairs grow F^2 by construction; the fixed-interval twin is the engine verdict""""),
       "ann_ivfpq_prod" -> """"regime":"prod"""",
       "ann_ivfsq_prod" -> """"regime":"prod"""",
+      "ann_graph" -> (""""regime":"toy","prod_twin":"ann_graph_prod",""" +
+        """"toy_why":"fixed m=16 graph while corpus AND queries grow Fx - the adjacency side of each hop probe grows Fx; the prod twin (m=16F, fixed queries, bucket-pruned persisted adjacency) is the scale verdict""""),
+      "ann_graph_prod" -> """"regime":"prod"""",
       "evt_incident_join_fixedinc" -> """"regime":"prod"""")
     val qJson = allSeries.map { q =>
       val ts = fs.map(f => s""""x$f":${times(q)(f)}""").mkString(",")
@@ -573,6 +649,12 @@ object ScaleBench {
       }).mkString(",")
     val prodTuneJson = tuneJsonOf(prodTune, prodChosen)
     val sqTuneJson = tuneJsonOf(sqTune, sqChosen)
+    val graphRecJson = fs.flatMap(f => graphRecall.get(f)
+      .map(r => s""""x$f":$r""")).mkString(",")
+    val graphTuneJson = fs.flatMap(f => graphTune.get(f).map { c =>
+      val pts = c.map { case (h, r) => s""""h$h":$r""" }.mkString(",")
+      s""""x$f":{$pts,"chosen_hops":${graphChosen(f)}}"""
+    }).mkString(",")
     val maintJson = fs.flatMap(f => maintFiles.get(f).map { case (g, c) =>
       s""""x$f":{"grown_files":$g,"compacted_files":$c}"""
     }).mkString(",")
@@ -590,6 +672,8 @@ object ScaleBench {
          |"ivfsq_prod_recall_at10":{$sqRecJson},
          |"ivfpq_prod_tune":{$prodTuneJson},
          |"ivfsq_prod_tune":{$sqTuneJson},
+         |"graph_prod_recall_at10":{$graphRecJson},
+         |"graph_prod_tune":{$graphTuneJson},
          |"maint_files":{$maintJson},
          |"crossover":{$xJson},
          |"queries":{$qJson},
@@ -602,6 +686,7 @@ object ScaleBench {
          |"on this fixture the amplifier's copies (+k*1e-5 per component) become each fixed query's true nearest neighbors and quantize into the same or adjacent lists, so small nprobes already cover the neighborhood and the tuner picks a small chosen_nprobe; a corpus whose true neighbors disperse across cells would instead drive chosen_nprobe UP to hold the recall target - the tune curve records exactly that tradeoff per deployment",
          |"methodology: per-factor memo isolation (caches cleared between factors), standing layouts warmed untimed, ONE timed run per query within a pass (their internal memoized layouts make re-runs cache reads); the WHOLE measurement repeats (SPARK_GRAFT_SCALE_REPEAT, default 2) and each point keeps its MINIMUM - this host's I/O throughput swings ~3x between passes (spill-heavy x30 joins measured 10-40s across identical runs) and the min is the engine's cost with host noise removed; ann_ivfpq_prod search is additionally min-of-2 within a pass (it memoizes nothing)",
          |"ann_ivfsq (fixed m=${operators.AnnOps.DefaultM}) scales queries AND per-list bytes Fx like ann_ivfpq - the toy regime; ann_ivfsq_prod is its production twin (m=16F, buckets=m, fixed base-100 queries, bucket-pruned persisted lists) - the r10 verdict's weak flag adjudicated by measurement: prod search ~flat, prod build ~linear, recall pinned in ivfsq_prod_recall_at10",
+         |"ann_graph_prod: the graph family's serving contract - m=16F bounds the within-cell NN-descent init, the vector-carrying adjacency (neighbor vectors in-row, one corpus join paid at build) persists src-bucketed, fixed base-100 queries walk it at the TUNED hop depth (graph_prod_tune: recall@10 at hops 1..4 vs exact, chosen_hops = smallest meeting the target) - serve cost is hops*beam*K sims + bucket-pruned id probes, independent of corpus size by construction, so the serve row should measure ~flat while ann_graph_prod_build grows ~linearly",
          |"evt_incident_join_fixedinc holds the interval side at BASE cardinality while events amplify Fx (global severe-error windows don't grow with event volume - the production shape): the symmetric row's x30 exponent tracks its F^2 true-pair output by construction, the fixed-interval row isolates the engine (~linear in probe volume at worst)",
          |"layout_maint_*: the append -> compact -> serve lifecycle. Base coded-lists split written once, the delta split appended in 8 batches (8 files/bucket accumulate - the between-compactions steady state), probe latency measured on the grown table, compaction timed, probe re-measured; maint_files records file counts either side. Serve must stay ~flat in F at both points, compaction ~linear (one table rewrite)",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear",

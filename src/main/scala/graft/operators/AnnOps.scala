@@ -46,11 +46,11 @@ object AnnOps {
     // the threshold): the r10 ×17 wall jump and the r11 ScaleAudit
     // exp-1.54 finding were BOTH this missing warm, not the search
     ivfSqLists(spark, dir).write.format("noop").mode("overwrite").save()
-    // the k-NN graph is a standing layout like the coded lists above —
-    // same lesson: leave it unwarmed and its build join lands inside
-    // the first ann_graph measurement and can change shape across
-    // scale factors
-    graphAdj(spark, dir).write.format("noop").mode("overwrite").save()
+    // the k-NN graph (and its vector-carrying serving twin) is a
+    // standing layout like the coded lists above — same lesson: leave
+    // it unwarmed and its build joins land inside the first ann_graph
+    // measurement and can change shape across scale factors
+    graphAdjV(spark, dir).write.format("noop").mode("overwrite").save()
   }
 
   /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
@@ -797,9 +797,10 @@ object AnnOps {
     * member with the smallest id — any deterministic representative
     * works; hops do the navigation). 16 rows, broadcast everywhere.
     */
-  private[graft] def graphAnchors(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.df(spark, s"graphAnchors:$dir:m$DefaultM") {
-      val lists = ivfLists(spark, dir, DefaultM)
+  private[graft] def graphAnchors(spark: SparkSession, dir: String,
+      m: Int = DefaultM): DataFrame =
+    graft.Memo.df(spark, s"graphAnchors:$dir:m$m") {
+      val lists = ivfLists(spark, dir, m)
       val aIds = lists.groupBy(col("c_cid"))
         .agg(min(col("c_id")).as("a_id"))
       lists.join(aIds, lists("c_id") === aIds("a_id"))
@@ -847,10 +848,10 @@ object AnnOps {
     graphAdjWith(spark, dir, GraphK, GraphRounds)
 
   private[graft] def graphAdjWith(spark: SparkSession, dir: String,
-      k: Int, nRounds: Int): DataFrame =
-    graft.Memo.df(spark, s"graphAdj:$dir:k$k:r$nRounds:m$DefaultM") {
+      k: Int, nRounds: Int, m: Int = DefaultM): DataFrame =
+    graft.Memo.df(spark, s"graphAdj:$dir:k$k:r$nRounds:m$m") {
       val emb = embDouble(spark, dir)
-      val lists = ivfLists(spark, dir, DefaultM)
+      val lists = ivfLists(spark, dir, m)
       // pin-and-re-root each round (the MMR/incremental-fold device):
       // a round references the previous adjacency ~5× (reverse cap,
       // neighborhood union, proposal self-join, merge), so leaving the
@@ -881,7 +882,7 @@ object AnnOps {
           col("x_b") === col("y_b") && col("src") =!= col("dst"))
         .select("src", "dst")
       val ae = emb.select(col("vec_id").as("src"))
-        .join(broadcast(graphAnchors(spark, dir)
+        .join(broadcast(graphAnchors(spark, dir, m)
           .select(col("a_id").as("dst"))), col("src") =!= col("dst"))
         .select("src", "dst")
       var adj = pinRound(topKAdj(
@@ -921,32 +922,57 @@ object AnnOps {
       hops: Int = GraphHops, beam: Int = GraphBeam,
       k: Int = GraphK, nRounds: Int = GraphRounds): Seq[DataFrame] =
     graphBeamsOn(spark, dir,
-      graphAdjWith(spark, dir, k, nRounds), graphAnchors(spark, dir),
+      if (k == GraphK && nRounds == GraphRounds) graphAdjV(spark, dir)
+      else withAdjVectors(spark, dir, graphAdjWith(spark, dir, k, nRounds)),
+      graphAnchors(spark, dir),
       s"graphBeam:$dir:k$k:r$nRounds:b$beam", hops, beam)
 
-  /** The beam frames over an EXPLICIT adjacency + anchor pair — the
-    * layout face passes the persisted tables (memoTag keeps its
-    * frames separate from the session-built ones).
+  /** The adjacency with each neighbor's vector carried IN-ROW (one
+    * corpus join at build time, memoized) — the serving layout. A
+    * beam hop then never touches the corpus table: it probes this
+    * id-keyed frame with the beam (queries-shaped) and computes sims
+    * from the carried vectors + broadcast query vectors, so serve
+    * shuffles stay beam-sized at any corpus size.
+    */
+  private[graft] def graphAdjV(spark: SparkSession, dir: String): DataFrame =
+    graphAdjVM(spark, dir, DefaultM)
+
+  /** [[graphAdjV]] at an explicit cell count `m` — the production
+    * regime scales m with the corpus (m = 16F) exactly like the IVF
+    * serving families, which bounds the within-cell init quadratic.
+    */
+  private[graft] def graphAdjVM(spark: SparkSession, dir: String,
+      m: Int): DataFrame =
+    graft.Memo.df(spark, s"graphAdjV:$dir:k$GraphK:r$GraphRounds:m$m") {
+      withAdjVectors(spark, dir,
+        graphAdjWith(spark, dir, GraphK, GraphRounds, m))
+    }
+
+  /** Attach (dv, dn) per adjacency edge from the embedding cache. */
+  private[graft] def withAdjVectors(spark: SparkSession, dir: String,
+      adj: DataFrame): DataFrame =
+    adj.select(col("src"), col("dst"), col("sim"), col("rnk"))
+      .join(embDouble(spark, dir).select(col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn")), "dst")
+      .select("src", "dst", "sim", "rnk", "dv", "dn")
+
+  /** The beam frames over an EXPLICIT vector-carrying adjacency +
+    * anchor pair — the layout face passes the persisted tables
+    * (memoTag keeps its frames separate from the session-built ones).
+    * Each hop: probe the adjacency with the beam, score expansions
+    * from the carried vectors, union with the (already scored)
+    * previous beam, dedup, keep top-`beam`.
     */
   private[graft] def graphBeamsOn(spark: SparkSession, dir: String,
-      adj: DataFrame, anchors: DataFrame, memoTag: String,
+      adjV: DataFrame, anchors: DataFrame, memoTag: String,
       hops: Int = GraphHops, beam: Int = GraphBeam): Seq[DataFrame] = {
-    val emb = embDouble(spark, dir)
-    val q = emb.filter(col("vec_id") % 50 === 0)
+    val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     def topB(scored: DataFrame): DataFrame =
       TopK.perKey(scored, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), beam)
         .select("q_id", "c_id", "sim")
-    def rescored(pairs: DataFrame): DataFrame =
-      pairs
-        .join(emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
-          col("nrm").as("cn")), "c_id")
-        .join(broadcast(q), "q_id")
-        .select(col("q_id"), col("c_id"),
-          VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn"))
-            .as("sim"))
     val bm0 = graft.Memo.df(spark, s"$memoTag:0") {
       topB(q.join(broadcast(anchors), col("q_id") =!= col("a_id"))
         .select(col("q_id"), col("a_id").as("c_id"),
@@ -955,12 +981,20 @@ object AnnOps {
     }
     (1 to hops).scanLeft(bm0) { (bm, h) =>
       graft.Memo.df(spark, s"$memoTag:$h") {
-        val adjPairs = adj.select(col("src"), col("dst"))
         val expand = bm.select("q_id", "c_id")
-          .join(adjPairs, col("c_id") === col("src"))
+          .join(adjV.select(col("src"), col("dst"), col("dv"), col("dn")),
+            col("c_id") === col("src"))
           .filter(col("dst") =!= col("q_id"))
-          .select(col("q_id"), col("dst").as("c_id"))
-        topB(rescored(bm.select("q_id", "c_id").union(expand).distinct()))
+          .join(broadcast(q), "q_id")
+          .select(col("q_id"), col("dst").as("c_id"),
+            VectorFns.cosine(col("qv"), col("dv"), col("qn"), col("dn"))
+              .as("sim"))
+        // a pair can arrive from several frontier nodes (and already
+        // sit in the beam) — identical sims by construction, so the
+        // max-dedup is exact
+        topB(bm.union(expand)
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(max(col("sim")).as("sim")))
       }
     }
   }
@@ -973,10 +1007,9 @@ object AnnOps {
     * of the adjacency per hop; the corpus never shuffles.
     */
   def graphSearchOn(spark: SparkSession, dir: String,
-      adj: DataFrame, anchors: DataFrame, queries: DataFrame,
+      adjV: DataFrame, anchors: DataFrame, queries: DataFrame,
       hops: Int = GraphHops, beam: Int = GraphBeam,
-      k: Int = 10): DataFrame = {
-    val emb = embDouble(spark, dir)
+      k: Int = 10, excludeSelf: Boolean = false): DataFrame = {
     val q = queries
       .withColumn("qv", VectorFns.toDouble(col("embedding")))
       .withColumn("qn", VectorFns.norm(col("qv")))
@@ -984,24 +1017,23 @@ object AnnOps {
     def topB(scored: DataFrame, n: Int): DataFrame =
       TopK.perKey(scored, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), n)
-    def rescored(pairs: DataFrame): DataFrame =
-      pairs
-        .join(emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
-          col("nrm").as("cn")), "c_id")
-        .join(broadcast(q), "q_id")
-        .select(col("q_id"), col("c_id"),
-          VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn"))
-            .as("sim"))
-    var bm: DataFrame = topB(q.crossJoin(broadcast(anchors))
+    var bm: DataFrame = topB(q.join(broadcast(anchors),
+        if (excludeSelf) col("q_id") =!= col("a_id") else lit(true))
       .select(col("q_id"), col("a_id").as("c_id"),
         VectorFns.cosine(col("qv"), col("av"), col("qn"), col("an"))
           .as("sim")), beam)
       .select("q_id", "c_id", "sim")
     for (_ <- 1 to hops) {
       val expand = bm.select("q_id", "c_id")
-        .join(adj.select(col("src"), col("dst")), col("c_id") === col("src"))
-        .select(col("q_id"), col("dst").as("c_id"))
-      bm = topB(rescored(bm.select("q_id", "c_id").union(expand).distinct()),
+        .join(adjV.select(col("src"), col("dst"), col("dv"), col("dn")),
+          col("c_id") === col("src"))
+        .filter(if (excludeSelf) col("dst") =!= col("q_id") else lit(true))
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("dst").as("c_id"),
+          VectorFns.cosine(col("qv"), col("dv"), col("qn"), col("dn"))
+            .as("sim"))
+      bm = topB(bm.union(expand)
+        .groupBy(col("q_id"), col("c_id")).agg(max(col("sim")).as("sim")),
         beam).select("q_id", "c_id", "sim")
     }
     topB(bm, k).select("q_id", "c_id", "sim", "rnk")
@@ -1010,7 +1042,7 @@ object AnnOps {
   /** [[graphSearchOn]] against the session-built graph. */
   def graphSearch(spark: SparkSession, dir: String, queries: DataFrame,
       hops: Int = GraphHops, beam: Int = GraphBeam, k: Int = 10): DataFrame =
-    graphSearchOn(spark, dir, graphAdj(spark, dir),
+    graphSearchOn(spark, dir, graphAdjV(spark, dir),
       graphAnchors(spark, dir), queries, hops, beam, k)
 
   /** The oracled %50-query serve over an EXPLICIT adjacency + anchor
@@ -1018,8 +1050,8 @@ object AnnOps {
     * proves the persisted graph lossless).
     */
   def annGraphFromTables(spark: SparkSession, dir: String,
-      adj: DataFrame, anchors: DataFrame): DataFrame = {
-    val last = graphBeamsOn(spark, dir, adj, anchors,
+      adjV: DataFrame, anchors: DataFrame): DataFrame = {
+    val last = graphBeamsOn(spark, dir, adjV, anchors,
       s"layoutGraphBeam:$dir").last
     TopK.perKey(last, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), 10)

@@ -101,11 +101,14 @@ object LayoutOps {
         .select(explode(col("posts")).as("p"))
         .select(col("p").getField("doc_id").as("doc_id")).distinct()),
     // D76c: the k-NN graph as a standing layout — adjacency bucketed
-    // by source node (each beam hop is a bucket-pruned id probe, the
-    // corpus-sized side never reshuffles) + the 16 anchor vectors
+    // by source node with each neighbor's VECTOR carried in-row (one
+    // corpus join paid at build time), so a beam hop is a
+    // bucket-pruned id probe that computes sims from the stored rows
+    // and the corpus table is never touched at serve time — plus the
+    // 16 anchor vectors
     Family("graph_adj",
-      s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}",
-      "src", 16, (s, d) => AnnOps.graphAdj(s, d)),
+      s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}v",
+      "src", 16, (s, d) => AnnOps.graphAdjV(s, d)),
     Family("graph_anchors",
       s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}",
       "a_id", 1, (s, d) => AnnOps.graphAnchors(s, d)),
