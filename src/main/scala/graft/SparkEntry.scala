@@ -224,6 +224,7 @@ object SparkEntry {
     "ann_graph_build"      -> (AnnOps.annGraphBuild _),
     "ann_graph"            -> ((s: SparkSession, d: String) =>
       AnnOps.annGraph(s, d)),
+    "ann_graph_appended"   -> (AnnOps.annGraphAppended _),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
       AnnOps.sampleClusterBalanced(s, d)),
@@ -1190,20 +1191,8 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
          |      AS rn FROM gsc$r) WHERE rn <= $k)""".stripMargin
     }.mkString(",\n")
-    val hops = (1 to operators.AnnOps.GraphHops).map { h =>
-      val prev = s"bm${h - 1}"
-      s"""gbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
-         |  JOIN g${operators.AnnOps.GraphRounds} g ON g.src = bb.c_id
-         |  WHERE g.dst <> bb.q_id
-         |  UNION SELECT q_id, c_id FROM $prev),
-         |gbs$h AS (SELECT p.q_id, p.c_id,
-         |    list_dot_product(q.qv, ec.v) / (q.qn * ec.nrm) AS sim
-         |  FROM gbx$h p JOIN gq q ON q.q_id = p.q_id
-         |  JOIN e ec ON ec.vec_id = p.c_id),
-         |bm$h AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
-         |      AS rn FROM gbs$h) WHERE rn <= $b)""".stripMargin
-    }.mkString(",\n")
+    val hops = graphWalkCtes("", "gq", s"g${operators.AnnOps.GraphRounds}",
+      "e", excludeSelf = true)
     val tops = operators.AnnOps.RecallGraphHops.map { h =>
       s"""gt$h AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
@@ -1228,14 +1217,93 @@ object SparkEntry {
        |$rounds,
        |gq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
        |  WHERE vec_id % 50 = 0),
-       |gbs0 AS (SELECT q.q_id, v.a_id AS c_id,
-       |    list_dot_product(q.qv, v.av) / (q.qn * v.an) AS sim
-       |  FROM gq q, ganchv v WHERE q.q_id <> v.a_id),
-       |bm0 AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
-       |      AS rn FROM gbs0) WHERE rn <= $b),
        |$hops,
        |$tops""".stripMargin
+  }
+
+  /** A full unrolled beam walk as CTEs: `${p}bm0..${p}bm{hops}` over
+    * adjacency `adjCte` (src, dst) from the ganchv anchors, queries
+    * from `qCte` (q_id, qv, qn), candidate vectors looked up in
+    * `vecCte` (vec_id, v, nrm). The main serve walk, the append
+    * insert walk and the appended serve walk all come from this one
+    * builder, so the walks cannot drift from each other.
+    */
+  private def graphWalkCtes(p: String, qCte: String, adjCte: String,
+      vecCte: String, excludeSelf: Boolean): String = {
+    val b = operators.AnnOps.GraphBeam
+    val selfInit = if (excludeSelf) s"WHERE q.q_id <> v.a_id" else ""
+    val selfHop = if (excludeSelf) s"WHERE g.dst <> bb.q_id" else ""
+    val hops = (1 to operators.AnnOps.GraphHops).map { h =>
+      val prev = s"${p}bm${h - 1}"
+      s"""${p}gbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
+         |  JOIN $adjCte g ON g.src = bb.c_id
+         |  $selfHop
+         |  UNION SELECT q_id, c_id FROM $prev),
+         |${p}gbs$h AS (SELECT pr.q_id, pr.c_id,
+         |    list_dot_product(q.qv, ec.v) / (q.qn * ec.nrm) AS sim
+         |  FROM ${p}gbx$h pr JOIN $qCte q ON q.q_id = pr.q_id
+         |  JOIN $vecCte ec ON ec.vec_id = pr.c_id),
+         |${p}bm$h AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS rn FROM ${p}gbs$h) WHERE rn <= $b)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}gbs0 AS (SELECT q.q_id, v.a_id AS c_id,
+       |    list_dot_product(q.qv, v.av) / (q.qn * v.an) AS sim
+       |  FROM $qCte q, ganchv v $selfInit),
+       |${p}bm0 AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+       |      AS rn FROM ${p}gbs0) WHERE rn <= $b),
+       |$hops""".stripMargin
+  }
+
+  /** D76d's oracle: the base chain + the incremental insert — delta
+    * twins (id + offset, each component + eps), one walk per arrival
+    * for out-edges, reverse-edge merge into the touched nodes' top-K,
+    * untouched rows carried — then the %50 queries walk the GROWN
+    * graph (vector lookup = corpus ∪ delta). Every constant from
+    * AnnOps.
+    */
+  private def AnnGraphAppendedSql: String = {
+    val k = operators.AnnOps.GraphK
+    val h = operators.AnnOps.GraphHops
+    val r = operators.AnnOps.GraphRounds
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+       |$IvfListsCtes,
+       |$graphChainCtes,
+       |gdelta0 AS (SELECT vec_id + ${operators.AnnOps.GraphAppendIdOffset}
+       |    AS vec_id,
+       |    list_transform(v, x -> x + ${operators.AnnOps.GraphAppendEps}) AS v
+       |  FROM e WHERE vec_id % 10 = 0),
+       |gdelta AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_dot_product(v, v)) AS nrm FROM gdelta0),
+       |gdq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM gdelta),
+       |${graphWalkCtes("d", "gdq", s"g$r", "e", excludeSelf = false)},
+       |dnew AS MATERIALIZED (SELECT q_id AS src, c_id AS dst, sim,
+       |    rn AS rnk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, c_id) AS rn FROM dbm$h) WHERE rn <= $k),
+       |grev AS (SELECT dst AS src, src AS dst, sim FROM dnew),
+       |gtouch AS (SELECT DISTINCT src FROM grev),
+       |gmerged AS (SELECT src, dst, sim, rn AS rnk FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+       |      AS rn FROM (SELECT g.src, g.dst, g.sim FROM g$r g
+       |        JOIN gtouch t ON g.src = t.src
+       |      UNION ALL SELECT src, dst, sim FROM grev))
+       |  WHERE rn <= $k),
+       |gapp AS MATERIALIZED (SELECT src, dst FROM g$r
+       |    WHERE src NOT IN (SELECT src FROM gtouch)
+       |  UNION ALL SELECT src, dst FROM gmerged
+       |  UNION ALL SELECT src, dst FROM dnew),
+       |gall AS MATERIALIZED (SELECT vec_id, v, nrm FROM e
+       |  UNION ALL SELECT vec_id, v, nrm FROM gdelta),
+       |${graphWalkCtes("a", "gq", "gapp", "gall", excludeSelf = true)},
+       |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+       |  FROM abm$h)
+       |SELECT q_id, c_id, sim, rnk FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** D76b's oracle (also layout_ann_graph's): the beam walk over the
@@ -4147,6 +4215,11 @@ object SparkEntry {
     // D76c: the served graph face shares D76b's oracle — hash parity
     // proves the persisted adjacency + anchors lossless
     "layout_ann_graph" -> AnnGraphSql,
+
+    // D76d: rebuild-free graph growth — the insert chain + the %50
+    // serve over the grown graph (each query's appended twin must
+    // surface, so reachability of new points is hash-pinned)
+    "ann_graph_appended" -> AnnGraphAppendedSql,
 
     // D10f: the D74 tuner device on the D10e curve — per-nprobe recall
     // for the IVF-backed serving families + chosen = smallest nprobe

@@ -1009,11 +1009,17 @@ object AnnOps {
   def graphSearchOn(spark: SparkSession, dir: String,
       adjV: DataFrame, anchors: DataFrame, queries: DataFrame,
       hops: Int = GraphHops, beam: Int = GraphBeam,
-      k: Int = 10, excludeSelf: Boolean = false): DataFrame = {
-    val q = queries
-      .withColumn("qv", VectorFns.toDouble(col("embedding")))
-      .withColumn("qn", VectorFns.norm(col("qv")))
-      .select(col("vec_id").as("q_id"), col("qv"), col("qn"))
+      k: Int = 10, excludeSelf: Boolean = false): DataFrame =
+    graphWalk(queries
+        .withColumn("qv", VectorFns.toDouble(col("embedding")))
+        .withColumn("qn", VectorFns.norm(col("qv")))
+        .select(col("vec_id").as("q_id"), col("qv"), col("qn")),
+      adjV, anchors, hops, beam, k, excludeSelf)
+
+  /** The walk core over a prepared query frame (q_id, qv, qn). */
+  private[graft] def graphWalk(q: DataFrame, adjV: DataFrame,
+      anchors: DataFrame, hops: Int, beam: Int, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     def topB(scored: DataFrame, n: Int): DataFrame =
       TopK.perKey(scored, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), n)
@@ -1044,6 +1050,84 @@ object AnnOps {
       hops: Int = GraphHops, beam: Int = GraphBeam, k: Int = 10): DataFrame =
     graphSearchOn(spark, dir, graphAdjV(spark, dir),
       graphAnchors(spark, dir), queries, hops, beam, k)
+
+  // ---- D76d: rebuild-free graph growth (the D10c/D33e lifecycle
+  // story for the graph family) --------------------------------------
+
+  /** Synthetic new arrivals for the append contract: a perturbed twin
+    * of every id ≡ 0 (mod 10) corpus vector — which INCLUDES every
+    * %50 query, so the appended-serve row is self-checking: each
+    * query's twin (sim ≈ 1 − ε) must surface at rank 1, proving the
+    * appended points are reachable through the grown graph.
+    */
+  val GraphAppendIdOffset = 1000000L
+  val GraphAppendEps = 1e-4
+
+  private[graft] def graphDelta(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir).filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + GraphAppendIdOffset).as("vec_id"),
+        transform(col("v"), x => x + lit(GraphAppendEps)).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+
+  /** The grown adjacency: the standard incremental graph insert
+    * (the HNSW insert re-expressed as a batch query) —
+    *  1. each new point walks the EXISTING graph and takes its final
+    *     beam's top-K as out-edges (one beam walk per arrival batch,
+    *     no rebuild, cost independent of corpus size);
+    *  2. each out-edge proposes the REVERSE edge, and only the
+    *     touched old nodes re-rank their top-K against the proposals
+    *     (new points become findable);
+    *  3. every other adjacency row is carried over bit-unchanged
+    *     (spec-pinned).
+    * Deterministic end to end, so the grown graph and the serve over
+    * it are DuckDB-oracled like the base build.
+    */
+  private[graft] def graphAppendedAdjV(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Memo.df(spark,
+        s"graphAppendedAdjV:$dir:k$GraphK:r$GraphRounds:m$DefaultM") {
+      val base = graphAdjV(spark, dir)
+      val anchors = graphAnchors(spark, dir)
+      val delta = graphDelta(spark, dir)
+      val newOut = graphWalk(
+        delta.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+        base, anchors, GraphHops, GraphBeam, GraphK, excludeSelf = false)
+        .select(col("q_id").as("src"), col("c_id").as("dst"), col("sim"),
+          col("rnk"))
+      val revProps = newOut.select(col("dst").as("src"),
+        col("src").as("dst"), col("sim"))
+      val touched = revProps.select("src").distinct()
+      val merged = TopK.perKey(
+        base.join(touched, "src").select("src", "dst", "sim")
+          .unionByName(revProps),
+        Seq(col("src")), Seq(col("sim").desc, col("dst").asc), GraphK)
+        .select("src", "dst", "sim", "rnk")
+      val untouched = base.join(touched, Seq("src"), "left_anti")
+        .select("src", "dst", "sim", "rnk", "dv", "dn")
+      val allVecs = embDouble(spark, dir)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .unionByName(delta)
+      untouched.unionByName(
+        merged.unionByName(newOut)
+          .join(allVecs.select(col("vec_id").as("dst"), col("v").as("dv"),
+            col("nrm").as("dn")), "dst")
+          .select("src", "dst", "sim", "rnk", "dv", "dn"))
+    }
+
+  /** D76d: the %50 queries served over the GROWN graph — every
+    * query's appended twin must surface (rank 1 by construction),
+    * proving rebuild-free growth end to end. Oracled via the same
+    * unrolled chain plus the insert CTEs.
+    */
+  def annGraphAppended(spark: SparkSession, dir: String): DataFrame = {
+    val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    graphWalk(q, graphAppendedAdjV(spark, dir), graphAnchors(spark, dir),
+      GraphHops, GraphBeam, 10, excludeSelf = true)
+      .orderBy("q_id", "rnk")
+  }
 
   /** The oracled %50-query serve over an EXPLICIT adjacency + anchor
     * pair — the layout face (result ≡ [[annGraph]]; hash parity

@@ -101,6 +101,45 @@ class AnnGraphSpec extends GraftSpec {
     assert(got === expected.sortBy(t => (t._1, t._4)))
   }
 
+  test("graph append: every query's twin at rank 1, new points well-formed, unchanged nodes carried bit-identical") {
+    val off = AnnOps.GraphAppendIdOffset
+    val served = AnnOps.annGraphAppended(spark, Sf).collect()
+    val qs = served.map(_.getLong(0)).distinct
+    // the appended twin (sim ≈ 1 − ε) must be REACHABLE and win rank 1
+    val r1 = served.filter(_.getLong(3) == 1L)
+    assert(r1.length === qs.length)
+    r1.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + off,
+        s"query ${r.getLong(0)}: rank-1 is ${r.getLong(1)}, not its twin")
+    }
+    val appended = AnnOps.graphAppendedAdjV(spark, Sf)
+      .select("src", "dst", "sim", "rnk").collect()
+      .groupBy(_.getLong(0))
+    val base = AnnOps.annGraphBuild(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+    // new points: exactly K out-edges, all into the old corpus
+    appended.filter(_._1 >= off).foreach { case (src, rows) =>
+      assert(rows.length === AnnOps.GraphK, s"new node $src degree")
+      assert(rows.forall(_.getLong(1) < off), s"new node $src edge target")
+    }
+    // old nodes that gained no new edge carry their base rows verbatim
+    var unchanged = 0
+    appended.filter(_._1 < off).foreach { case (src, rows) =>
+      if (rows.forall(_.getLong(1) < off)) {
+        val got = rows.map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .sortBy(_._3)
+        val exp = base(src)
+          .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .sortBy(_._3)
+        assert(got.toSeq === exp.toSeq, s"old node $src rows drifted")
+        unchanged += 1
+      }
+    }
+    info(s"old nodes with no surviving new edge (carried verbatim): " +
+      s"$unchanged of ${base.size}")
+    assert(unchanged > 0)
+  }
+
   test("serve recall@10 monotone in hops, deployed point above floor") {
     val exact = AnnOps.annCosineTopK(spark, Sf)
       .select("q_id", "c_id").collect()
