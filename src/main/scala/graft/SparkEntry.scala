@@ -1173,13 +1173,14 @@ object SparkEntry {
   private def graphChainCtes: String = {
     val k = operators.AnnOps.GraphK
     val b = operators.AnnOps.GraphBeam
+    val uCap = operators.AnnOps.GraphUCap
     val rounds = (1 to operators.AnnOps.GraphRounds).map { r =>
       val prev = s"g${r - 1}"
-      s"""grv$r AS (SELECT dst AS piv, src AS memb FROM (SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY sim DESC, src)
-         |      AS rn FROM $prev) WHERE rn <= $k),
-         |gu$r AS MATERIALIZED (SELECT src AS piv, dst AS memb FROM $prev
-         |  UNION SELECT piv, memb FROM grv$r),
+      s"""gud$r AS (SELECT src AS piv, dst AS memb, sim FROM $prev
+         |  UNION SELECT dst AS piv, src AS memb, sim FROM $prev),
+         |gu$r AS MATERIALIZED (SELECT piv, memb FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY piv ORDER BY sim DESC, memb)
+         |      AS rn FROM gud$r) WHERE rn <= $uCap),
          |gpp$r AS (SELECT x.memb AS src, y.memb AS dst FROM gu$r x
          |  JOIN gu$r y ON x.piv = y.piv AND x.memb <> y.memb
          |  UNION SELECT src, dst FROM $prev),
@@ -1201,10 +1202,18 @@ object SparkEntry {
     s"""ganch AS (SELECT c_cid, MIN(c_id) AS a_id FROM lists GROUP BY c_cid),
        |ganchv AS MATERIALIZED (SELECT a.a_id, l.cv2 AS av, l.cn AS an
        |  FROM ganch a JOIN lists l ON l.c_id = a.a_id),
-       |gc0 AS (SELECT a.c_id AS src, b2.c_id AS dst FROM lists a
-       |  JOIN lists b2 ON a.c_cid = b2.c_cid AND a.c_id <> b2.c_id
-       |  UNION SELECT x.vec_id AS src, y.vec_id AS dst FROM b x
-       |  JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+       |glr AS (SELECT c_cid, c_id, CAST((ROW_NUMBER() OVER
+       |    (PARTITION BY c_cid ORDER BY c_id) - 1) AS INTEGER)
+       |      // ${operators.AnnOps.GraphInitCap} AS rg FROM lists),
+       |gbr AS (SELECT bucket, vec_id, CAST((ROW_NUMBER() OVER
+       |    (PARTITION BY bucket ORDER BY vec_id) - 1) AS INTEGER)
+       |      // ${operators.AnnOps.GraphInitCap} AS rg FROM b),
+       |gc0 AS (SELECT a.c_id AS src, b2.c_id AS dst FROM glr a
+       |  JOIN glr b2 ON a.c_cid = b2.c_cid AND a.rg = b2.rg
+       |    AND a.c_id <> b2.c_id
+       |  UNION SELECT x.vec_id AS src, y.vec_id AS dst FROM gbr x
+       |  JOIN gbr y ON x.bucket = y.bucket AND x.rg = y.rg
+       |    AND x.vec_id <> y.vec_id
        |  UNION SELECT e.vec_id AS src, v.a_id AS dst FROM e, ganchv v
        |  WHERE e.vec_id <> v.a_id),
        |gsc0 AS (SELECT p.src, p.dst,

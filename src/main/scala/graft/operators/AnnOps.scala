@@ -793,6 +793,33 @@ object AnnOps {
     */
   val RecallGraphHops: Seq[Int] = Seq(0, 1, 2, 3)
 
+  /** Init-view sub-block size: within a cell (and within an LSH
+    * bucket) each point pairs only with members of its ≤Cap-member
+    * rank sub-block (rank by id — an arbitrary but deterministic
+    * sub-blocking), so the init candidate volume is N·Cap per view
+    * instead of the N²/m quadratic — the blocked-join cap discipline
+    * (D2b) applied to the graph build. At the oracle SFs the cap
+    * rarely binds (cells ≈ 31 members); at ×30 amplification it cuts
+    * the init from 450M to ~15M scored pairs.
+    */
+  val GraphInitCap = 64
+
+  /** NN-descent neighborhood cap: each pivot's undirected
+    * neighborhood (out ∪ in edges, the paper's "general neighbors")
+    * keeps only its best J members by (sim, id) before proposing
+    * pairs — the deterministic form of the paper's ρ-sampling. Bounds
+    * proposals at J²·N per round (vs (2K)²·N uncapped).
+    */
+  val GraphUCap = 16
+
+  /** Geometry tag for the persisted graph families — EVERY constant
+    * the build depends on rides in it, so a parameter change can
+    * never serve a stale persisted graph (it misses and rebuilds
+    * under the new name).
+    */
+  def graphTag: String =
+    s"k${GraphK}r${GraphRounds}m${DefaultM}c${GraphInitCap}u$GraphUCap"
+
   /** Entry points for the beam walk: one anchor per IVF cell (the
     * member with the smallest id — any deterministic representative
     * works; hops do the navigation). 16 rows, broadcast everywhere.
@@ -809,16 +836,34 @@ object AnnOps {
 
   /** Exact cosine for a frame of (src, dst) id pairs — each pair
     * scored once off the shared embedding cache.
+    *
+    * Physical shape: the scored stream carries two dim-length vectors
+    * per row (~1 KB), and the candidate volume is O(N·(2K)²) — at the
+    * session default of 32 shuffle partitions an amplified corpus
+    * packs multi-GB partitions and OOMs the executor. Both joins are
+    * therefore EXPLICITLY co-partitioned at a data-sized partition
+    * count (`parts`, ~64 MB of scored rows each) so task memory stays
+    * bounded at any corpus size — the exact plan a 1000-executor
+    * cluster wants, too.
     */
-  private def scorePairs(emb: DataFrame, pairs: DataFrame): DataFrame =
-    pairs
+  private def scorePairs(emb: DataFrame, pairs: DataFrame,
+      parts: Int): DataFrame =
+    pairs.repartition(parts, col("src"))
       .join(emb.select(col("vec_id").as("src"), col("v").as("sv2"),
-        col("nrm").as("sn")), "src")
+        col("nrm").as("sn")).repartition(parts, col("src")), "src")
+      .repartition(parts, col("dst"))
       .join(emb.select(col("vec_id").as("dst"), col("v").as("dv2"),
-        col("nrm").as("dn")), "dst")
+        col("nrm").as("dn")).repartition(parts, col("dst")), "dst")
       .select(col("src"), col("dst"),
         VectorFns.cosine(col("sv2"), col("dv2"), col("sn"), col("dn"))
           .as("sim"))
+
+  /** Partition count sizing ~64 MB of ~1.2 KB scored-pair rows per
+    * task for an N-point corpus at degree k.
+    */
+  private def scoreParts(n: Long, k: Int): Int =
+    math.max(32, math.min(4096,
+      (n * (2L * k) * (2L * k) * 1200 / 64000000L).toInt))
 
   private def topKAdj(scored: DataFrame, k: Int = GraphK): DataFrame =
     TopK.perKey(scored, Seq(col("src")),
@@ -866,39 +911,57 @@ object AnnOps {
         rdd.count()
         spark.createDataFrame(rdd, d.schema)
       }
-      val wc = lists.select(col("c_cid").as("a_cid"), col("c_id").as("src"))
-        .join(lists.select(col("c_cid").as("b_cid"), col("c_id").as("dst")),
-          col("a_cid") === col("b_cid") && col("src") =!= col("dst"))
-        .select("src", "dst")
+      // a blocking view capped into ≤GraphInitCap-member rank
+      // sub-blocks: all pairs within (block key, rank/<cap> group)
+      def viewPairs(members: DataFrame, key: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col("vec_id"))
+        val ranked = members.withColumn("rg",
+          ((org.apache.spark.sql.functions.row_number().over(w) - 1)
+            / lit(GraphInitCap)).cast(org.apache.spark.sql.types.IntegerType))
+        ranked.select(col(key).as("x_k"), col("rg").as("x_g"),
+            col("vec_id").as("src"))
+          .join(ranked.select(col(key).as("y_k"), col("rg").as("y_g"),
+            col("vec_id").as("dst")),
+            col("x_k") === col("y_k") && col("x_g") === col("y_g") &&
+              col("src") =!= col("dst"))
+          .select("src", "dst")
+      }
+      val wc = viewPairs(lists.select(col("c_cid"),
+        col("c_id").as("vec_id")), "c_cid")
       // second blocking view: the 4-plane LSH buckets (independent of
       // the IVF cells) — multi-view init is what makes fixed-round
       // NN-descent converge on high-intrinsic-dimension data, where a
       // single partition view starts the descent too far from the
       // true neighborhood
-      val bkt = emb.select(col("vec_id"),
-        VectorFns.hyperplaneBucket(col("v"), 4).as("bkt"))
-      val wb = bkt.select(col("bkt").as("x_b"), col("vec_id").as("src"))
-        .join(bkt.select(col("bkt").as("y_b"), col("vec_id").as("dst")),
-          col("x_b") === col("y_b") && col("src") =!= col("dst"))
-        .select("src", "dst")
+      val wb = viewPairs(emb.select(col("vec_id"),
+        VectorFns.hyperplaneBucket(col("v"), 4).as("bkt")), "bkt")
       val ae = emb.select(col("vec_id").as("src"))
         .join(broadcast(graphAnchors(spark, dir, m)
           .select(col("a_id").as("dst"))), col("src") =!= col("dst"))
         .select("src", "dst")
+      val parts = scoreParts(emb.count(), k)
       var adj = pinRound(topKAdj(
-        scorePairs(emb, wc.union(wb).union(ae).distinct()), k))
+        scorePairs(emb, wc.union(wb).union(ae).distinct(), parts), k))
       for (_ <- 1 to nRounds) {
-        val rv = TopK.perKey(adj, Seq(col("dst")),
-            Seq(col("sim").desc, col("src").asc), k)
-          .select(col("dst").as("piv"), col("src").as("memb"))
-        val u = adj.select(col("src").as("piv"), col("dst").as("memb"))
-          .union(rv).distinct()
+        // undirected neighborhood, capped to the best GraphUCap
+        // members per pivot by (sim, id) — the deterministic form of
+        // NN-descent's ρ-sampling ((a,b) and (b,a) carry the same
+        // bitwise sim, so the distinct is exact)
+        val und = adj.select(col("src").as("piv"), col("dst").as("memb"),
+            col("sim"))
+          .union(adj.select(col("dst").as("piv"), col("src").as("memb"),
+            col("sim")))
+          .distinct()
+        val u = TopK.perKey(und, Seq(col("piv")),
+            Seq(col("sim").desc, col("memb").asc), GraphUCap)
+          .select("piv", "memb")
         val pp = u.select(col("piv"), col("memb").as("src"))
           .join(u.select(col("piv").as("piv2"), col("memb").as("dst")),
             col("piv") === col("piv2") && col("src") =!= col("dst"))
           .select("src", "dst")
         val pc = pp.union(adj.select("src", "dst")).distinct()
-        adj = pinRound(topKAdj(scorePairs(emb, pc), k))
+        adj = pinRound(topKAdj(scorePairs(emb, pc, parts), k))
       }
       adj
     }
@@ -1125,6 +1188,62 @@ object AnnOps {
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     graphWalk(q, graphAppendedAdjV(spark, dir), graphAnchors(spark, dir),
+      GraphHops, GraphBeam, 10, excludeSelf = true)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** E48's per-batch edge derivation (factored for the spec): the
+    * arrival batch walks the IMMUTABLE base graph (batch-append
+    * semantics — every arrival's walk sees the same base no matter
+    * how arrivals fall into micro-batches, so the stream-grown graph
+    * equals [[graphAppendedAdjV]] bit-for-bit), emitting each new
+    * point's top-K out-edges AND their reverses, vectors carried
+    * in-row (fwd targets from the corpus cache, rev targets from the
+    * batch itself).
+    */
+  def graphUpkeepEdges(spark: SparkSession, dir: String,
+      baseAdjV: DataFrame, anchors: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val arr = batch
+      .withColumn("qv", VectorFns.toDouble(col("embedding")))
+      .withColumn("qn", VectorFns.norm(col("qv")))
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val newOut = graphWalk(
+      arr.select(col("vec_id").as("q_id"), col("qv"), col("qn")),
+      baseAdjV, anchors, GraphHops, GraphBeam, GraphK,
+      excludeSelf = false)
+    val fwd = newOut.select(col("q_id").as("src"), col("c_id").as("dst"),
+        col("sim"))
+      .join(embDouble(spark, dir).select(col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn")), "dst")
+    val rev = newOut.select(col("c_id").as("src"), col("q_id").as("dst"),
+        col("sim"))
+      .join(arr.select(col("vec_id").as("dst"), col("qv").as("dv"),
+        col("qn").as("dn")), "dst")
+    fwd.unionByName(rev).select("src", "dst", "sim", "dv", "dn")
+  }
+
+  /** The serve-side merge of the standing graph and the stream-owned
+    * edge delta: ONE bounded heap per node over base ∪ delta — an
+    * untouched node's rows pass through unchanged, a touched node
+    * re-ranks against the proposals, a new node's rows are its walk
+    * top-K. Equals [[graphAppendedAdjV]] bit-for-bit when the same
+    * arrivals have been folded (parity-spec'd).
+    */
+  def graphMergedAdjV(base: DataFrame, delta: DataFrame): DataFrame =
+    TopK.perKey(
+      base.select("src", "dst", "sim", "dv", "dn").unionByName(delta),
+      Seq(col("src")), Seq(col("sim").desc, col("dst").asc), GraphK)
+      .select("src", "dst", "sim", "rnk", "dv", "dn")
+
+  /** The %50 serve over [[graphMergedAdjV]] — E48's query face. */
+  def annGraphServeMerged(spark: SparkSession, dir: String,
+      base: DataFrame, delta: DataFrame,
+      anchors: DataFrame): DataFrame = {
+    val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    graphWalk(q, graphMergedAdjV(base, delta), anchors,
       GraphHops, GraphBeam, 10, excludeSelf = true)
       .orderBy("q_id", "rnk")
   }

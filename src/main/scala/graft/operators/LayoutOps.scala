@@ -106,12 +106,18 @@ object LayoutOps {
     // bucket-pruned id probe that computes sims from the stored rows
     // and the corpus table is never touched at serve time — plus the
     // 16 anchor vectors
-    Family("graph_adj",
-      s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}v",
+    Family("graph_adj", AnnOps.graphTag + "v",
       "src", 16, (s, d) => AnnOps.graphAdjV(s, d)),
-    Family("graph_anchors",
-      s"k${AnnOps.GraphK}r${AnnOps.GraphRounds}m${AnnOps.DefaultM}",
+    Family("graph_anchors", AnnOps.graphTag,
       "a_id", 1, (s, d) => AnnOps.graphAnchors(s, d)),
+    // E48: the stream-OWNED graph edge delta — seeded empty (schema
+    // only); graphUpkeepStream appends each arrival batch's new
+    // out-edges + reverse proposals (vectors in-row); the served
+    // merge re-ranks base ∪ delta per node in one bounded heap
+    Family("graph_delta", AnnOps.graphTag + "v",
+      "src", 16,
+      (s, d) => AnnOps.graphAdjV(s, d)
+        .select("src", "dst", "sim", "dv", "dn").limit(0)),
     Family("minhash_sigs", "k64b8", "band_hash", 16,
       (s, d) => DedupOps.minhashBandSigs(s, d)),
     Family("corpus_ck", "md5", "ck", 16,
@@ -401,6 +407,16 @@ object LayoutOps {
   def annGraphServed(spark: SparkSession, dir: String): DataFrame =
     AnnOps.annGraphFromTables(spark, dir,
       table(spark, dir, "graph_adj"), table(spark, dir, "graph_anchors"))
+
+  /** E48's query face: the %50 serve over the standing graph MERGED
+    * with the stream-owned edge delta (one bounded heap per node).
+    * With the twin delta folded this equals [[AnnOps.annGraphAppended]]
+    * bit-for-bit (parity-spec'd).
+    */
+  def annGraphUpkeptServed(spark: SparkSession, dir: String): DataFrame =
+    AnnOps.annGraphServeMerged(spark, dir,
+      table(spark, dir, "graph_adj"), table(spark, dir, "graph_delta"),
+      table(spark, dir, "graph_anchors"))
 
   /** D59b: NB classification served from the persisted model tables
     * alone — the production gate shape: the crawl split is scored

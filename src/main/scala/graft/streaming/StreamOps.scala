@@ -1118,6 +1118,53 @@ object StreamOps {
       .start()
   }
 
+  /** E48: streaming maintenance of the PERSISTED k-NN graph — each
+    * micro-batch of arriving vectors walks the IMMUTABLE base graph
+    * for its out-edges (batch-append semantics: every arrival's walk
+    * sees the same base regardless of how arrivals split into
+    * micro-batches, so the stream-grown graph equals the batch
+    * [[graft.operators.AnnOps.graphAppendedAdjV]] bit-for-bit —
+    * parity-spec'd), and appends out-edges + reverse proposals to the
+    * stream-owned `graph_delta` table (the E42 delta-table
+    * discipline). Re-delivered arrivals are dropped by an exact
+    * anti-join against the delta's already-folded sources, so appends
+    * are exactly-once under replay. The serving merge
+    * ([[graft.operators.LayoutOps.annGraphUpkeptServed]]) re-ranks
+    * base ∪ delta per node in one bounded heap — new points become
+    * findable with ZERO rebuild of the standing graph.
+    */
+  def graphUpkeepStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, arrivals: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.LayoutOps
+    val fam = LayoutOps.families.find(_.name == "graph_delta").get
+    val t = LayoutOps.tableName(fam, dir)
+    LayoutOps.ensure(spark, dir, "graph_delta")
+    val base = LayoutOps.table(spark, dir, "graph_adj")
+    val anchors = LayoutOps.table(spark, dir, "graph_anchors")
+    arrivals.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // replay guard: an arrival already folded appears as a src of
+        // its fwd edges — drop it before walking
+        val folded = graft.sources.LayoutStore.read(spark, t)
+          .select(col("src").as("vec_id")).distinct()
+        val fresh = batch.join(folded, Seq("vec_id"), "left_anti")
+          .persist()
+        try {
+          if (fresh.count() > 0) {
+            val edges = graft.operators.AnnOps.graphUpkeepEdges(spark, dir,
+              base, anchors, fresh).persist()
+            edges.count() // materialize before the append touches the table
+            graft.sources.LayoutStore.append(spark, t, edges,
+              Seq(fam.bucketKey), fam.buckets)
+            edges.unpersist()
+            ()
+          }
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+  }
+
   /** E21: streaming maintenance of the PERSISTED manifest — each
     * micro-batch of crawled documents folds its NEW checksums into the
     * stream-owned keeper map (the upkeep_ck layout table, seeded

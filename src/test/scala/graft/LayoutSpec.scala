@@ -401,6 +401,42 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("streaming graph upkeep: stream-grown graph == batch append bit-for-bit across a split, replay is a no-op") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.col
+      val off = AnnOps.GraphAppendIdOffset
+      val expected = rows(AnnOps.annGraphAppended(spark, Sf))
+      Seq("graph_adj", "graph_anchors", "graph_delta")
+        .foreach(f => LayoutOps.ensure(spark, Sf, f))
+      val delta = AnnOps.graphDelta(spark, Sf)
+        .select(col("vec_id"), col("v").as("embedding"))
+      val first = delta.filter((col("vec_id") - off) % 20 === 0)
+      val second = delta.filter((col("vec_id") - off) % 20 =!= 0)
+      val d = java.nio.file.Files.createTempDirectory("graph_upkeep")
+        .toFile.getAbsolutePath
+      first.write.mode("overwrite").parquet(d)
+      val q = graft.streaming.StreamOps.graphUpkeepStream(spark, Sf,
+        spark.readStream.schema(delta.schema).parquet(d))
+      try {
+        q.processAllAvailable()
+        second.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(rows(LayoutOps.annGraphUpkeptServed(spark, Sf)) == expected,
+          "stream-grown serve != batch append")
+        // replay: re-deliver the whole first batch — the fold must be
+        // exactly-once (no new delta rows, served rows unchanged)
+        val t = LayoutOps.tableName(
+          LayoutOps.families.find(_.name == "graph_delta").get, Sf)
+        val before = graft.sources.LayoutStore.read(spark, t).count()
+        first.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        assert(graft.sources.LayoutStore.read(spark, t).count() == before,
+          "replayed batch appended rows")
+        assert(rows(LayoutOps.annGraphUpkeptServed(spark, Sf)) == expected)
+      } finally q.stop()
+    }
+  }
+
   test("streaming line dedup from the persisted digest layout == direct path, across a restart") {
     withCleanLayouts {
       import org.apache.spark.sql.functions.{col, lit}
