@@ -747,7 +747,7 @@ class DedupAnnSpec extends GraftSpec {
       AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size +
       AnnOps.RecallPqR.size + AnnOps.RecallRpR.size +
       AnnOps.RecallIvfPqNprobes.size + AnnOps.RecallIvfSqNprobes.size +
-      AnnOps.RecallResAdcSubs.size +
+      AnnOps.RecallResAdcSubs.size + AnnOps.RecallGraphHops.size +
       2 /* sq8_adc + sq8 rerank, one pinned point each */)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
@@ -759,7 +759,9 @@ class DedupAnnSpec extends GraftSpec {
     // is NOT mathematically monotone in nprobe (its ADC shortlist is
     // FIXED at R, so widening probes can push a true neighbor out of
     // the top-R shortlist) — assert a tolerance bound there instead
-    for (m <- Seq("lsh", "ivf", "pq", "rp")) {
+    // graph is monotone by BEAM construction (each hop's beam is the
+    // top-B of a superset of the previous beam)
+    for (m <- Seq("lsh", "ivf", "pq", "rp", "graph")) {
       val curve = rows.filter(_.getAs[String]("method") == m)
         .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
       assert(curve.nonEmpty, s"$m curve missing")
