@@ -225,6 +225,8 @@ object SparkEntry {
     "ann_graph"            -> ((s: SparkSession, d: String) =>
       AnnOps.annGraph(s, d)),
     "ann_graph_appended"   -> (AnnOps.annGraphAppended _),
+    "ann_graph_pq"         -> ((s: SparkSession, d: String) =>
+      AnnOps.annGraphPq(s, d)),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
     "emb_sample_balanced"  -> ((s: SparkSession, d: String) =>
       AnnOps.sampleClusterBalanced(s, d)),
@@ -1203,10 +1205,10 @@ object SparkEntry {
        |ganchv AS MATERIALIZED (SELECT a.a_id, l.cv2 AS av, l.cn AS an
        |  FROM ganch a JOIN lists l ON l.c_id = a.a_id),
        |glr AS (SELECT c_cid, c_id, CAST((ROW_NUMBER() OVER
-       |    (PARTITION BY c_cid ORDER BY c_id) - 1) AS INTEGER)
+       |    (PARTITION BY c_cid ORDER BY cv2[1], c_id) - 1) AS INTEGER)
        |      // ${operators.AnnOps.GraphInitCap} AS rg FROM lists),
        |gbr AS (SELECT bucket, vec_id, CAST((ROW_NUMBER() OVER
-       |    (PARTITION BY bucket ORDER BY vec_id) - 1) AS INTEGER)
+       |    (PARTITION BY bucket ORDER BY v[1], vec_id) - 1) AS INTEGER)
        |      // ${operators.AnnOps.GraphInitCap} AS rg FROM b),
        |gc0 AS (SELECT a.c_id AS src, b2.c_id AS dst FROM glr a
        |  JOIN glr b2 ON a.c_cid = b2.c_cid AND a.rg = b2.rg
@@ -1264,6 +1266,57 @@ object SparkEntry {
        |      AS rn FROM ${p}gbs0) WHERE rn <= $b),
        |$hops""".stripMargin
   }
+
+  /** D76e's walk: the SAME hop unrolling ordered by ADC (the query's
+    * subspace distance tables against the codes riding the adjacency)
+    * — requires the graph chain (g_R, ganch), the pq chain (padc0 =
+    * all-pairs ADC for the %50 queries) in scope. Emits pbm0..pbm_H.
+    */
+  private def graphPqWalkCtes: String = {
+    val b = operators.AnnOps.GraphPqBeam
+    val hops = (1 to operators.AnnOps.GraphHops).map { h =>
+      val prev = s"pbm${h - 1}"
+      s"""pbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
+         |  JOIN g${operators.AnnOps.GraphRounds} g ON g.src = bb.c_id
+         |  WHERE g.dst <> bb.q_id
+         |  UNION SELECT q_id, c_id FROM $prev),
+         |pbs$h AS (SELECT pr.q_id, pr.c_id, a.adc
+         |  FROM pbx$h pr JOIN padc0 a ON a.q_id = pr.q_id
+         |    AND a.c_id = pr.c_id),
+         |pbm$h AS MATERIALIZED (SELECT q_id, c_id, adc FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+         |      AS rn FROM pbs$h) WHERE rn <= $b)""".stripMargin
+    }.mkString(",\n")
+    s"""pbs0 AS (SELECT a.q_id, a.c_id, a.adc FROM padc0 a
+       |  JOIN ganch g ON a.c_id = g.a_id),
+       |pbm0 AS MATERIALIZED (SELECT q_id, c_id, adc FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+       |      AS rn FROM pbs0) WHERE rn <= $b),
+       |$hops""".stripMargin
+  }
+
+  /** D76e's oracle: the graph chain + the PQ ADC chain + the
+    * ADC-navigated walk + exact re-rank of the final beam.
+    */
+  private def AnnGraphPqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+       |$IvfListsCtes,
+       |$graphChainCtes,
+       |${pqChainCtes("p")},
+       |${pqAdcChainCtes("p")},
+       |$graphPqWalkCtes,
+       |px AS (SELECT pb.q_id, pb.c_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+       |  FROM pbm${operators.AnnOps.GraphHops} pb
+       |  JOIN e q ON q.vec_id = pb.q_id JOIN e c ON c.vec_id = pb.c_id),
+       |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+       |  FROM px)
+       |SELECT q_id, c_id, sim, rnk FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
 
   /** D76d's oracle: the base chain + the incremental insert — delta
     * twins (id + offset, each component + eps), one walk per arrival
@@ -1472,7 +1525,10 @@ object SparkEntry {
         s"AND zt.c_id = ex.c_id) AS hits",
         s"SELECT 'sq8' AS method, CAST(${AnnOps.Sq8RerankR} AS BIGINT) " +
         s"AS param, (SELECT COUNT(*) FROM zrt JOIN ex ON zrt.q_id = ex.q_id " +
-        s"AND zrt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+        s"AND zrt.c_id = ex.c_id) AS hits",
+        s"SELECT 'graph_pq' AS method, CAST(${AnnOps.GraphHops} AS BIGINT) " +
+        s"AS param, (SELECT COUNT(*) FROM gpt JOIN ex ON gpt.q_id = ex.q_id " +
+        s"AND gpt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
@@ -1498,6 +1554,13 @@ object SparkEntry {
          |$sq8Points,
          |$ivfsqCtes,
          |$graphChainCtes,
+         |$graphPqWalkCtes,
+         |gpt AS (SELECT q_id, c_id FROM (SELECT pb.q_id, pb.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pb.q_id
+         |      ORDER BY x.sim DESC, pb.c_id) AS rnk
+         |  FROM pbm${AnnOps.GraphHops} pb
+         |  JOIN exs x ON x.q_id = pb.q_id AND x.c_id = pb.c_id)
+         |  WHERE rnk <= 10),
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
@@ -4229,6 +4292,10 @@ object SparkEntry {
     // serve over the grown graph (each query's appended twin must
     // surface, so reachability of new points is hash-pinned)
     "ann_graph_appended" -> AnnGraphAppendedSql,
+
+    // D76e: the DiskANN shape — the walk navigates on PQ codes (ADC
+    // legs), exact re-rank of the final beam only
+    "ann_graph_pq" -> AnnGraphPqSql,
 
     // D10f: the D74 tuner device on the D10e curve — per-nprobe recall
     // for the IVF-backed serving families + chosen = smallest nprobe

@@ -812,6 +812,13 @@ object AnnOps {
     */
   val GraphUCap = 16
 
+  /** PQ-navigated beam width (D76e): ADC legs are ~0.5-fidelity
+    * rankers, so the walk explores WIDER than the vector walk and
+    * leaves the final cut to the exact re-rank — the DiskANN
+    * navigate-coarse / rerank-exact tradeoff.
+    */
+  val GraphPqBeam = 48
+
   /** Geometry tag for the persisted graph families — EVERY constant
     * the build depends on rides in it, so a parameter change can
     * never serve a stale persisted graph (it misses and rebuilds
@@ -911,11 +918,18 @@ object AnnOps {
         rdd.count()
         spark.createDataFrame(rdd, d.schema)
       }
-      // a blocking view capped into ≤GraphInitCap-member rank
-      // sub-blocks: all pairs within (block key, rank/<cap> group)
+      // a blocking view capped into ≤GraphInitCap-member sub-blocks:
+      // all pairs within (block key, rank/<cap> group). The in-block
+      // RANK orders by a 1-D LOCALITY PROJECTION (the first vector
+      // component), not by id: near-identical vectors then land in
+      // the same sub-block, so capping never separates a point from
+      // its true neighborhood — an id ordering scattered a point's
+      // near-duplicates across blocks and collapsed graph recall to
+      // 0.1 on the amplified corpus (twins never linked, and descent
+      // cannot discover an edge no init view seeded)
       def viewPairs(members: DataFrame, key: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(col("vec_id"))
+          .partitionBy(col(key)).orderBy(col("pj"), col("vec_id"))
         val ranked = members.withColumn("rg",
           ((org.apache.spark.sql.functions.row_number().over(w) - 1)
             / lit(GraphInitCap)).cast(org.apache.spark.sql.types.IntegerType))
@@ -928,14 +942,16 @@ object AnnOps {
           .select("src", "dst")
       }
       val wc = viewPairs(lists.select(col("c_cid"),
-        col("c_id").as("vec_id")), "c_cid")
+        col("c_id").as("vec_id"), element_at(col("cv2"), 1).as("pj")),
+        "c_cid")
       // second blocking view: the 4-plane LSH buckets (independent of
       // the IVF cells) — multi-view init is what makes fixed-round
       // NN-descent converge on high-intrinsic-dimension data, where a
       // single partition view starts the descent too far from the
       // true neighborhood
       val wb = viewPairs(emb.select(col("vec_id"),
-        VectorFns.hyperplaneBucket(col("v"), 4).as("bkt")), "bkt")
+        VectorFns.hyperplaneBucket(col("v"), 4).as("bkt"),
+        element_at(col("v"), 1).as("pj")), "bkt")
       val ae = emb.select(col("vec_id").as("src"))
         .join(broadcast(graphAnchors(spark, dir, m)
           .select(col("a_id").as("dst"))), col("src") =!= col("dst"))
@@ -1113,6 +1129,59 @@ object AnnOps {
       hops: Int = GraphHops, beam: Int = GraphBeam, k: Int = 10): DataFrame =
     graphSearchOn(spark, dir, graphAdjV(spark, dir),
       graphAnchors(spark, dir), queries, hops, beam, k)
+
+  // ---- D76e: PQ-navigated serving (the DiskANN shape) ---------------
+
+  /** The adjacency carrying each neighbor's PQ CODE instead of its
+    * float vector — 8 B/edge instead of 512 B/edge, the layout that
+    * keeps a 100 TB corpus's graph RAM-resident.
+    */
+  private[graft] def graphAdjCodes(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Memo.df(spark, s"graphAdjCodes:$dir:$graphTag:s$PqS") {
+      graphAdj(spark, dir).select("src", "dst")
+        .join(pqCodesCore(spark, dir)
+          .select(col("vec_id").as("dst") +:
+            (0 until PqS).map(s => col(s"c$s")): _*), "dst")
+    }
+
+  /** D76e: DiskANN-shape graph serving — the beam walk NAVIGATES on
+    * PQ codes: hop scores are ADC sums of the query's broadcast
+    * distance tables against the 8-byte codes riding the adjacency
+    * (the float corpus is untouched during navigation), and ONLY the
+    * final beam is re-ranked with exact cosine. Same walk, same
+    * anchors, compressed legs — recall vs the vector-walked D76b
+    * measures the navigation fidelity cost of 64× less serving state.
+    */
+  def annGraphPq(spark: SparkSession, dir: String,
+      hops: Int = GraphHops, beam: Int = GraphPqBeam,
+      k: Int = 10): DataFrame = {
+    val qd = pqQueryTables(spark, dir)
+    val adjC = graphAdjCodes(spark, dir)
+    val anchorsC = graphAnchors(spark, dir).select("a_id")
+      .join(pqCodesCore(spark, dir)
+        .select(col("vec_id").as("a_id") +:
+          (0 until PqS).map(s => col(s"c$s")): _*), "a_id")
+    def topB(scored: DataFrame, n: Int): DataFrame =
+      TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("adc").asc, col("c_id").asc), n)
+        .select("q_id", "c_id", "adc")
+    var bm = topB(qd.join(broadcast(anchorsC), col("q_id") =!= col("a_id"))
+      .select(col("q_id"), col("a_id").as("c_id"), adcCol().as("adc")),
+      beam)
+    for (_ <- 1 to hops) {
+      val expand = bm.select("q_id", "c_id")
+        .join(adjC, col("c_id") === col("src"))
+        .filter(col("dst") =!= col("q_id"))
+        .join(broadcast(qd), "q_id")
+        .select(col("q_id"), col("dst").as("c_id"), adcCol().as("adc"))
+      bm = topB(bm.union(expand)
+        .groupBy(col("q_id"), col("c_id")).agg(min(col("adc")).as("adc")),
+        beam)
+    }
+    exactRerank(spark, dir, bm.select("q_id", "c_id"), k)
+      .orderBy("q_id", "rnk")
+  }
 
   // ---- D76d: rebuild-free graph growth (the D10c/D33e lifecycle
   // story for the graph family) --------------------------------------
@@ -1500,7 +1569,11 @@ object AnnOps {
        RecallGraphHops.map(h => graphHitsOf(h)) ++
        // SQ8: ADC-order code fidelity + the production two-stage path
        Seq(countHits("sq8_adc", 10, annSq8Adc(spark, dir, 10)),
-         countHits("sq8", Sq8RerankR, annSq8Rerank(spark, dir))))
+         countHits("sq8", Sq8RerankR, annSq8Rerank(spark, dir)),
+         // the PQ-navigated walk at the deployed hop depth — its gap
+         // to the vector-walked graph row is the measured navigation
+         // fidelity cost of 64× less serving state
+         countHits("graph_pq", GraphHops, annGraphPq(spark, dir))))
         .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
       .withColumn("recall",

@@ -140,6 +140,29 @@ class AnnGraphSpec extends GraftSpec {
     assert(unchanged > 0)
   }
 
+  test("PQ-navigated walk: rerank sims exact, fidelity gap vs the vector walk bounded") {
+    val emb = embMap()
+    val pq = AnnOps.annGraphPq(spark, Sf).collect()
+    // the final re-rank is EXACT cosine — recompute bit-for-bit
+    pq.foreach { r =>
+      assert(r.getDouble(2) === cos(emb, r.getLong(0), r.getLong(1)),
+        s"rerank sim drift at (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(1) !== r.getLong(0))
+    }
+    val exact = AnnOps.annCosineTopK(spark, Sf)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .count(exact.contains).toDouble / exact.size
+    val rVec = recallOf(AnnOps.annGraph(spark, Sf).collect())
+    val rPq = recallOf(pq)
+    info(f"vector-walked $rVec%.3f vs PQ-navigated $rPq%.3f " +
+      f"(fidelity cost of 64x smaller serving state)")
+    assert(rPq >= rVec - 0.25,
+      f"PQ navigation lost too much recall: $rPq%.3f vs $rVec%.3f")
+  }
+
   test("serve recall@10 monotone in hops, deployed point above floor") {
     val exact = AnnOps.annCosineTopK(spark, Sf)
       .select("q_id", "c_id").collect()

@@ -748,7 +748,7 @@ class DedupAnnSpec extends GraftSpec {
       AnnOps.RecallPqR.size + AnnOps.RecallRpR.size +
       AnnOps.RecallIvfPqNprobes.size + AnnOps.RecallIvfSqNprobes.size +
       AnnOps.RecallResAdcSubs.size + AnnOps.RecallGraphHops.size +
-      2 /* sq8_adc + sq8 rerank, one pinned point each */)
+      3 /* sq8_adc + sq8 rerank + graph_pq, one pinned point each */)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0)
