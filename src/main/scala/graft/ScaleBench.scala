@@ -223,10 +223,11 @@ object ScaleBench {
     val sqTune = scala.collection.mutable.Map[Int, Seq[(Int, Double)]]()
     val prodChosen = scala.collection.mutable.Map[Int, Int]()
     val sqChosen = scala.collection.mutable.Map[Int, Int]()
-    // r12 graph family: per-deployment HOP tuning (the same tuner
-    // device — the knob is walk depth instead of probe depth)
-    val graphTune = scala.collection.mutable.Map[Int, Seq[(Int, Double)]]()
-    val graphChosen = scala.collection.mutable.Map[Int, Int]()
+    // r12 graph family: per-deployment WALK tuning (the same tuner
+    // device — the knobs are walk depth AND beam width)
+    val graphTune =
+      scala.collection.mutable.Map[Int, Seq[((Int, Int), Double)]]()
+    val graphChosen = scala.collection.mutable.Map[Int, (Int, Int)]()
     val graphRecall = scala.collection.mutable.Map[Int, Double]()
     val maintFiles = scala.collection.mutable.Map[Int, (Int, Int)]()
     def keepMin(q: String, f: Int, s: Double): Unit = {
@@ -452,38 +453,46 @@ object ScaleBench {
         // a broadcast-hash probe of the cached table, not a pruned
         // file read; serving from cold parquet re-decoded the table
         // once per hop and measured exp 2.02 at ×30)
-        val adjV = graft.sources.LayoutStore.read(spark, table).persist()
+        val adjV = operators.AnnOps.walkEdges(
+          graft.sources.LayoutStore.read(spark, table),
+          operators.AnnOps.graphDownLinks(spark, dir, m)).persist()
         adjV.count()
         val anchors = operators.AnnOps.graphAnchors(spark, dir, m)
         val queries = Tables.embeddings(spark, dir)
           .filter(col("vec_id") % f === 0 && (col("vec_id") / f) % 50 === 0)
           .select("vec_id", "embedding")
-        val hopCands = Seq(1, 2, 3, 4)
+        // candidates ordered by walk cost (≈ beam·hops): chosen = the
+        // cheapest meeting the target, else the best-recall config —
+        // recorded HONESTLY (this fixture's twin-clustered geometry is
+        // the graph family's hard case; the IVF prod twins cover it)
+        val walkCands = (for (b <- Seq(16, 64); h <- 1 to 4)
+          yield (b, h)).sortBy { case (b, h) => (b * h, b) }
         if (rep == 1) {
           val exact = operators.AnnOps.exactTopKFor(spark, dir, queries)
             .persist()
           val nEx = exact.count().toDouble
-          val curve = hopCands.map { h =>
+          val curve = walkCands.map { case (b, h) =>
             val got = operators.AnnOps.graphSearchOn(spark, dir, adjV,
-                anchors, queries, hops = h, excludeSelf = true)
+                anchors, queries, hops = h, beam = b, excludeSelf = true)
               .select("q_id", "c_id")
             val r = got.join(exact, Seq("q_id", "c_id")).count() / nEx
-            h -> math.rint(r * 1000) / 1000
+            (b, h) -> math.rint(r * 1000) / 1000
           }
           exact.unpersist()
           graphTune(f) = curve
           graphChosen(f) = curve
             .find(_._2 >= operators.AnnOps.ProbeTuneTarget)
-            .map(_._1).getOrElse(curve.map(_._1).max)
+            .map(_._1).getOrElse(curve.maxBy(_._2)._1)
           graphRecall(f) = curve.toMap.apply(graphChosen(f))
           println(s"[scale] x$f ann_graph_prod tune: " +
-            curve.map { case (h, r) => s"h$h=$r" }.mkString(" ") +
-            s" -> chosen hops ${graphChosen(f)} " +
+            curve.map { case ((b, h), r) => s"b${b}h$h=$r" }.mkString(" ") +
+            s" -> chosen (beam,hops) ${graphChosen(f)} " +
             s"(recall@10 ${graphRecall(f)})")
         }
         def searchOnce = time {
           operators.AnnOps.graphSearchOn(spark, dir, adjV, anchors,
-            queries, hops = graphChosen(f), excludeSelf = true)
+            queries, hops = graphChosen(f)._2, beam = graphChosen(f)._1,
+            excludeSelf = true)
             .write.format("noop").mode("overwrite").save()
         }
         val searchSec = math.min(searchOnce, searchOnce)
@@ -491,7 +500,7 @@ object ScaleBench {
         keepMin("ann_graph_prod", f, searchSec)
         keepMin("ann_graph_prod_build", f, buildSec)
         println(s"[scale] rep$rep x$f ann_graph_prod (m=$m, " +
-          s"hops=${graphChosen(f)}): build ${buildSec}s, " +
+          s"(beam,hops)=${graphChosen(f)}): build ${buildSec}s, " +
           s"search ${searchSec}s")
       }
 
@@ -659,8 +668,10 @@ object ScaleBench {
     val graphRecJson = fs.flatMap(f => graphRecall.get(f)
       .map(r => s""""x$f":$r""")).mkString(",")
     val graphTuneJson = fs.flatMap(f => graphTune.get(f).map { c =>
-      val pts = c.map { case (h, r) => s""""h$h":$r""" }.mkString(",")
-      s""""x$f":{$pts,"chosen_hops":${graphChosen(f)}}"""
+      val pts = c.map { case ((b, h), r) => s""""b${b}h$h":$r""" }
+        .mkString(",")
+      s""""x$f":{$pts,"chosen_beam":${graphChosen(f)._1},""" +
+        s""""chosen_hops":${graphChosen(f)._2}}"""
     }).mkString(",")
     val maintJson = fs.flatMap(f => maintFiles.get(f).map { case (g, c) =>
       s""""x$f":{"grown_files":$g,"compacted_files":$c}"""
@@ -693,7 +704,7 @@ object ScaleBench {
          |"on this fixture the amplifier's copies (+k*1e-5 per component) become each fixed query's true nearest neighbors and quantize into the same or adjacent lists, so small nprobes already cover the neighborhood and the tuner picks a small chosen_nprobe; a corpus whose true neighbors disperse across cells would instead drive chosen_nprobe UP to hold the recall target - the tune curve records exactly that tradeoff per deployment",
          |"methodology: per-factor memo isolation (caches cleared between factors), standing layouts warmed untimed, ONE timed run per query within a pass (their internal memoized layouts make re-runs cache reads); the WHOLE measurement repeats (SPARK_GRAFT_SCALE_REPEAT, default 2) and each point keeps its MINIMUM - this host's I/O throughput swings ~3x between passes (spill-heavy x30 joins measured 10-40s across identical runs) and the min is the engine's cost with host noise removed; ann_ivfpq_prod search is additionally min-of-2 within a pass (it memoizes nothing)",
          |"ann_ivfsq (fixed m=${operators.AnnOps.DefaultM}) scales queries AND per-list bytes Fx like ann_ivfpq - the toy regime; ann_ivfsq_prod is its production twin (m=16F, buckets=m, fixed base-100 queries, bucket-pruned persisted lists) - the r10 verdict's weak flag adjudicated by measurement: prod search ~flat, prod build ~linear, recall pinned in ivfsq_prod_recall_at10",
-         |"ann_graph_prod: the graph family's serving contract - m=16F bounds the within-cell NN-descent init, the vector-carrying adjacency (neighbor vectors in-row, one corpus join paid at build) persists src-bucketed, fixed base-100 queries walk it at the TUNED hop depth (graph_prod_tune: recall@10 at hops 1..4 vs exact, chosen_hops = smallest meeting the target) - serve cost is hops*beam*K sims + bucket-pruned id probes, independent of corpus size by construction, so the serve row should measure ~flat while ann_graph_prod_build grows ~linearly",
+         |"ann_graph_prod: the graph family's serving contract - m=16F bounds the within-cell NN-descent init, the vector-carrying adjacency (neighbor vectors in-row, one corpus join paid at build) persists src-bucketed and is pinned RAM-resident at serve start (the DiskANN deployment model - beam ids are data-dependent, so a hop is a broadcast-hash probe of the cached table), fixed base-100 queries walk it at the TUNED (beam, hops) (graph_prod_tune: recall@10 over beam {16,64} x hops 1..4 vs exact; chosen = cheapest config meeting the target, else the best-recall one - recorded honestly). NOTE the amplified fixture is the graph family's HARD case: every query's true top-10 are its near-identical amplifier twins, and a pure top-K graph spends most of its K=16 edges inside each twin cluster, so walk recall saturates near 0.8 at x10 even with centroid anchors + strided down-links (two-level navigation); the IVF prod twins cover this regime exactly (coarse cells contain the twin clusters), which is the honest family-selection verdict the artifact records - graph serving wins on corpora whose neighborhoods DISPERSE, not on duplicate-cluster-dominated ones. Serve cost is hops*beam*K sims independent of corpus size, so the serve row should measure ~flat while ann_graph_prod_build grows ~linearly",
          |"evt_incident_join_fixedinc holds the interval side at BASE cardinality while events amplify Fx (global severe-error windows don't grow with event volume - the production shape): the symmetric row's x30 exponent tracks its F^2 true-pair output by construction, the fixed-interval row isolates the engine (~linear in probe volume at worst)",
          |"layout_maint_*: the append -> compact -> serve lifecycle. Base coded-lists split written once, the delta split appended in 8 batches (8 files/bucket accumulate - the between-compactions steady state), probe latency measured on the grown table, compaction timed, probe re-measured; maint_files records file counts either side. Serve must stay ~flat in F at both points, compaction ~linear (one table rewrite)",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear",

@@ -1194,14 +1194,18 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
          |      AS rn FROM gsc$r) WHERE rn <= $k)""".stripMargin
     }.mkString(",\n")
-    val hops = graphWalkCtes("", "gq", s"g${operators.AnnOps.GraphRounds}",
-      "e", excludeSelf = true)
+    val hops = graphWalkCtes("", "gq", "gadj", "e", excludeSelf = true)
     val tops = operators.AnnOps.RecallGraphHops.map { h =>
       s"""gt$h AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
          |      AS rn FROM bm$h) WHERE rn <= 10)""".stripMargin
     }.mkString(",\n")
-    s"""ganch AS (SELECT c_cid, MIN(c_id) AS a_id FROM lists GROUP BY c_cid),
+    s"""gasg AS (SELECT vec_id, cid, sim FROM (SELECT vec_id, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid)
+       |      AS rn FROM l0) WHERE rn = 1),
+       |ganch AS (SELECT cid AS c_cid, vec_id AS a_id FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sim DESC, vec_id)
+       |      AS arn FROM gasg) WHERE arn = 1),
        |ganchv AS MATERIALIZED (SELECT a.a_id, l.cv2 AS av, l.cn AS an
        |  FROM ganch a JOIN lists l ON l.c_id = a.a_id),
        |glr AS (SELECT c_cid, c_id, CAST((ROW_NUMBER() OVER
@@ -1226,6 +1230,17 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
        |      AS rn FROM gsc0) WHERE rn <= $k),
        |$rounds,
+       |gds AS (SELECT c_cid, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c_cid ORDER BY cv2[1], c_id) - 1
+       |      AS rn,
+       |    COUNT(*) OVER (PARTITION BY c_cid) AS sz FROM lists),
+       |gdl AS (SELECT g.a_id AS src, d.c_id AS dst FROM gds d
+       |  JOIN ganch g ON d.c_cid = g.c_cid
+       |  WHERE d.rn % ((d.sz + ${operators.AnnOps.GraphDownCap - 1})
+       |      // ${operators.AnnOps.GraphDownCap}) = 0
+       |    AND d.c_id <> g.a_id),
+       |gadj AS (SELECT src, dst FROM g${operators.AnnOps.GraphRounds}
+       |  UNION ALL SELECT src, dst FROM gdl),
        |gq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
        |  WHERE vec_id % 50 = 0),
        |$hops,
@@ -1277,7 +1292,7 @@ object SparkEntry {
     val hops = (1 to operators.AnnOps.GraphHops).map { h =>
       val prev = s"pbm${h - 1}"
       s"""pbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
-         |  JOIN g${operators.AnnOps.GraphRounds} g ON g.src = bb.c_id
+         |  JOIN gadj g ON g.src = bb.c_id
          |  WHERE g.dst <> bb.q_id
          |  UNION SELECT q_id, c_id FROM $prev),
          |pbs$h AS (SELECT pr.q_id, pr.c_id, a.adc
@@ -1342,7 +1357,7 @@ object SparkEntry {
        |gdelta AS MATERIALIZED (SELECT vec_id, v,
        |    sqrt(list_dot_product(v, v)) AS nrm FROM gdelta0),
        |gdq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM gdelta),
-       |${graphWalkCtes("d", "gdq", s"g$r", "e", excludeSelf = false)},
+       |${graphWalkCtes("d", "gdq", "gadj", "e", excludeSelf = false)},
        |dnew AS MATERIALIZED (SELECT q_id AS src, c_id AS dst, sim,
        |    rn AS rnk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, c_id) AS rn FROM dbm$h) WHERE rn <= $k),
@@ -1360,7 +1375,9 @@ object SparkEntry {
        |  UNION ALL SELECT src, dst FROM dnew),
        |gall AS MATERIALIZED (SELECT vec_id, v, nrm FROM e
        |  UNION ALL SELECT vec_id, v, nrm FROM gdelta),
-       |${graphWalkCtes("a", "gq", "gapp", "gall", excludeSelf = true)},
+       |gappd AS (SELECT src, dst FROM gapp
+       |  UNION ALL SELECT src, dst FROM gdl),
+       |${graphWalkCtes("a", "gq", "gappd", "gall", excludeSelf = true)},
        |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
        |  FROM abm$h)

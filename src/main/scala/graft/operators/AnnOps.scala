@@ -812,6 +812,56 @@ object AnnOps {
     */
   val GraphUCap = 16
 
+  /** Down-link fan per anchor: each per-cell anchor carries edges to
+    * ≤Cap members STRIDED across its cell's locality ordering — the
+    * coarse layer of a two-level navigable graph (the HNSW upper
+    * layer realized as the IVF partition). A pure top-K graph has
+    * only short-range edges, so a bounded-hop walk cannot cross a
+    * large corpus from the anchors (measured: 0.095 recall at ×10
+    * while 90% of the true neighbors were DIRECT out-edges of the
+    * query — reachability, not graph quality, was the failure);
+    * strided down-links give every cell bounded-fan coverage one hop
+    * below its anchor, after which the fine graph's own edges finish
+    * the descent. The stride keeps hop-1 fan-out ≤ Cap per anchor at
+    * ANY cell size — serve cost stays corpus-independent.
+    */
+  val GraphDownCap = 64
+
+  /** The anchor→member down-link frame (src, dst, dv, dn): per cell,
+    * every stride-th member of the locality ordering (stride =
+    * ⌈size/Cap⌉), vectors carried in-row like the adjacency.
+    */
+  private[graft] def graphDownLinks(spark: SparkSession, dir: String,
+      m: Int = DefaultM): DataFrame =
+    graft.Memo.df(spark, s"graphDown:$dir:m$m:c$GraphDownCap") {
+      val lists = ivfLists(spark, dir, m)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_cid")).orderBy(col("pj"), col("c_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_cid"))
+      val ranked = lists
+        .withColumn("pj", element_at(col("cv2"), 1))
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w) - 1)
+        .withColumn("sz", count(lit(1)).over(wAll))
+      val strided = ranked.filter(
+        col("rn") % ((col("sz") + lit(GraphDownCap - 1))
+          / lit(GraphDownCap)).cast(org.apache.spark.sql.types.LongType)
+          === 0)
+      strided
+        .join(graphAnchorIds(spark, dir, m), "c_cid")
+        .filter(col("c_id") =!= col("a_id"))
+        .select(col("a_id").as("src"), col("c_id").as("dst"),
+          col("cv2").as("dv"), col("cn").as("dn"))
+    }
+
+  /** The walk's expansion frame: fine-graph edges ∪ anchor
+    * down-links, 4 columns (src, dst, dv, dn).
+    */
+  private[graft] def walkEdges(adjV: DataFrame, down: DataFrame): DataFrame =
+    adjV.select("src", "dst", "dv", "dn")
+      .unionByName(down.select("src", "dst", "dv", "dn"))
+
   /** PQ-navigated beam width (D76e): ADC legs are ~0.5-fidelity
     * rankers, so the walk explores WIDER than the vector walk and
     * leaves the final cut to the exact re-rank — the DiskANN
@@ -825,19 +875,43 @@ object AnnOps {
     * under the new name).
     */
   def graphTag: String =
-    s"k${GraphK}r${GraphRounds}m${DefaultM}c${GraphInitCap}u$GraphUCap"
+    s"k${GraphK}r${GraphRounds}m${DefaultM}c${GraphInitCap}u$GraphUCap" +
+      s"d${GraphDownCap}a2" // a2 = centroid-nearest anchor rule
 
-  /** Entry points for the beam walk: one anchor per IVF cell (the
-    * member with the smallest id — any deterministic representative
-    * works; hops do the navigation). 16 rows, broadcast everywhere.
+  /** Entry points for the beam walk: one anchor per IVF cell — the
+    * CENTROID-NEAREST member, so ranking anchors by query similarity
+    * ranks CELLS the way the IVF coarse quantizer would (a min-id
+    * anchor is an arbitrary cell member whose similarity poorly
+    * signals cell relevance — measured at ×10 amplification, the
+    * query's own cell then missed the top-beam anchor cut for a third
+    * of queries and walk recall saturated at 0.7). m rows, broadcast
+    * everywhere.
     */
+  private[graft] def graphAnchorIds(spark: SparkSession, dir: String,
+      m: Int = DefaultM): DataFrame =
+    graft.Memo.df(spark, s"graphAnchorIds:$dir:m$m") {
+      val lists = ivfLists(spark, dir, m)
+      val model = ivfModel(spark, dir, m)
+      import spark.implicits._
+      val cents = (0 until model.m).map(i => (model.cids(i),
+          model.flat.slice(i * model.dim, (i + 1) * model.dim).toSeq,
+          model.norms(i)))
+        .toDF("cen_cid", "cenv", "cennrm")
+      val scored = lists
+        .join(broadcast(cents), col("c_cid") === col("cen_cid"))
+        .withColumn("asim", VectorFns.cosine(col("cv2"), col("cenv"),
+          col("cn"), col("cennrm")))
+      TopK.perKey(scored, Seq(col("c_cid")),
+          Seq(col("asim").desc, col("c_id").asc), 1)
+        .select(col("c_cid"), col("c_id").as("a_id"))
+    }
+
   private[graft] def graphAnchors(spark: SparkSession, dir: String,
       m: Int = DefaultM): DataFrame =
     graft.Memo.df(spark, s"graphAnchors:$dir:m$m") {
       val lists = ivfLists(spark, dir, m)
-      val aIds = lists.groupBy(col("c_cid"))
-        .agg(min(col("c_id")).as("a_id"))
-      lists.join(aIds, lists("c_id") === aIds("a_id"))
+      lists.join(graphAnchorIds(spark, dir, m)
+          .select(col("a_id")), lists("c_id") === col("a_id"))
         .select(col("a_id"), col("cv2").as("av"), col("cn").as("an"))
     }
 
@@ -1001,8 +1075,10 @@ object AnnOps {
       hops: Int = GraphHops, beam: Int = GraphBeam,
       k: Int = GraphK, nRounds: Int = GraphRounds): Seq[DataFrame] =
     graphBeamsOn(spark, dir,
-      if (k == GraphK && nRounds == GraphRounds) graphAdjV(spark, dir)
-      else withAdjVectors(spark, dir, graphAdjWith(spark, dir, k, nRounds)),
+      walkEdges(
+        if (k == GraphK && nRounds == GraphRounds) graphAdjV(spark, dir)
+        else withAdjVectors(spark, dir, graphAdjWith(spark, dir, k, nRounds)),
+        graphDownLinks(spark, dir)),
       graphAnchors(spark, dir),
       s"graphBeam:$dir:k$k:r$nRounds:b$beam", hops, beam)
 
@@ -1127,7 +1203,8 @@ object AnnOps {
   /** [[graphSearchOn]] against the session-built graph. */
   def graphSearch(spark: SparkSession, dir: String, queries: DataFrame,
       hops: Int = GraphHops, beam: Int = GraphBeam, k: Int = 10): DataFrame =
-    graphSearchOn(spark, dir, graphAdjV(spark, dir),
+    graphSearchOn(spark, dir,
+      walkEdges(graphAdjV(spark, dir), graphDownLinks(spark, dir)),
       graphAnchors(spark, dir), queries, hops, beam, k)
 
   // ---- D76e: PQ-navigated serving (the DiskANN shape) ---------------
@@ -1140,6 +1217,7 @@ object AnnOps {
       dir: String): DataFrame =
     graft.Memo.df(spark, s"graphAdjCodes:$dir:$graphTag:s$PqS") {
       graphAdj(spark, dir).select("src", "dst")
+        .unionByName(graphDownLinks(spark, dir).select("src", "dst"))
         .join(pqCodesCore(spark, dir)
           .select(col("vec_id").as("dst") +:
             (0 until PqS).map(s => col(s"c$s")): _*), "dst")
@@ -1224,7 +1302,8 @@ object AnnOps {
       val newOut = graphWalk(
         delta.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn")),
-        base, anchors, GraphHops, GraphBeam, GraphK, excludeSelf = false)
+        walkEdges(base, graphDownLinks(spark, dir)), anchors,
+        GraphHops, GraphBeam, GraphK, excludeSelf = false)
         .select(col("q_id").as("src"), col("c_id").as("dst"), col("sim"),
           col("rnk"))
       val revProps = newOut.select(col("dst").as("src"),
@@ -1256,7 +1335,9 @@ object AnnOps {
     val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    graphWalk(q, graphAppendedAdjV(spark, dir), graphAnchors(spark, dir),
+    graphWalk(q,
+      walkEdges(graphAppendedAdjV(spark, dir), graphDownLinks(spark, dir)),
+      graphAnchors(spark, dir),
       GraphHops, GraphBeam, 10, excludeSelf = true)
       .orderBy("q_id", "rnk")
   }
@@ -1271,7 +1352,7 @@ object AnnOps {
     * batch itself).
     */
   def graphUpkeepEdges(spark: SparkSession, dir: String,
-      baseAdjV: DataFrame, anchors: DataFrame,
+      baseAdjV: DataFrame, down: DataFrame, anchors: DataFrame,
       batch: DataFrame): DataFrame = {
     val arr = batch
       .withColumn("qv", VectorFns.toDouble(col("embedding")))
@@ -1279,7 +1360,7 @@ object AnnOps {
       .select(col("vec_id"), col("qv"), col("qn"))
     val newOut = graphWalk(
       arr.select(col("vec_id").as("q_id"), col("qv"), col("qn")),
-      baseAdjV, anchors, GraphHops, GraphBeam, GraphK,
+      walkEdges(baseAdjV, down), anchors, GraphHops, GraphBeam, GraphK,
       excludeSelf = false)
     val fwd = newOut.select(col("q_id").as("src"), col("c_id").as("dst"),
         col("sim"))
@@ -1307,13 +1388,13 @@ object AnnOps {
 
   /** The %50 serve over [[graphMergedAdjV]] — E48's query face. */
   def annGraphServeMerged(spark: SparkSession, dir: String,
-      base: DataFrame, delta: DataFrame,
+      base: DataFrame, delta: DataFrame, down: DataFrame,
       anchors: DataFrame): DataFrame = {
     val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    graphWalk(q, graphMergedAdjV(base, delta), anchors,
-      GraphHops, GraphBeam, 10, excludeSelf = true)
+    graphWalk(q, walkEdges(graphMergedAdjV(base, delta), down),
+      anchors, GraphHops, GraphBeam, 10, excludeSelf = true)
       .orderBy("q_id", "rnk")
   }
 
@@ -1322,8 +1403,8 @@ object AnnOps {
     * proves the persisted graph lossless).
     */
   def annGraphFromTables(spark: SparkSession, dir: String,
-      adjV: DataFrame, anchors: DataFrame): DataFrame = {
-    val last = graphBeamsOn(spark, dir, adjV, anchors,
+      adjV: DataFrame, down: DataFrame, anchors: DataFrame): DataFrame = {
+    val last = graphBeamsOn(spark, dir, walkEdges(adjV, down), anchors,
       s"layoutGraphBeam:$dir").last
     TopK.perKey(last, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), 10)

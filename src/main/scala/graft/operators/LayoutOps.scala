@@ -110,6 +110,10 @@ object LayoutOps {
       "src", 16, (s, d) => AnnOps.graphAdjV(s, d)),
     Family("graph_anchors", AnnOps.graphTag,
       "a_id", 1, (s, d) => AnnOps.graphAnchors(s, d)),
+    // the two-level navigation's coarse layer: anchor->member
+    // down-links strided across each cell's locality ordering
+    Family("graph_down", AnnOps.graphTag + "d",
+      "src", 4, (s, d) => AnnOps.graphDownLinks(s, d)),
     // E48: the stream-OWNED graph edge delta — seeded empty (schema
     // only); graphUpkeepStream appends each arrival batch's new
     // out-edges + reverse proposals (vectors in-row); the served
@@ -406,7 +410,8 @@ object LayoutOps {
     */
   def annGraphServed(spark: SparkSession, dir: String): DataFrame =
     AnnOps.annGraphFromTables(spark, dir,
-      table(spark, dir, "graph_adj"), table(spark, dir, "graph_anchors"))
+      table(spark, dir, "graph_adj"), table(spark, dir, "graph_down"),
+      table(spark, dir, "graph_anchors"))
 
   /** E48's query face: the %50 serve over the standing graph MERGED
     * with the stream-owned edge delta (one bounded heap per node).
@@ -416,7 +421,7 @@ object LayoutOps {
   def annGraphUpkeptServed(spark: SparkSession, dir: String): DataFrame =
     AnnOps.annGraphServeMerged(spark, dir,
       table(spark, dir, "graph_adj"), table(spark, dir, "graph_delta"),
-      table(spark, dir, "graph_anchors"))
+      table(spark, dir, "graph_down"), table(spark, dir, "graph_anchors"))
 
   /** D59b: NB classification served from the persisted model tables
     * alone — the production gate shape: the crawl split is scored

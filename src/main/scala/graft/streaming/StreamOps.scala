@@ -1108,7 +1108,9 @@ object StreamOps {
       hops: Int = graft.operators.AnnOps.GraphHops,
       beam: Int = graft.operators.AnnOps.GraphBeam, k: Int = 10)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val adj = graft.operators.LayoutOps.table(spark, dir, "graph_adj")
+    val adj = graft.operators.AnnOps.walkEdges(
+      graft.operators.LayoutOps.table(spark, dir, "graph_adj"),
+      graft.operators.LayoutOps.table(spark, dir, "graph_down"))
     val anchors = graft.operators.LayoutOps.table(spark, dir, "graph_anchors")
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1141,6 +1143,7 @@ object StreamOps {
     val t = LayoutOps.tableName(fam, dir)
     LayoutOps.ensure(spark, dir, "graph_delta")
     val base = LayoutOps.table(spark, dir, "graph_adj")
+    val down = LayoutOps.table(spark, dir, "graph_down")
     val anchors = LayoutOps.table(spark, dir, "graph_anchors")
     arrivals.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1153,7 +1156,7 @@ object StreamOps {
         try {
           if (fresh.count() > 0) {
             val edges = graft.operators.AnnOps.graphUpkeepEdges(spark, dir,
-              base, anchors, fresh).persist()
+              base, down, anchors, fresh).persist()
             edges.count() // materialize before the append touches the table
             graft.sources.LayoutStore.append(spark, t, edges,
               Seq(fam.bucketKey), fam.buckets)

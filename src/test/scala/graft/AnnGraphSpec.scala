@@ -76,9 +76,12 @@ class AnnGraphSpec extends GraftSpec {
 
   test("beam serve == plain-Scala replay of the greedy walk, bit-exact") {
     val emb = embMap()
-    val adj = AnnOps.annGraphBuild(spark, Sf).collect()
-      .groupBy(_.getLong(0)).map { case (s, rs) =>
-        s -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    // the walk's expansion edges = fine graph ∪ anchor down-links
+    val downs = AnnOps.graphDownLinks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (AnnOps.annGraphBuild(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))) ++ downs)
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).toSeq }
     val anchors = AnnOps.graphAnchors(spark, Sf).collect()
       .map(_.getLong(0)).sorted
     val queries = emb.keys.filter(_ % 50 == 0).toSeq.sorted

@@ -245,12 +245,12 @@ class LayoutSpec extends GraftSpec {
   test("graph ANN served from reloaded adjacency + anchors == session ann_graph, across a restart") {
     withCleanLayouts {
       val session = rows(AnnOps.annGraph(spark, Sf))
-      Seq("graph_adj", "graph_anchors")
+      Seq("graph_adj", "graph_down", "graph_anchors")
         .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
 
       LayoutOps.dropCatalogEntries(spark, Sf)
       Memo.clear(spark)
-      Seq("graph_adj", "graph_anchors")
+      Seq("graph_adj", "graph_down", "graph_anchors")
         .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
       assert(rows(LayoutOps.annGraphServed(spark, Sf)) == session)
     }
@@ -375,13 +375,13 @@ class LayoutSpec extends GraftSpec {
       // the session-built batch serving path is the parity target
       val expected = rows(AnnOps.graphSearch(spark, Sf, qVecs))
 
-      Seq("graph_adj", "graph_anchors")
+      Seq("graph_adj", "graph_down", "graph_anchors")
         .foreach(f => LayoutOps.ensure(spark, Sf, f))
       // the restart: catalog death + memo wipe — the stream must serve
       // from re-registered tables with no session state at all
       LayoutOps.dropCatalogEntries(spark, Sf)
       Memo.clear(spark)
-      Seq("graph_adj", "graph_anchors")
+      Seq("graph_adj", "graph_down", "graph_anchors")
         .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
 
       val d = java.nio.file.Files.createTempDirectory("graph_layout_stream")
@@ -406,7 +406,7 @@ class LayoutSpec extends GraftSpec {
       import org.apache.spark.sql.functions.col
       val off = AnnOps.GraphAppendIdOffset
       val expected = rows(AnnOps.annGraphAppended(spark, Sf))
-      Seq("graph_adj", "graph_anchors", "graph_delta")
+      Seq("graph_adj", "graph_down", "graph_anchors", "graph_delta")
         .foreach(f => LayoutOps.ensure(spark, Sf, f))
       val delta = AnnOps.graphDelta(spark, Sf)
         .select(col("vec_id"), col("v").as("embedding"))
