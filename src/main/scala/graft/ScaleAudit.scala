@@ -87,6 +87,23 @@ object ScaleAudit {
     */
   private val MinBaseBytes = 512L * 1024
 
+  /** One audited row: SparkEntry queries by name, plus the
+    * special-cased production twins that need the base dir / factor
+    * (fixed-interval join, fixed-batch graph upkeep fold + merged
+    * serve).
+    */
+  private def runAudited(spark: org.apache.spark.sql.SparkSession,
+      q: String, dir: String, base: String, f: Int): Unit = {
+    val df = q match {
+      case "evt_incident_join_fixedinc" =>
+        operators.EventOps.incidentJoinOn(spark, dir, base)
+      case "graph_upkeep_fold" => ScaleBench.graphUpkeepFoldDf(spark, dir, f)
+      case "graph_upkeep_serve" => ScaleBench.graphUpkeepServeDf(spark, dir, f)
+      case _ => SparkEntry.queries(q)(spark, dir)
+    }
+    df.write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,8 +124,12 @@ object ScaleAudit {
     val onlySet = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
-    // the ScaleBench query set + the engine-isolating interval join
-    val audited = (ScaleBench.Paths :+ "evt_incident_join_fixedinc")
+    // the ScaleBench query set + the engine-isolating interval join +
+    // the graph upkeep production twins (fixed arrival batch folded
+    // against the standing graph; fixed queries over the merged
+    // base ∪ delta — the E48/D76d regime, both expected ~flat)
+    val audited = (ScaleBench.Paths ++ Seq("evt_incident_join_fixedinc",
+        "graph_upkeep_fold", "graph_upkeep_serve"))
       .filter(q => onlySet.forall(_.contains(q)))
 
     val bytes = scala.collection.mutable.Map[String,
@@ -133,12 +154,7 @@ object ScaleAudit {
       audited.foreach { q =>
         meter.reset()
         val t0 = System.nanoTime()
-        if (q == "evt_incident_join_fixedinc")
-          operators.EventOps.incidentJoinOn(spark, dir, base)
-            .write.format("noop").mode("overwrite").save()
-        else
-          SparkEntry.queries(q)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
+        runAudited(spark, q, dir, base, f)
         val sec = (System.nanoTime() - t0) / 1e9
         val (w, _) = meter.read()
         bytes.getOrElseUpdate(q, scala.collection.mutable.Map())(f) = w
@@ -164,13 +180,7 @@ object ScaleAudit {
       val f = 30
       val dir = s"/tmp/graft_scale/${sfName}_x$f"
       ScaleBench.amplify(spark, base, f, dir)
-      def runOne(q: String): Unit =
-        if (q == "evt_incident_join_fixedinc")
-          operators.EventOps.incidentJoinOn(spark, dir, base)
-            .write.format("noop").mode("overwrite").save()
-        else
-          SparkEntry.queries(q)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
+      def runOne(q: String): Unit = runAudited(spark, q, dir, base, f)
       transitioned.foreach { q =>
         Memo.clear(spark)
         operators.DedupOps.withShingles(spark, dir)

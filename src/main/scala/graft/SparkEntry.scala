@@ -225,6 +225,7 @@ object SparkEntry {
     "ann_graph"            -> ((s: SparkSession, d: String) =>
       AnnOps.annGraph(s, d)),
     "ann_graph_appended"   -> (AnnOps.annGraphAppended _),
+    "ann_graph_filtered"   -> (AnnOps.annGraphFiltered _),
     "ann_graph_pq"         -> ((s: SparkSession, d: String) =>
       AnnOps.annGraphPq(s, d)),
     "emb_cluster_assign"   -> (AnnOps.clusterAssign _),
@@ -372,6 +373,15 @@ object SparkEntry {
   }
   private def signed64(v: String): String =
     s"(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - $M64 ELSE ($v) END)"
+
+  /** Seed ordering for EVERY IVF quantizer chain: ascending
+    * (mix64(vec_id), vec_id) — the replicated splitmix64 spread that
+    * matches `AnnOps.ivfModel`'s hash-spread seeding (first-m-by-id
+    * seeding degenerates on id-correlated corpora; see the scaladoc
+    * there). One shared fragment so the seven seed CTEs cannot drift.
+    */
+  private lazy val ivfSeedOrder: String =
+    s"CAST(${signed64(mix("vec_id"))} AS BIGINT), vec_id"
 
   /** D44 oracle: integer PageRank with GraphOps' exact arithmetic —
     * the synthesized edge set replicates Mix64 (splitmix64) in
@@ -712,7 +722,7 @@ object SparkEntry {
     val dsum = (0 until nSub).map(i => s"q$i.d").mkString(" + ")
     s"""${p}ren AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       |${p}iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-      |  FROM ${p}ren ORDER BY vec_id LIMIT $m),
+      |  FROM ${p}ren ORDER BY $ivfSeedOrder LIMIT $m),
       |${p}is0 AS (SELECT ${p}ren.vec_id, ${p}ren.v, s.cid,
       |    list_dot_product(${p}ren.v, s.cv) / (${p}ren.nrm * s.cnrm) AS sim
       |  FROM ${p}ren, ${p}iseed s),
@@ -1141,8 +1151,8 @@ object SparkEntry {
     * cannot drift. Requires a CTE `e` (vec_id, v::DOUBLE[], nrm).
     */
   private def IvfListsCtes: String =
-    """seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-      |  FROM e ORDER BY vec_id LIMIT 16),
+    s"""seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+      |  FROM e ORDER BY $ivfSeedOrder LIMIT 16),
       |s0 AS (SELECT e.vec_id, e.v, s.cid,
       |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
       |  FROM e, seed s),
@@ -1194,11 +1204,11 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
          |      AS rn FROM gsc$r) WHERE rn <= $k)""".stripMargin
     }.mkString(",\n")
-    val hops = graphWalkCtes("", "gq", "gadj", "e", excludeSelf = true)
+    val hops = graphWalkCtes("", "gq", "gadj", "e")
     val tops = operators.AnnOps.RecallGraphHops.map { h =>
       s"""gt$h AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
-         |      AS rn FROM bm$h) WHERE rn <= 10)""".stripMargin
+         |      AS rn FROM bm$h WHERE c_id <> q_id) WHERE rn <= 10)""".stripMargin
     }.mkString(",\n")
     s"""gasg AS (SELECT vec_id, cid, sim FROM (SELECT vec_id, cid, sim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid)
@@ -1255,15 +1265,17 @@ object SparkEntry {
     * builder, so the walks cannot drift from each other.
     */
   private def graphWalkCtes(p: String, qCte: String, adjCte: String,
-      vecCte: String, excludeSelf: Boolean): String = {
+      vecCte: String,
+      anchCte: String = "ganchv"): String = {
+    // self NAVIGATES (r13): no per-hop self filter — a corpus query's
+    // own node is the best seed (when the query IS its cell's anchor
+    // its down-links are the cell's only entry point); consumers drop
+    // c_id = q_id before their final top-k, mirroring the engine
     val b = operators.AnnOps.GraphBeam
-    val selfInit = if (excludeSelf) s"WHERE q.q_id <> v.a_id" else ""
-    val selfHop = if (excludeSelf) s"WHERE g.dst <> bb.q_id" else ""
     val hops = (1 to operators.AnnOps.GraphHops).map { h =>
       val prev = s"${p}bm${h - 1}"
       s"""${p}gbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
          |  JOIN $adjCte g ON g.src = bb.c_id
-         |  $selfHop
          |  UNION SELECT q_id, c_id FROM $prev),
          |${p}gbs$h AS (SELECT pr.q_id, pr.c_id,
          |    list_dot_product(q.qv, ec.v) / (q.qn * ec.nrm) AS sim
@@ -1275,7 +1287,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""${p}gbs0 AS (SELECT q.q_id, v.a_id AS c_id,
        |    list_dot_product(q.qv, v.av) / (q.qn * v.an) AS sim
-       |  FROM $qCte q, ganchv v $selfInit),
+       |  FROM $qCte q, $anchCte v),
        |${p}bm0 AS MATERIALIZED (SELECT q_id, c_id, sim FROM (SELECT *,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
        |      AS rn FROM ${p}gbs0) WHERE rn <= $b),
@@ -1287,22 +1299,41 @@ object SparkEntry {
     * — requires the graph chain (g_R, ganch), the pq chain (padc0 =
     * all-pairs ADC for the %50 queries) in scope. Emits pbm0..pbm_H.
     */
+  /** The self-pair ADC rows the shared `${p}adc0` excludes, plus the
+    * union `${p}adcg` the PQ-navigated walk reads: self navigates
+    * (r13, same rule as the vector walk) — its ADC ≈ 0 seeds the beam
+    * — and the exact re-rank drops it from results.
+    */
+  private def pqAdcSelfCtes(p: String): String = {
+    val joins = (1 until PqS).map(i =>
+      s"  JOIN ${p}qd q$i ON q$i.q_id = q0.q_id AND q$i.s = $i " +
+      s"AND q$i.k = ${p}codes.c$i").mkString("\n")
+    val dsum = (0 until PqS).map(i => s"q$i.d").mkString(" + ")
+    s"""${p}adcs AS (SELECT q0.q_id AS q_id, ${p}codes.c_id AS c_id,
+       |    $dsum AS adc
+       |  FROM ${p}codes
+       |  JOIN ${p}qd q0 ON q0.s = 0 AND q0.k = ${p}codes.c0
+       |$joins
+       |  WHERE q0.q_id = ${p}codes.c_id),
+       |${p}adcg AS (SELECT q_id, c_id, adc FROM ${p}adc0
+       |  UNION ALL SELECT q_id, c_id, adc FROM ${p}adcs)""".stripMargin
+  }
+
   private def graphPqWalkCtes: String = {
     val b = operators.AnnOps.GraphPqBeam
     val hops = (1 to operators.AnnOps.GraphHops).map { h =>
       val prev = s"pbm${h - 1}"
       s"""pbx$h AS (SELECT bb.q_id, g.dst AS c_id FROM $prev bb
          |  JOIN gadj g ON g.src = bb.c_id
-         |  WHERE g.dst <> bb.q_id
          |  UNION SELECT q_id, c_id FROM $prev),
          |pbs$h AS (SELECT pr.q_id, pr.c_id, a.adc
-         |  FROM pbx$h pr JOIN padc0 a ON a.q_id = pr.q_id
+         |  FROM pbx$h pr JOIN padcg a ON a.q_id = pr.q_id
          |    AND a.c_id = pr.c_id),
          |pbm$h AS MATERIALIZED (SELECT q_id, c_id, adc FROM (SELECT *,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
          |      AS rn FROM pbs$h) WHERE rn <= $b)""".stripMargin
     }.mkString(",\n")
-    s"""pbs0 AS (SELECT a.q_id, a.c_id, a.adc FROM padc0 a
+    s"""pbs0 AS (SELECT a.q_id, a.c_id, a.adc FROM padcg a
        |  JOIN ganch g ON a.c_id = g.a_id),
        |pbm0 AS MATERIALIZED (SELECT q_id, c_id, adc FROM (SELECT *,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
@@ -1322,11 +1353,13 @@ object SparkEntry {
        |$graphChainCtes,
        |${pqChainCtes("p")},
        |${pqAdcChainCtes("p")},
+       |${pqAdcSelfCtes("p")},
        |$graphPqWalkCtes,
        |px AS (SELECT pb.q_id, pb.c_id,
        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
        |  FROM pbm${operators.AnnOps.GraphHops} pb
-       |  JOIN e q ON q.vec_id = pb.q_id JOIN e c ON c.vec_id = pb.c_id),
+       |  JOIN e q ON q.vec_id = pb.q_id JOIN e c ON c.vec_id = pb.c_id
+       |  WHERE pb.c_id <> pb.q_id),
        |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
        |  FROM px)
@@ -1357,7 +1390,7 @@ object SparkEntry {
        |gdelta AS MATERIALIZED (SELECT vec_id, v,
        |    sqrt(list_dot_product(v, v)) AS nrm FROM gdelta0),
        |gdq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM gdelta),
-       |${graphWalkCtes("d", "gdq", "gadj", "e", excludeSelf = false)},
+       |${graphWalkCtes("d", "gdq", "gadj", "e")},
        |dnew AS MATERIALIZED (SELECT q_id AS src, c_id AS dst, sim,
        |    rn AS rnk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, c_id) AS rn FROM dbm$h) WHERE rn <= $k),
@@ -1377,10 +1410,10 @@ object SparkEntry {
        |  UNION ALL SELECT vec_id, v, nrm FROM gdelta),
        |gappd AS (SELECT src, dst FROM gapp
        |  UNION ALL SELECT src, dst FROM gdl),
-       |${graphWalkCtes("a", "gq", "gappd", "gall", excludeSelf = true)},
+       |${graphWalkCtes("a", "gq", "gappd", "gall")},
        |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
-       |  FROM abm$h)
+       |  FROM abm$h WHERE c_id <> q_id)
        |SELECT q_id, c_id, sim, rnk FROM fr WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
   }
@@ -1398,8 +1431,33 @@ object SparkEntry {
        |$graphChainCtes,
        |fr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
-       |  FROM bm${operators.AnnOps.GraphHops})
+       |  FROM bm${operators.AnnOps.GraphHops} WHERE c_id <> q_id)
        |SELECT q_id, c_id, sim, rnk FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** D76f's oracle: the graph chain + the SAME walk unrolling with
+    * anchors and every hop's expansion targets restricted to
+    * label-matching nodes (the predicate lives BEFORE the beam heap,
+    * exactly like the engine's filteredGraph).
+    */
+  private def AnnGraphFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |el AS (SELECT vec_id FROM embeddings WHERE label <> 0),
+       |b AS (SELECT vec_id, v, nrm, ${hpBucket(4)} AS bucket FROM e),
+       |$IvfListsCtes,
+       |$graphChainCtes,
+       |fanchv AS (SELECT a.a_id, a.av, a.an FROM ganchv a
+       |  JOIN el ON el.vec_id = a.a_id),
+       |fadj AS (SELECT g.src, g.dst FROM gadj g
+       |  JOIN el ON el.vec_id = g.dst),
+       |${graphWalkCtes("f", "gq", "fadj", "e", anchCte = "fanchv")},
+       |ffr AS (SELECT q_id, c_id, sim, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+       |  FROM fbm${operators.AnnOps.GraphHops} WHERE c_id <> q_id)
+       |SELECT q_id, c_id, sim, rnk, 'graph' AS path
+       |FROM ffr WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
 
   private def AnnRecallSql: String = {
@@ -1571,6 +1629,7 @@ object SparkEntry {
          |$sq8Points,
          |$ivfsqCtes,
          |$graphChainCtes,
+         |${pqAdcSelfCtes("p")},
          |$graphPqWalkCtes,
          |gpt AS (SELECT q_id, c_id FROM (SELECT pb.q_id, pb.c_id,
          |    ROW_NUMBER() OVER (PARTITION BY pb.q_id
@@ -1751,11 +1810,11 @@ object SparkEntry {
     * hash-match the same definition.
     */
   private def AnnFilteredIvfSql: String =
-    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
       |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-      |  FROM e ORDER BY vec_id LIMIT 16),
+      |  FROM e ORDER BY $ivfSeedOrder LIMIT 16),
       |s0 AS (SELECT e.vec_id, e.v, s.cid,
       |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
       |  FROM e, seed s),
@@ -2620,7 +2679,7 @@ object SparkEntry {
         |  FROM embeddings),
         |${sq8Ctes("z")},
         |iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM e ORDER BY vec_id LIMIT $m),
+        |  FROM e ORDER BY $ivfSeedOrder LIMIT $m),
         |is0 AS (SELECT e.vec_id, e.v, s.cid,
         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
         |  FROM e, iseed s),
@@ -4163,11 +4222,11 @@ object SparkEntry {
     // order-independent) → nprobe=1 inverted lists → nprobe=4 probe
     // assignment → per-probe cosine top-10.
     "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
         |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM e ORDER BY vec_id LIMIT 16),
+        |  FROM e ORDER BY $ivfSeedOrder LIMIT 16),
         |s0 AS (SELECT e.vec_id, e.v, s.cid,
         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
         |  FROM e, seed s),
@@ -4236,11 +4295,11 @@ object SparkEntry {
     // filter before the per-anchor top-5 — hard negatives for
     // contrastive training.
     "emb_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
         |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM e ORDER BY vec_id LIMIT 16),
+        |  FROM e ORDER BY $ivfSeedOrder LIMIT 16),
         |s0 AS (SELECT e.vec_id, e.v, s.cid,
         |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
         |  FROM e, seed s),
@@ -4309,6 +4368,10 @@ object SparkEntry {
     // serve over the grown graph (each query's appended twin must
     // surface, so reachability of new points is hash-pinned)
     "ann_graph_appended" -> AnnGraphAppendedSql,
+
+    // D76f: metadata-filtered graph search — label predicate inside
+    // the walk (anchors + expansions), before the beam heap
+    "ann_graph_filtered" -> AnnGraphFilteredSql,
 
     // D76e: the DiskANN shape — the walk navigates on PQ codes (ADC
     // legs), exact re-rank of the final beam only
@@ -4461,7 +4524,7 @@ object SparkEntry {
       PqAdcCtes + s""",
         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |iseed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-        |  FROM en ORDER BY vec_id LIMIT $m),
+        |  FROM en ORDER BY $ivfSeedOrder LIMIT $m),
         |is0 AS (SELECT en.vec_id, en.v, s.cid,
         |    list_dot_product(en.v, s.cv) / (en.nrm * s.cnrm) AS sim
         |  FROM en, iseed s),
@@ -4868,11 +4931,11 @@ object SparkEntry {
     * cluster-balanced sample.
     */
   private lazy val ClusterAssignCtes: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
       |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
-      |  FROM e ORDER BY vec_id LIMIT 16),
+      |  FROM e ORDER BY $ivfSeedOrder LIMIT 16),
       |s0 AS (SELECT e.vec_id, e.v, s.cid,
       |    list_dot_product(e.v, s.cv) / (e.nrm * s.cnrm) AS sim
       |  FROM e, seed s),

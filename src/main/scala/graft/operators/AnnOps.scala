@@ -51,6 +51,12 @@ object AnnOps {
     // it unwarmed and its build joins land inside the first ann_graph
     // measurement and can change shape across scale factors
     graphAdjV(spark, dir).write.format("noop").mode("overwrite").save()
+    // the APPENDED graph is standing state too (the growth query's
+    // own layout — arrivals folded once, served many times); unwarmed
+    // it was the r12 bench's most expensive row by 5× (52.7 s
+    // isolated), all of it one-time build + planning, none of it serve
+    graphAppendedAdjV(spark, dir)
+    ()
   }
 
   /** D9: brute-force cosine top-10 for query vectors (vec_id % 50 = 0). */
@@ -241,7 +247,23 @@ object AnnOps {
       rounds: Int = LloydRounds): IvfModel =
     graft.Memo.value(spark, s"ivfModel:$dir:$m:$rounds") {
       val emb = embDouble(spark, dir)
-      val seedRows = emb.orderBy("vec_id").limit(m)
+      // Seeds are a deterministic HASH-SPREAD sample: the m smallest
+      // (mix64(vec_id), vec_id) rows — the reproducible form of
+      // k-means' uniform-random seeding, and a parallel bounded top-m
+      // (TakeOrdered), no global sort. First-m-by-id seeding (r12 and
+      // earlier) degenerates on any corpus whose id order is
+      // data-correlated: on the ×30 amplified fixture the first 480
+      // ids were 30 near-identical copies each of bases 0..15 — a
+      // 480-cell quantizer with 16 distinct directions, which is what
+      // collapsed the graph family's anchors/down-links (measured:
+      // true top-10 were 99% DIRECT query out-edges while walk recall
+      // sat at 0.668 — navigation, not graph quality). At 100 TB the
+      // same failure is "all seeds from the first shard of a sorted
+      // corpus". The oracle chains order by the same replicated mix.
+      val seedRows = emb
+        .orderBy(graft.functions.IntKernels.mix64(col("vec_id")).asc,
+          col("vec_id").asc)
+        .limit(m)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
         .collect()
       // Lloyd refinement, `rounds` times: assign → element-wise exact
@@ -520,13 +542,25 @@ object AnnOps {
   def annFilteredIvf(spark: SparkSession, dir: String): DataFrame =
     annFilteredAuto(spark, dir, _ =!= 0)
 
+  /** D76f (r13): the graph face of filtered search — the planner with
+    * the GRAPH family as its dense arm. Same broad predicate as
+    * D53b, so the two dense arms are directly comparable rows.
+    */
+  def annGraphFiltered(spark: SparkSession, dir: String): DataFrame =
+    annFilteredAuto(spark, dir, _ =!= 0, denseFamily = "graph")
+
   /** The filtered-search planner: measure the predicate's matching
     * fraction (one tiny agg over the memoized corpus stats — a model
     * artifact, like the quantizer seed), then run the arm it selects.
     * `pred` receives the label column of whichever side evaluates it.
+    * `denseFamily` picks the dense arm's serving family ("ivf" or
+    * "graph") — selectivity decides exact-vs-dense, deployment
+    * decides WHICH dense index stands; the emitted `path` column
+    * records the arm that actually ran.
     */
   def annFilteredAuto(spark: SparkSession, dir: String,
-      pred: Column => Column, nprobe: Int = 4, k: Int = 10): DataFrame = {
+      pred: Column => Column, nprobe: Int = 4, k: Int = 10,
+      denseFamily: String = "ivf"): DataFrame = {
     val fracBoxed: java.lang.Double =
       graft.Memo.value[java.lang.Double](spark,
           s"filterSel:$dir:${pred(col("label"))}") {
@@ -538,7 +572,38 @@ object AnnOps {
       }
     val frac = fracBoxed.doubleValue()
     if (frac <= FilteredSelThreshold) filteredExact(spark, dir, pred, k)
+    else if (denseFamily == "graph") filteredGraph(spark, dir, pred, k = k)
     else filteredIvf(spark, dir, pred, nprobe, k)
+  }
+
+  /** The graph arm: the label predicate applied INSIDE the walk,
+    * before the beam heap (the D53b discipline carried to the graph
+    * family) — anchors and every hop's expansion targets are
+    * restricted to matching nodes, so non-matching candidates never
+    * occupy beam slots and the final top-k needs no post-filter. A
+    * dense predicate keeps the filtered subgraph navigable; the
+    * planner routes sparse predicates to the exact arm before this
+    * one is ever reached. Per-hop cost is unchanged (the label rides
+    * the adjacency rows — one memoized layout join, no per-query
+    * work).
+    */
+  private[graft] def filteredGraph(spark: SparkSession, dir: String,
+      pred: Column => Column, hops: Int = GraphHops,
+      beam: Int = GraphBeam, k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val matching = emb.filter(pred(col("label")))
+    val anchors = graphAnchors(spark, dir)
+      .join(matching.select(col("vec_id").as("a_id")), "a_id")
+    val edges = walkEdges(graphAdjV(spark, dir),
+        graphDownLinks(spark, dir))
+      .join(matching.select(col("vec_id").as("dst")), "dst")
+    graphWalk(q, edges, anchors, hops, beam, k, excludeSelf = true)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"),
+        lit("graph").as("path"))
+      .orderBy("q_id", "rnk")
   }
 
   /** The exact arm: brute-force cosine over ONLY the matching slice.
@@ -874,9 +939,17 @@ object AnnOps {
     * never serve a stale persisted graph (it misses and rebuilds
     * under the new name).
     */
+  /** Version token of the quantizer SEED RULE — every persisted
+    * artifact derived from the IVF assignment carries it, so changing
+    * how seeds are drawn can never serve a stale standing table
+    * (hs1 = hash-spread by (mix64(vec_id), vec_id), r13; the unversioned
+    * r12 tables were first-m-by-id).
+    */
+  val IvfSeedRule = "hs1"
+
   def graphTag: String =
     s"k${GraphK}r${GraphRounds}m${DefaultM}c${GraphInitCap}u$GraphUCap" +
-      s"d${GraphDownCap}a2" // a2 = centroid-nearest anchor rule
+      s"d${GraphDownCap}a2$IvfSeedRule" // a2 = centroid-nearest anchor rule
 
   /** Entry points for the beam walk: one anchor per IVF cell — the
     * CENTROID-NEAREST member, so ranking anchors by query similarity
@@ -986,10 +1059,18 @@ object AnnOps {
       // OOM'd the driver when the tuner was the session's first
       // action). A LogicalRDD leaf per round keeps trees shallow;
       // lineage survives, so executor loss degrades to recomputation.
+      // Each round's pin is RELEASED once the next round materializes
+      // (it computed FROM the previous blocks, so the order is safe);
+      // the final round's handle registers as a PinnedDf so
+      // Memo.clear/invalidate reaches it — without both, a sweep
+      // (27 configs × rounds) accumulates dead blocks for the session.
+      var prevPin: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
       def pinRound(d: DataFrame): DataFrame = {
         val rdd = d.rdd.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rdd.count()
+        if (prevPin != null) { prevPin.unpersist(false); () }
+        prevPin = rdd
         spark.createDataFrame(rdd, d.schema)
       }
       // a blocking view capped into ≤GraphInitCap-member sub-blocks:
@@ -1053,6 +1134,8 @@ object AnnOps {
         val pc = pp.union(adj.select("src", "dst")).distinct()
         adj = pinRound(topKAdj(scorePairs(emb, pc, parts), k))
       }
+      graft.Memo.value(spark, s"graphAdjPin:$dir:k$k:r$nRounds:m$m")(
+        graft.PinnedDf(adj, prevPin))
       adj
     }
 
@@ -1128,8 +1211,10 @@ object AnnOps {
       TopK.perKey(scored, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), beam)
         .select("q_id", "c_id", "sim")
+    // self rides the beams as a NAVIGATION seed (r13, see graphWalk's
+    // scaladoc) — every consumer drops it before its final top-k
     val bm0 = graft.Memo.df(spark, s"$memoTag:0") {
-      topB(q.join(broadcast(anchors), col("q_id") =!= col("a_id"))
+      topB(q.join(broadcast(anchors), lit(true))
         .select(col("q_id"), col("a_id").as("c_id"),
           VectorFns.cosine(col("qv"), col("av"), col("qn"), col("an"))
             .as("sim")))
@@ -1139,7 +1224,6 @@ object AnnOps {
         val expand = bm.select("q_id", "c_id")
           .join(adjV.select(col("src"), col("dst"), col("dv"), col("dn")),
             col("c_id") === col("src"))
-          .filter(col("dst") =!= col("q_id"))
           .join(broadcast(q), "q_id")
           .select(col("q_id"), col("dst").as("c_id"),
             VectorFns.cosine(col("qv"), col("dv"), col("qn"), col("dn"))
@@ -1171,33 +1255,73 @@ object AnnOps {
         .select(col("vec_id").as("q_id"), col("qv"), col("qn")),
       adjV, anchors, hops, beam, k, excludeSelf)
 
-  /** The walk core over a prepared query frame (q_id, qv, qn). */
+  /** The walk core over a prepared query frame (q_id, qv, qn).
+    *
+    * `excludeSelf` excludes the query node from the RESULTS, never
+    * from NAVIGATION (r13): a corpus query's own node is the single
+    * best navigation seed — its out-edges ARE the true neighborhood,
+    * and when the query happens to be its cell's ANCHOR, its
+    * down-links are the only entry point to the whole cell. The r12
+    * walk filtered self out of every hop and measured exactly that
+    * failure at ×30 amplification: the ~12% of queries that were
+    * their cell's anchor (the (sim DESC, id) anchor tie-break lands
+    * on copy 0 = the query for twin clusters) found NONE of their
+    * true top-10 (walk recall saturated at 0.875 beam-independent;
+    * with self navigable it recovers). Self occupies one beam slot at
+    * most (beam ≥ k + 1 everywhere) and is dropped before the final
+    * top-k.
+    */
+  private val walkPinSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def graphWalk(q: DataFrame, adjV: DataFrame,
       anchors: DataFrame, hops: Int, beam: Int, k: Int,
       excludeSelf: Boolean): DataFrame = {
+    val spark = q.sparkSession
     def topB(scored: DataFrame, n: Int): DataFrame =
       TopK.perKey(scored, Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), n)
-    var bm: DataFrame = topB(q.join(broadcast(anchors),
-        if (excludeSelf) col("q_id") =!= col("a_id") else lit(true))
+    // HOP PINNING (r13): each hop references the previous beam TWICE
+    // (frontier expansion + beam union), so an unmaterialized walk
+    // recomputes sub-hops ~3× per level — measured 6.2/18.5/54 s for
+    // hops 1/2/3 at sf0.1 (the r12 appended-serve 52.7 s pathology,
+    // shared by every graphWalk caller: prod serve, upkeep serve).
+    // Pin each hop on a persisted RDD (shallow LogicalRDD re-root,
+    // the NN-descent pinRound device), release hop h−1 once hop h is
+    // materialized, and register the final pin so Memo.clear/
+    // invalidate frees it. Beam frames are beam·|queries| rows —
+    // kilobytes; the win is pure recompute elimination.
+    var prevPin: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def pinHop(d: DataFrame): DataFrame = {
+      val rdd = d.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      if (prevPin != null) { prevPin.unpersist(false); () }
+      prevPin = rdd
+      spark.createDataFrame(rdd, d.schema)
+    }
+    var bm: DataFrame = pinHop(topB(q.join(broadcast(anchors), lit(true))
       .select(col("q_id"), col("a_id").as("c_id"),
         VectorFns.cosine(col("qv"), col("av"), col("qn"), col("an"))
           .as("sim")), beam)
-      .select("q_id", "c_id", "sim")
+      .select("q_id", "c_id", "sim"))
     for (_ <- 1 to hops) {
       val expand = bm.select("q_id", "c_id")
         .join(adjV.select(col("src"), col("dst"), col("dv"), col("dn")),
           col("c_id") === col("src"))
-        .filter(if (excludeSelf) col("dst") =!= col("q_id") else lit(true))
         .join(broadcast(q), "q_id")
         .select(col("q_id"), col("dst").as("c_id"),
           VectorFns.cosine(col("qv"), col("dv"), col("qn"), col("dn"))
             .as("sim"))
-      bm = topB(bm.union(expand)
+      bm = pinHop(topB(bm.union(expand)
         .groupBy(col("q_id"), col("c_id")).agg(max(col("sim")).as("sim")),
-        beam).select("q_id", "c_id", "sim")
+        beam).select("q_id", "c_id", "sim"))
     }
-    topB(bm, k).select("q_id", "c_id", "sim", "rnk")
+    graft.Memo.value(spark,
+        s"graphWalkPin:${walkPinSeq.incrementAndGet()}")(
+      graft.PinnedDf(bm, prevPin))
+    topB(bm.filter(
+        if (excludeSelf) col("c_id") =!= col("q_id") else lit(true)), k)
+      .select("q_id", "c_id", "sim", "rnk")
   }
 
   /** [[graphSearchOn]] against the session-built graph. */
@@ -1215,13 +1339,28 @@ object AnnOps {
     */
   private[graft] def graphAdjCodes(spark: SparkSession,
       dir: String): DataFrame =
-    graft.Memo.df(spark, s"graphAdjCodes:$dir:$graphTag:s$PqS") {
-      graphAdj(spark, dir).select("src", "dst")
-        .unionByName(graphDownLinks(spark, dir).select("src", "dst"))
+    graphAdjCodesM(spark, dir, DefaultM)
+
+  /** [[graphAdjCodes]] at an explicit cell count `m` — the prod
+    * geometry (m = 16F) for the PQ-navigated serving twin.
+    */
+  private[graft] def graphAdjCodesM(spark: SparkSession,
+      dir: String, m: Int): DataFrame =
+    graft.Memo.df(spark, s"graphAdjCodes:$dir:$graphTag:s$PqS:m$m") {
+      graphAdjWith(spark, dir, GraphK, GraphRounds, m).select("src", "dst")
+        .unionByName(graphDownLinks(spark, dir, m).select("src", "dst"))
         .join(pqCodesCore(spark, dir)
           .select(col("vec_id").as("dst") +:
             (0 until PqS).map(s => col(s"c$s")): _*), "dst")
     }
+
+  /** The anchor rows carrying PQ codes (the PQ walk's entry points). */
+  private[graft] def graphAnchorCodes(spark: SparkSession,
+      dir: String, m: Int = DefaultM): DataFrame =
+    graphAnchors(spark, dir, m).select("a_id")
+      .join(pqCodesCore(spark, dir)
+        .select(col("vec_id").as("a_id") +:
+          (0 until PqS).map(s => col(s"c$s")): _*), "a_id")
 
   /** D76e: DiskANN-shape graph serving — the beam walk NAVIGATES on
     * PQ codes: hop scores are ADC sums of the query's broadcast
@@ -1234,31 +1373,87 @@ object AnnOps {
   def annGraphPq(spark: SparkSession, dir: String,
       hops: Int = GraphHops, beam: Int = GraphPqBeam,
       k: Int = 10): DataFrame = {
-    val qd = pqQueryTables(spark, dir)
-    val adjC = graphAdjCodes(spark, dir)
-    val anchorsC = graphAnchors(spark, dir).select("a_id")
-      .join(pqCodesCore(spark, dir)
-        .select(col("vec_id").as("a_id") +:
-          (0 until PqS).map(s => col(s"c$s")): _*), "a_id")
+    val bm = graphPqWalk(pqQueryTables(spark, dir),
+      graphAdjCodes(spark, dir), graphAnchorCodes(spark, dir),
+      hops, beam)
+    exactRerank(spark, dir,
+        bm.filter(col("c_id") =!= col("q_id")).select("q_id", "c_id"), k)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The ADC-navigated walk core over explicit code-carrying tables:
+    * anchors scored by ADC, each hop expands through the code
+    * adjacency and keeps the best `beam` by (adc, id). Returns the
+    * final beam (q_id, c_id, adc) — callers re-rank exactly and drop
+    * the query's own node there (self NAVIGATES like in [[graphWalk]];
+    * its ADC ≈ 0 ranks it first, which is exactly the seed property
+    * that rescues anchor-coincident queries).
+    */
+  private[graft] def graphPqWalk(qd: DataFrame, adjC: DataFrame,
+      anchorsC: DataFrame, hops: Int, beam: Int): DataFrame = {
+    val spark = qd.sparkSession
     def topB(scored: DataFrame, n: Int): DataFrame =
       TopK.perKey(scored, Seq(col("q_id")),
         Seq(col("adc").asc, col("c_id").asc), n)
         .select("q_id", "c_id", "adc")
-    var bm = topB(qd.join(broadcast(anchorsC), col("q_id") =!= col("a_id"))
+    // same hop pinning as [[graphWalk]] — the ADC walk shares the
+    // double-reference-per-hop shape
+    var prevPin: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def pinHop(d: DataFrame): DataFrame = {
+      val rdd = d.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      if (prevPin != null) { prevPin.unpersist(false); () }
+      prevPin = rdd
+      spark.createDataFrame(rdd, d.schema)
+    }
+    var bm = pinHop(topB(qd.join(broadcast(anchorsC), lit(true))
       .select(col("q_id"), col("a_id").as("c_id"), adcCol().as("adc")),
-      beam)
+      beam))
     for (_ <- 1 to hops) {
       val expand = bm.select("q_id", "c_id")
         .join(adjC, col("c_id") === col("src"))
-        .filter(col("dst") =!= col("q_id"))
         .join(broadcast(qd), "q_id")
         .select(col("q_id"), col("dst").as("c_id"), adcCol().as("adc"))
-      bm = topB(bm.union(expand)
+      bm = pinHop(topB(bm.union(expand)
         .groupBy(col("q_id"), col("c_id")).agg(min(col("adc")).as("adc")),
-        beam)
+        beam))
     }
-    exactRerank(spark, dir, bm.select("q_id", "c_id"), k)
-      .orderBy("q_id", "rnk")
+    graft.Memo.value(spark,
+        s"graphWalkPin:${walkPinSeq.incrementAndGet()}")(
+      graft.PinnedDf(bm, prevPin))
+    bm
+  }
+
+  /** External-query PQ-navigated graph search over EXPLICIT tables —
+    * the prod serving twin's entry point (8 B/edge navigation state;
+    * the float corpus is touched only by the final exact re-rank of
+    * beam·|queries| rows).
+    */
+  def graphPqSearchOn(spark: SparkSession, dir: String,
+      adjC: DataFrame, anchorsC: DataFrame, queries: DataFrame,
+      hops: Int = GraphHops, beam: Int = GraphPqBeam, k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame = {
+    val qv = queries
+      .withColumn("qv", VectorFns.toDouble(col("embedding")))
+      .withColumn("qn", VectorFns.norm(col("qv")))
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val qd = pqDistTablesOf(spark, dir,
+      qv.select(col("vec_id"), col("qv").as("v")))
+    val bm = graphPqWalk(qd, adjC, anchorsC, hops, beam)
+    // exact re-rank of the final beam against the explicit queries
+    val exact = embDouble(spark, dir)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .join(broadcast(bm.select("q_id", "c_id")), "c_id")
+      .join(broadcast(qv.select(col("vec_id").as("q_id"), col("qv"),
+        col("qn"))), "q_id")
+      .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(exact, Seq(col("q_id")),
+        Seq(col("sim").desc, col("c_id").asc), k)
+      .select("q_id", "c_id", "sim", "rnk")
   }
 
   // ---- D76d: rebuild-free graph growth (the D10c/D33e lifecycle
@@ -1293,9 +1488,26 @@ object AnnOps {
     * it are DuckDB-oracled like the base build.
     */
   private[graft] def graphAppendedAdjV(spark: SparkSession,
-      dir: String): DataFrame =
-    graft.Memo.df(spark,
-        s"graphAppendedAdjV:$dir:k$GraphK:r$GraphRounds:m$DefaultM") {
+      dir: String): DataFrame = {
+    val tag = s"graphAppendedAdjV:$dir:k$GraphK:r$GraphRounds:m$DefaultM"
+    val adjV = graphAppendedAdjVLazy(spark, dir, tag)
+    // Force the memoized cache ONCE per session (the build pin
+    // discipline applied to the append path): the serve walk
+    // references this frame once per hop, and without a materialized
+    // cache each hop's planning re-carries the full walk+merge
+    // lineage — the exact Catalyst-tree pathology the NN-descent
+    // build pins away per round (r12's 52.7 s isolated cost was this
+    // planning blow-up, not executor work). Cache substitution
+    // happens before optimization, so a materialized InMemoryRelation
+    // keeps every downstream plan shallow.
+    graft.Memo.value[java.lang.Long](spark, s"$tag:warm")(
+      java.lang.Long.valueOf(adjV.count()))
+    adjV
+  }
+
+  private def graphAppendedAdjVLazy(spark: SparkSession,
+      dir: String, tag: String): DataFrame =
+    graft.Memo.df(spark, tag) {
       val base = graphAdjV(spark, dir)
       val anchors = graphAnchors(spark, dir)
       val delta = graphDelta(spark, dir)
@@ -1324,6 +1536,12 @@ object AnnOps {
           .join(allVecs.select(col("vec_id").as("dst"), col("v").as("dv"),
             col("nrm").as("dn")), "dst")
           .select("src", "dst", "sim", "rnk", "dv", "dn"))
+        // src-clustered at the session partition count: the serve
+        // probes this frame by src id every hop, and the build's
+        // memory-sized scorePairs partitioning (128 at sf0.1) would
+        // otherwise make each hop pay 4× the task overhead for an
+        // 18 MB cached table
+        .repartition(col("src"))
     }
 
   /** D76d: the %50 queries served over the GROWN graph — every
@@ -1366,11 +1584,16 @@ object AnnOps {
         col("sim"))
       .join(embDouble(spark, dir).select(col("vec_id").as("dst"),
         col("v").as("dv"), col("nrm").as("dn")), "dst")
+      .withColumn("fwd", lit(true))
     val rev = newOut.select(col("c_id").as("src"), col("q_id").as("dst"),
         col("sim"))
       .join(arr.select(col("vec_id").as("dst"), col("qv").as("dv"),
         col("qn").as("dn")), "dst")
-    fwd.unionByName(rev).select("src", "dst", "sim", "dv", "dn")
+      .withColumn("fwd", lit(false))
+    // the fwd tag makes the replay guard a DELTA-SIZED query (an
+    // arrival's fold is its GraphK fwd rows — no scan of the standing
+    // graph per micro-batch); the serving merge drops the column
+    fwd.unionByName(rev).select("src", "dst", "sim", "dv", "dn", "fwd")
   }
 
   /** The serve-side merge of the standing graph and the stream-owned
@@ -1379,10 +1602,19 @@ object AnnOps {
     * re-ranks against the proposals, a new node's rows are its walk
     * top-K. Equals [[graphAppendedAdjV]] bit-for-bit when the same
     * arrivals have been folded (parity-spec'd).
+    *
+    * The delta side is (src,dst)-deduped first: a crash mid-append can
+    * leave a partial fold whose replay re-appends bit-identical rows
+    * (the walk is deterministic over the immutable base), and the
+    * dedup collapses those exactly — the heap then never sees a
+    * doubled edge. Delta-sized shuffle only; the standing base passes
+    * straight to the heap.
     */
   def graphMergedAdjV(base: DataFrame, delta: DataFrame): DataFrame =
     TopK.perKey(
-      base.select("src", "dst", "sim", "dv", "dn").unionByName(delta),
+      base.select("src", "dst", "sim", "dv", "dn").unionByName(
+        delta.select("src", "dst", "sim", "dv", "dn")
+          .dropDuplicates("src", "dst")),
       Seq(col("src")), Seq(col("sim").desc, col("dst").asc), GraphK)
       .select("src", "dst", "sim", "rnk", "dv", "dn")
 
@@ -1404,9 +1636,16 @@ object AnnOps {
     */
   def annGraphFromTables(spark: SparkSession, dir: String,
       adjV: DataFrame, down: DataFrame, anchors: DataFrame): DataFrame = {
+    // the memo tag carries the INPUT FRAMES' identity: a second call
+    // with different tables (an upkeep fold, a re-registration) must
+    // not be served frames walked over the first call's tables. Hops
+    // within one call still share their persisted frames — the reuse
+    // that matters.
+    val ident = s"${System.identityHashCode(adjV)}-" +
+      s"${System.identityHashCode(down)}-${System.identityHashCode(anchors)}"
     val last = graphBeamsOn(spark, dir, walkEdges(adjV, down), anchors,
-      s"layoutGraphBeam:$dir").last
-    TopK.perKey(last, Seq(col("q_id")),
+      s"layoutGraphBeam:$dir:$ident").last
+    TopK.perKey(last.filter(col("c_id") =!= col("q_id")), Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), 10)
       .select("q_id", "c_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
@@ -1421,7 +1660,7 @@ object AnnOps {
   def annGraph(spark: SparkSession, dir: String,
       hops: Int = GraphHops, beam: Int = GraphBeam): DataFrame = {
     val last = graphBeams(spark, dir, hops, beam).last
-    TopK.perKey(last, Seq(col("q_id")),
+    TopK.perKey(last.filter(col("c_id") =!= col("q_id")), Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), 10)
       .select("q_id", "c_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
@@ -1637,7 +1876,8 @@ object AnnOps {
     val beams = graphBeams(spark, dir)
     def graphHitsOf(h: Int): DataFrame =
       countHits("graph", h,
-        TopK.perKey(beams(h), Seq(col("q_id")),
+        TopK.perKey(beams(h).filter(col("c_id") =!= col("q_id")),
+          Seq(col("q_id")),
           Seq(col("sim").desc, col("c_id").asc), 10))
     val hits =
       (Seq(hitsOf("lsh", RecallLshProbes, lshSims),

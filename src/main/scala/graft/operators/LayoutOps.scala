@@ -47,7 +47,8 @@ object LayoutOps {
   val GrowResFamily = "ivfpq_res_lists_grow"
 
   private def annTag =
-    s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}s${AnnOps.PqS}k${AnnOps.PqK}"
+    s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}s${AnnOps.PqS}" +
+      s"k${AnnOps.PqK}${AnnOps.IvfSeedRule}"
 
   /** Residual families additionally depend on the PQ Lloyd rounds (the
     * residual codebooks are refined in residual space).
@@ -116,12 +117,14 @@ object LayoutOps {
       "src", 4, (s, d) => AnnOps.graphDownLinks(s, d)),
     // E48: the stream-OWNED graph edge delta — seeded empty (schema
     // only); graphUpkeepStream appends each arrival batch's new
-    // out-edges + reverse proposals (vectors in-row); the served
-    // merge re-ranks base ∪ delta per node in one bounded heap
-    Family("graph_delta", AnnOps.graphTag + "v",
+    // out-edges (fwd=true) + reverse proposals (fwd=false, vectors
+    // in-row); the fwd tag keeps the replay guard delta-sized and the
+    // served merge re-ranks base ∪ delta per node in one bounded heap
+    Family("graph_delta", AnnOps.graphTag + "vf",
       "src", 16,
       (s, d) => AnnOps.graphAdjV(s, d)
-        .select("src", "dst", "sim", "dv", "dn").limit(0)),
+        .select("src", "dst", "sim", "dv", "dn").limit(0)
+        .withColumn("fwd", org.apache.spark.sql.functions.lit(true))),
     Family("minhash_sigs", "k64b8", "band_hash", 16,
       (s, d) => DedupOps.minhashBandSigs(s, d)),
     Family("corpus_ck", "md5", "ck", 16,
@@ -199,7 +202,8 @@ object LayoutOps {
     // D53c: the LABELED IVF-Flat lists — the filtered-search serving
     // layout: bucketed on the list id so a probe's IN filter prunes
     // to its lists' buckets, labels ride in-row for the predicate
-    Family("ivf_labeled_lists", s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}",
+    Family("ivf_labeled_lists",
+      s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}${AnnOps.IvfSeedRule}",
       "c_cid", 16, (s, d) => AnnOps.ivfListsLabeledFrame(s, d)),
     // D58c: the SQ8 index — byte codes bucketed on vec_id (the rerank
     // join key), plus the 2·D-double affine model (the quantizer-table

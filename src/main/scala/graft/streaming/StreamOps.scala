@@ -1129,11 +1129,28 @@ object StreamOps {
     * parity-spec'd), and appends out-edges + reverse proposals to the
     * stream-owned `graph_delta` table (the E42 delta-table
     * discipline). Re-delivered arrivals are dropped by an exact
-    * anti-join against the delta's already-folded sources, so appends
-    * are exactly-once under replay. The serving merge
-    * ([[graft.operators.LayoutOps.annGraphUpkeptServed]]) re-ranks
-    * base ∪ delta per node in one bounded heap — new points become
-    * findable with ZERO rebuild of the standing graph.
+    * anti-join against the delta's already-folded FORWARD-edge
+    * sources — fwd/rev rows are TAGGED in the delta (ADVICE r12: the
+    * r12 guard anti-joined ALL delta srcs, and reverse proposals'
+    * srcs are base node ids, so an arrival whose id equaled a
+    * previously-touched base node was silently swallowed). The tag
+    * keeps the guard DELTA-SIZED per micro-batch: no scan or distinct
+    * of the standing graph — the scale shape a daily-delta stream
+    * needs.
+    *
+    * Crash-mid-append: `LayoutStore.append` is a plain parquet write,
+    * not a transaction — a crash can leave an arrival's fold partially
+    * on disk. The guard therefore counts a src folded only when its
+    * COMPLETE out-edge set (exactly GraphK forward rows) is present;
+    * a partial fold re-walks on replay, and because the walk is
+    * deterministic over the IMMUTABLE base graph the re-fold's rows
+    * are bit-identical to the partial ones — the serving merge
+    * ([[graft.operators.AnnOps.graphMergedAdjV]]) collapses such
+    * duplicates exactly ((src,dst) max-dedup on the delta side), so a
+    * crash degrades to benign re-work, never to a lost or doubled
+    * edge. The merge re-ranks base ∪ delta per node in one bounded
+    * heap — new points become findable with ZERO rebuild of the
+    * standing graph.
     */
   def graphUpkeepStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, arrivals: DataFrame)
@@ -1147,10 +1164,18 @@ object StreamOps {
     val anchors = LayoutOps.table(spark, dir, "graph_anchors")
     arrivals.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // replay guard: an arrival already folded appears as a src of
-        // its fwd edges — drop it before walking
+        // replay guard: an arrival already folded appears as the src
+        // of its GraphK FORWARD edges (fwd=true — reverse proposals
+        // share the table but carry fwd=false, so a touched base
+        // node's id can never swallow an arrival). Delta-sized work
+        // per batch — the standing graph is never scanned. The
+        // count()=GraphK floor treats a partial (crashed) fold as
+        // unfolded — see the scaladoc.
         val folded = graft.sources.LayoutStore.read(spark, t)
-          .select(col("src").as("vec_id")).distinct()
+          .filter(col("fwd"))
+          .groupBy(col("src")).count()
+          .filter(col("count") >= graft.operators.AnnOps.GraphK)
+          .select(col("src").as("vec_id"))
         val fresh = batch.join(folded, Seq("vec_id"), "left_anti")
           .persist()
         try {

@@ -162,6 +162,45 @@ class LayoutMaintSpec extends GraftSpec {
     }
   }
 
+  test("graph delta compaction: stream-grown delta files fold to one per non-empty bucket, the merged serve is bit-identical") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.pmod
+      val expected = rows(AnnOps.annGraphAppended(spark, Sf))
+      Seq("graph_adj", "graph_down", "graph_anchors", "graph_delta")
+        .foreach(f => LayoutOps.ensure(spark, Sf, f))
+      val fam = LayoutOps.families.find(_.name == "graph_delta").get
+      val t = LayoutOps.tableName(fam, Sf)
+      // grow the delta the way E48 does, but in 4 separate appends so
+      // files accumulate per bucket (the between-compactions steady
+      // state of a streamed graph)
+      val edges = AnnOps.graphUpkeepEdges(spark, Sf,
+        LayoutOps.table(spark, Sf, "graph_adj"),
+        LayoutOps.table(spark, Sf, "graph_down"),
+        LayoutOps.table(spark, Sf, "graph_anchors"),
+        AnnOps.graphDelta(spark, Sf)
+          .select(col("vec_id"), col("v").as("embedding"))).persist()
+      (0 until 4).foreach { s =>
+        LayoutStore.append(spark, t,
+          edges.filter(pmod(col("dst"), org.apache.spark.sql.functions
+            .lit(4)) === s),
+          Seq(fam.bucketKey), fam.buckets)
+      }
+      assert(rows(LayoutOps.annGraphUpkeptServed(spark, Sf)) == expected,
+        "grown-delta serve != batch append")
+      val before = LayoutStore.dataFileCount(spark, t)
+      LayoutStore.compact(spark, t, Seq(fam.bucketKey), fam.buckets)
+      val after = LayoutStore.dataFileCount(spark, t)
+      assert(after < before, s"compaction did not shrink files " +
+        s"($before -> $after)")
+      // post-compact serve bit-identical (the D36l discipline carried
+      // to the graph family)
+      assert(rows(LayoutOps.annGraphUpkeptServed(spark, Sf)) == expected,
+        "post-compact serve drifted")
+      edges.unpersist()
+      ()
+    }
+  }
+
   test("E21 streaming manifest upkeep: new checksums append exactly-once, replay adds nothing, restart serves from files") {
     withCleanLayouts {
       import org.apache.spark.sql.functions.{col, count, md5}

@@ -437,6 +437,55 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("graph upkeep crash healing: a partial fold re-walks on replay, the serve dedups exactly, touched-base srcs never block arrivals") {
+    withCleanLayouts {
+      import org.apache.spark.sql.functions.col
+      val expected = rows(AnnOps.annGraphAppended(spark, Sf))
+      Seq("graph_adj", "graph_down", "graph_anchors", "graph_delta")
+        .foreach(f => LayoutOps.ensure(spark, Sf, f))
+      val fam = LayoutOps.families.find(_.name == "graph_delta").get
+      val t = LayoutOps.tableName(fam, Sf)
+      val delta = AnnOps.graphDelta(spark, Sf)
+        .select(col("vec_id"), col("v").as("embedding"))
+      // the on-disk state a crash mid-append leaves: HALF of one
+      // arrival's forward edges persisted, the rest lost
+      val victim = delta.orderBy("vec_id").limit(1)
+      val vid = victim.collect()(0).getLong(0)
+      val vEdges = AnnOps.graphUpkeepEdges(spark, Sf,
+        LayoutOps.table(spark, Sf, "graph_adj"),
+        LayoutOps.table(spark, Sf, "graph_down"),
+        LayoutOps.table(spark, Sf, "graph_anchors"), victim)
+      graft.sources.LayoutStore.append(spark, t,
+        vEdges.filter(col("src") === vid).limit(AnnOps.GraphK / 2),
+        Seq(fam.bucketKey), fam.buckets)
+      // the partial fold ALSO left rev proposals' base srcs in the
+      // delta in a real crash; simulate the worst case by appending
+      // one rev row too — its src is a TOUCHED BASE node, which the
+      // r12 guard would have treated as "folded" for any colliding id
+      graft.sources.LayoutStore.append(spark, t,
+        vEdges.filter(col("src") =!= vid).limit(1),
+        Seq(fam.bucketKey), fam.buckets)
+      val d = java.nio.file.Files.createTempDirectory("graph_heal")
+        .toFile.getAbsolutePath
+      delta.write.mode("overwrite").parquet(d)
+      val q = graft.streaming.StreamOps.graphUpkeepStream(spark, Sf,
+        spark.readStream.schema(delta.schema).parquet(d))
+      try {
+        q.processAllAvailable()
+        // the victim re-folded (its on-disk fwd count was < GraphK):
+        // its COMPLETE edge set is present, the duplicate partials are
+        // collapsed by the serve's (src,dst) dedup — served rows equal
+        // the batch twin exactly
+        val fwd = graft.sources.LayoutStore.read(spark, t)
+          .filter(col("src") === vid)
+          .select("dst").distinct().count()
+        assert(fwd == AnnOps.GraphK, s"victim fwd degree $fwd")
+        assert(rows(LayoutOps.annGraphUpkeptServed(spark, Sf)) == expected,
+          "healed serve != batch append")
+      } finally q.stop()
+    }
+  }
+
   test("streaming line dedup from the persisted digest layout == direct path, across a restart") {
     withCleanLayouts {
       import org.apache.spark.sql.functions.{col, lit}
