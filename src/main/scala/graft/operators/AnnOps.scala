@@ -1221,7 +1221,9 @@ object AnnOps {
     }
     (1 to hops).scanLeft(bm0) { (bm, h) =>
       graft.Memo.df(spark, s"$memoTag:$h") {
-        val expand = bm.select("q_id", "c_id")
+        // beam side broadcast — see graphWalk: without the hint the
+        // planner sort-merges and shuffles the adjacency per hop
+        val expand = broadcast(bm.select("q_id", "c_id"))
           .join(adjV.select(col("src"), col("dst"), col("dv"), col("dn")),
             col("c_id") === col("src"))
           .join(broadcast(q), "q_id")
@@ -1305,7 +1307,16 @@ object AnnOps {
           .as("sim")), beam)
       .select("q_id", "c_id", "sim"))
     for (_ <- 1 to hops) {
-      val expand = bm.select("q_id", "c_id")
+      // the BEAM side broadcasts explicitly (r13): it is ≤ beam·|q|
+      // rows, but as a pinned LogicalRDD it carries no size stats, so
+      // the planner would otherwise sort-merge the join and SHUFFLE
+      // THE ADJACENCY once per hop — the audit read ~370 MB/hop-chain
+      // at ×10 where the beam-sized truth is kilobytes. With the hint
+      // a hop is a broadcast-hash probe of the (cached, bucketed)
+      // adjacency: the corpus-shaped side never moves, the walk's
+      // shuffle volume is heap traffic only — the family's defining
+      // scale property, now measured rather than claimed.
+      val expand = broadcast(bm.select("q_id", "c_id"))
         .join(adjV.select(col("src"), col("dst"), col("dv"), col("dn")),
           col("c_id") === col("src"))
         .join(broadcast(q), "q_id")
@@ -1411,7 +1422,8 @@ object AnnOps {
       .select(col("q_id"), col("a_id").as("c_id"), adcCol().as("adc")),
       beam))
     for (_ <- 1 to hops) {
-      val expand = bm.select("q_id", "c_id")
+      // beam side broadcast — see graphWalk
+      val expand = broadcast(bm.select("q_id", "c_id"))
         .join(adjC, col("c_id") === col("src"))
         .join(broadcast(qd), "q_id")
         .select(col("q_id"), col("dst").as("c_id"), adcCol().as("adc"))
@@ -1610,13 +1622,28 @@ object AnnOps {
     * doubled edge. Delta-sized shuffle only; the standing base passes
     * straight to the heap.
     */
-  def graphMergedAdjV(base: DataFrame, delta: DataFrame): DataFrame =
-    TopK.perKey(
-      base.select("src", "dst", "sim", "dv", "dn").unionByName(
-        delta.select("src", "dst", "sim", "dv", "dn")
-          .dropDuplicates("src", "dst")),
+  def graphMergedAdjV(base: DataFrame, delta: DataFrame): DataFrame = {
+    // TOUCHED/UNTOUCHED split (r13): only nodes the delta actually
+    // touches re-rank — an untouched node has no delta rows, so its
+    // heap over base ∪ delta IS its base rows, rnk and all (bit-exact
+    // carry). The touched set is delta-sized and broadcasts, so the
+    // standing graph never shuffles at serve time: the r12 shape (one
+    // heap over everything) re-shuffled the whole vector-carrying
+    // adjacency per serve call — 386 MB at ×10 where the honest
+    // volume is the delta-sized merge (audit-measured).
+    val dd = delta.select("src", "dst", "sim", "dv", "dn")
+      .dropDuplicates("src", "dst")
+    val touched = dd.select("src").distinct()
+    val merged = TopK.perKey(
+      base.select("src", "dst", "sim", "dv", "dn")
+        .join(broadcast(touched), "src")
+        .unionByName(dd),
       Seq(col("src")), Seq(col("sim").desc, col("dst").asc), GraphK)
       .select("src", "dst", "sim", "rnk", "dv", "dn")
+    base.select("src", "dst", "sim", "rnk", "dv", "dn")
+      .join(broadcast(touched), Seq("src"), "left_anti")
+      .unionByName(merged)
+  }
 
   /** The %50 serve over [[graphMergedAdjV]] — E48's query face. */
   def annGraphServeMerged(spark: SparkSession, dir: String,
