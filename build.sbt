@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; sbt's "[success] Total time ..." epilogue after the forked
+// run's output broke that parse two rounds running (r12/r13 driver
+// artifacts came back `parsed: null`). Suppress the epilogue so the
+// bench's JSON line is the guaranteed last line; the same line is
+// also mirrored to ./bench.json by Bench itself.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

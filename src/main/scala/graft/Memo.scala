@@ -49,6 +49,38 @@ object Memo {
     }
   }
 
+  /** REPLACE the value under `key`: release the old entry (if any)
+    * and register the new one — the lifecycle for STANDING state an
+    * owner refreshes between consumers (a walk's final beam pin per
+    * micro-batch, a merged serving layout after a fold). Unlike
+    * [[value]], this always builds. Releasing a pin mid-consumption
+    * is SAFE (Spark recomputes the frame from lineage) but defeats
+    * the pin, so owners call this only at refresh points — i.e. when
+    * the previous value's consumers have materialized.
+    */
+  def replaceValue[T <: AnyRef](spark: SparkSession, key: String)(
+      build: => T): T = buildLock.synchronized {
+    val k = (spark, key)
+    val b = build
+    val old = values.put(k, b)
+    if (old != null) dropValue(old)
+    b
+  }
+
+  /** [[replaceValue]] for persisted frames: unpersists the previous
+    * frame under `key` (if any), persists and registers the new one.
+    */
+  def replaceDf(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = buildLock.synchronized {
+    val k = (spark, key)
+    val b = build.persist()
+    val old = cache.put(k, b)
+    if (old != null) {
+      try old.unpersist(false) catch { case _: Throwable => () }
+    }
+    b
+  }
+
   private val values = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
 
   /** Build-once arbitrary value (e.g. a collected model artifact like
@@ -94,6 +126,33 @@ object Memo {
     while (vit.hasNext) {
       val e = vit.next()
       if ((e.getKey._1 eq spark) && dirMatches(e.getKey._2)) {
+        dropValue(e.getValue)
+        vit.remove()
+      }
+    }
+  }
+
+  /** Drop (and unpersist) this session's entries whose FULL key
+    * starts with `prefix` — the narrow invalidation for memos built
+    * over LAYOUT TABLES (`standingServe:…`, `layoutGraphBeam:…`),
+    * which die with their table (DROP TABLE uncaches dependent plans,
+    * so a surviving memo entry would recompute against deleted
+    * files). Narrower than [[invalidate]] so a layout purge does not
+    * evict the session's source-parquet derivations.
+    */
+  def invalidatePrefix(spark: SparkSession, prefix: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2.startsWith(prefix)) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    val vit = values.entrySet().iterator()
+    while (vit.hasNext) {
+      val e = vit.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2.startsWith(prefix)) {
         dropValue(e.getValue)
         vit.remove()
       }

@@ -99,10 +99,41 @@ object ScaleAudit {
         operators.EventOps.incidentJoinOn(spark, dir, base)
       case "graph_upkeep_fold" => ScaleBench.graphUpkeepFoldDf(spark, dir, f)
       case "graph_upkeep_serve" => ScaleBench.graphUpkeepServeDf(spark, dir, f)
+      case "graph_maint_serve" => ScaleBench.graphMaintServeDf(spark, dir, f)
       case _ => SparkEntry.queries(q)(spark, dir)
     }
     df.write.format("noop").mode("overwrite").save()
   }
+
+  /** Unmetered per-row setup: graph_maint_serve reads the fold's
+    * edges from a LAYOUT TABLE (the I/O shape under audit) — the
+    * table write itself is maintenance, not serve, so it happens
+    * outside the meter, and AFTER the fold row was metered (the fold
+    * memo must be the fold row's own marginal work, see
+    * [[ScaleBench.ensureMaintDelta]]).
+    */
+  private def prepAudited(spark: org.apache.spark.sql.SparkSession,
+      q: String, dir: String, f: Int): Unit = q match {
+    case "graph_maint_serve" =>
+      ScaleBench.ensureMaintDelta(spark, dir, f); ()
+    case _ => ()
+  }
+
+  /** Rows ALWAYS measured at ×30 with the exp_x10_x30 gate (r13 judge
+    * #5): the graph upkeep/maint serving regime's r13 wall finding
+    * bit at ×30 while the ×1/×10 byte rows were flat — these paths
+    * now carry a byte gate at the factor where the flip appeared.
+    * Values are the replay scope that reproduces the main pass's
+    * marginal metering: of the audited queries that precede them,
+    * only `ann_graph` touches the graph-family memos (anchors,
+    * down-links, beam bases); the rest of the suite shares nothing
+    * with these rows beyond the untimed warm block — replaying it at
+    * ×30 would cost hours to rebuild memos these plans never read.
+    */
+  private val ForceX30: Map[String, Seq[String]] = Map(
+    "graph_upkeep_fold" -> Seq("ann_graph"),
+    "graph_upkeep_serve" -> Seq("ann_graph", "graph_upkeep_fold"),
+    "graph_maint_serve" -> Seq("ann_graph", "graph_upkeep_fold"))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,7 +160,7 @@ object ScaleAudit {
     // against the standing graph; fixed queries over the merged
     // base ∪ delta — the E48/D76d regime, both expected ~flat)
     val audited = (ScaleBench.Paths ++ Seq("evt_incident_join_fixedinc",
-        "graph_upkeep_fold", "graph_upkeep_serve"))
+        "graph_upkeep_fold", "graph_upkeep_serve", "graph_maint_serve"))
       .filter(q => onlySet.forall(_.contains(q)))
 
     val bytes = scala.collection.mutable.Map[String,
@@ -152,6 +183,7 @@ object ScaleAudit {
       operators.CurationOps.warmStanding(spark, dir)
       operators.LayoutOps.ensure(spark, dir, "postings_base")
       audited.foreach { q =>
+        prepAudited(spark, q, dir, f)
         meter.reset()
         val t0 = System.nanoTime()
         runAudited(spark, q, dir, base, f)
@@ -174,7 +206,8 @@ object ScaleAudit {
     // false 2.42 on doc_similar_rrf this way) — replay the audited
     // queries that precede q, unmetered, then meter q.
     val transitioned = audited.filter { q =>
-      bytes(q)(1) < minBase && bytes(q)(10) > NoiseFloorBytes
+      !ForceX30.contains(q) &&
+        bytes(q)(1) < minBase && bytes(q)(10) > NoiseFloorBytes
     }
     if (transitioned.nonEmpty) {
       val f = 30
@@ -201,6 +234,33 @@ object ScaleAudit {
       }
     }
 
+    // FORCED ×30 rows (r13 judge #5): the graph upkeep/maint serving
+    // paths are measured at ×30 unconditionally — one warm + replay
+    // block in main-pass order (fold's memo built by its own metered
+    // row, exactly like the main pass; see ForceX30's scope note).
+    val forced = audited.filter(ForceX30.contains)
+    if (forced.nonEmpty) {
+      val f = 30
+      val dir = s"/tmp/graft_scale/${sfName}_x$f"
+      ScaleBench.amplify(spark, base, f, dir)
+      Memo.clear(spark)
+      operators.AnnOps.warmShared(spark, dir)
+      val preds = forced.flatMap(ForceX30(_)).distinct
+        .filterNot(ForceX30.contains)
+      preds.foreach(q => runAudited(spark, q, dir, base, f))
+      forced.foreach { q =>
+        prepAudited(spark, q, dir, f)
+        meter.reset()
+        val t0 = System.nanoTime()
+        runAudited(spark, q, dir, base, f)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (w, _) = meter.read()
+        bytes(q)(f) = w
+        println(f"[scale-audit] x$f $q (forced x30 extension): " +
+          f"${w / 1e6}%.2f MB shuffled ($sec%.1f s)")
+      }
+    }
+
     var badCount = 0
     val rows = audited.map { q =>
       val w1 = bytes(q)(1)
@@ -215,23 +275,27 @@ object ScaleAudit {
         println(f"!! SCALE AUDIT $q: shuffle bytes grew x${w10.toDouble /
           math.max(w1, 1)}%.1f at x10 (exp $exp%.2f > $maxExp)")
       }
-      // the extension verdict for a transitioned query: exponent from
-      // the ×10 base to ×30, same gate
-      val ext = if (transition) {
+      // the extension verdict for a transitioned OR forced query:
+      // exponent from the ×10 base to ×30, same gate (forced rows
+      // below the ×30 noise floor pass trivially, like the ×10 gate)
+      val ext = if (transition || ForceX30.contains(q)) {
         val w30 = bytes(q)(30)
         val exp30 = math.log(w30.toDouble / math.max(w10, 1).toDouble) /
           math.log(3.0)
-        val extFlag = exp30 > maxExp
+        val extFlag = exp30 > maxExp && w30 > NoiseFloorBytes
         if (extFlag) {
           badCount += 1
           flagged = true
-          println(f"!! SCALE AUDIT $q: TRANSITIONED at x10 and shuffle " +
-            f"bytes grew x${w30.toDouble / math.max(w10, 1)}%.1f at x30 " +
+          println(f"!! SCALE AUDIT $q: shuffle bytes grew " +
+            f"x${w30.toDouble / math.max(w10, 1)}%.1f at x30 " +
             f"(exp $exp30%.2f > $maxExp from the x10 base)")
-        } else
+        } else if (transition)
           println(f"[scale-audit] $q: SHAPE TRANSITION (x1 all-broadcast, " +
             f"${w10 / 1e6}%.1f MB at x10) — extended: x30 exp $exp30%.2f " +
             f"<= $maxExp from the x10 base, clean")
+        else
+          println(f"[scale-audit] $q: forced x30 gate clean " +
+            f"(exp_x10_x30 $exp30%.2f <= $maxExp)")
         val m30 = math.rint(w30 / 1e4) / 100
         val e30 = math.rint(exp30 * 100) / 100
         s""","x30_mb":$m30,"exp_x10_x30":$e30"""
@@ -245,7 +309,7 @@ object ScaleAudit {
     val json = s"""{"base":"$base","factors":[1,10],""" +
       s""""noise_floor_mb":${NoiseFloorBytes / 1024 / 1024},""" +
       s""""flagged":$badCount,"queries":{${rows.mkString(",")}},""" +
-      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the x1->x10 exponent has no base; a transition is a PROVISIONAL failure, auto-extended with a x30 measurement - exp_x10_x30 = log(b30/b10)/log(3) is gated against the same max_exp so the broadcast->shuffle flip class cannot escape by first appearing past the x1 point","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove FIVE r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row), and - written and caught within the same session - dedup_recall's first cut twice: an unpersisted truth frame re-executing the D71 verify per consuming action (exp 1.38), then its banded self-join flipping to a both-sides shuffle at x10 (exp 1.73); fixed with the memoized clustered-band device, final exp 0.99"]}"""
+      """"notes":["gate: per-query shuffle WRITE bytes at x1 vs x10 amplification (ScaleBench's self-similar amplifier - duplicate density constant, volume 10x); exponent log(b10/b1)/log(10) must stay <= max_exp","shuffle bytes are a property of plan + data (deterministic run-to-run, unlike wall time on this noisy host), so one pass per factor gates reliably","queries below the 8 MB noise floor at x10 pass trivially - a fully-broadcast plan's kilobyte residue has no meaningful exponent","transition=true marks a sub-512KB x1 base under an above-floor x10: the toy factor satisfied everything with broadcasts, so the x1->x10 exponent has no base; a transition is a PROVISIONAL failure, auto-extended with a x30 measurement - exp_x10_x30 = log(b30/b10)/log(3) is gated against the same max_exp so the broadcast->shuffle flip class cannot escape by first appearing past the x1 point","every max_exp override is adjudicated in the source: evt_incident_join (F^2 true-pair output by construction; engine-isolating twin evt_incident_join_fixedinc sits under the default), dedup_clusters (CC round count log factor), text_tokenize_bpe (the ~k amplifier grows VOCAB Fx on top of volume), doc_similar (pair-agg combiner regime, bounded by the linear raw pair stream)","this gate caught and drove FIVE r11 fixes: ann_ivfsq's unwarmed coded-lists build (broadcast->shuffle flip between factors, also the r10 x17 wall anomaly), doc_similar's weight-table join flipping to a corpus re-shuffle past the broadcast threshold (fixed: clustered-cache derivation, exchange-free at any scale), doc_similar_rrf's per-doc size joins re-shuffling the pair stream (fixed: n_sh rides the postings rows in-row), and - written and caught within the same session - dedup_recall's first cut twice: an unpersisted truth frame re-executing the D71 verify per consuming action (exp 1.38), then its banded self-join flipping to a both-sides shuffle at x10 (exp 1.73); fixed with the memoized clustered-band device, final exp 0.99","forced x30 rows (graph_upkeep_fold/serve, graph_maint_serve): the graph upkeep/maint serving regime is ALWAYS measured at x30 and gated on exp_x10_x30 (r14 - the r13 wall finding for these paths appeared only at x30 while the x1/x10 byte rows were flat; graph_maint_serve reads the fold delta from its bucketed layout table, the exact I/O shape of that finding)"]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -636,8 +636,9 @@ object SparkEntry {
 
   /** CTE chain for the PQ codebook build + final per-(vec, subspace)
     * assignment, replicating AnnOps.pqModel/pqAssign: `nSub` subspace
-    * slices, first-PqK seed (k = rank by vec_id), exact-integer Lloyd
-    * mean, L2 via the dot identity, argmin ties → k asc. `p` prefixes
+    * slices, PqK hash-spread seeds (k = rank by the shared
+    * [[ivfSeedOrder]] — AnnOps.seedSpread's rule, r14), exact-integer
+    * Lloyd mean, L2 via the dot identity, argmin ties → k asc. `p` prefixes
     * every CTE name so the chain can be embedded in queries whose own
     * CTEs use the bare names (ann_recall); requires a CTE `e` with
     * (vec_id, v::DOUBLE[]) in scope.
@@ -648,9 +649,9 @@ object SparkEntry {
     s"""${p}sub AS MATERIALIZED (SELECT vec_id, s, list_slice(v, s*$sd+1, s*$sd+$sd) AS x
       |  FROM $src CROSS JOIN (SELECT unnest(range($nSub)) AS s) t),
       |${p}seed AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s
-      |      ORDER BY vec_id) - 1 AS BIGINT) AS k, x AS cv
+      |      ORDER BY $ivfSeedOrder) - 1 AS BIGINT) AS k, x AS cv
       |  FROM ${p}sub WHERE vec_id IN
-      |    (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqK)),
+      |    (SELECT vec_id FROM $src ORDER BY $ivfSeedOrder LIMIT $PqK)),
       |${p}s0 AS (SELECT ${p}sub.vec_id, ${p}sub.s, ${p}sub.x, ${p}seed.k,
       |    list_dot_product(x, x) - 2*list_dot_product(x, cv)
       |      + list_dot_product(cv, cv) AS d
@@ -1594,16 +1595,17 @@ object SparkEntry {
         s"SELECT 'graph' AS method, CAST($h AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM gt$h JOIN ex ON gt$h.q_id = ex.q_id " +
         s"AND gt$h.c_id = ex.c_id) AS hits") ++
+       AnnOps.RecallGraphHops.map(h =>
+        s"SELECT 'graph_pq' AS method, CAST($h AS BIGINT) AS param, " +
+        s"(SELECT COUNT(*) FROM gpt$h JOIN ex ON gpt$h.q_id = ex.q_id " +
+        s"AND gpt$h.c_id = ex.c_id) AS hits") ++
        Seq(
         s"SELECT 'sq8_adc' AS method, CAST(10 AS BIGINT) AS param, " +
         s"(SELECT COUNT(*) FROM zt JOIN ex ON zt.q_id = ex.q_id " +
         s"AND zt.c_id = ex.c_id) AS hits",
         s"SELECT 'sq8' AS method, CAST(${AnnOps.Sq8RerankR} AS BIGINT) " +
         s"AS param, (SELECT COUNT(*) FROM zrt JOIN ex ON zrt.q_id = ex.q_id " +
-        s"AND zrt.c_id = ex.c_id) AS hits",
-        s"SELECT 'graph_pq' AS method, CAST(${AnnOps.GraphHops} AS BIGINT) " +
-        s"AS param, (SELECT COUNT(*) FROM gpt JOIN ex ON gpt.q_id = ex.q_id " +
-        s"AND gpt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
+        s"AND zrt.c_id = ex.c_id) AS hits")).mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
@@ -1631,12 +1633,13 @@ object SparkEntry {
          |$graphChainCtes,
          |${pqAdcSelfCtes("p")},
          |$graphPqWalkCtes,
-         |gpt AS (SELECT q_id, c_id FROM (SELECT pb.q_id, pb.c_id,
-         |    ROW_NUMBER() OVER (PARTITION BY pb.q_id
-         |      ORDER BY x.sim DESC, pb.c_id) AS rnk
-         |  FROM pbm${AnnOps.GraphHops} pb
-         |  JOIN exs x ON x.q_id = pb.q_id AND x.c_id = pb.c_id)
-         |  WHERE rnk <= 10),
+         |${AnnOps.RecallGraphHops.map(h =>
+             s"""gpt$h AS (SELECT q_id, c_id FROM (SELECT pb.q_id, pb.c_id,
+                |    ROW_NUMBER() OVER (PARTITION BY pb.q_id
+                |      ORDER BY x.sim DESC, pb.c_id) AS rnk
+                |  FROM pbm$h pb
+                |  JOIN exs x ON x.q_id = pb.q_id AND x.c_id = pb.c_id)
+                |  WHERE rnk <= 10)""".stripMargin).mkString(",\n")},
          |hu AS ($unions)
          |SELECT method, param, hits,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
@@ -4469,7 +4472,7 @@ object SparkEntry {
         |FROM c LEFT JOIN h USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     // D33: product quantization — PqS subspaces x PqK codes; seed =
-    // first-PqK subvectors (k = rank by vec_id), one Lloyd round with
+    // PqK hash-spread subvectors (k = rank by ivfSeedOrder), one Lloyd round with
     // the same exact-integer HUGEINT mean ann_ivf uses; L2 via the dot
     // identity (no division), argmin ties -> k asc; err summed in s
     // order

@@ -19,15 +19,19 @@ object Verify {
     // driver runs unfiltered.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    SparkEntry.queries
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          val n = spark.read.parquet(s"$outDir/$name").count()
+          (name, n, None: Option[String])
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          (name, -1L, Some(Option(e.getMessage).getOrElse(e.toString)))
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,6 +47,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable run summary (r13 judge #3: the driver's own
+    // collector found no artifact when its stdout parse broke) — per
+    // query: dumped row count, error if any; written into outDir AND
+    // printed as the final stdout line (showSuccess=false in build.sbt
+    // keeps it the last line of the sbt run).
+    val summary = "{" +
+      s""""queries":${results.size},""" +
+      s""""dumped":${results.count(_._2 >= 0)},""" +
+      s""""errors":${results.count(_._3.isDefined)},""" +
+      s""""oracles":${SparkEntry.oracleSql.size},""" +
+      s""""rows":{${results.map(r => s"${q(r._1)}:${r._2}").mkString(",")}}""" +
+      results.flatMap(r => r._3.map(m => s"${q(r._1)}:${q(m)}"))
+        .mkString(""","failed":{""", ",", "}")
+        .stripSuffix(""","failed":{}""") +
+      "}"
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     spark.stop()
+    println(summary)
   }
 }

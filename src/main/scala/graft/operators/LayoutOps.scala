@@ -48,7 +48,7 @@ object LayoutOps {
 
   private def annTag =
     s"m${AnnOps.DefaultM}r${AnnOps.LloydRounds}s${AnnOps.PqS}" +
-      s"k${AnnOps.PqK}${AnnOps.IvfSeedRule}"
+      s"k${AnnOps.PqK}${AnnOps.IvfSeedRule}${AnnOps.PqSeedRule}"
 
   /** Residual families additionally depend on the PQ Lloyd rounds (the
     * residual codebooks are refined in residual space).
@@ -263,10 +263,20 @@ object LayoutOps {
       .foreach(LayoutStore.dropCatalogEntry(spark, _))
   }
 
-  /** Remove every family for `dir`, catalog and files (test hygiene). */
+  /** Remove every family for `dir`, catalog and files (test hygiene).
+    * Also drops the session's TABLE-BACKED memo entries for `dir`
+    * (standing serve pins, layout beam frames) — a pin built over a
+    * purged table would otherwise recompute against deleted files
+    * (DROP TABLE uncaches dependent plans, so the pin is storage-dead
+    * the moment the table goes). Source-parquet derivations
+    * (embDouble, IVF artifacts…) survive: the purge does not touch
+    * their inputs.
+    */
   def purgeAll(spark: SparkSession, dir: String): Unit = {
     families.foreach(f => LayoutStore.purge(spark, tableName(f, dir)))
     ZOrderOps.tableNames(dir).foreach(LayoutStore.purge(spark, _))
+    Seq("standingServe", "layoutGraphBeam").foreach(p =>
+      graft.Memo.invalidatePrefix(spark, s"$p:$dir"))
   }
 
   // ---------------------------------------------------------------
@@ -415,7 +425,8 @@ object LayoutOps {
   def annGraphServed(spark: SparkSession, dir: String): DataFrame =
     AnnOps.annGraphFromTables(spark, dir,
       table(spark, dir, "graph_adj"), table(spark, dir, "graph_down"),
-      table(spark, dir, "graph_anchors"))
+      table(spark, dir, "graph_anchors"),
+      sourceTag = s"graph_adj:${AnnOps.graphTag}")
 
   /** E48's query face: the %50 serve over the standing graph MERGED
     * with the stream-owned edge delta (one bounded heap per node).

@@ -1140,13 +1140,21 @@ object StreamOps {
     *
     * Crash-mid-append: `LayoutStore.append` is a plain parquet write,
     * not a transaction — a crash can leave an arrival's fold partially
-    * on disk. The guard therefore counts a src folded only when its
-    * COMPLETE out-edge set (exactly GraphK forward rows) is present;
-    * a partial fold re-walks on replay, and because the walk is
-    * deterministic over the IMMUTABLE base graph the re-fold's rows
-    * are bit-identical to the partial ones — the serving merge
-    * ([[graft.operators.AnnOps.graphMergedAdjV]]) collapses such
-    * duplicates exactly ((src,dst) max-dedup on the delta side), so a
+    * on disk. Fold completion is therefore recorded EXPLICITLY: each
+    * fold appends one self-row marker per arrival whose `sim` carries
+    * its forward-edge count (see
+    * [[graft.operators.AnnOps.graphUpkeepEdges]]), and the guard
+    * counts a src folded only when its on-disk forward rows reach its
+    * marker's count (ADVICE r13: the old fixed `>= GraphK` floor
+    * re-walked FOREVER any arrival whose walk legitimately reached
+    * fewer than GraphK candidates — a small or sparsely-connected
+    * corpus — growing the delta unboundedly). A partial fold (edges
+    * short of the marker count, or no marker) re-walks on replay, and
+    * because the walk is deterministic over the IMMUTABLE base graph
+    * the re-fold's rows are bit-identical to the partial ones — the
+    * serving merge ([[graft.operators.AnnOps.graphMergedAdjV]])
+    * drops the markers and collapses such duplicates exactly
+    * ((src,dst) dedup of bit-identical rows on the delta side), so a
     * crash degrades to benign re-work, never to a lost or doubled
     * edge. The merge re-ranks base ∪ delta per node in one bounded
     * heap — new points become findable with ZERO rebuild of the
@@ -1165,16 +1173,22 @@ object StreamOps {
     arrivals.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // replay guard: an arrival already folded appears as the src
-        // of its GraphK FORWARD edges (fwd=true — reverse proposals
-        // share the table but carry fwd=false, so a touched base
-        // node's id can never swallow an arrival). Delta-sized work
-        // per batch — the standing graph is never scanned. The
-        // count()=GraphK floor treats a partial (crashed) fold as
-        // unfolded — see the scaladoc.
+        // of its completion MARKER (the self-row whose sim = its
+        // forward-edge count) plus that many forward edges (fwd=true —
+        // reverse proposals share the table but carry fwd=false, so a
+        // touched base node's id can never swallow an arrival).
+        // Delta-sized work per batch — the standing graph is never
+        // scanned. No marker, or fewer on-disk edges than the marker
+        // promises (a crashed partial fold), reads as unfolded — see
+        // the scaladoc. max() over markers: a healed partial can hold
+        // the bit-identical marker twice.
         val folded = graft.sources.LayoutStore.read(spark, t)
           .filter(col("fwd"))
-          .groupBy(col("src")).count()
-          .filter(col("count") >= graft.operators.AnnOps.GraphK)
+          .groupBy(col("src")).agg(
+            max(when(col("dst") === col("src"), col("sim")))
+              .as("expected"),
+            count(when(col("dst") =!= col("src"), lit(1))).as("nf"))
+          .filter(col("nf") >= col("expected"))
           .select(col("src").as("vec_id"))
         val fresh = batch.join(folded, Seq("vec_id"), "left_anti")
           .persist()

@@ -239,4 +239,68 @@ class AnnGraphSpec extends GraftSpec {
     assert(recalls.last >= 0.9,
       f"deployed graph recall ${recalls.last}%.3f below floor")
   }
+
+  test("clustered-with-bridges fixture: cross-cluster queries stay above the recall floor (the shelved-α-pruning tripwire)") {
+    // r13 shelved RobustPrune/α-pruning ON MEASUREMENT (the probe
+    // showed navigation, not edge diversity, was the ×30 failure).
+    // This fixture keeps that claim TESTED rather than remembered:
+    // two dense twin clusters + sparse bridge nodes between them,
+    // queried from EXTERNAL mid-points. Reaching both clusters' true
+    // neighbors requires crossing via the bridges' cross-cluster
+    // edges — a graph whose per-node edge set ever regresses to
+    // local-only (all-intra-cluster) expansion fails the floor here,
+    // which is exactly when α-pruning earns its way off the shelf.
+    val dim = 16
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(v, v)); v.map(_ / n)
+    }
+    val eA = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    val eB = Array.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)
+    def member(base: Array[Double], jitter: Double): Array[Double] =
+      unit(base.map(_ + (rnd.nextDouble() - 0.5) * jitter))
+    def mix(t: Double): Array[Double] =
+      eA.zip(eB).map { case (a, b) => t * a + (1 - t) * b }
+    val corpus: Seq[(Long, Array[Double])] =
+      (0 until 40).map(i => (i.toLong, member(eA, 0.12))) ++
+        (40 until 80).map(i => (i.toLong, member(eB, 0.12))) ++
+        (80 until 88).map(i =>
+          (i.toLong, member(mix(0.30 + 0.05 * (i - 80)), 0.02)))
+    val dir = java.nio.file.Files.createTempDirectory("bridge_fixture")
+      .toFile.getAbsolutePath
+    import spark.implicits._
+    corpus.map { case (id, v) =>
+      (id, v.map(_.toFloat), if (id < 40) "a" else if (id < 80) "b"
+        else "bridge")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val queries = (0 until 8).map(i =>
+      (1000L + i, unit(mix(0.35 + 0.04 * i)).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = AnnOps.graphSearch(spark, dir, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cmap = corpus.toMap
+    def exactTop10(q: Array[Double]): Set[Long] = corpus
+      .map { case (id, v) => id -> (dot(q, v) / math.sqrt(dot(v, v))) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val recalls = (0 until 8).map { i =>
+      val q = unit(mix(0.35 + 0.04 * i))
+      val exact = exactTop10(q)
+      (got.getOrElse(1000L + i, Set.empty) & exact).size / 10.0
+    }
+    info(s"bridge-fixture recall@10: " +
+      recalls.map(r => f"$r%.2f").mkString(", "))
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"cross-cluster recall fell below the floor: $recalls — local-only" +
+        " expansion regression; revisit α-pruning (see D76 in SURVEY)")
+    // the mid-point queries' truth spans both sides — assert the walk
+    // actually CROSSED, not just scored well inside one cluster
+    val midHits = got.getOrElse(1004L, Set.empty)
+    assert(midHits.exists(_ < 40) || midHits.exists(id => id >= 80),
+      "mid query never reached the A side")
+    assert(midHits.exists(id => id >= 40 && id < 80) ||
+      midHits.exists(id => id >= 80),
+      "mid query never reached the B side")
+  }
 }

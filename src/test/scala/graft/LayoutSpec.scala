@@ -472,18 +472,70 @@ class LayoutSpec extends GraftSpec {
         spark.readStream.schema(delta.schema).parquet(d))
       try {
         q.processAllAvailable()
-        // the victim re-folded (its on-disk fwd count was < GraphK):
-        // its COMPLETE edge set is present, the duplicate partials are
-        // collapsed by the serve's (src,dst) dedup — served rows equal
-        // the batch twin exactly
+        // the victim re-folded (its on-disk fwd rows fell short of its
+        // completion marker's count): its COMPLETE edge set is
+        // present, the duplicate partials are collapsed by the
+        // serve's (src,dst) dedup — served rows equal the batch twin
+        // exactly. The marker self-row is guard metadata, not an edge.
         val fwd = graft.sources.LayoutStore.read(spark, t)
-          .filter(col("src") === vid)
+          .filter(col("src") === vid && col("dst") =!= vid)
           .select("dst").distinct().count()
         assert(fwd == AnnOps.GraphK, s"victim fwd degree $fwd")
+        val marker = graft.sources.LayoutStore.read(spark, t)
+          .filter(col("src") === vid && col("dst") === vid)
+        assert(marker.select("dst").distinct().count() == 1 &&
+          marker.head.getDouble(2) == AnnOps.GraphK.toDouble,
+          "victim completion marker missing or wrong count")
         assert(rows(LayoutOps.annGraphUpkeptServed(spark, Sf)) == expected,
           "healed serve != batch append")
       } finally q.stop()
     }
+  }
+
+  test("graph upkeep fold completion on a small corpus: a walk reaching fewer than GraphK candidates folds ONCE, replay adds nothing") {
+    // 8-vector corpus: no walk can ever reach GraphK=16 candidates,
+    // so the r13 guard's fixed `fwd count >= GraphK` floor re-walked
+    // (and re-appended) such arrivals on EVERY batch forever (ADVICE
+    // r13). The completion marker records the fold's actual edge
+    // count, so the guard converges.
+    import org.apache.spark.sql.functions.col
+    val tiny = java.nio.file.Files.createTempDirectory("tiny_corpus")
+      .toFile.getAbsolutePath
+    Tables.embeddings(spark, Sf).orderBy("vec_id").limit(8)
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    try {
+      Seq("graph_adj", "graph_down", "graph_anchors", "graph_delta")
+        .foreach(f => LayoutOps.ensure(spark, tiny, f))
+      val t = LayoutOps.tableName(
+        LayoutOps.families.find(_.name == "graph_delta").get, tiny)
+      val arrival = Tables.embeddings(spark, tiny).limit(1)
+        .select((col("vec_id") + AnnOps.GraphAppendIdOffset).as("vec_id"),
+          col("embedding"))
+      val d = java.nio.file.Files.createTempDirectory("tiny_upkeep")
+        .toFile.getAbsolutePath
+      arrival.write.mode("overwrite").parquet(d)
+      val q = graft.streaming.StreamOps.graphUpkeepStream(spark, tiny,
+        spark.readStream.schema(arrival.schema).parquet(d))
+      try {
+        q.processAllAvailable()
+        val after1 = LayoutStore.read(spark, t).count()
+        val marker = LayoutStore.read(spark, t)
+          .filter(col("src") === col("dst")).collect()
+        assert(marker.length == 1, s"expected one marker, ${marker.length}")
+        val nFwd = marker(0).getDouble(2)
+        assert(nFwd > 0 && nFwd < AnnOps.GraphK,
+          s"tiny corpus must fold fewer than GraphK edges, got $nFwd")
+        // re-deliver the same arrival twice: the fold is complete, so
+        // the guard must drop it both times (the old floor re-walked
+        // and re-appended here, growing the delta per batch)
+        (1 to 2).foreach { _ =>
+          arrival.write.mode("append").parquet(d)
+          q.processAllAvailable()
+        }
+        assert(LayoutStore.read(spark, t).count() == after1,
+          "replayed small-corpus arrival re-appended its fold")
+      } finally q.stop()
+    } finally LayoutOps.purgeAll(spark, tiny)
   }
 
   test("streaming line dedup from the persisted digest layout == direct path, across a restart") {
