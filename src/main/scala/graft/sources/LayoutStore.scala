@@ -108,10 +108,24 @@ object LayoutStore {
     * under the warehouse's graft_layouts/, metadata in the session
     * catalog). Sorted within buckets by the bucket keys so probe
     * scans are run-length friendly.
+    *
+    * The frame is repartitioned to the BUCKET HASH first
+    * (HashPartitioning(keys, buckets) is bit-identical to the bucket
+    * id function, so each task holds exactly one bucket): a bucketed
+    * write otherwise emits one file per (task × bucket present) —
+    * BuildProbe measured the graph prod build's write at ×30
+    * amplification paying 36 s for 15,360 files (32 tasks × 480
+    * buckets, exp_10_30 ≈ 2.3, the r13 verdict-#4 superlinear term)
+    * where the aligned write pays one file per bucket. Write
+    * parallelism = bucket count, which is the layout discipline
+    * anyway: bucket counts scale with data volume (LayoutOps note),
+    * so a 100 TB family brings its own parallelism.
     */
   def write(spark: SparkSession, table: String, df: DataFrame,
       bucketKeys: Seq[String], buckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(buckets,
+        bucketKeys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .format("parquet")
       .option("path", location(spark, table))
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
