@@ -747,8 +747,9 @@ class DedupAnnSpec extends GraftSpec {
       AnnOps.RecallLshProbes.size + AnnOps.RecallIvfNprobes.size +
       AnnOps.RecallPqR.size + AnnOps.RecallRpR.size +
       AnnOps.RecallIvfPqNprobes.size + AnnOps.RecallIvfSqNprobes.size +
-      AnnOps.RecallResAdcSubs.size + AnnOps.RecallGraphHops.size +
-      3 /* sq8_adc + sq8 rerank + graph_pq, one pinned point each */)
+      AnnOps.RecallResAdcSubs.size +
+      2 * AnnOps.RecallGraphHops.size /* graph + graph_pq full curves */ +
+      2 /* sq8_adc + sq8 rerank, one pinned point each */)
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0)
@@ -768,7 +769,12 @@ class DedupAnnSpec extends GraftSpec {
       assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
         s"$m recall curve not monotone: ${curve.toSeq}")
     }
-    for (m <- Seq("ivfpq", "ivfsq")) {
+    // graph_pq rides the tolerance group too (r14): its BEAM is
+    // monotone by construction, but hops are ADC-ordered and the
+    // final top-10 exact-reranked, so a deeper hop can crowd a true
+    // neighbor out of the bounded beam with better-ADC/worse-sim
+    // candidates — same fixed-shortlist caveat as ivfpq
+    for (m <- Seq("ivfpq", "ivfsq", "graph_pq")) {
       val curve = rows.filter(_.getAs[String]("method") == m)
         .sortBy(_.getAs[Long]("param")).map(_.getAs[Double]("recall"))
       assert(curve.nonEmpty, s"$m curve missing")
