@@ -637,7 +637,15 @@ object ScaleBench {
             .persist()
           adjC.count()
           val anchorsC = operators.AnnOps.graphAnchorCodes(spark, dir, m)
-          val pqCands = (for (b <- Seq(32, 48, 64); h <- 1 to 4)
+          // beams up to 256 (r14): at ×1 the ADC walk's recall is
+          // BEAM-limited — PqVisitProbe measured final-beam recall
+          // 0.765 at (64,3) vs 0.90 at (128,3) and 0.962 at (256,2)
+          // on the unamplified corpus, where PqK=16 codewords per
+          // subspace are coarsest relative to corpus diversity. The
+          // tuner picks the CHEAPEST config meeting the target, so
+          // amplified deployments keep their narrow walks and the
+          // toy deployment pays for its own fidelity.
+          val pqCands = (for (b <- Seq(32, 64, 128, 256); h <- 1 to 3)
             yield (b, h)).sortBy { case (b, h) => (b * h, b) }
           if (rep == 1) {
             val exact = operators.AnnOps.exactTopKFor(spark, dir, queries)

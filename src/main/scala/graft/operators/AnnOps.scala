@@ -1650,21 +1650,25 @@ object AnnOps {
           col("rnk"))
       val revProps = newOut.select(col("dst").as("src"),
         col("src").as("dst"), col("sim"))
+      // delta-sized frames off the pinned walk carry no size stats —
+      // broadcast them explicitly or the planner sort-merges and
+      // shuffles the corpus-shaped side (the fold's r14 forced-×30
+      // audit finding; same class here)
       val touched = revProps.select("src").distinct()
       val merged = TopK.perKey(
-        base.join(touched, "src").select("src", "dst", "sim")
+        base.join(broadcast(touched), "src").select("src", "dst", "sim")
           .unionByName(revProps),
         Seq(col("src")), Seq(col("sim").desc, col("dst").asc), GraphK)
         .select("src", "dst", "sim", "rnk")
-      val untouched = base.join(touched, Seq("src"), "left_anti")
+      val untouched = base.join(broadcast(touched), Seq("src"), "left_anti")
         .select("src", "dst", "sim", "rnk", "dv", "dn")
       val allVecs = embDouble(spark, dir)
         .select(col("vec_id"), col("v"), col("nrm"))
         .unionByName(delta)
       untouched.unionByName(
-        merged.unionByName(newOut)
-          .join(allVecs.select(col("vec_id").as("dst"), col("v").as("dv"),
-            col("nrm").as("dn")), "dst")
+        allVecs.select(col("vec_id").as("dst"), col("v").as("dv"),
+            col("nrm").as("dn"))
+          .join(broadcast(merged.unionByName(newOut)), "dst")
           .select("src", "dst", "sim", "rnk", "dv", "dn"))
         // src-clustered at the session partition count: the serve
         // probes this frame by src id every hop, and the build's
@@ -1719,15 +1723,22 @@ object AnnOps {
       arr.select(col("vec_id").as("q_id"), col("qv"), col("qn")),
       edges, anchors, GraphHops, GraphBeam, GraphK,
       excludeSelf = false, pinKey = s"$dir:upkeepFold")
-    val fwd = newOut.select(col("q_id").as("src"), col("c_id").as("dst"),
-        col("sim"))
-      .join(embDouble(spark, dir).select(col("vec_id").as("dst"),
-        col("v").as("dv"), col("nrm").as("dn")), "dst")
+    // the walk result is DELTA-sized but rides a pinned LogicalRDD
+    // with no size stats, so without the hint the planner sort-merges
+    // its corpus-vector join and SHUFFLES the corpus side — the r13
+    // broadcast-beam lesson at the fold's joins (the r14 forced-×30
+    // audit caught exactly this: 3.2 MB at ×10 → 28.2 MB at ×30,
+    // FoldProbe showed every stage flat once the delta side carries
+    // stats). Broadcast the delta sides explicitly.
+    val fwd = embDouble(spark, dir).select(col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn"))
+      .join(broadcast(newOut.select(col("q_id").as("src"),
+        col("c_id").as("dst"), col("sim"))), "dst")
       .withColumn("fwd", lit(true))
     val rev = newOut.select(col("c_id").as("src"), col("q_id").as("dst"),
         col("sim"))
-      .join(arr.select(col("vec_id").as("dst"), col("qv").as("dv"),
-        col("qn").as("dn")), "dst")
+      .join(broadcast(arr.select(col("vec_id").as("dst"),
+        col("qv").as("dv"), col("qn").as("dn"))), "dst")
       .withColumn("fwd", lit(false))
     // COMPLETION MARKER (ADVICE r13): one self-row per arrival,
     // sim = its forward-edge count — fold completion is recorded
@@ -1739,7 +1750,7 @@ object AnnOps {
     // and a re-walked marker is bit-identical (deterministic walk
     // over the immutable base), so replay dedup collapses it exactly.
     val marker = arr
-      .join(fwd.groupBy(col("src")).agg(count(lit(1)).as("nf")),
+      .join(broadcast(fwd.groupBy(col("src")).agg(count(lit(1)).as("nf"))),
         arr("vec_id") === col("src"), "left")
       .select(col("vec_id").as("src"), col("vec_id").as("dst"),
         coalesce(col("nf"), lit(0L)).cast("double").as("sim"),
@@ -1866,11 +1877,18 @@ object AnnOps {
     * on (q_id, c_id) pairs (≤ 10·|queries| rows per side).
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame =
-    // memoized as a whole (20 rows): D10f's tuner is a second consumer
-    // of the same curve — without the memo it would re-run every
-    // family's heap pass instead of re-reading a cached page
-    graft.Memo.df(spark, s"annRecallCurve:$dir") {
-      annRecallCompute(spark, dir)
+    // memoized as a COLLECTED 32-row literal frame (the quantizer-
+    // table pattern — a bounded model artifact, not corpus data):
+    // D10f's tuner and the D10e row are both consumers, and a
+    // persisted-frame memo still re-paid several seconds per
+    // consumer (r14 bench: 7.6 s re-reading a 32-row cache through
+    // the 32-subtree union plan); the curve computes exactly once
+    // per session, every later read is a local scan of literals
+    graft.Memo.value[DataFrame](spark, s"annRecallLit:$dir") {
+      val computed = annRecallCompute(spark, dir)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(computed.collect().toSeq, 1),
+        computed.schema)
     }
 
   private def annRecallCompute(spark: SparkSession, dir: String): DataFrame = {
@@ -2421,7 +2439,7 @@ object AnnOps {
   }
 
   /** ADC distance tables for an arbitrary (vec_id, v) query frame. */
-  private def pqDistTablesOf(spark: SparkSession, dir: String,
+  private[graft] def pqDistTablesOf(spark: SparkSession, dir: String,
       vecs: DataFrame): DataFrame = {
     val subDim = embDouble(spark, dir)
       .select(size(col("v"))).head.getInt(0) / PqS
