@@ -33,7 +33,12 @@ object ExplainAudit {
     val broadcastExpected = Set("q3_shipping_priority", "q5_region_revenue",
       "q_top_customers", "q_part_brand_stats", "evt_handler_routing",
       "ann_cosine_topk", "ann_lsh", "doc_mixture_weighted",
-      "doc_decontaminate", "evt_value_zscore", "ann_recall",
+      "doc_decontaminate", "evt_value_zscore",
+      // ann_recall left this list in r14: the SERVED frame is a
+      // collected 32-row literal (the quantizer-table pattern); the
+      // broadcast-hinted heavy plan lives in the memoized compute,
+      // whose constituent family plans are audited via their own
+      // serving queries (ann_lsh/ann_ivf/ann_pq_*/ann_ivfpq/...)
       "decontaminate_semantic", "doc_keywords", "text_collocations",
       "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25", "q7_nation_volume",
       // r8: lmScore broadcasts the 1-row token total; tokenizeBpe the
@@ -93,7 +98,7 @@ object ExplainAudit {
     val topkExpected = Set("evt_latest_per_key", "evt_upsert_latest",
       "q_rank_parts", "q_dense_size_parts", "doc_sample_stratified",
       "doc_mixture", "doc_mixture_weighted", "dedup_keep_best",
-      "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall", "corpus_build",
+      "ann_cosine_topk", "ann_lsh", "ann_ivf", "corpus_build",
       "text_vocab", "doc_keywords", "text_collocations",
       "ann_pq_adc", "ann_pq_rerank", "doc_search_bm25",
       "text_inverted_postings", "evt_trending",
