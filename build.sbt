@@ -19,6 +19,13 @@ run / fork := true
 // also mirrored to ./bench.json by Bench itself.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Pass the forked run's stdout through VERBATIM (no "[info] " prefix):
+// the driver parses runMain output as raw JSON lines; the r13 artifact
+// shows it keeps only a ~2000-char stdout tail, so the mirrors
+// (bench.json, verify_summary.json) remain the durable record either
+// way, but an unprefixed final line gives a line-based parser its best
+// shot.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
