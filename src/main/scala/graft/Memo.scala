@@ -59,24 +59,35 @@ object Memo {
     * the previous value's consumers have materialized.
     */
   def replaceValue[T <: AnyRef](spark: SparkSession, key: String)(
-      build: => T): T = buildLock.synchronized {
-    val k = (spark, key)
+      build: => T): T = {
+    // build OUTSIDE buildLock: replace-callers route expensive work
+    // through it (standing-pin warm counts are full Spark jobs), and
+    // evaluating that under the global lock would serialize every
+    // other Memo build for the job's duration (ADVICE r14). Replace
+    // always builds, so there is no duplicate-build race to guard —
+    // only the swap needs the lock.
     val b = build
-    val old = values.put(k, b)
-    if (old != null) dropValue(old)
+    buildLock.synchronized {
+      val old = values.put((spark, key), b)
+      if (old != null) dropValue(old)
+    }
     b
   }
 
   /** [[replaceValue]] for persisted frames: unpersists the previous
     * frame under `key` (if any), persists and registers the new one.
+    * Like [[replaceValue]], the build runs outside the lock (plan
+    * construction is cheap, but callers may compose over frames whose
+    * builders take locks of their own); only the swap synchronizes.
     */
   def replaceDf(spark: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = buildLock.synchronized {
-    val k = (spark, key)
+      build: => DataFrame): DataFrame = {
     val b = build.persist()
-    val old = cache.put(k, b)
-    if (old != null) {
-      try old.unpersist(false) catch { case _: Throwable => () }
+    buildLock.synchronized {
+      val old = cache.put((spark, key), b)
+      if (old != null) {
+        try old.unpersist(false) catch { case _: Throwable => () }
+      }
     }
     b
   }
@@ -94,6 +105,25 @@ object Memo {
       val again = values.get(k)
       if (again != null) again.asInstanceOf[T]
       else { val b = build; values.put(k, b); b }
+    }
+  }
+
+  /** [[value]] whose build is an expensive Spark JOB (a standing
+    * pin's warm count), not cheap plan construction: the absent-key
+    * build runs OUTSIDE buildLock and registers via putIfAbsent. A
+    * racing duplicate run re-counts an already-persisted frame —
+    * cheaper than serializing every other Memo build behind a full
+    * Spark job for its duration (ADVICE r14).
+    */
+  def valueEager[T <: AnyRef](spark: SparkSession, key: String)(
+      build: => T): T = {
+    val k = (spark, key)
+    val hit = values.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val b = build
+      val prev = values.putIfAbsent(k, b)
+      if (prev != null) { dropValue(b); prev.asInstanceOf[T] } else b
     }
   }
 

@@ -277,10 +277,15 @@ object ScaleAudit {
       }
       // the extension verdict for a transitioned OR forced query:
       // exponent from the ×10 base to ×30, same gate (forced rows
-      // below the ×30 noise floor pass trivially, like the ×10 gate)
+      // below the ×30 noise floor pass trivially, like the ×10 gate).
+      // The base is floored at NoiseFloorBytes: transition rows
+      // guarantee w10 above the floor but FORCED rows don't, and a
+      // sub-floor base (2 MB → 9 MB) would read as a huge exponent —
+      // a false flag on noise, not growth.
       val ext = if (transition || ForceX30.contains(q)) {
         val w30 = bytes(q)(30)
-        val exp30 = math.log(w30.toDouble / math.max(w10, 1).toDouble) /
+        val exp30 = math.log(w30.toDouble /
+            math.max(w10, NoiseFloorBytes).toDouble) /
           math.log(3.0)
         val extFlag = exp30 > maxExp && w30 > NoiseFloorBytes
         if (extFlag) {

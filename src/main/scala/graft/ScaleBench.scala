@@ -720,11 +720,21 @@ object ScaleBench {
           keepMin("graph_upkeep_fold", f, foldSec)
           // the merged serving view is standing state too, refreshed
           // at fold points (delta-sized merge over the pinned base) —
-          // serve probes RAM, warm is untimed like the prod block's
-          val mergedEdges = operators.AnnOps.standingRefresh(spark, dir,
-            s"upkeepMerged:m$m")(
-            operators.AnnOps.walkEdges(
-              operators.AnnOps.graphMergedAdjV(baseAdj, edges), down))
+          // serve probes RAM. The refresh is TIMED AS ITS OWN ROW
+          // (graph_upkeep_refresh) since r15: r14 moved it out of the
+          // serve timer (the deployment model — refresh happens once
+          // per fold, serve per query), which made serve rows
+          // incomparable to r13's; the explicit row keeps the moved
+          // cost visible for cross-round comparison (ADVICE r14).
+          var mergedEdges: org.apache.spark.sql.DataFrame = null
+          val upkeepRefreshSec = time {
+            mergedEdges = operators.AnnOps.standingRefresh(spark, dir,
+              s"upkeepMerged:m$m")(
+              operators.AnnOps.walkEdges(
+                operators.AnnOps.graphMergedAdjV(baseAdj, edges), down))
+            ()
+          }
+          keepMin("graph_upkeep_refresh", f, upkeepRefreshSec)
           def mergedOnce = time {
             operators.AnnOps.graphSearchOn(spark, dir, mergedEdges,
               anchors2, queries, hops = graphChosen(f)._2,
@@ -760,11 +770,23 @@ object ScaleBench {
           // delta-sized merge + pin swap) happens at the append/
           // compaction point — the owner's refresh — and the timed
           // serve probes RAM, exactly the upkeep row's model above
-          def refreshMaint() = operators.AnnOps.standingRefresh(spark,
-            dir, s"maintMerged:m$m")(
-            operators.AnnOps.walkEdges(
-              operators.AnnOps.graphMergedAdjV(baseAdj,
-                graft.sources.LayoutStore.read(spark, dtable)), down))
+          // timed as graph_maint_refresh (one row, min over the grown
+          // + compacted refresh points — both are the same delta-sized
+          // merge + warm): same ADVICE-r14 visibility contract as
+          // graph_upkeep_refresh above
+          def refreshMaint() = {
+            var me: org.apache.spark.sql.DataFrame = null
+            val s = time {
+              me = operators.AnnOps.standingRefresh(spark,
+                dir, s"maintMerged:m$m")(
+                operators.AnnOps.walkEdges(
+                  operators.AnnOps.graphMergedAdjV(baseAdj,
+                    graft.sources.LayoutStore.read(spark, dtable)), down))
+              ()
+            }
+            keepMin("graph_maint_refresh", f, s)
+            me
+          }
           def deltaServe(me: org.apache.spark.sql.DataFrame) = time {
             operators.AnnOps.graphSearchOn(spark, dir, me,
               anchors2, queries, hops = graphChosen(f)._2,
@@ -1025,7 +1047,7 @@ object ScaleBench {
          |"ann_graph_prod: the graph family's serving contract - m=16F bounds the within-cell NN-descent init, the vector-carrying adjacency (neighbor vectors in-row, one corpus join paid at build) persists src-bucketed and is pinned RAM-resident at serve start (the DiskANN deployment model - beam ids are data-dependent, so a hop is a broadcast-hash probe of the cached table), fixed base-100 queries walk it at the TUNED (beam, hops) (graph_prod_tune: recall@10 over beam {16,64} x hops 1..4 vs exact; chosen = cheapest config meeting the target, else the best-recall one - recorded honestly). NOTE the amplified fixture is the graph family's HARD case: every query's true top-10 are its near-identical amplifier twins, and a pure top-K graph spends most of its K=16 edges inside each twin cluster, so walk recall saturates near 0.8 at x10 even with centroid anchors + strided down-links (two-level navigation); the IVF prod twins cover this regime exactly (coarse cells contain the twin clusters), which is the honest family-selection verdict the artifact records - graph serving wins on corpora whose neighborhoods DISPERSE, not on duplicate-cluster-dominated ones. Serve cost is hops*beam*K sims independent of corpus size; because the TUNED row's (beam,hops) can differ per factor (tuning confounds the exponent - ADVICE r12), ann_graph_prod_fixed times the same serve at constant (64,3) and is the row whose exponent reads pure corpus scaling",
          |"r13 quantizer seeding: IVF seeds are now a deterministic hash-spread sample (top-m by mix64(vec_id)) instead of the first m ids - on the amplified fixture first-m seeding gave the m=16F quantizer only 16 distinct directions (the first 480 ids are 30 near-identical copies each of bases 0..15), which collapsed the graph family's anchors/down-links (r12's 0.668 recall at x30 was NAVIGATION starvation: the builder probe measured 99% of true top-10 present as direct query out-edges); at 100 TB the same bug reads 'all seeds from the first shard of a sorted corpus'",
          |"ann_graph_pq_prod: the compressed serving twin - the walk navigates on the 8 B/edge code adjacency (graph_pq_prod_tune/chosen per deployment), exact re-rank of the final beam only; its build row is the marginal re-code join of the standing NN-descent graph",
-         |"graph_upkeep_fold/_serve: the E48/D76d production regime - a FIXED-size arrival batch (production deltas do not grow with the corpus) walks the standing graph for out-edges + reverse proposals (fold), and the fixed queries serve over the merged base+delta graph (one bounded heap per node); both must stay ~flat in F. graph_maint_*: the delta-table append -> compact -> serve cycle for the graph family (the E42/D36l discipline), file counts in graph_maint_files",
+         |"graph_upkeep_fold/_serve: the E48/D76d production regime - a FIXED-size arrival batch (production deltas do not grow with the corpus) walks the standing graph for out-edges + reverse proposals (fold), and the fixed queries serve over the merged base+delta graph (one bounded heap per node); both must stay ~flat in F. graph_maint_*: the delta-table append -> compact -> serve cycle for the graph family (the E42/D36l discipline), file counts in graph_maint_files. TIMER REDEFINITION r14: the serve rows time ONLY the RAM probe - the merged-view build + warm moved to the standing-refresh step (refresh once per fold, serve per query - the deployment model), so r14+ serve values are NOT comparable to r13 and earlier; the moved cost is its own row since r15 (graph_upkeep_refresh per fold point, graph_maint_refresh = min over the grown/compacted refresh points)",
          |"evt_incident_join_fixedinc holds the interval side at BASE cardinality while events amplify Fx (global severe-error windows don't grow with event volume - the production shape): the symmetric row's x30 exponent tracks its F^2 true-pair output by construction, the fixed-interval row isolates the engine (~linear in probe volume at worst)",
          |"layout_maint_*: the append -> compact -> serve lifecycle. Base coded-lists split written once, the delta split appended in 8 batches (8 files/bucket accumulate - the between-compactions steady state), probe latency measured on the grown table, compaction timed, probe re-measured; maint_files records file counts either side. Serve must stay ~flat in F at both points, compaction ~linear (one table rewrite)",
          |"exponents: log(t2/t1)/log(f2/f1) on warm same-session runs; <=1 is at-most-linear",

@@ -2314,12 +2314,19 @@ object SparkEntry {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
 
-    // A14: Q11 shape — scalar total subquery in the HAVING position
+    // A14: Q11 shape — scalar total subquery in the HAVING position.
+    // Scale-free threshold (value > 1.5 × average per-part value) so
+    // the predicate discriminates at every SF — see
+    // RelationalOps.q11ValueShare. 1.5 is a double literal and
+    // tot/nparts are exact (decimal sum, distinct count), so the
+    // threshold is the same IEEE double in both engines.
     "q11_value_share" ->
       s"""WITH v AS (SELECT l_partkey, $drev AS value
-         |  FROM lineitem GROUP BY 1)
-         |SELECT l_partkey, value FROM v
-         |WHERE value > 0.001 * (SELECT $drev FROM lineitem)
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT $drev AS tot,
+         |  COUNT(DISTINCT l_partkey) AS nparts FROM lineitem)
+         |SELECT l_partkey, value FROM v, t
+         |WHERE value > 1.5 * tot / nparts
          |ORDER BY value DESC, l_partkey""".stripMargin,
 
     // A15: Q14 shape — conditional decimal aggregation

@@ -74,7 +74,9 @@ object AnnOps {
       build: => DataFrame): DataFrame = {
     val key = s"standingServe:$dir:$variant"
     val df = graft.Memo.df(spark, key)(build)
-    graft.Memo.value[java.lang.Long](spark, s"$key:warm")(
+    // valueEager: the warm count is a full Spark job and must not run
+    // under Memo's global build lock (ADVICE r14)
+    graft.Memo.valueEager[java.lang.Long](spark, s"$key:warm")(
       java.lang.Long.valueOf(df.count()))
     df
   }

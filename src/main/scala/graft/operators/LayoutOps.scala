@@ -275,8 +275,12 @@ object LayoutOps {
   def purgeAll(spark: SparkSession, dir: String): Unit = {
     families.foreach(f => LayoutStore.purge(spark, tableName(f, dir)))
     ZOrderOps.tableNames(dir).foreach(LayoutStore.purge(spark, _))
+    // trailing ':' — both key families always carry a :variant /
+    // :sourceTag suffix, and without it purging /data/sf1 would also
+    // evict /data/sf10's pins (the sibling-dir collision
+    // Memo.invalidate's scaladoc forbids)
     Seq("standingServe", "layoutGraphBeam").foreach(p =>
-      graft.Memo.invalidatePrefix(spark, s"$p:$dir"))
+      graft.Memo.invalidatePrefix(spark, s"$p:$dir:"))
   }
 
   // ---------------------------------------------------------------

@@ -1181,13 +1181,20 @@ object StreamOps {
         // scanned. No marker, or fewer on-disk edges than the marker
         // promises (a crashed partial fold), reads as unfolded — see
         // the scaladoc. max() over markers: a healed partial can hold
-        // the bit-identical marker twice.
+        // the bit-identical marker twice. nf counts DISTINCT forward
+        // dsts, not rows: two crashed partial folds can stack
+        // OVERLAPPING edge subsets (e1..e10 then e1..e8 = 18 rows but
+        // only 10 distinct edges), and a row count would read the
+        // overlap as completion while edges are still missing — the
+        // 'never a lost edge' guarantee holds only against the
+        // distinct on-disk edge set.
         val folded = graft.sources.LayoutStore.read(spark, t)
           .filter(col("fwd"))
           .groupBy(col("src")).agg(
             max(when(col("dst") === col("src"), col("sim")))
               .as("expected"),
-            count(when(col("dst") =!= col("src"), lit(1))).as("nf"))
+            countDistinct(when(col("dst") =!= col("src"), col("dst")))
+              .as("nf"))
           .filter(col("nf") >= col("expected"))
           .select(col("src").as("vec_id"))
         val fresh = batch.join(folded, Seq("vec_id"), "left_anti")
