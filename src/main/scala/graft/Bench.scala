@@ -42,6 +42,9 @@ object Bench {
       // subset-key co-partitioning
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // cap per-action plan-description rendering (see GraftSession)
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", (64 << 10).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

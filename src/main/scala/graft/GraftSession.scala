@@ -38,6 +38,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Every Dataset action renders the physical-plan description for
+      // the SQL listener event — and AQE re-renders it per query
+      // stage. For deep memoized lineages (the graph/PQ hop chains,
+      // where each InMemoryRelation prints its cached child
+      // recursively) an uncapped render costs ~1 s of driver CPU per
+      // action (stack-sampled, r15). 64 KB keeps debuggability;
+      // ExplainAudit raises it per-session for full-plan audits.
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", (64 << 10).toString))
       .getOrCreate()
     // getOrCreate may return a pre-existing session where the
     // extensions config never applied — register idempotently.

@@ -2226,7 +2226,6 @@ object AnnOps {
   /** Re-rank shortlist depth for the two-stage PQ path (D33c). */
   val PqRerankR = 100
 
-  private case class PqC(k: Long, cv: Seq[Double])
 
   /** In-row code assignment against a literal per-subspace codebook:
     * argmin_k of the L2 distance, computed as dot(x,x) − 2·dot(x,c) +
@@ -2236,19 +2235,21 @@ object AnnOps {
     * Zero shuffle: the codebook rides the plan as a literal.
     */
   private def pqAssign(sub: DataFrame, model: Seq[(Int, Long, Seq[Double])]): DataFrame = {
-    // subspace count comes from the model itself, so the 8- and
-    // 16-subspace books share every downstream helper
-    val nSub = model.iterator.map(_._1).max + 1
-    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
-      model.filter(_._1 == s).sortBy(_._2).map { case (_, k, cv) => PqC(k, cv) }
-    }
-    val centsL = typedLit(bys)
+    // the book rides as ONE broadcast consumed by the PqAssignExpr
+    // kernel, not a typedLit: the nSub×PqK×subDim literal (≈32k
+    // doubles) made every downstream plan description cost seconds of
+    // driver string-rendering PER ACTION (PqServeProbe, r15) — the
+    // same [[LiteralMaxM]] discipline the IVF quantizer already
+    // follows, and the PQ books are always past any literal
+    // threshold. Same argmin, same distance arithmetic, ties → k asc
+    // (kernel iterates k ascending with strict-less update — the
+    // array_sort struct order it replaces).
+    val spark = sub.sparkSession
+    val subDim = model.head._3.length
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.PqBookModel.of(model, subDim))
     sub.withColumn("best",
-        element_at(array_sort(transform(element_at(centsL, col("s") + 1), c =>
-          struct((VectorFns.dot(col("x"), col("x"))
-            - lit(2d) * VectorFns.dot(col("x"), c.getField("cv"))
-            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d"),
-            c.getField("k").as("k")))), 1))
+        graft.functions.PqKernels.assign(col("x"), col("s"), bc))
       .select(col("vec_id"), col("s"), col("x"),
         col("best.k").as("k"), col("best.d").as("d"))
   }
@@ -2413,7 +2414,7 @@ object AnnOps {
     * codebooks and session-memoized (shared by D33b/D33c, ivfpq and
     * the recall harness). Tiny: |queries| rows.
     */
-  private def pqQueryTables(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pqQueryTables(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.df(spark, s"pqQueryTables:$dir") {
       pqDistTablesOf(spark, dir, embDouble(spark, dir)
         .filter(col("vec_id") % 50 === 0))
@@ -2425,18 +2426,19 @@ object AnnOps {
     */
   private def distTablesFor(model: Seq[(Int, Long, Seq[Double])],
       subDim: Int, vecs: DataFrame): DataFrame = {
+    // dt tables are DENSE position-indexed arrays built by the
+    // PqDistTablesExpr kernel over ONE broadcast book — see
+    // [[pqAssign]] for why not a typedLit (plan-rendering cost per
+    // action) and [[adcCol]] for the O(1) positional lookup that
+    // replaces the 256-entry map's linear key scan. Distance values
+    // are bit-identical to the literal path (same sequential-dot
+    // arithmetic in the kernel).
     val nSub = model.iterator.map(_._1).max + 1
-    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
-      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
-    }
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      graft.functions.PqBookModel.of(model, subDim))
     val q0 = vecs.select(col("vec_id").as("q_id"), col("v"))
     (0 until nSub).foldLeft(q0) { (df, s) =>
-      val sub = slice(col("v"), lit(s * subDim + 1), lit(subDim))
-      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
-        struct(c.getField("k").as("k"),
-          (VectorFns.dot(sub, sub)
-            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
-            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+      df.withColumn(s"dt$s", graft.functions.PqKernels.distTables(col("v"), bc, s))
     }.drop("v")
   }
 
@@ -2448,11 +2450,13 @@ object AnnOps {
     distTablesFor(pqModel(spark, dir), subDim, vecs)
   }
 
-  /** ADC distance column: PqS map lookups summed in fixed s order (so
+  /** ADC distance column: PqS positional array lookups (code k lives
+    * at slot k+1 of the dense dt array) summed in fixed s order (so
     * the double is bit-stable).
     */
   private def adcCol(nSub: Int = PqS): Column =
-    (0 until nSub).map(s => element_at(col(s"dt$s"), col(s"c$s"))).reduce(_ + _)
+    (0 until nSub).map(s =>
+      element_at(col(s"dt$s"), (col(s"c$s") + 1).cast("int"))).reduce(_ + _)
 
   def annPqAdc(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val qd = pqQueryTables(spark, dir)
@@ -2483,7 +2487,7 @@ object AnnOps {
     * is broadcast into one corpus scan (the corpus is read once and
     * never shuffled), then a bounded-heap top-k per query.
     */
-  private def exactRerank(spark: SparkSession, dir: String,
+  private[graft] def exactRerank(spark: SparkSession, dir: String,
       shortlist: DataFrame, k: Int): DataFrame = {
     val emb = embDouble(spark, dir)
     val qv = emb.filter(col("vec_id") % 50 === 0)
@@ -2669,16 +2673,12 @@ object AnnOps {
   private def resDistTables(qres: DataFrame,
       model: Seq[(Int, Long, Seq[Double])], subDim: Int,
       nSub: Int): DataFrame = {
-    val bys: Seq[Seq[PqC]] = (0 until nSub).map { s =>
-      model.filter(_._1 == s).sortBy(_._2).map { case (_, kk, cv) => PqC(kk, cv) }
-    }
+    // same broadcast-book kernel as [[distTablesFor]], over the
+    // residual vector — tables per PROBE ROW, not per query
+    val bc = qres.sparkSession.sparkContext.broadcast(
+      graft.functions.PqBookModel.of(model, subDim))
     (0 until nSub).foldLeft(qres) { (df, s) =>
-      val sub = slice(col("r"), lit(s * subDim + 1), lit(subDim))
-      df.withColumn(s"dt$s", map_from_entries(transform(typedLit(bys(s)), c =>
-        struct(c.getField("k").as("k"),
-          (VectorFns.dot(sub, sub)
-            - lit(2d) * VectorFns.dot(sub, c.getField("cv"))
-            + VectorFns.dot(c.getField("cv"), c.getField("cv"))).as("d")))))
+      df.withColumn(s"dt$s", graft.functions.PqKernels.distTables(col("r"), bc, s))
     }.drop("r")
   }
 
