@@ -2838,6 +2838,73 @@ object AnnOps {
       .select("q_id", "c_id")
   }
 
+  /** Probe hooks (GraphPqFidelityProbe, not serving paths): brute ADC
+    * scores of an arbitrary query frame against every corpus code, the
+    * per-vector code reconstruction error, and the exact ranking with
+    * sim/rnk retained.
+    */
+  private[graft] def pqAdcFor(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val qv = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val qd = pqDistTablesOf(spark, dir, qv)
+    pqCodesCore(spark, dir)
+      .select(col("vec_id").as("c_id") +: (0 until PqS).map(s => col(s"c$s")): _*)
+      .join(broadcast(qd), col("q_id") =!= col("c_id"))
+      .withColumn("adc", adcCol())
+      .select("q_id", "c_id", "adc")
+  }
+
+  private[graft] def pqCodeErr(spark: SparkSession, dir: String): DataFrame =
+    pqCodesCore(spark, dir).select("vec_id", "err")
+
+  /** Probe hook: brute ADC at an ARBITRARY subspace count — the
+    * what-if measurement for a finer navigation book (same seeding,
+    * same Lloyd rounds, nSub subspaces instead of [[PqS]]).
+    */
+  private[graft] def pqAdcNFor(spark: SparkSession, dir: String,
+      queries: DataFrame, nSub: Int): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val subDim = emb.select(size(col("v"))).head.getInt(0) / nSub
+    val firstK = seedSpread(emb).limit(PqK)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val seed: Seq[(Int, Long, Seq[Double])] = for {
+      s <- 0 until nSub; k <- 0 until math.min(PqK, firstK.length)
+    } yield (s, k.toLong, firstK(k).slice(s * subDim, (s + 1) * subDim))
+    val model = pqRefineRounds(pqSubOf(spark, dir, emb, nSub), seed,
+      PqLloydRounds)
+    val a = pqAssign(pqSubOf(spark, dir, emb, nSub), model)
+    val aggs = (0 until nSub).map(s =>
+      max(when(col("s") === s, col("k"))).as(s"c$s"))
+    val cand = a.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id").as("c_id") +:
+        (0 until nSub).map(s => col(s"c$s")): _*)
+    val qv = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val qd = distTablesFor(model, subDim, qv)
+    cand.join(broadcast(qd), col("q_id") =!= col("c_id"))
+      .withColumn("adc", adcCol(nSub))
+      .select("q_id", "c_id", "adc")
+  }
+
+  private[graft] def exactTopKSims(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val q = queries
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sims = embDouble(spark, dir)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        VectorFns.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    TopK.perKey(sims, Seq(col("q_id")),
+      Seq(col("sim").desc, col("c_id").asc), k)
+  }
+
   /** The coarse quantizer as a (cid, cv, cnrm) frame — tiny (m rows),
     * the model artifact a restart reloads instead of re-running Lloyd.
     */
