@@ -301,6 +301,8 @@ object SparkEntry {
     "layout_postings_probe" -> ((s: SparkSession, d: String) =>
       LayoutOps.postingsProbeServed(s, d)),
     "layout_dedup_minhash_lsh" -> (LayoutOps.minhashLshServed _),
+    // D36m: the tuner's choices served from the persisted config
+    "layout_serving_config" -> (LayoutOps.servingConfigServed _),
     "layout_manifest_probe" -> (LayoutOps.manifestProbeServed _),
     "layout_cc_labels"     -> (LayoutOps.ccLabelsServed _),
     // D38b/D39c: the reference LM and the trained tokenizer served
@@ -2032,6 +2034,10 @@ object SparkEntry {
       "layout_ann_ivfpq_res_appended" -> base("ann_ivfpq_res"),
       "layout_text_postings"     -> base("text_inverted_postings"),
       "layout_dedup_minhash_lsh" -> base("dedup_minhash_lsh"),
+      // D36m: the persisted serving config must equal the session
+      // tuner row-for-row — one oracle pins the tuner AND the table a
+      // restarted server reads its knobs from
+      "layout_serving_config"    -> base("ann_probe_tuner"),
       // D38b: the crawl delta scored from the persisted LM tables must
       // equal the session LM's scores for the same docs
       "layout_lm_delta_score"    -> lmScoreSql(deltaOnly = true),

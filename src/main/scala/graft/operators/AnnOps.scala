@@ -2160,9 +2160,16 @@ object AnnOps {
     */
   def tunedNprobe(spark: SparkSession, dir: String,
       method: String = "ivfpq",
-      target: Double = ProbeTuneTarget): Int = {
-    val rows = annProbeTuner(spark, dir, target)
-      .filter(col("method") === method)
+      target: Double = ProbeTuneTarget): Int =
+    tunedNprobeFrom(annProbeTuner(spark, dir, target), method)
+
+  /** Resolve the tuned knob from an EXPLICIT tuner frame — shared by
+    * the session path above and the persisted `serving_config` layout
+    * (LayoutOps), so a restarted server and a live session cannot
+    * disagree on how a choice row is read.
+    */
+  def tunedNprobeFrom(config: DataFrame, method: String): Int = {
+    val rows = config.filter(col("method") === method)
       .select("param", "chosen").collect()
     require(rows.nonEmpty, s"no tuner rows for method $method")
     rows.find(_.getBoolean(1)).map(_.getLong(0).toInt)

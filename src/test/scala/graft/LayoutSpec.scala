@@ -228,6 +228,26 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("serving config persisted, tuned ivfpq face defaults its nprobe from the table, across a restart") {
+    withCleanLayouts {
+      // the session tuner's choice and the search at that knob
+      val np = AnnOps.tunedNprobe(spark, Sf, "ivfpq")
+      val session = rows(AnnOps.annIvfPq(spark, Sf, nprobe = np))
+      Seq("serving_config", "ivf_quantizer", "pq_book", "ivfpq_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "written"))
+
+      LayoutOps.dropCatalogEntries(spark, Sf)
+      Memo.clear(spark)
+      Seq("serving_config", "ivf_quantizer", "pq_book", "ivfpq_lists")
+        .foreach(f => assert(LayoutOps.ensure(spark, Sf, f) == "reregistered"))
+      // the restarted server resolves the SAME knob from the table…
+      assert(AnnOps.tunedNprobeFrom(
+        LayoutOps.servingConfigServed(spark, Sf), "ivfpq") == np)
+      // …and the face defaulting from it reproduces the session search
+      assert(rows(LayoutOps.annIvfPqServedTuned(spark, Sf)) == session)
+    }
+  }
+
   test("sq8 served from reloaded codes + model == session ann_sq8_rerank, across a restart") {
     withCleanLayouts {
       val session = rows(AnnOps.annSq8Rerank(spark, Sf))
