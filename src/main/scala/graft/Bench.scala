@@ -82,23 +82,28 @@ object Bench {
         operators.LayoutOps.ensureAll(spark, sfDir)
         (Some(cold), Some((System.nanoTime() - r0) / 1e9))
       }
-    if (selected.exists(t => t._1.startsWith("dedup") || t._1.startsWith("doc_")))
-      operators.DedupOps.warmShared(spark, sfDir)
-    if (selected.exists(t => t._1.startsWith("ann") || t._1.startsWith("emb")))
-      operators.AnnOps.warmShared(spark, sfDir)
     // r12 shared memos, same methodology: the D71 lossless truth
     // (consumed by dedup_explain/dedup_recall/dedup_recall_simhash/
     // dedup_prefix_filter) and the D10e recall curve (consumed by
     // ann_recall + ann_probe_tuner) — otherwise whichever consumer
-    // runs first absorbs the whole build and reads as a regression
+    // runs first absorbs the whole build and reads as a regression.
+    // r15 opt: the warm blocks are independent derivations — run them
+    // CONCURRENTLY (guide §2.6; identical results, Memo's per-key
+    // locks dedupe shared sub-derivations).
+    val warms = Seq.newBuilder[() => Unit]
+    if (selected.exists(t => t._1.startsWith("dedup") || t._1.startsWith("doc_")))
+      warms += (() => operators.DedupOps.warmShared(spark, sfDir))
+    if (selected.exists(t => t._1.startsWith("ann") || t._1.startsWith("emb")))
+      warms += (() => operators.AnnOps.warmShared(spark, sfDir))
     if (selected.exists(t => Set("dedup_explain", "dedup_recall",
         "dedup_recall_simhash", "dedup_prefix_filter")(t._1)))
-      operators.DedupOps.warmTruth(spark, sfDir)
+      warms += (() => operators.DedupOps.warmTruth(spark, sfDir))
     if (selected.exists(t => t._1 == "ann_recall" || t._1 == "ann_probe_tuner"))
-      operators.AnnOps.annRecall(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      warms += (() => operators.AnnOps.annRecall(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     if (selected.exists(_._1 == "corpus_build_incremental"))
-      operators.CurationOps.warmStanding(spark, sfDir)
+      warms += (() => operators.CurationOps.warmStanding(spark, sfDir))
+    Par.run(spark, warms.result())
     val warmupSec = (System.nanoTime() - t0) / 1e9
 
     // A failed query must never ship a green-looking artifact: failures

@@ -31,18 +31,31 @@ final case class PinnedDf(df: DataFrame, handle: org.apache.spark.rdd.RDD[_])
 object Memo {
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val buildLock = new Object
+  // Per-KEY build locks (r15 opt): the single global buildLock made
+  // every memo build serialize behind every other — fatal for the
+  // parallel warm-up/layout build (guide §2.6, overlap independent
+  // jobs), where N worker threads each derive DIFFERENT artifacts.
+  // A per-key monitor keeps the build-once guarantee per artifact
+  // while letting distinct artifacts build concurrently; nested
+  // registration (an artifact building on another) takes the other
+  // key's lock — safe because the derivation graph is acyclic.
+  private val keyLocks = new ConcurrentHashMap[(SparkSession, String), Object]()
+  private def lockFor(k: (SparkSession, String)): Object =
+    keyLocks.computeIfAbsent(k, (_: (SparkSession, String)) => new Object)
 
   /** Build-once persisted DataFrame for `key` within this session.
-    * A plain reentrant lock (not computeIfAbsent, which forbids the
-    * nested registration a layout artifact building on another one
+    * A per-key reentrant monitor (not computeIfAbsent, which forbids
+    * the nested registration a layout artifact building on another one
     * needs) guards the build; plan construction + persist registration
-    * are lazy and cheap, so serializing them costs nothing.
+    * are lazy and cheap, and DISTINCT keys build concurrently (the
+    * parallel warm-up requirement — Spark's block-level cache locks
+    * serialize any racing materialization of one persisted frame).
     */
   def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (spark, key)
     val hit = cache.get(k)
     if (hit != null) hit
-    else buildLock.synchronized {
+    else lockFor(k).synchronized {
       val again = cache.get(k)
       if (again != null) again
       else { val b = build.persist(); cache.put(k, b); b }
@@ -95,13 +108,16 @@ object Memo {
   private val values = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
 
   /** Build-once arbitrary value (e.g. a collected model artifact like
-    * IVF centroids) for `key` within this session.
+    * IVF centroids) for `key` within this session. Guarded by the
+    * per-key monitor: model collects are full Spark jobs, and under
+    * the parallel warm-up two DIFFERENT models must be able to build
+    * at once (the old global lock serialized them — r15 opt).
     */
   def value[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val k = (spark, key)
     val hit = values.get(k)
     if (hit != null) hit.asInstanceOf[T]
-    else buildLock.synchronized {
+    else lockFor(k).synchronized {
       val again = values.get(k)
       if (again != null) again.asInstanceOf[T]
       else { val b = build; values.put(k, b); b }
@@ -218,5 +234,7 @@ object Memo {
       val e = vit.next()
       if (e.getKey._1 eq spark) { dropValue(e.getValue); vit.remove() }
     }
+    val lit = keyLocks.keySet().iterator()
+    while (lit.hasNext) if (lit.next()._1 eq spark) lit.remove()
   }
 }

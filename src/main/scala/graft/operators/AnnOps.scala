@@ -34,28 +34,30 @@ object AnnOps {
     * IVF layout artifacts (centroids + inverted lists).
     */
   def warmShared(spark: SparkSession, dir: String): Unit = {
-    embDouble(spark, dir).write.format("noop").mode("overwrite").save()
-    ivfLists(spark, dir, DefaultM).write.format("noop").mode("overwrite").save()
-    pqCodesCore(spark, dir).write.format("noop").mode("overwrite").save()
-    ivfPqResLists(spark, dir).write.format("noop").mode("overwrite").save()
-    // the SQ8-coded lists are a standing layout exactly like the
-    // PQ-coded ones above — left unwarmed, their one-time build join
-    // (corpus codes ⋈ list assignment) lands inside the first
-    // ann_ivfsq measurement and, worse, changes SHAPE across scale
-    // factors (codes broadcastable at toy scale, a full shuffle past
-    // the threshold): the r10 ×17 wall jump and the r11 ScaleAudit
-    // exp-1.54 finding were BOTH this missing warm, not the search
-    ivfSqLists(spark, dir).write.format("noop").mode("overwrite").save()
-    // the k-NN graph (and its vector-carrying serving twin) is a
-    // standing layout like the coded lists above — same lesson: leave
-    // it unwarmed and its build joins land inside the first ann_graph
-    // measurement and can change shape across scale factors
-    graphAdjV(spark, dir).write.format("noop").mode("overwrite").save()
-    // the APPENDED graph is standing state too (the growth query's
-    // own layout — arrivals folded once, served many times); unwarmed
-    // it was the r12 bench's most expensive row by 5× (52.7 s
-    // isolated), all of it one-time build + planning, none of it serve
-    graphAppendedAdjV(spark, dir)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // the norm cache first and alone: every other artifact derives
+    // from it, so materializing it once up front lets the rest
+    // overlap without all blocking on its memo build
+    noop(embDouble(spark, dir))
+    // the remaining standing artifacts are INDEPENDENT derivations —
+    // build them concurrently (guide §2.6, r15 opt; identical results,
+    // Memo's per-key locks dedupe shared sub-derivations):
+    //  - SQ8-coded lists: left unwarmed, their one-time build join
+    //    lands inside the first ann_ivfsq measurement and changes
+    //    SHAPE across scale factors (the r10 ×17 wall jump and the
+    //    r11 ScaleAudit exp-1.54 finding were BOTH this missing warm)
+    //  - k-NN graph (and vector-carrying serving twin): same lesson
+    //  - APPENDED graph: the growth query's own layout — unwarmed it
+    //    was the r12 bench's most expensive row by 5× (52.7 s), all
+    //    one-time build + planning, none of it serve
+    graft.Par.run(spark, Seq(
+      () => noop(ivfLists(spark, dir, DefaultM)),
+      () => noop(pqCodesCore(spark, dir)),
+      () => noop(ivfPqResLists(spark, dir)),
+      () => noop(ivfSqLists(spark, dir)),
+      () => noop(graphAdjV(spark, dir)),
+      () => { graphAppendedAdjV(spark, dir); () }))
     ()
   }
 
@@ -2084,25 +2086,43 @@ object AnnOps {
         TopK.perKey(beams(h).filter(col("c_id") =!= col("q_id")),
           Seq(col("q_id")),
           Seq(col("sim").desc, col("c_id").asc), 10))
+    // r15 opt: the curve's ~20 branches are independent probe/serve
+    // measurements over shared memoized caches — materialize each
+    // branch's (method, param, hits) rows as a CONCURRENT action
+    // (guide §2.6) instead of one mega-union whose single action
+    // serialized every branch's driver phases behind one plan (the
+    // union's plan description alone measured 32 MB). Each branch
+    // collapses to a literal frame with its own schema, so the final
+    // union/crossJoin/divide below is expression-identical to the
+    // pre-r15 form over the same values — the oracle-checked result
+    // is unchanged; shared sub-derivations dedupe through Memo's
+    // per-key locks.
+    def branchLit(mk: () => DataFrame): () => DataFrame = () => {
+      val df = mk()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+    }
     val hits =
-      (Seq(hitsOf("lsh", RecallLshProbes, lshSims),
-        hitsOf("ivf", RecallIvfNprobes, ivfSims),
-        pqHitsOf(RecallPqR),
-        rpHitsOf(RecallRpR),
-        ivfpqHitsOf(RecallIvfPqNprobes),
-        ivfsqHitsOf(RecallIvfSqNprobes)) ++
-       RecallResAdcSubs.map(ns => resAdcHitsOf(ns)) ++
-       RecallGraphHops.map(h => graphHitsOf(h)) ++
-       // the PQ-navigated walk per hop depth (r14 — the full curve,
-       // so D10f can TUNE the family like the vector-walked one; its
-       // gap to the graph rows is the measured navigation fidelity
-       // cost of 64× less serving state). Hops share the memoized
-       // pbm frames with the D76e serve.
-       RecallGraphHops.map(h =>
-         countHits("graph_pq", h, annGraphPq(spark, dir, hops = h))) ++
-       // SQ8: ADC-order code fidelity + the production two-stage path
-       Seq(countHits("sq8_adc", 10, annSq8Adc(spark, dir, 10)),
-         countHits("sq8", Sq8RerankR, annSq8Rerank(spark, dir))))
+      graft.Par.run(spark,
+        (Seq(() => hitsOf("lsh", RecallLshProbes, lshSims),
+          () => hitsOf("ivf", RecallIvfNprobes, ivfSims),
+          () => pqHitsOf(RecallPqR),
+          () => rpHitsOf(RecallRpR),
+          () => ivfpqHitsOf(RecallIvfPqNprobes),
+          () => ivfsqHitsOf(RecallIvfSqNprobes)) ++
+         RecallResAdcSubs.map(ns => () => resAdcHitsOf(ns)) ++
+         RecallGraphHops.map(h => () => graphHitsOf(h)) ++
+         // the PQ-navigated walk per hop depth (r14 — the full curve,
+         // so D10f can TUNE the family like the vector-walked one; its
+         // gap to the graph rows is the measured navigation fidelity
+         // cost of 64× less serving state). Hops share the memoized
+         // pbm frames with the D76e serve.
+         RecallGraphHops.map(h => () =>
+           countHits("graph_pq", h, annGraphPq(spark, dir, hops = h))) ++
+         // SQ8: ADC-order code fidelity + the production two-stage path
+         Seq(() => countHits("sq8_adc", 10, annSq8Adc(spark, dir, 10)),
+           () => countHits("sq8", Sq8RerankR, annSq8Rerank(spark, dir))))
+          .map(branchLit))
         .reduce(_.unionByName(_))
     hits.crossJoin(nExact)
       .withColumn("recall",

@@ -50,17 +50,22 @@ object DedupOps {
     * per-query work.
     */
   def warmShared(spark: SparkSession, dir: String): Unit = {
-    withShingles(spark, dir).write.format("noop").mode("overwrite").save()
-    ngramPairs(spark, dir).write.format("noop").mode("overwrite").save()
-    substringWins(spark, dir, SubstringL)
-      .write.format("noop").mode("overwrite").save()
-    // the winnow layout artifacts (inverted lists + denominators) are
-    // session-shared derivations like the shingle table above
-    winnowNf(spark, dir).write.format("noop").mode("overwrite").save()
-    // the CC-label artifact is shared by D13/D23/corpus_build; the
-    // iterative loop materializes eagerly inside Memo, so touching it
-    // here is enough
-    clusterLabels(spark, dir).write.format("noop").mode("overwrite").save()
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // the shingle table first and alone (everything else derives from
+    // it), then the independent artifacts concurrently (guide §2.6,
+    // r15 opt — identical results, Memo's per-key locks dedupe):
+    //  - winnow layout artifacts (inverted lists + denominators)
+    //  - the CC-label artifact shared by D13/D23/corpus_build (its
+    //    iterative loop materializes eagerly inside Memo, so touching
+    //    it is enough)
+    noop(withShingles(spark, dir))
+    graft.Par.run(spark, Seq(
+      () => noop(ngramPairs(spark, dir)),
+      () => noop(substringWins(spark, dir, SubstringL)),
+      () => noop(winnowNf(spark, dir)),
+      () => noop(clusterLabels(spark, dir))))
+    ()
   }
 
   /** Unsorted near-dup candidate pairs (a_id < b_id) with set sizes and

@@ -258,11 +258,60 @@ object LayoutOps {
     LayoutStore.read(spark, tableName(familyOf(familyName), dir))
   }
 
+  /** Measured cold-build cost ranking (WarmupProbe, sf0.1 — r15 opt):
+    * longest-first submission order for the parallel build, so the
+    * 70 s serving_config/tuner chain starts immediately and the tail
+    * of small families back-fills around it (guide §2.6). Families
+    * not listed sort last in declaration order.
+    */
+  private val buildPriority: Map[String, Int] = Seq(
+    "serving_config", "ivfpq_lists", "cc_labels", "postings",
+    "ivfpq_res_lists", "pagerank", "postings_base", "pareto_front",
+    "minhash_sigs", "shingle_postings", "corpus_ck", "postings_basedocs",
+    "dsir_target", "graph_adj", "line_digests", "lm_bigrams"
+  ).zipWithIndex.toMap
+
   /** Write every family for `dir` (deployment's "build the layouts"
     * job; also the bench warm-up so serving queries measure serving).
+    *
+    * The families are INDEPENDENT Spark jobs (shared derivations
+    * dedupe through Memo's per-key build locks), so they run on a
+    * small driver thread pool: Spark's scheduler back-fills executor
+    * slots left idle by one build's stragglers/driver phases with the
+    * next build's tasks (guide §2.6). Pool size derives from the
+    * session's core count (scale-adaptive, never a local[32]
+    * constant); SPARK_GRAFT_LAYOUT_BUILD_PAR overrides, 1 = the old
+    * sequential behavior. Work and results are identical to the
+    * sequential build — each family's table is built by exactly one
+    * thread (per-table LayoutStore locks), dependency nesting blocks
+    * on the dependency's lock.
     */
-  def ensureAll(spark: SparkSession, dir: String): Map[String, String] =
-    families.map(f => f.name -> ensure(spark, dir, f.name)).toMap
+  def ensureAll(spark: SparkSession, dir: String): Map[String, String] = {
+    val cores = spark.sparkContext.defaultParallelism
+    val par = sys.env.get("SPARK_GRAFT_LAYOUT_BUILD_PAR")
+      .flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse(math.min(8, math.max(2, cores / 4)))
+    val ordered = families.sortBy(f =>
+      buildPriority.getOrElse(f.name, buildPriority.size + 1))
+    if (par <= 1) {
+      val r = ordered.map(f => f.name -> ensure(spark, dir, f.name)).toMap
+      ZOrderOps.ensureAllTables(spark, dir)
+      r
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val zf = Future { ZOrderOps.ensureAllTables(spark, dir) }
+        val fs = ordered.map(f =>
+          Future(f.name -> ensure(spark, dir, f.name)))
+        val r = Await.result(Future.sequence(fs), Duration.Inf).toMap
+        Await.result(zf, Duration.Inf)
+        r
+      } finally pool.shutdown()
+    }
+  }
 
   /** Drop every family's catalog entry for `dir` (the spec's
     * simulated JVM exit — files survive).

@@ -283,6 +283,23 @@ object ZOrderOps {
     * false positives only cost extra pruned-scan cells at the
     * measured fpp. Oracle = the plain full-scan point query.
     */
+  /** Deploy-time build of EVERY z-order table (model + z-layout +
+    * bloom sidecar + purged clone) — called from LayoutOps.ensureAll
+    * so the once-per-deployment builds land in the layout cold-build
+    * figure (with its job-level parallelism) instead of inside the
+    * first probe's serve measurement (r15 opt: the zorder point/purge
+    * serial rows measured 3.7/3.3 s in-suite vs 0.2/0.3 s warm — all
+    * of it one-time build). Probes still call ensure themselves, so
+    * nothing changes for a session that never ran ensureAll.
+    */
+  def ensureAllTables(spark: SparkSession, dir: String): Unit = {
+    ensure(spark, dir)
+    LayoutStore.ensure(spark, bloomTable(dir), Seq("zp"), 4)(
+      bloomFrame(spark, dir))
+    retentionPurge(spark, dir)
+    ()
+  }
+
   def pointLookup(spark: SparkSession, dir: String,
       id: Long = LookupId): DataFrame = {
     ensure(spark, dir)

@@ -28,6 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LayoutStore {
 
+  // Per-TABLE mutation locks (r15 opt): the former object-wide
+  // `synchronized` serialized every ensure/build across the whole
+  // store — fatal for the parallel layout build (guide §2.6), where
+  // worker threads each build a DIFFERENT table. Catalog and file
+  // mutations for one table still serialize through its own monitor;
+  // a build that ensures ANOTHER table nests that table's lock
+  // (acyclic family dependencies, so no deadlock).
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, (_: String) => new Object)
+
   /** Layout format version — part of every table name, so a geometry
     * or builder change can never serve a stale layout written by an
     * older engine.
@@ -67,7 +78,7 @@ object LayoutStore {
     * Returns the path taken, for specs/bench to assert on.
     */
   def ensure(spark: SparkSession, table: String, bucketKeys: Seq[String],
-      buckets: Int)(build: => DataFrame): String = synchronized {
+      buckets: Int)(build: => DataFrame): String = lockFor(table).synchronized {
     if (exists(spark, table)) "catalog"
     else {
       val loc = location(spark, table)
@@ -144,7 +155,7 @@ object LayoutStore {
     * them back to one file per bucket.
     */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      bucketKeys: Seq[String], buckets: Int): Unit = synchronized {
+      bucketKeys: Seq[String], buckets: Int): Unit = lockFor(table).synchronized {
     df.write.mode("append")
       .format("parquet")
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
@@ -162,7 +173,7 @@ object LayoutStore {
     */
   def appendOnce(spark: SparkSession, table: String, marker: String,
       bucketKeys: Seq[String], buckets: Int)(df: => DataFrame): Boolean =
-    synchronized {
+    lockFor(table).synchronized {
       val m = Paths.get(location(spark, table), s"_marker_$marker")
       if (Files.exists(m)) false
       else {
@@ -226,7 +237,7 @@ object LayoutStore {
     * layouts (whose rows exist nowhere else) need.
     */
   def compact(spark: SparkSession, table: String, bucketKeys: Seq[String],
-      buckets: Int): Unit = synchronized {
+      buckets: Int): Unit = lockFor(table).synchronized {
     val loc = location(spark, table)
     val tmpTable = table + CompactSuffix
     val tmpLoc = loc + CompactSuffix
@@ -275,13 +286,13 @@ object LayoutStore {
     * this to exercise the restart path without forking a JVM.
     */
   def dropCatalogEntry(spark: SparkSession, table: String): Unit =
-    synchronized { spark.sql(s"DROP TABLE IF EXISTS $table") }
+    lockFor(table).synchronized { spark.sql(s"DROP TABLE IF EXISTS $table") }
 
   /** Remove a layout completely: catalog entry AND files (test
     * hygiene; production would only ever do this to reclaim a
     * superseded geometry's tables).
     */
-  def purge(spark: SparkSession, table: String): Unit = synchronized {
+  def purge(spark: SparkSession, table: String): Unit = lockFor(table).synchronized {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     def rec(p: java.io.File): Unit = {
       val cs = p.listFiles(); if (cs != null) cs.foreach(rec); p.delete(); ()
@@ -305,7 +316,7 @@ object LayoutStore {
     * tight inside each cell too.
     */
   def ensurePartitioned(spark: SparkSession, table: String, partKey: String,
-      sortKey: String)(build: => DataFrame): String = synchronized {
+      sortKey: String)(build: => DataFrame): String = lockFor(table).synchronized {
     if (exists(spark, table)) "catalog"
     else {
       val loc = location(spark, table)
@@ -345,7 +356,7 @@ object LayoutStore {
     * blindly — though idempotent mutations may).
     */
   def cloneTable(spark: SparkSession, src: String, dst: String): Boolean =
-    synchronized {
+    lockFor(dst).synchronized {
       val from = Paths.get(location(spark, src))
       val to = Paths.get(location(spark, dst))
       if (Files.exists(to)) false
