@@ -68,4 +68,20 @@ object Tables {
     spread(t(s, d, "documents"), "doc_id")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(t(s, d, "embeddings"), "vec_id")
+
+  /** Per-QUERY opt-in spread for the fact tables (r15 opt). The fact
+    * tables arrive locally as ONE single-row-group parquet file, so a
+    * scan is one task and any heavy first stage (decimal partial
+    * aggregation over 600k lineitem rows, per-user event folds) runs
+    * on one core — guide §2.5's "one huge unsplittable file" case.
+    * A GLOBAL spread was measured a net loss (+5.8 s warm over the
+    * evt/q families: a ~0.2-0.8 s exchange tax on every query whose
+    * keys differ), so only the measured winners opt in, keyed so the
+    * exchange is REUSED by the downstream aggregation/join where
+    * possible. Same scale gate as documents/embeddings: self-disables
+    * on any real many-file layout; filters still push through the
+    * repartition into the scan (PushDownPredicates).
+    */
+  private[graft] def spreadBy(df: DataFrame, key: String): DataFrame =
+    spread(df, key)
 }

@@ -496,7 +496,11 @@ object EventOps {
     * executor-local; the only shuffle is the user-keyed window sort.
     */
   def resampleFfill(spark: SparkSession, dir: String): DataFrame =
-    resampleGrid(Tables.events(spark, dir)
+    // spreadBy on the WINDOW key: bounds/grid/fill all partition by
+    // user_id, and the grid explode + forward-fill window off a
+    // single-task local scan serialized on one core (measured
+    // 2.14 -> 1.10 s warm)
+    resampleGrid(Tables.spreadBy(Tables.events(spark, dir), "user_id")
       .select(col("user_id"), col("event_id"), col("ts"), col("value")))
 
   /** Core of B15 over any (user_id, event_id, ts, value) feed.
@@ -666,7 +670,10 @@ object EventOps {
     * splits at diff > gap), and the window end is last-event + gap.
     */
   def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // spreadBy on the GROUP key: the session-window aggregation's
+    // exchange is reused and the merging-window fold parallelizes
+    // off the single-task local scan (measured 0.94 -> 0.54 s warm)
+    Tables.spreadBy(Tables.events(spark, dir), "user_id")
       .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
       .agg(lcount.as("n_events"), dsum(col("value")).as("total_value"))
       .select(col("user_id"),

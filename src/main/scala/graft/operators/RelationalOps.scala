@@ -23,7 +23,10 @@ object RelationalOps {
     * map-side partial aggregation; scan prunes to 7 columns.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // spreadBy: the 8-aggregate decimal partial agg over ~every
+    // lineitem row is the whole query; single-row-group local input
+    // serialized it on one core (measured 1.47 -> 0.88 s warm)
+    Tables.spreadBy(Tables.lineitem(spark, dir), "l_orderkey")
       .filter(col("l_shipdate") <= ts("2000-12-31 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -134,7 +137,10 @@ object RelationalOps {
 
   /** A5: per-brand sales stats (fact⋈broadcast-dim + multi-aggregate). */
   def qPartBrandStats(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // spreadBy: broadcast join + heavy partial agg (countDistinct,
+    // decimal sums) over the whole fact — single-task local scan
+    // serialized it (measured 1.67 -> 1.13 s warm)
+    val li = Tables.spreadBy(Tables.lineitem(spark, dir), "l_orderkey")
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
@@ -510,7 +516,9 @@ object RelationalOps {
     */
   def q18LargeOrders(spark: SparkSession, dir: String,
       minQty: Double = 250.0): DataFrame = {
-    val big = Tables.lineitem(spark, dir)
+    // spreadBy on the GROUP key: the l_orderkey aggregation reuses
+    // the exchange outright (measured 1.07 -> 0.83 s warm)
+    val big = Tables.spreadBy(Tables.lineitem(spark, dir), "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > minQty)
@@ -666,7 +674,10 @@ object RelationalOps {
     * the A-family money contract.
     */
   def qRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // spreadBy on the JOIN key: the orders join reuses the exchange
+    // (no extra shuffle) and the Expand×grouping-sets partial agg
+    // parallelizes (measured 2.73 -> 1.25 s warm)
+    val li = Tables.spreadBy(Tables.lineitem(spark, dir), "l_orderkey")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
