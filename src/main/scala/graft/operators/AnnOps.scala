@@ -1273,14 +1273,33 @@ object AnnOps {
       hops: Int = GraphHops, beam: Int = GraphBeam,
       replace: Boolean = false): Seq[DataFrame] = {
     // replace = true REBUILDS each hop frame and releases the
-    // previous same-tag one (Memo.replaceDf) — the mode for callers
-    // whose input tables may differ between same-tag calls (the
-    // layout face re-serving after an upkeep fold); the default
-    // memoizes hops across calls (the session-built serve + recall
-    // curve sharing).
+    // previous same-tag one — the mode for callers whose input tables
+    // may differ between same-tag calls (the merged upkeep serve);
+    // the default memoizes hops across calls (the session-built serve
+    // + recall curve sharing).
+    //
+    // r15 opt: each hop memoizes RE-ROOTED on its materialized RDD
+    // (the graphWalk pinHop device folded into the memo): a chain of
+    // persisted-but-unrooted hops carries the full recursive lineage,
+    // so the FIRST serve paid Catalyst/codegen on an ever-deepening
+    // tree (ann_graph_appended 4.4 s in-suite vs 2.1 s isolated,
+    // bench adjudication) — the LogicalRDD leaf keeps every hop's
+    // plan one level deep, first call linear in hops, repeats memo
+    // hits. Beam frames are beam·|queries| rows (kilobytes), so the
+    // external-Row pin storage is immaterial; the beam side of the
+    // hop join is explicitly broadcast-hinted below, so the
+    // stats-less pin cannot flip a join (the repo's pinned-frame
+    // lore), and Memo's PinnedDf handle releases the RDD on
+    // invalidate/replace.
+    def rooted(d: DataFrame): graft.PinnedDf = {
+      val rdd = d.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      graft.PinnedDf(spark.createDataFrame(rdd, d.schema), rdd)
+    }
     def hopMemo(key: String)(build: => DataFrame): DataFrame =
-      if (replace) graft.Memo.replaceDf(spark, key)(build)
-      else graft.Memo.df(spark, key)(build)
+      (if (replace) graft.Memo.replaceValue(spark, key)(rooted(build))
+       else graft.Memo.value(spark, key)(rooted(build))).df
     val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
