@@ -1253,6 +1253,21 @@ object AnnOps {
         graphAdjWith(spark, dir, GraphK, GraphRounds, m))
     }
 
+  /** Materialize + RE-ROOT a frame on its persisted RDD (LogicalRDD
+    * leaf): the memoized-hop device shared by the float and PQ beam
+    * walks (r15 opt) — keeps every hop's plan one level deep, so the
+    * first serve's Catalyst/codegen cost is linear in hops instead of
+    * quadratic in the recursive lineage. Registered values are
+    * [[graft.PinnedDf]]s so Memo releases the RDD on
+    * invalidate/replace/clear.
+    */
+  private def rootedPin(spark: SparkSession, d: DataFrame): graft.PinnedDf = {
+    val rdd = d.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    graft.PinnedDf(spark.createDataFrame(rdd, d.schema), rdd)
+  }
+
   /** Attach (dv, dn) per adjacency edge from the embedding cache. */
   private[graft] def withAdjVectors(spark: SparkSession, dir: String,
       adj: DataFrame): DataFrame =
@@ -1291,15 +1306,9 @@ object AnnOps {
     // stats-less pin cannot flip a join (the repo's pinned-frame
     // lore), and Memo's PinnedDf handle releases the RDD on
     // invalidate/replace.
-    def rooted(d: DataFrame): graft.PinnedDf = {
-      val rdd = d.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      graft.PinnedDf(spark.createDataFrame(rdd, d.schema), rdd)
-    }
     def hopMemo(key: String)(build: => DataFrame): DataFrame =
-      (if (replace) graft.Memo.replaceValue(spark, key)(rooted(build))
-       else graft.Memo.value(spark, key)(rooted(build))).df
+      (if (replace) graft.Memo.replaceValue(spark, key)(rootedPin(spark, build))
+       else graft.Memo.value(spark, key)(rootedPin(spark, build))).df
     val q = embDouble(spark, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -1521,12 +1530,14 @@ object AnnOps {
         Seq(col("adc").asc, col("c_id").asc), GraphPqBeam)
         .select("q_id", "c_id", "adc")
     val tag = s"graphPqBeam:$dir:$graphTag:b$GraphPqBeam:$PqSeedRule"
-    val bm0 = graft.Memo.df(spark, s"$tag:0") {
+    // hops memoize RE-ROOTED (see rootedPin): same first-serve
+    // linear-cost rationale as the float walk's hopMemo
+    val bm0 = graft.Memo.value(spark, s"$tag:0")(rootedPin(spark, {
       topB(qd.join(broadcast(anchorsC), lit(true))
         .select(col("q_id"), col("a_id").as("c_id"), adcCol().as("adc")))
-    }
+    })).df
     (1 to GraphHops).scanLeft(bm0) { (bm, h) =>
-      graft.Memo.df(spark, s"$tag:$h") {
+      graft.Memo.value(spark, s"$tag:$h")(rootedPin(spark, {
         // beam side broadcast — see graphWalk
         val expand = broadcast(bm.select("q_id", "c_id"))
           .join(adjC, col("c_id") === col("src"))
@@ -1535,7 +1546,7 @@ object AnnOps {
         topB(bm.union(expand)
           .groupBy(col("q_id"), col("c_id"))
           .agg(min(col("adc")).as("adc")))
-      }
+      })).df
     }
   }
 
