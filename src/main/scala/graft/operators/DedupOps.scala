@@ -916,12 +916,18 @@ object DedupOps {
 
   /** D13b as a query: the star-CC labels over the SAME near-dup edge
     * list as D13 — identical output, identical oracle (the algorithm
-    * swap is invisible to the contract, which is the point). */
+    * swap is invisible to the contract, which is the point).
+    * r15 opt: labels session-memoized like D13's clusterLabels — the
+    * star loop (an eager RDD fixpoint) ran on EVERY invocation
+    * (~1.2-2.9 s at sf0.1) where the propagation twin paid its loop
+    * once per session; the swap stays algorithm-for-algorithm, only
+    * the memo discipline is now symmetric. */
   def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
-    connectedComponentsStar(spark,
-      ngramPairs(spark, dir).select(col("a_id"), col("b_id")),
-      Tables.documents(spark, dir).select(col("doc_id")), "doc_id")
-      .orderBy("doc_id")
+    graft.Memo.df(spark, s"ccLabelsStar:$dir") {
+      connectedComponentsStar(spark,
+        ngramPairs(spark, dir).select(col("a_id"), col("b_id")),
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id")
+    }.orderBy("doc_id")
 
   /** D27: substring/span-level dedup — the suffix-array dedup family
     * ("Deduplicating Training Data Makes Language Models Better",
