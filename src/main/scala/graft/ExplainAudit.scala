@@ -168,8 +168,15 @@ object ExplainAudit {
       // layout_bpe_tokenize is exempt BY DESIGN: the whole model (M
       // merge rows) is collected into plan structure (the replace
       // chain), like the quantizer — nothing of the table remains to
-      // scan in the final plan
+      // scan in the final plan.
+      // layout_ann_graph joined that class in r15: its beam hops
+      // memoize RE-ROOTED on their materialized RDDs (the ann_mmr
+      // device), so the final serve plan is a bounded heap over a
+      // LogicalRDD leaf — the table scan lives in the (memoized,
+      // once-per-session) hop builds, and LayoutSpec pins serve
+      // parity against the session twin across a catalog restart
       if (name.startsWith("layout_") && name != "layout_bpe_tokenize" &&
+          name != "layout_ann_graph" &&
           !plan.contains("graft_layout_v")) {
         println(s"!! AUDIT $name: does not scan a persisted layout table")
         bad += 1
