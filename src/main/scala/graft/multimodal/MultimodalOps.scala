@@ -36,6 +36,66 @@ object MultimodalOps {
 
   val FeatureDim = 16
 
+  // -----------------------------------------------------------------
+  // Codec-plumbing cost model (r16, guide §1.2 "per-task work" + §4.5
+  // "initialise heavyweight state once"): the JDK's convenience entry
+  // points hide two per-CALL costs that dominate these kernels at any
+  // scale — (a) ImageIO stream factories default to DISK-backed caches
+  // (every ImageIO.read/write/createImage*Stream creates, fills and
+  // deletes a temp FILE), and (b) every read/write re-scans the
+  // service-provider registry to pick a codec. Both are pure plumbing:
+  // decoded pixels/encoded bytes are bit-identical with memory-cached
+  // streams and a directly-instantiated codec, so the oracle-pinned
+  // roundtrip proofs are untouched. The SPIs are stateless factories
+  // (JVM-wide, thread-safe); reader/writer INSTANCES are stateful and
+  // stay per-call.
+
+  /** Disable ImageIO's temp-file stream cache once per JVM (executor
+    * JVMs included — kernels call this from inside the partition
+    * iterator). Reading the flag is a static boolean — free per row.
+    */
+  @inline private[multimodal] def ensureNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
+  private def readerSpiFor(fmt: String): javax.imageio.spi.ImageReaderSpi = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+    require(it.hasNext, s"JDK $fmt reader missing")
+    it.next().getOriginatingProvider
+  }
+  private def writerSpiFor(fmt: String): javax.imageio.spi.ImageWriterSpi = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+    require(it.hasNext, s"JDK $fmt writer missing")
+    it.next().getOriginatingProvider
+  }
+  private lazy val pngReaderSpi = readerSpiFor("png")
+  private lazy val pngWriterSpi = writerSpiFor("png")
+  private lazy val gifReaderSpi = readerSpiFor("gif")
+  private lazy val gifWriterSpi = writerSpiFor("gif")
+
+  private def memIn(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Decode bytes via the REAL codec path with the per-call plumbing
+    * hoisted: the expected format's cached SPI sniffs the magic bytes
+    * first (exactly the test the registry scan would run); any payload
+    * it does not recognise falls back to the full generic registry
+    * scan, so arbitrary/hostile bytes behave as before.
+    */
+  private def readImage(bytes: Array[Byte],
+      expected: javax.imageio.spi.ImageReaderSpi): java.awt.image.BufferedImage = {
+    ensureNoDiskCache()
+    val iis = memIn(bytes)
+    if (expected.canDecodeInput(iis)) {
+      val reader = expected.createReaderInstance()
+      try { reader.setInput(iis); reader.read(0) }
+      finally reader.dispose()
+    } else {
+      iis.close()
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+  }
+
   /** No-codec FALLBACK (was the only decode path before ImageIO was
     * wired in): deterministic bytes -> feature vector. Still the
     * kernel for audio/video payloads and for bytes no installed
@@ -104,18 +164,15 @@ object MultimodalOps {
           (0 until frames.length by stride).map { f =>
             val img = frames(f)
             val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             val rgb = new Array[Byte](w * h * 3)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y); val o = (y * w + x) * 3
-                rgb(o) = ((p >> 16) & 0xFF).toByte
-                rgb(o + 1) = ((p >> 8) & 0xFF).toByte
-                rgb(o + 2) = (p & 0xFF).toByte
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i); val o = i * 3
+              rgb(o) = ((p >> 16) & 0xFF).toByte
+              rgb(o + 1) = ((p >> 8) & 0xFF).toByte
+              rgb(o + 2) = (p & 0xFF).toByte
+              i += 1
             }
             FrameRow(m.media_id, f, rgb)
           }
@@ -209,8 +266,17 @@ object MultimodalOps {
       }
       y += 1
     }
+    // real PNG encoder via the cached SPI + memory-cached stream —
+    // identical bytes to ImageIO.write(img, "png", bos) without the
+    // per-call registry scan and temp-file cache
+    ensureNoDiskCache()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = pngWriterSpi.createWriterInstance()
+    writer.setOutput(ios)
+    writer.write(img)
+    writer.dispose()
+    ios.close()
     bos.toByteArray
   }
 
@@ -222,20 +288,20 @@ object MultimodalOps {
     * either way the caller falls back to [[fakeDecode]].
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = try {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImage(bytes, pngReaderSpi)
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
+      // ONE bulk conversion instead of w·h getRGB calls — same default-
+      // sRGB values per pixel by definition, without the per-call
+      // color-model dispatch
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        i += 1
       }
       Some((w, h, sr, sg, sb))
     }
@@ -258,6 +324,26 @@ object MultimodalOps {
     * little-endian; PCM is lossless, so decode must return the exact
     * samples).
     */
+  /** The JDK's WAVE AudioFileWriter/AudioFileReader providers, loaded
+    * once per JVM through the public ServiceLoader SPI — the same
+    * instances AudioSystem selects, minus AudioSystem's PER-CALL
+    * provider iteration (which tries AIFF/AU first and uses their
+    * UnsupportedAudioFileException throws as control flow — two
+    * stack-trace fills per decoded row). Encoder/decoder classes and
+    * produced bytes are identical; None → fall back to AudioSystem.
+    */
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find(_.getClass.getSimpleName.startsWith("Wave"))
+  }
+
   def synthWav(id: Long): Array[Byte] = {
     val n = nSamples(id)
     val pcm = new Array[Byte](n * 2)
@@ -272,8 +358,12 @@ object MultimodalOps {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
@@ -285,8 +375,18 @@ object MultimodalOps {
     */
   def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      // cached WAVE provider first; anything it rejects retries the
+      // full AudioSystem scan, so non-WAV payloads behave as before
+      val ais = wavReader match {
+        case Some(r) =>
+          try r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+          }
+        case None => javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      }
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
         !fmt.isBigEndian, s"unexpected PCM layout: $fmt")
@@ -356,7 +456,8 @@ object MultimodalOps {
   @inline def palG(v: Int): Int = 255 - v
   @inline def palB(v: Int): Int = (v * 7 + 13) % 256
 
-  private def gifPalette: java.awt.image.IndexColorModel = {
+  // one palette object per JVM (read-only after construction)
+  private lazy val gifPalette: java.awt.image.IndexColorModel = {
     val r = Array.tabulate(256)(i => palR(i).toByte)
     val g = Array.tabulate(256)(i => palG(i).toByte)
     val b = Array.tabulate(256)(i => palB(i).toByte)
@@ -368,10 +469,11 @@ object MultimodalOps {
     * with writeToSequence.
     */
   def synthGif(id: Long): Array[Byte] = {
+    ensureNoDiskCache()
     val w = imgW(id); val h = imgH(id); val icm = gifPalette
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = gifWriterSpi.createWriterInstance()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -400,12 +502,19 @@ object MultimodalOps {
     */
   def decodeGifFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
+      ensureNoDiskCache()
+      val iis = memIn(bytes)
+      // cached-SPI magic-byte sniff first (the exact canDecodeInput test
+      // the registry scan runs); non-GIF payloads take the generic scan
+      // as before, so the None-fallback contract is unchanged
+      val reader =
+        if (gifReaderSpi.canDecodeInput(iis)) gifReaderSpi.createReaderInstance()
+        else {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null else readers.next()
+        }
+      if (reader == null) None
       else {
-        val reader = readers.next()
         reader.setInput(iis)
         val n = reader.getNumImages(true)
         val out = (0 until n).map(reader.read)
@@ -439,16 +548,16 @@ object MultimodalOps {
           frames.foreach { img =>
             val w = img.getWidth; val h = img.getHeight
             np += w.toLong * h
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
-                sb += rgb & 0xFF
-                x += 1
-              }
-              y += 1
+            // bulk conversion (one call per frame): identical per-pixel
+            // values to getRGB(x, y), minus the per-call palette-model
+            // dispatch on the indexed GIF raster
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              i += 1
             }
           }
           (id, frames.length.toLong, imgW(id).toLong, imgH(id).toLong,
@@ -497,8 +606,11 @@ object MultimodalOps {
     * analytic).
     */
   def dHash56(img: java.awt.image.BufferedImage): Long = {
+    // one bulk fetch of the 8×8 window (identical values to per-pixel
+    // getRGB; every synthesized image is ≥8×8)
+    val px = img.getRGB(0, 0, 8, 8, null, 0, 8)
     def g(x: Int, y: Int): Int = {
-      val p = img.getRGB(x, y)
+      val p = px(y * 8 + x)
       (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
     }
     var v = 0L
@@ -525,8 +637,7 @@ object MultimodalOps {
     */
   def dHashBytes(bytes: Array[Byte]): Option[Long] =
     try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))).map(dHash56)
+      Option(readImage(bytes, pngReaderSpi)).map(dHash56)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The 4 × 14-bit band explode shared by F9 and the E36 stream face
@@ -551,8 +662,7 @@ object MultimodalOps {
         .where(col("doc_id") % 3 === 0 && col("doc_id") % 10 =!= 7)
         .as[Long]
         .mapPartitions(_.map { id =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(synthPng(id)))
+          val img = readImage(synthPng(id), pngReaderSpi)
           if (img == null) throw new IllegalStateException(
             s"JDK PNG reader missing for media $id")
           (id, dHash56(img))
@@ -576,8 +686,7 @@ object MultimodalOps {
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(synthPng(id)))
+          val img = readImage(synthPng(id), pngReaderSpi)
           if (img == null) throw new IllegalStateException(
             s"JDK PNG reader missing for media $id")
           (id, dHash56(img))

@@ -58,11 +58,33 @@ object ProfileOps {
         case _ => ()
       }
     }
-    val agg = df.agg(
-      specs.head._3.as("m0"),
-      specs.tail.zipWithIndex.map { case ((_, _, e), i) =>
-        e.as(s"m${i + 1}")
-      }.toSeq: _*)
+    // r16 (guide §2.3, shuffle fewer bytes): mixing the countDistinct
+    // metrics into the same Dataset.agg as the plain ones makes
+    // Catalyst's multi-distinct rewrite key the gid=0 Expand group on
+    // EVERY distinct column at once — the partial aggregate hashes
+    // (n_distinct_cols + 1) × n_rows rows on an all-columns key (every
+    // row unique, zero map-side reduction) and the exchange ships them
+    // 36 columns wide, payload strings included. Split instead:
+    //  - plain metrics: ONE streaming aggregation (map-side partials,
+    //    one row per partition crosses the wire);
+    //  - distinct counts: their own aggregation, where the Expand rows
+    //    are (gid, value) NARROW and the partial aggregate dedupes per
+    //    column, so the exchange carries Σ per-column distincts.
+    // Both single-row results combine with a broadcast cross join (1×1
+    // rows). Two scans of the input instead of one — at scale, a second
+    // scan is far cheaper than shuffling the table ~7× its width (the
+    // measured local effect is the same: 2.84 s → see OPTIMIZATION_r16).
+    // Same aggregates, bit-identical output.
+    val (distSpecs, plainSpecs) = specs.zipWithIndex
+      .partition(_._1._2 == "n_distinct")
+    val aggPlain = df.agg(
+      plainSpecs.head._1._3.as(s"m${plainSpecs.head._2}"),
+      plainSpecs.tail.map { case ((_, _, e), i) => e.as(s"m$i") }.toSeq: _*)
+    val agg =
+      if (distSpecs.isEmpty) aggPlain
+      else aggPlain.crossJoin(df.agg(
+        distSpecs.head._1._3.as(s"m${distSpecs.head._2}"),
+        distSpecs.tail.map { case ((_, _, e), i) => e.as(s"m$i") }.toSeq: _*))
     agg.select(explode(array(specs.zipWithIndex.map { case ((cn, mt, _), i) =>
         struct(lit(cn).as("col_name"), lit(mt).as("metric"),
           col(s"m$i").as("value"))
