@@ -142,9 +142,16 @@ object GraphOps {
       .select(
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-    val wedges = oriented.select(col("u"), col("v").as("x"))
-      .join(oriented.select(col("u"), col("v").as("y")), "u")
-      .filter(col("x") < col("y"))
+    // r16: wedge generation in-row from each pivot's sorted out-list
+    // (one groupBy(u)) instead of the oriented self-join — the same
+    // multiset of (x < y) wedges, two exchanges fewer (see
+    // linkPredictFromEdges; out-lists stay O(√m) by the orientation)
+    val wedges = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(col("u"), col("vs"), posexplode(col("vs")).as(Seq("i", "x")))
+      .select(col("u"), col("x"),
+        explode(slice(col("vs"), col("i") + lit(2),
+          size(col("vs")) - col("i") - lit(1))).as("y"))
     val tris = wedges.join(und,
       col("x") === col("a") && col("y") === col("b"))
     tris.select(explode(array(col("u"), col("x"), col("y"))).as("doc_id"))
@@ -186,15 +193,29 @@ object GraphOps {
     */
   private[graft] def linkPredictFromEdges(und: DataFrame, cap: Int,
       k: Int): DataFrame = {
-    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy(col("id")).agg(graft.functions.Exact.lcount.as("dg"))
-    val adj = und.select(col("a").as("z"), col("b").as("nbr"))
+    // r16 (guide §2.4, remove shuffles outright — the winnow/PLANS_r7
+    // inverted-list lesson applied to wedges): the old shape computed
+    // degrees with one groupBy, joined them onto the adjacency rows,
+    // and generated wedges with a pivot SELF-JOIN on z — paying the
+    // degree exchange, the degree join, and both self-join exchanges.
+    // One groupBy(z) now builds each eligible pivot's doc-sorted
+    // neighbor list (deg = list size, since `und` is simple); ordered
+    // wedge pairs are generated IN-ROW (explode the sorted list once
+    // with position, then its strict suffix) — the same multiset of
+    // (x < y, pivot) wedges with no join at all. Per-pivot fanout stays
+    // C(cap,2)-bounded; the 1.35 s serve measured 2 exchanges fewer
+    // (see plans/r16/graph_link_predict_{before,after}.txt).
+    val nbrs = und.select(col("a").as("z"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("z"), col("a").as("nbr")))
-    val pivots = adj
-      .join(deg.filter(col("dg") <= cap).withColumnRenamed("id", "z"), "z")
-    val wedges = pivots.select(col("z"), col("nbr").as("x"), col("dg"))
-      .join(pivots.select(col("z"), col("nbr").as("y")), "z")
-      .filter(col("x") < col("y"))
+      .groupBy(col("z"))
+      .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+      .filter(size(col("ns")) <= cap)
+    val wedges = nbrs
+      .select(col("ns"), size(col("ns")).as("dg"),
+        posexplode(col("ns")).as(Seq("i", "x")))
+      .select(col("x"), col("dg"),
+        explode(slice(col("ns"), col("i") + lit(2),
+          size(col("ns")) - col("i") - lit(1))).as("y"))
     val scored = wedges.groupBy(col("x"), col("y"))
       .agg(graft.functions.Exact.lcount.as("cn"),
         sum(expr(s"$RaScale div dg")).cast(LongType).as("ra"))
