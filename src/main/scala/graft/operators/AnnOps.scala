@@ -635,6 +635,33 @@ object AnnOps {
     * the adjacency rows — one memoized layout join, no per-query
     * work).
     */
+  /** Max DISTINCT filtered-search predicates whose beam pins stay
+    * memoized per session (each holds hops+1 kilobyte-scale pinned
+    * frames; the bound caps standing storage at a known constant).
+    */
+  val FilteredBeamMaxPreds = 8
+  private val filteredBeamLru =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.LinkedHashMap[String, String]]()
+
+  /** Mark `tag` most-recently-used; evict the coldest predicate's hop
+    * pins once more than [[FilteredBeamMaxPreds]] are standing.
+    */
+  private def touchFilteredBeam(spark: SparkSession, tag: String): Unit = {
+    val lru = filteredBeamLru.computeIfAbsent(spark,
+      (_: SparkSession) =>
+        new java.util.LinkedHashMap[String, String](16, 0.75f, true))
+    lru.synchronized {
+      lru.put(tag, tag)
+      while (lru.size > FilteredBeamMaxPreds) {
+        val it = lru.entrySet().iterator()
+        val evict = it.next().getKey
+        it.remove()
+        graft.Memo.invalidatePrefix(spark, evict)
+      }
+    }
+  }
+
   private[graft] def filteredGraph(spark: SparkSession, dir: String,
       pred: Column => Column, hops: Int = GraphHops,
       beam: Int = GraphBeam, k: Int = 10): DataFrame = {
@@ -653,8 +680,15 @@ object AnnOps {
     // the filterSel memo discipline); graphBeamsOn computes the
     // identical hop recurrence the per-call graphWalk did (~1.4 s
     // warm re-walk eliminated, PlanCostProbe).
-    val last = graphBeamsOn(spark, dir, edges, anchors,
-      s"filteredBeam:$dir:b$beam:${pred(col("label"))}",
+    // r16 (ADVICE): the memo is BOUNDED — annFilteredAuto is a public
+    // serving API taking arbitrary predicates, so per-predicate pins
+    // would otherwise accumulate without limit in a long session. An
+    // LRU over the predicate tags evicts the coldest predicate's hop
+    // pins (Memo.invalidatePrefix releases the persisted RDDs); an
+    // evicted predicate that returns simply rebuilds its beams.
+    val tag = s"filteredBeam:$dir:b$beam:${pred(col("label"))}"
+    touchFilteredBeam(spark, tag)
+    val last = graphBeamsOn(spark, dir, edges, anchors, tag,
       hops = hops, beam = beam).last
     TopK.perKey(last.filter(col("c_id") =!= col("q_id")), Seq(col("q_id")),
         Seq(col("sim").desc, col("c_id").asc), k)

@@ -355,8 +355,16 @@ object LayoutStore {
     * mutated clone survived; the caller must NOT redo its mutation
     * blindly — though idempotent mutations may).
     */
-  def cloneTable(spark: SparkSession, src: String, dst: String): Boolean =
-    lockFor(dst).synchronized {
+  def cloneTable(spark: SparkSession, src: String, dst: String): Boolean = {
+    // Lock BOTH tables, in lexicographic order (r16, ADVICE): under
+    // per-table locks a dst-only lock let a clone read src's files
+    // while another thread appended/compacted src (compact deletes +
+    // renames the directory), copying a half-mutated state. Ordered
+    // acquisition keeps clone atomic with src mutations without
+    // deadlock risk.
+    val (first, second) =
+      if (src <= dst) (src, dst) else (dst, src)
+    lockFor(first).synchronized { lockFor(second).synchronized {
       val from = Paths.get(location(spark, src))
       val to = Paths.get(location(spark, dst))
       if (Files.exists(to)) false
@@ -369,7 +377,8 @@ object LayoutStore {
         } finally it.close()
         true
       }
-    }
+    }}
+  }
 
   private def register(spark: SparkSession, table: String, loc: String,
       bucketKeys: Seq[String], buckets: Int): Unit = {

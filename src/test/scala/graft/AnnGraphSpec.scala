@@ -223,6 +223,28 @@ class AnnGraphSpec extends GraftSpec {
     assert(sparse.forall(_.getString(4) == "exact"))
   }
 
+  test("filtered-beam memo is LRU-bounded per session") {
+    // more distinct predicates than the bound: the coldest predicate's
+    // hop pins must be evicted (the unbounded-pin leak, r15 ADVICE),
+    // the hottest must survive, and an evicted predicate still serves
+    // correctly (rebuilds its beams)
+    import org.apache.spark.sql.functions.col
+    def tagOf(lbl: Long) =
+      s"filteredBeam:$Sf:b${AnnOps.GraphBeam}:${(col("label") =!= lbl).toString}"
+    val labels = 0L until (AnnOps.FilteredBeamMaxPreds + 2L)
+    val results = labels.map { l =>
+      l -> AnnOps.filteredGraph(spark, Sf, _ =!= l).collect()
+    }.toMap
+    assert(!graft.Memo.hasKey(spark, s"${tagOf(labels.head)}:0"),
+      "oldest predicate's beam pin should have been evicted")
+    assert(graft.Memo.hasKey(spark, s"${tagOf(labels.last)}:0"),
+      "newest predicate's beam pin should be standing")
+    // evicted predicate rebuilds identically
+    val again = AnnOps.filteredGraph(spark, Sf, _ =!= labels.head).collect()
+    assert(again.toSeq == results(labels.head).toSeq,
+      "evicted predicate must rebuild bit-identical beams")
+  }
+
   test("serve recall@10 monotone in hops, deployed point above floor") {
     val exact = AnnOps.annCosineTopK(spark, Sf)
       .select("q_id", "c_id").collect()
